@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed via the same registry the driver checks for
+correctness; timing covers plan construction + execution to a count-style
+terminal action (results are not collected to the driver — at 100 TB you
+never collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from aws_data_pipeline_spark.plans import load_registry
+from aws_data_pipeline_spark.session import get_spark
+
+# Headline set: one per capability family (scan+agg, grouping sets, dedup,
+# joins/windows/text/similarity entries join this list as they land).
+HEADLINE = [
+    "customer_insights",
+    "daily_aggregations",
+    "multi_grain_rollup",
+    "dedup_by_key",
+    "filter_valid_transactions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_registry()
+    names = [n for n in HEADLINE if n in registry]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in registry]
+
+    spark = get_spark("adps-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session bootstrap.
+    registry[names[0]].spark_fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
