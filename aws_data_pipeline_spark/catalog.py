@@ -137,7 +137,19 @@ TXN_SCHEMA = T.StructType(
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. Parquet scan with Catalyst pushdown/pruning."""
+    """Load one testdata table. Parquet scan with Catalyst pushdown/pruning.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read nanos as long (legacy conf)
+    and truncate to microsecond timestamps — exactly what DuckDB does
+    implicitly (its TIMESTAMP is µs), keeping oracle parity.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,124 @@
+"""Join operators (SURVEY.md §2.5 gap list: equi/semi/anti/broadcast,
+as-of, bucketed range join).
+
+The reference has no joins at all (verified in SURVEY.md §2.5); these are the
+engine's enrichment surface, designed shuffle-first:
+
+- dims broadcast (`F.broadcast`) so the fact side never shuffles for them;
+- the as-of join is the union+window formulation — one shuffle on the key,
+  NO range explosion, which is the only shape that survives 100 TB;
+- the range join pre-buckets both sides on coarse time buckets so the join is
+  an equi-join on (key, bucket) with a residual filter, instead of a
+  broadcast-nested-loop over the cross product.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column | Sequence[str]]],
+    how: str = "inner",
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Chain fact ⋈ dim joins, broadcasting each dim side."""
+    out = fact
+    for dim, on in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, on, how)
+    return out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
+    """EXISTS: rows of left with at least one match in right."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column) -> DataFrame:
+    """NOT EXISTS: rows of left with no match in right (orphan/QC checks)."""
+    return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` and the same key.
+
+    Union+window formulation: tag both sides, sort within key by (ts, side)
+    — right rows first on ties, matching the <= semantics — and carry the
+    last-seen right row forward with ``last(..., ignorenulls)`` over an
+    unbounded-preceding frame. One shuffle on ``key``; no range join, no
+    state explosion — this is the 100 TB-safe shape (a broadcast-nested-loop
+    range join would be O(n*m) per key).
+    """
+    rstruct = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
+    r = right.select(
+        F.col(key).alias(key), F.col(ts).alias(ts), rstruct, F.lit(0).alias("__side")
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(r.schema["__r"].dataType)
+    )
+    l = l.select(*left.columns, "__side", "__r")
+    # align schemas: right side carries only (key, ts, __r, __side)
+    for c in left.columns:
+        if c not in (key, ts):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*left.columns, "__side", "__r")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r)
+    filled = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1)
+    for c in right_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__last_r").getField(c))
+    return out.drop("__side", "__r", "__last_r")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Pairs (l, r) with same key and ``l.ts < r.ts <= l.ts + window``.
+
+    Both sides get a coarse bucket ``floor(epoch / window)``; a right row can
+    only match left rows in its own or the previous bucket, so the join is an
+    equi-join on (key, bucket) over two bucket-shifted copies of the left,
+    with the exact range predicate as a residual filter. Shuffle-partitioned
+    by (key, bucket) — no cross product, skew bounded by bucket width.
+    """
+    lb = left.withColumn("__b", (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("long"))
+    rb = right.withColumn("__b", (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast("long"))
+    # left copies land in their own bucket and the next one
+    l2 = lb.withColumn("__b", F.col("__b") + 1)
+    lboth = lb.unionByName(l2)
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l.__b") == F.col("r.__b"))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.make_interval(secs=F.lit(window_seconds))
+        )
+    )
+    return lboth.alias("l").join(rb.alias("r"), cond, "inner")

@@ -1,1 +1,520 @@
-"""Analytics plans (joins/windows/setops) — populated incrementally."""
+"""Analytics plans: the SURVEY.md §2.5 gap list — joins (all types), window
+functions, sort/limit/top-k, set operations, string/JSON functions, pivot,
+as-of + bucketed range joins, sessionization.
+
+The reference contains none of these (its only relational verbs are
+filter/project/groupBy, SURVEY.md §2.5); they are what makes the engine a
+real analytics surface over the medallion zones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.functions.exact import davg, dsum
+from aws_data_pipeline_spark.operators import joins, windows
+from aws_data_pipeline_spark.plans import register
+from aws_data_pipeline_spark.plans.common import T, davg_sql, dsum_sql
+
+# Exact decimal revenue: both factors are 2-dp-intended doubles; casting each
+# to DECIMAL(12,2) recovers the intended values exactly, the decimal multiply
+# (scale 4) and sum are exact, and the final double cast is deterministic.
+# (Lazy: Column construction needs an active SparkContext in pyspark 4.)
+def _rev_spark():
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)")
+    )
+
+
+def _charge_spark():
+    return _rev_spark() * (
+        F.lit(1).cast("decimal(12,2)") + F.col("l_tax").cast("decimal(12,2)")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+_CHARGE_SQL = (
+    f"{_REV_SQL} * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))"
+)
+
+
+# -- TPC-H Q1: pricing summary (scan + filter pushdown + 8-agg bundle) -----
+
+
+@register(
+    "q1_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate bundle after a pushed-down date filter
+    (.explain shows PushedFilters on l_shipdate at the parquet scan)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "decimal(12,2)").alias("sum_qty"),
+        dsum("l_extendedprice", "decimal(12,2)").alias("sum_base_price"),
+        F.sum(_rev_spark()).cast("double").alias("sum_disc_price"),
+        F.sum(_charge_spark()).cast("double").alias("sum_charge"),
+        davg("l_quantity", "decimal(12,2)").alias("avg_qty"),
+        davg("l_extendedprice", "decimal(12,2)").alias("avg_price"),
+        davg("l_discount", "decimal(12,2)").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# -- Multi-way broadcast join: regional revenue (TPC-H Q5 shape) -----------
+
+
+@register(
+    "regional_revenue",
+    sql=f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS line_count,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ dim chain with every dim broadcast — the fact
+    side shuffles once (for the final groupBy), never for the joins."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = T(spark, sf_dir, "region")
+    joined = joins.enrich(
+        li,
+        [
+            (o, li.l_orderkey == o.o_orderkey),
+            (c, o.o_custkey == c.c_custkey),
+            (n, c.c_nationkey == n.n_nationkey),
+            (r, n.n_regionkey == r.r_regionkey),
+        ],
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+    ).agg(
+        F.count("*").alias("line_count"),
+        F.sum(_rev_spark()).cast("double").alias("revenue"),
+    )
+
+
+# -- Outer / semi / anti joins --------------------------------------------
+
+
+@register(
+    "left_join_order_counts",
+    sql="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS order_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers (COUNT over the
+    nullable side counts matches only)."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one finished order.
+    Semi joins never duplicate the left side — no post-join dedup needed."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return joins.semi_join(c, o, c.c_custkey == o.o_custkey)
+
+
+@register(
+    "anti_join_dormant_customers",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    """,
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders in 2001+ —
+    the QC orphan-check shape."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return joins.anti_join(c, o, c.c_custkey == o.o_custkey)
+
+
+# -- Window functions ------------------------------------------------------
+
+
+@register(
+    "topk_orders_per_customer",
+    sql="""
+    SELECT o_custkey AS customer_id, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number with a total order (tie-break on the
+    unique key) — deterministic, single shuffle, no global sort."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = windows.topk_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.withColumnRenamed("o_custkey", "customer_id")
+
+
+@register(
+    "running_customer_spend",
+    sql="""
+    SELECT o_custkey AS customer_id, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running lifetime value per customer — cumulative decimal-exact sum."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = windows.running_sum(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        "o_totalprice",
+    )
+    return out.drop("o_totalprice").withColumnRenamed("o_custkey", "customer_id")
+
+
+@register(
+    "order_gap_days",
+    sql="""
+    SELECT o_custkey AS customer_id, o_orderkey, o_orderdate,
+           CAST(date_diff('day',
+             CAST(lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS DATE),
+             CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+    FROM orders
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta: days since the customer's previous order (null first)."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    out = windows.lag_delta_days(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        "o_orderdate",
+    )
+    return out.withColumnRenamed("o_custkey", "customer_id")
+
+
+# -- Sort / limit ----------------------------------------------------------
+
+
+@register(
+    "top_orders_global",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordered limit — Spark plans TakeOrderedAndProject (per-partition
+    top-N + driver merge of N), never a full sort at scale."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+# -- Set operations --------------------------------------------------------
+
+
+@register(
+    "order_year_set_ops",
+    sql="""
+    WITH y1995 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y1996 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1995 INTERSECT SELECT o_custkey FROM y1996)
+    UNION ALL
+    SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1995 EXCEPT SELECT o_custkey FROM y1996)
+    UNION ALL
+    SELECT 'only_1996' AS cohort, o_custkey FROM (SELECT o_custkey FROM y1996 EXCEPT SELECT o_custkey FROM y1995)
+    """,
+)
+def order_year_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except / union — the zone-reconciliation shape (silver vs
+    re-derived silver)."""
+    o = T(spark, sf_dir, "orders")
+    y1995 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y1996 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y1995.intersect(y1996).withColumn("cohort", F.lit("both"))
+    only95 = y1995.exceptAll(y1996).withColumn("cohort", F.lit("only_1995"))
+    only96 = y1996.exceptAll(y1995).withColumn("cohort", F.lit("only_1996"))
+    return both.unionByName(only95).unionByName(only96).select("cohort", "o_custkey")
+
+
+# -- String functions ------------------------------------------------------
+
+
+@register(
+    "string_normalize_parts",
+    sql="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substring(p_name, 1, 12) AS name_prefix,
+           replace(p_name, ' ', '_') AS name_slug,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           CAST(len(string_split(p_type, ' ')) AS INTEGER) AS type_tokens
+    FROM part
+    """,
+)
+def string_normalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: case-normalize, slice, slug, token count —
+    all JVM-side whole-stage-codegen expressions."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_slug"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split(F.col("p_type"), " ")).alias("type_tokens"),
+    )
+
+
+# -- JSON props ------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: extract ``$.k`` from the JSON props column
+    (get_json_object — no schema materialization) and aggregate. Integer
+    sums are exact, no decimal routing needed."""
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
+# -- Pivot -----------------------------------------------------------------
+
+
+@register(
+    "pivot_event_values",
+    sql="""
+    SELECT user_id,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'click'), 0) AS DOUBLE) AS click,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'error'), 0) AS DOUBLE) AS error,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'purchase'), 0) AS DOUBLE) AS purchase,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'signup'), 0) AS DOUBLE) AS signup,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'view'), 0) AS DOUBLE) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type value totals. The pivot value list is
+    explicit — at scale an unlisted pivot forces an extra distinct pass."""
+    e = T(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"))
+    )
+    for c in ["click", "error", "purchase", "signup", "view"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out
+
+
+# -- As-of join ------------------------------------------------------------
+
+
+@register(
+    "asof_last_click_before_purchase",
+    sql="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS matched_event_id, c.ts AS matched_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it. Union+window formulation — one shuffle on user_id, no range
+    explosion (operators/joins.py::asof_join)."""
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = joins.asof_join(
+        purchases, clicks, key="user_id", ts="ts", right_cols=["event_id", "ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched_event_id"),
+        F.col("matched_ts"),
+    )
+
+
+# -- Bucketed range join ---------------------------------------------------
+
+
+@register(
+    "events_within_10min",
+    sql="""
+    SELECT a.event_id, COUNT(b.event_id) AS followers_10min
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.event_id
+    """,
+)
+def events_within_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, bucketed: same-user events in the next 10 minutes.
+
+    The right side only probes its own and the previous coarse time bucket,
+    so the physical plan is an equi-join on (user, bucket) + residual filter
+    — no broadcast-nested-loop cross product (operators/joins.py)."""
+    e = T(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = joins.range_join_bucketed(
+        e, e, key="user_id", left_ts="ts", right_ts="ts", window_seconds=600
+    )
+    cnt = pairs.groupBy(F.col("l.event_id").alias("event_id")).agg(
+        F.count("*").alias("followers_10min")
+    )
+    # left join back so zero-follower events keep a 0 count
+    base = e.select("event_id")
+    return base.join(cnt, "event_id", "left").select(
+        "event_id", F.coalesce("followers_10min", F.lit(0)).alias("followers_10min")
+    )
+
+
+# -- Sessionization --------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap) + per-session rollup —
+    the batch twin of Structured Streaming session windows."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s = windows.sessionize(e, key="user_id", ts_col="ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("session_value"),
+    )
