@@ -1,0 +1,266 @@
+"""Deduplication operators for LLM-data pipelines (north-star surface).
+
+Four strategies, each the scalable formulation:
+
+- exact: hash-groupBy on content digest — one shuffle on the digest.
+- n-gram Jaccard: inverted-index self-join on distinct shingles (pairs exist
+  only where a shingle is shared) — no O(n²) cross product; candidate volume
+  is bounded by shingle-bucket sizes, and hot shingles can be dropped like
+  stopwords (``max_bucket`` guard).
+- MinHash + LSH banding: constant-size signatures replace shingle sets;
+  banding buckets candidates so the join is equi on (band, band-signature).
+  Candidates are verified with exact Jaccard — output precision is exact,
+  recall is the LSH probability curve.
+- SimHash: 64-bit vectorized pandas_udf (the documented Python-unavoidable
+  path, Arrow-batched), Hamming-≤k pairs via band blocking + bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_data_pipeline_spark.operators.text import shingles, tokens
+
+# Fixed universal-hash parameters: h_i(s) = (a_i * x + b_i) mod M, where
+# x = pmod(xxhash64(s), 2^31-1). a_i < 2^31 keeps a_i * x < 2^62 — inside
+# signed-64 range, so ANSI mode never overflows.
+_MERSENNE = 2305843009213693951  # 2^61 - 1
+_HASH_PARAMS: list[tuple[int, int]] = [
+    (1100087778366101931, 979787241461561041),  # seeds drawn once, fixed
+]
+# deterministic param table: (a_i, b_i) for 16 permutations
+_HASH_PARAMS = [
+    ((2654435761 * (i + 1) + 40503) % 2147483629 + 1, (40503 * (i + 1) + 2654435761) % _MERSENNE)
+    for i in range(16)
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 digest groupBy; canonical = min id per digest.
+
+    Adds ``text_hash``, ``canonical_doc_id``, ``is_duplicate``. Deterministic
+    survivor (min id), unlike dropDuplicates — idempotent across re-runs.
+    """
+    hashed = df.withColumn("text_hash", F.md5(F.col(text_col)))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("canonical_doc_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_doc_id"))
+    )
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) inverted index — one row per distinct shingle per doc."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    ``sim(d1,d2) = |S1 ∩ S2| / |S1 ∪ S2|`` over distinct k-token shingles.
+    Intersections come from a self-join on the shingle index (only shared
+    shingles produce pairs); union sizes from per-doc shingle counts.
+    ``max_bucket`` drops degenerate hot shingles (the skew guard at scale).
+    """
+    idx = _shingle_index(df, id_col, text_col, k)
+    if max_bucket is not None:
+        hot = idx.groupBy("shingle").count().filter(F.col("count") > max_bucket)
+        idx = idx.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = idx.groupBy("doc").agg(F.count("*").alias("n"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n", "n1"), "doc1")
+        .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n", "n2"), "doc2")
+        .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc1", "doc2", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, num_perm: int = 16
+) -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of h_i(shingle).
+
+    Computed entirely with higher-order functions over the shingle array —
+    no explode, no shuffle: the signature is a map-side projection, which is
+    what makes MinHash linear-scan-cheap at 100 TB.
+    """
+    assert num_perm <= len(_HASH_PARAMS)
+    sh = shingles(tokens(F.col(text_col)), k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(2147483647)))
+    def perm_hash(a: int, b: int):
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, perm_hash(a, b)))
+            for a, b in _HASH_PARAMS[:num_perm]
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: num_perm/bands rows per band; docs agreeing on ALL rows of any
+    band become candidates (equi-join on (band_idx, band_slice)). Each
+    candidate pair is then verified with exact shingle Jaccard, so emitted
+    pairs are exact-precision; recall follows 1-(1-s^r)^b.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.slice(F.col("sig"), j * rows + 1, rows).alias("key"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard over shingle sets
+    sets = df.select(
+        F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col)), k).alias("sh")
+    )
+    verified = (
+        cand.join(sets.withColumnRenamed("doc", "doc1").withColumnRenamed("sh", "sh1"), "doc1")
+        .join(sets.withColumnRenamed("doc", "doc2").withColumnRenamed("sh", "sh2"), "doc2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc1", "doc2", "jaccard")
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [T.StructField("doc", T.LongType()), T.StructField("simhash", T.LongType())]
+)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash via an Arrow-batched pandas UDF (mapInPandas).
+
+    The per-token md5→bit-vote loop is genuinely awkward as Column algebra
+    (64-way bit explosion); this is the engine's documented Python path:
+    vectorized over Arrow batches, never row-at-a-time over the wire.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out_ids, out_hashes = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                votes = [0] * 64
+                for tok in str(text).lower().split(" "):
+                    h = int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
+                    )
+                    for bit in range(64):
+                        votes[bit] += 1 if (h >> bit) & 1 else -1
+                val = 0
+                for bit in range(64):
+                    if votes[bit] > 0:
+                        val |= 1 << bit
+                # wrap to signed 64
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out_ids.append(doc)
+                out_hashes.append(val)
+            yield pd.DataFrame({"doc": out_ids, "simhash": out_hashes})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        batches, schema=_SIMHASH_SCHEMA
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-≤k SimHash pairs via 4-band blocking (pigeonhole: any pair
+    within Hamming 3 agrees exactly on at least one 16-bit band) + bit_count
+    verification — the equi-join shape, no cross product."""
+    sh = simhash(df, id_col, text_col)
+    bands = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

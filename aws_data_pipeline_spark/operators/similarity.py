@@ -1,0 +1,189 @@
+"""Embedding similarity search (north-star surface).
+
+- exact cosine: JVM-side zip_with + sequential fold in double precision —
+  deterministic, no UDF.
+- brute-force top-k: broadcast the (small) query set against the corpus;
+  the corpus never shuffles. This is the correctness baseline.
+- LSH-bucketed ANN: random-hyperplane sign buckets (seeded, deterministic);
+  candidates only within the query's bucket — the 100 TB path, where the
+  corpus is pre-bucketed once and each query probes one bucket.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left fold — the same accumulation order as a plain loop,
+    so it bit-matches any engine that sums left-to-right in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × corpus scan.
+
+    One pass over the corpus, per-partition partial top-k via the window
+    row_number (AQE coalesces the tiny shuffle). Ties broken by neighbor id
+    for determinism. Self-matches excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine >= threshold. At test SF a plain self-join; at
+    scale, run :func:`lsh_bucket` first and join within buckets only."""
+    v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("sim", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (Box-Muller over a
+    fixed LCG — stable across numpy versions since it uses none)."""
+    state = seed & 0x7FFFFFFF
+
+    def rnd() -> float:
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return state / float(1 << 31)
+
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            u1, u2 = max(rnd(), 1e-12), rnd()
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of plane dot products.
+
+    2^n_planes buckets; cosine-similar vectors collide with probability
+    (1 - theta/pi)^n_planes. Bucketing is a map-side projection — the corpus
+    is bucketed in one scan and can be written partitioned by bucket.
+    """
+    planes = _hyperplanes(n_planes, dim, seed)
+    v = as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket + bit * F.lit(1 << i)
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within the query's LSH bucket.
+
+    ``multiprobe`` additionally probes every Hamming-1 bucket (flip each sign
+    bit) — the standard recall boost: the query fans out to n_planes+1
+    buckets while the corpus stays bucketed once. The join stays equi on
+    bucket — no cross product. pytest measures recall vs brute_force_topk.
+    """
+    qb = lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+        n_planes,
+        dim,
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    cb = lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
+        n_planes,
+        dim,
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(as_double(F.col("qv")), as_double(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

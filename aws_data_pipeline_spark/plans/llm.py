@@ -1,1 +1,277 @@
-"""North-star LLM-pipeline plans (dedup/similarity/text) — populated incrementally."""
+"""North-star LLM-data-pipeline plans: deduplication (exact, n-gram Jaccard,
+MinHash-LSH, SimHash), embedding similarity search (brute-force + LSH ANN),
+text analysis (lang-ID, quality, token counts, fingerprints), multimodal
+plumbing.
+
+SQL-expressible ops carry DuckDB oracle twins; genuinely approximate ops
+(MinHash-LSH, SimHash, LSH-ANN) are rows-only here and property-tested in
+tests/ (recall vs exact baselines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from aws_data_pipeline_spark.plans import register
+from aws_data_pipeline_spark.plans.common import T
+
+# -- Exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact_text",
+    sql="""
+    SELECT doc_id, md5(text) AS text_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+           doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+    FROM documents
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest; deterministic canonical survivor
+    (min doc_id per digest) — idempotent across re-runs."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "doc_id").select(
+        "doc_id", "text_hash", "canonical_doc_id", "is_duplicate"
+    )
+
+
+# -- N-gram Jaccard near-dup pairs (exact) ---------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, inter / (s1.n + s2.n - inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc = doc1
+    JOIN sizes s2 ON s2.doc = doc2
+    WHERE inter / (s1.n + s2.n - inter) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard >= 0.8 near-duplicate pairs via inverted-index
+    join — pairs only materialize where a shingle is shared, never O(n²)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
+
+
+# -- MinHash-LSH (approximate candidates, exact verification) --------------
+
+
+@register("minhash_lsh_dedup", sql=None)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + 4-band LSH candidates, verified with exact
+    Jaccard >= 0.8. Exact precision / LSH recall — no SQL oracle by nature;
+    tests/test_llm.py checks it finds exactly the exact-Jaccard pairs here."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8)
+
+
+@register("simhash_hamming_pairs", sql=None)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash (Arrow-batched pandas UDF) with Hamming<=3 pairing via
+    16-bit band blocking + bit_count verification."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", max_hamming=3)
+
+
+# -- Embedding similarity --------------------------------------------------
+
+
+@register(
+    "embedding_cosine_topk",
+    sql="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC
+             ) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 query vectors:
+    broadcast queries x corpus scan, per-query window top-k. Ranks only in
+    the output (similarity values differ in final ulps across engines)."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(queries, e, k=5)
+
+
+@register(
+    "embedding_neardup_pairs",
+    sql="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.45 (the corpus max is
+    ~0.51, so this exercises the tail). Self-join at test SF; LSH-bucketed
+    at scale (operators/similarity.py::lsh_bucket)."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(e, threshold=0.45)
+
+
+@register("embedding_ann_lsh", sql=None)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (4 planes):
+    exact cosine ranking within the query's bucket only. Recall measured
+    against brute force in tests/test_llm.py."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_lsh(queries, e, k=5, n_planes=4)
+
+
+# -- Text analysis ---------------------------------------------------------
+
+_PROFILE_SQL = {
+    code: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for code, words in sorted(text.LANG_PROFILES.items())
+}
+
+_LANG_SCORES = ",\n      ".join(
+    f"CAST(len(list_filter(toks, x -> list_contains({arr}, x))) AS INTEGER) AS s_{code}"
+    for code, arr in _PROFILE_SQL.items()
+)
+
+
+@register(
+    "lang_id_stopwords",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+      {_LANG_SCORES}
+      FROM t
+    )
+    SELECT doc_id, lang,
+           greatest(s_de, s_en, s_es, s_fr) AS lang_score,
+           CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: per-language token-match score, argmax
+    with alphabetical tie-break. (Synthetic corpus shares one vocabulary
+    across lang labels — this checks the mechanism, not label recovery.)"""
+    d = T(spark, sf_dir, "documents")
+    return text.lang_id(d).select("doc_id", "lang", "lang_score", "predicted_lang")
+
+
+@register(
+    "text_quality_scores",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+             CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
+                  AS INTEGER) AS sw,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           sw / n AS stopword_ratio,
+           alpha / CAST(length(text) AS INTEGER) AS alpha_ratio,
+           alpha / n AS mean_token_len,
+           least(1.0, n / 100.0) * 0.4 + (sw / n) * 0.3
+             + least(1.0, (alpha / n) / 8.0) * 0.3 AS quality_score
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, stopword ratio, mean token
+    length -> [0,1] composite, identical expression tree on both engines."""
+    d = T(spark, sf_dir, "documents")
+    return text.quality_score(d).select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "alpha_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+@register(
+    "token_counts",
+    sql="""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER)
+             AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+             AS INTEGER) AS n_subtokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish subtokens
+    (alpha runs / digit runs / single symbols)."""
+    d = T(spark, sf_dir, "documents")
+    return text.token_stats(d).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_subtokens"
+    )
+
+
+@register(
+    "doc_fingerprints",
+    sql="""
+    SELECT doc_id,
+           md5(array_to_string(
+             list_sort(list_distinct(string_split(lower(text), ' '))), '|'))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set."""
+    d = T(spark, sf_dir, "documents")
+    return text.fingerprint(d).select("doc_id", "fingerprint")
+
+
+# -- Multimodal plumbing ---------------------------------------------------
+
+
+@register("multimodal_decode_features", sql=None)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: synthesize media column (md5 bytes of text),
+    then mapInPandas 'decode' + feature extraction over Arrow batches. The
+    codec is a deterministic stub (no image libs in this container); the
+    Spark plumbing — binary schema, metadata struct, batch shape — is real."""
+    d = T(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(d, "doc_id")
+    return multimodal.decode_features(media)

@@ -1,0 +1,73 @@
+"""Property tests for the approximate north-star ops (no SQL oracle by
+nature): MinHash-LSH vs exact Jaccard, LSH-ANN recall vs brute force,
+SimHash determinism, multimodal stub determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import load
+from aws_data_pipeline_spark.operators import dedup, multimodal, similarity
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    exact = {
+        (r.doc1, r.doc2)
+        for r in dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc1, r.doc2)
+        for r in dedup.minhash_lsh_pairs(
+            d, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8
+        ).collect()
+    }
+    # precision is exact by construction (candidates verified with true
+    # jaccard); recall at j>=0.8 with 4 bands of 4 rows is ~1-(1-0.8^4)^4≈0.98
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, e, k=5).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_topk_lsh(q, e, k=5, n_planes=4).collect()
+    }
+    # 4 planes -> 16 buckets; same-bucket collision for near vectors is high
+    # but not guaranteed — require a sane recall floor, not perfection
+    assert len(ann & brute) / len(brute) >= 0.3
+    # every ANN result must still be a real corpus vector, ranked 1..5
+    assert all(1 <= r.rank <= 5 for r in similarity.ann_topk_lsh(q, e, k=5).collect())
+
+
+def test_simhash_deterministic_and_close_on_neardups(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    h1 = {r.doc: r.simhash for r in dedup.simhash(d, "doc_id").collect()}
+    h2 = {r.doc: r.simhash for r in dedup.simhash(d, "doc_id").collect()}
+    assert h1 == h2  # deterministic across runs
+    # identical text -> identical simhash
+    two = d.limit(1).select(F.lit(1).alias("doc_id"), "text").unionByName(
+        d.limit(1).select(F.lit(2).alias("doc_id"), "text")
+    )
+    vals = [r.simhash for r in dedup.simhash(two, "doc_id").collect()]
+    assert vals[0] == vals[1]
+
+
+def test_multimodal_stub_deterministic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(50)
+    media = multimodal.synthesize_media(d, "doc_id")
+    f1 = sorted(map(tuple, multimodal.decode_features(media).collect()))
+    f2 = sorted(map(tuple, multimodal.decode_features(media).collect()))
+    assert f1 == f2
+    assert all(row[2] == 16 for row in f1)  # md5 payload is 16 bytes
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(media)
