@@ -100,23 +100,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: sig_i = min over shingles of h_i(shingle).
 
-    Computed entirely with higher-order functions over the shingle array —
-    no explode, no shuffle: the signature is a map-side projection, which is
-    what makes MinHash linear-scan-cheap at 100 TB.
+    Explode shingles -> xxhash64 ONCE per shingle -> 16 cheap affine
+    rehashes -> groupBy(doc).agg(min x16). The mins partial-aggregate
+    map-side (combiner), so the shuffle carries one 16-long row per doc per
+    partition — linear scan cost at 100 TB. (A pure higher-order-function
+    formulation looks shuffle-free, but Catalyst inlines the shingle array
+    into all 16 branches, recomputing tokenization 16x — measured 20x
+    slower at sf0.1.)
     """
     assert num_perm <= len(_HASH_PARAMS)
-    sh = shingles(tokens(F.col(text_col)), k)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(2147483647)))
-    def perm_hash(a: int, b: int):
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
-
-    sig = F.array(
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(2147483647)))
+    mins = exploded.groupBy("doc").agg(
         *[
-            F.array_min(F.transform(base, perm_hash(a, b)))
-            for a, b in _HASH_PARAMS[:num_perm]
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(_HASH_PARAMS[:num_perm])
         ]
     )
-    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    return mins.select(
+        "doc", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(

@@ -518,3 +518,65 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("session_value"),
     )
+
+
+# -- CUBE / multi-dim rollup ----------------------------------------------
+
+
+@register(
+    "cube_priority_status",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_amount
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (priority, status) in one pass —
+    shares the scan and partial aggregation like GROUPING SETS."""
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("order_count"),
+        dsum("o_totalprice").alias("total_amount"),
+    )
+
+
+# -- A2: global counts / table stats ---------------------------------------
+
+
+@register(
+    "global_table_stats",
+    sql="""
+    SELECT COUNT(*) AS total_rows,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS distinct_days,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    """,
+)
+def global_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (reference bronze_to_silver.py:30,47): global QC counts — in-plan
+    aggregates, not .count() actions, so they ride one job."""
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("distinct_days"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register("approx_distinct_customers", sql=None)
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 approximate variant: HLL approx_count_distinct per month — the
+    scale path for high-cardinality grains (no exact-distinct shuffle
+    explosion). Rows-only (sketch values are engine-specific); pytest bounds
+    the relative error vs exact."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    )

@@ -20,14 +20,22 @@ import time
 from aws_data_pipeline_spark.plans import load_registry
 from aws_data_pipeline_spark.session import get_spark
 
-# Headline set: one per capability family (scan+agg, grouping sets, dedup,
-# joins/windows/text/similarity entries join this list as they land).
+# Headline set: one per capability family.
 HEADLINE = [
-    "customer_insights",
-    "daily_aggregations",
-    "multi_grain_rollup",
-    "dedup_by_key",
-    "filter_valid_transactions",
+    "q1_pricing_summary",        # scan + filter pushdown + wide agg
+    "customer_insights",         # flagship hash-agg + distinct
+    "multi_grain_rollup",        # single-pass GROUPING SETS
+    "regional_revenue",          # 4-way broadcast join chain
+    "topk_orders_per_customer",  # window top-k
+    "dedup_by_key",              # window dedup
+    "json_props_stats",          # JSON extraction + agg
+    "sessionize_events",         # gaps-and-islands windows
+    "tumbling_window_counts",    # time windows
+    "ngram_jaccard_pairs",       # shingle inverted-index join
+    "minhash_lsh_dedup",         # MinHash + LSH banding
+    "embedding_cosine_topk",     # broadcast brute-force ANN baseline
+    "dedup_exact_text",          # digest dedup
+    "text_quality_scores",       # HOF text featurization
 ]
 
 
