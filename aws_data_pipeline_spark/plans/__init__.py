@@ -50,6 +50,7 @@ def register(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQ
 _PLAN_MODULES = (
     "aws_data_pipeline_spark.plans.reference",
     "aws_data_pipeline_spark.plans.analytics",
+    "aws_data_pipeline_spark.plans.tpch",
     "aws_data_pipeline_spark.plans.llm",
     "aws_data_pipeline_spark.plans.streaming_batch",
 )

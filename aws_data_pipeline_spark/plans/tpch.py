@@ -1,0 +1,427 @@
+"""TPC-H-shaped analytics over the driver testdata star schema.
+
+The reference pipeline has no joins/sorts/subqueries at all (SURVEY.md §2.5);
+these queries prove the engine's full relational surface on the shapes the
+TPC-H benchmark standardizes: selective join chains (Q3/Q10), EXISTS
+semi-joins (Q4), single-pass conditional aggregation (Q12/Q14), window-max
+(Q15), HAVING-subquery joins (Q18), disjunctive pushdown predicates (Q19),
+and scalar-subquery + anti-join (Q22). Columns are adapted to the driver
+schema (TESTDATA.md) — e.g. no l_commitdate, so Q4's lateness predicate is
+``l_shipdate > o_orderdate``.
+
+Scale posture: every dim side is broadcast (region/nation/customer/part/
+supplier are tiny relative to the facts); the fact table shuffles only for
+its final groupBy; all money math routes through decimal (functions/exact.py)
+so results are order-independent and bit-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.functions.exact import davg, dsum
+from aws_data_pipeline_spark.operators import joins
+from aws_data_pipeline_spark.plans import register
+from aws_data_pipeline_spark.plans.analytics import _REV_SQL, _rev_spark
+from aws_data_pipeline_spark.plans.common import T, dsum_sql
+
+
+# -- Q3: shipping priority (selective 3-way join + deterministic top-k) ----
+
+
+@register(
+    "q3_shipping_priority",
+    sql=f"""
+    SELECT l.l_orderkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: both selective filters push into the scans, customer
+    and orders broadcast into lineitem, one shuffle for the groupBy, then a
+    global top-k (ties broken by l_orderkey so LIMIT is deterministic)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))),
+        li.l_orderkey == o.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# -- Q4: order priority checking (EXISTS -> left-semi join) ----------------
+
+
+@register(
+    "q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS compiles to a left-semi join (no fact-side
+    duplication, no distinct needed); the date filter prunes orders before
+    the join. Lateness predicate adapted to l_shipdate > o_orderdate."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = joins.semi_join(
+        o,
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# -- Q6: forecast revenue change (pure pushed-down scan-agg) ---------------
+
+
+@register(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: every predicate reaches the parquet scan as a pushed filter
+    (.explain shows all four in PushedFilters) — the archetypal
+    scan-dominated query; no shuffle at all beyond the final 1-row agg."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(12,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("line_count"),
+    )
+
+
+# -- Q10: returned item reporting (join chain + top-20 by lost revenue) ----
+
+
+@register(
+    "q10_returned_items",
+    sql=f"""
+    SELECT c.c_custkey, c.c_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name AS nation_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-lineitem revenue per customer over a
+    half-year window; dims broadcast, single groupBy shuffle, deterministic
+    top-20 (revenue desc, custkey tiebreak)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    joined = joins.enrich(
+        li,
+        [
+            (o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey),
+            (c, o.o_custkey == c.c_custkey),
+            (n.select("n_nationkey", "n_name"), c.c_nationkey == F.col("n_nationkey")),
+        ],
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "c_acctbal",
+            F.col("n_name").alias("nation_name"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# -- Q12: shipping priority classes (single-pass conditional aggregation) --
+
+
+@register(
+    "q12_priority_by_shipyear",
+    sql="""
+    SELECT CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY YEAR(l.l_shipdate)
+    """,
+)
+def q12_priority_by_shipyear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional SUM(CASE...) folds what would be two
+    filtered scans into one pass (reference-style code would run two jobs);
+    orders broadcast, shipmode adapted to o_orderpriority classes."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# -- Q14: promotion effect (conditional ratio over a join) -----------------
+
+
+@register(
+    "q14_promo_effect",
+    sql=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS line_count
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-06-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share in one pass — part broadcast,
+    both branches of the ratio computed in the same aggregate (exact decimal
+    sums, then one IEEE double division, so it bit-matches the oracle)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _rev_spark()).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_rev_spark()).cast("double")
+        )
+        .cast("double")
+        .alias("promo_revenue_pct"),
+        F.count("*").alias("line_count"),
+    )
+
+
+# -- Q15: top supplier (aggregate -> window max, no self-join) -------------
+
+
+@register(
+    "q15_top_supplier",
+    sql=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the scalar-subquery MAX becomes a window max over an
+    empty frame — one extra exchange instead of a second scan+self-join
+    (the decimal-exact revenue makes the equality comparison safe)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_spark()).cast("double").alias("total_revenue")
+    )
+    top = rev.withColumn(
+        "__max", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__max"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# -- Q18: large-volume customers (HAVING subquery as a semi-join) ----------
+
+
+@register(
+    "q18_large_volume_customers",
+    sql=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the IN-subquery (orders whose lineitems sum past a
+    quantity threshold) is an aggregate + semi-join; the qualifying-key set
+    is small, so it broadcasts into the fact join."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "decimal(12,2)").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    filtered = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    joined = joins.enrich(
+        filtered,
+        [
+            (o, filtered.l_orderkey == o.o_orderkey),
+            (c, o.o_custkey == c.c_custkey),
+        ],
+    )
+    return joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(dsum("l_quantity", "decimal(12,2)").alias("sum_qty"))
+
+
+# -- Q19: disjunctive predicates (OR-of-ANDs pushed into one join) ---------
+
+
+@register(
+    "q19_disjunctive_revenue",
+    sql=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS line_count
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — one broadcast
+    hash join on p_partkey with the disjunction as a post-join residual
+    (naive engines do three scans and union; this is a single pass)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & q.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev_spark()).cast("double").alias("revenue"),
+        F.count("*").alias("line_count"),
+    )
+
+
+# -- Q22: idle rich customers (scalar subquery + anti join) ----------------
+
+
+@register(
+    "q22_idle_rich_customers",
+    sql="""
+    SELECT n.n_name AS nation_name, COUNT(*) AS num_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders —
+    the scalar AVG broadcasts as a 1-row cross join, NOT EXISTS is a
+    left-anti join on the (deduplicated, broadcast) order keys."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal", "decimal(12,2)").alias("__avg"))
+    )
+    o_keys = T(spark, sf_dir, "orders").select("o_custkey").distinct()
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    idle = joins.anti_join(rich, o_keys, rich.c_custkey == F.col("o_custkey"))
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("num_custs"),
+            dsum("c_acctbal", "decimal(12,2)").alias("total_acctbal"),
+        )
+    )

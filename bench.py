@@ -23,6 +23,8 @@ from aws_data_pipeline_spark.session import get_spark
 # Headline set: one per capability family.
 HEADLINE = [
     "q1_pricing_summary",        # scan + filter pushdown + wide agg
+    "q6_forecast_revenue",       # fully pushed-down scan-agg
+    "q18_large_volume_customers",  # having-subquery semi-join chain
     "customer_insights",         # flagship hash-agg + distinct
     "multi_grain_rollup",        # single-pass GROUPING SETS
     "regional_revenue",          # 4-way broadcast join chain
