@@ -67,24 +67,45 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    """Exact n-gram Jaccard near-dup pairs via inverted-index buckets.
 
     ``sim(d1,d2) = |S1 ∩ S2| / |S1 ∪ S2|`` over distinct k-token shingles.
-    Intersections come from a self-join on the shingle index (only shared
-    shingles produce pairs); union sizes from per-doc shingle counts.
+    One pass: explode (doc, xxhash64(shingle)) — the 8-byte hash replaces the
+    ~5-word string in the shuffle — groupBy shingle into doc buckets, expand
+    each bucket's ordered pairs with a nested HOF (pairs only materialize
+    where a shingle is shared, never O(n²)), then count per pair. Union sizes
+    come from a narrow per-doc projection (no explode, no shuffle — the
+    counts join the small pair table at the end). vs the naive
+    self-join-the-index shape this computes the index once instead of three
+    times and shuffles hashed longs instead of strings.
     ``max_bucket`` drops degenerate hot shingles (the skew guard at scale).
     """
-    idx = _shingle_index(df, id_col, text_col, k)
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
+    ).select("doc", F.xxhash64("shingle").alias("shingle"))
+    buckets = idx.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     if max_bucket is not None:
-        hot = idx.groupBy("shingle").count().filter(F.col("count") > max_bucket)
-        idx = idx.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    sizes = idx.groupBy("doc").agg(F.count("*").alias("n"))
-    a = idx.alias("a")
-    b = idx.alias("b")
+        buckets = buckets.filter(F.size("docs") <= max_bucket)
+    # ordered pairs (docs[i], docs[j]) for i < j within each bucket
+    pair_arr = F.flatten(
+        F.transform(
+            F.slice(F.col("docs"), 1, F.size("docs") - 1),
+            lambda d1, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")),
+                lambda d2: F.struct(d1.alias("doc1"), d2.alias("doc2")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        buckets.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .agg(F.count("*").alias("inter"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(shingles(tokens(F.col(text_col)), k)).alias("n"),
     )
     out = (
         inter.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n", "n1"), "doc1")

@@ -91,6 +91,35 @@ def asof_join(
     return out.drop("__side", "__r", "__last_r")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle join: salt the fact side, replicate the dim side.
+
+    A hot fact key (one customer with 1% of 100 TB) makes one shuffle
+    partition O(hot-key volume) in a plain join. Salting appends a random
+    bucket to the fact key and cross-replicates each dim row across all
+    ``salt_buckets`` values, so the hot key spreads over ``salt_buckets``
+    tasks. Result equals the unsalted join exactly (verified in
+    tests/test_scale.py). Use when AQE's skew-join split can't kick in
+    (e.g. the skewed side feeds an aggregation that pins partitioning).
+    Dim-side cost: ``salt_buckets``x replication — keep the dim projected
+    narrow.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_fact.join(replicated_dim, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,
