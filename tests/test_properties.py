@@ -1,0 +1,103 @@
+"""Property-based invariants (SURVEY.md §5.2-5) over the aggregation
+operators, plus the approx-distinct error bound claimed by
+plans/analytics.py::approx_distinct_customers.
+
+Hypothesis generates small transaction frames; each property must hold for
+ANY input, not just the golden fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import load
+from aws_data_pipeline_spark.operators import aggregate as agg_ops
+
+AMOUNTS = st.floats(min_value=0.01, max_value=5000.0, allow_nan=False).map(
+    lambda x: round(x, 2)
+)
+
+TXNS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # customer
+        st.integers(min_value=1, max_value=3),  # month
+        st.integers(min_value=1, max_value=28),  # day
+        AMOUNTS,
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, txns):
+    rows = [
+        (f"txn_{i:06d}", f"cust_{c:06d}", 2024, m, d, float(a))
+        for i, (c, m, d, a) in enumerate(txns)
+    ]
+    return spark.createDataFrame(
+        rows, "transaction_id string, customer_id string, year int, month int, day int, amount double"
+    )
+
+
+@given(txns=TXNS)
+@_SETTINGS
+def test_aggregate_invariants(spark, txns):
+    df = _frame(spark, txns)
+    agg = agg_ops.aggregate_transactions(
+        df, ["customer_id", "month"], "amount", "transaction_id"
+    ).collect()
+    total = round(sum(r["total_amount"] for r in agg), 2)
+    assert total == round(sum(t[3] for t in txns), 2)
+    for r in agg:
+        assert r["min_amount"] <= r["avg_amount"] + 1e-9
+        assert r["avg_amount"] <= r["max_amount"] + 1e-9
+        assert r["unique_transactions"] <= r["transaction_count"]
+        assert math.isclose(
+            r["avg_amount"] * r["transaction_count"], r["total_amount"], rel_tol=1e-9
+        )
+
+
+@given(txns=TXNS)
+@_SETTINGS
+def test_rollup_grains_consistent(spark, txns):
+    """Each coarser GROUPING SETS grain must re-aggregate the finer one."""
+    df = _frame(spark, txns)
+    out = agg_ops.multi_grain_rollup(df, "customer_id", "amount", "transaction_id")
+    rows = out.collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["aggregation_level"], []).append(r)
+    for level in ("daily", "monthly", "yearly", "lifetime"):
+        total = round(sum(r["total_amount"] for r in by_level.get(level, [])), 2)
+        count = sum(r["transaction_count"] for r in by_level.get(level, []))
+        assert total == round(sum(t[3] for t in txns), 2), level
+        assert count == len(txns), level
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL approx_count_distinct default rsd is 5%; assert within 3 sigma."""
+    o = load(spark, sf_dir, "orders")
+    exact = {
+        (r["year"]): r["n"]
+        for r in o.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        (r["year"]): r["approx_customers"]
+        for r in o.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, n, approx[k])
