@@ -139,6 +139,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(e, threshold=0.45)
 
 
+@register("embedding_ann_ivf", sql=None)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF: k-means coarse quantizer (8 cells), each
+    query probes its 4 nearest cells, exact cosine ranking within them —
+    the density-adaptive ANN scale path (train on a sample at 100 TB).
+    Recall vs brute force measured in tests/test_llm.py."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(queries, e, k=5, n_cells=8, nprobe=4)
+
+
 @register("embedding_ann_lsh", sql=None)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (4 planes):

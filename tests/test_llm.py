@@ -47,6 +47,25 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert all(1 <= r.rank <= 5 for r in similarity.ann_topk_lsh(q, e, k=5).collect())
 
 
+def test_ann_ivf_recall(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, e, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(q, e, k=5, n_cells=8, nprobe=4).collect()
+    }
+    # probing half the cells: most true neighbors should land in a probed cell
+    assert len(ivf & brute) / len(brute) >= 0.5
+    assert all(
+        1 <= r.rank <= 5
+        for r in similarity.ivf_topk(q, e, k=5, n_cells=8, nprobe=4).collect()
+    )
+
+
 def test_simhash_deterministic_and_close_on_neardups(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     h1 = {r.doc: r.simhash for r in dedup.simhash(d, "doc_id").collect()}

@@ -1,0 +1,59 @@
+"""Source/sink roundtrips: CSV and ORC carry the same rows and schema as the
+parquet original; ORC predicate pushdown reaches the scan."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import SCHEMAS, load
+from aws_data_pipeline_spark.sources.delimited import (
+    read_csv,
+    read_orc,
+    write_csv,
+    write_orc,
+)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    o = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    write_csv(o, path)
+    back = read_csv(spark, path, SCHEMAS["orders"])
+    # names+types; nullability differs by format, and the parquet original is
+    # timestamp_ntz where the engine schema says timestamp (equal under the
+    # session's fixed UTC zone)
+    norm = lambda dt: [(n, t.replace("timestamp_ntz", "timestamp")) for n, t in dt]
+    assert norm(back.dtypes) == norm(o.dtypes)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, o.collect()))
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.csv").write_text("a,b\n1,2\nnot_a_number,3\n")
+    schema = "a int, b int"
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    s = StructType([StructField("a", IntegerType()), StructField("b", IntegerType())])
+    with pytest.raises(Exception):
+        read_csv(spark, str(bad), s).collect()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    li = load(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path, li.schema)  # ntz stays ntz: ORC refuses an ntz->ltz cast
+    assert back.count() == li.count()
+    filtered = back.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]" in plan
+    # column pruning: only the 2 selected columns in the read schema
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in plan
