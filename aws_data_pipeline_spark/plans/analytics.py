@@ -9,7 +9,7 @@ real analytics surface over the medallion zones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.functions.exact import davg, dsum
@@ -579,4 +579,122 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     return o.groupBy(F.year("o_orderdate").alias("year")).agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    )
+
+
+# -- Full outer join / percentiles / ntile / skew-safe join ---------------
+
+
+@register(
+    "full_outer_nation_balance",
+    sql="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.n_custs, c.cust_balance, s.n_supps, s.supp_balance
+    FROM (SELECT c_nationkey,
+                 COUNT(*) AS n_custs,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS cust_balance
+          FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey,
+                 COUNT(*) AS n_supps,
+                 CAST(SUM(CAST(s_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS supp_balance
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: high-balance customer vs supplier rollups per nation
+    — nations present on either side survive with nulls on the other
+    (the selective filters make each side sparse enough to miss nations)."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_custs"), dsum("c_acctbal").alias("cust_balance"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supps"), dsum("s_acctbal").alias("supp_balance"))
+    )
+    joined = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_custs",
+        "cust_balance",
+        "n_supps",
+        "supp_balance",
+    )
+
+
+@register(
+    "price_percentiles_by_priority",
+    sql="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). The scale variant is
+    `approx_percentile` (t-digest sketch, mergeable map-side) — exact
+    percentile needs the full group sorted."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register(
+    "customer_spend_quartiles",
+    sql="""
+    SELECT c_custkey, spend, ntile(4) OVER (ORDER BY spend DESC, c_custkey) AS quartile
+    FROM (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over total spend — deterministic (total order via the
+    custkey tie-break). A global window like this single-partitions; at
+    100 TB the same result comes from percent_rank over range partitioning
+    (Spark sorts globally first) — fine here because the input is one row
+    per customer, already aggregated."""
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        dsum("o_totalprice").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    return spend.withColumn("quartile", F.ntile(4).over(w))
+
+
+@register(
+    "salted_nation_order_stats",
+    sql="""
+    SELECT c.c_nationkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def salted_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe salted join (operators/joins.py::salted_join) under the
+    driver's correctness gate: per-nation order stats computed through the
+    salt-and-replicate path must equal the plain-join oracle exactly."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    j = joins.salted_join(o, c, "o_custkey", salt_buckets=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
     )
