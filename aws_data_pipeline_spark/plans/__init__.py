@@ -52,6 +52,7 @@ _PLAN_MODULES = (
     "aws_data_pipeline_spark.plans.analytics",
     "aws_data_pipeline_spark.plans.tpch",
     "aws_data_pipeline_spark.plans.llm",
+    "aws_data_pipeline_spark.plans.quality",
     "aws_data_pipeline_spark.plans.streaming_batch",
 )
 

@@ -1,0 +1,93 @@
+"""Data-quality plans: the real implementation of the reference's 0-byte
+``data_quality_checks.py`` / ``data_validation.py`` placeholders, under the
+driver's oracle gate. Every check is a single-scan conditional aggregate
+(operators/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.operators import quality
+from aws_data_pipeline_spark.plans import register
+from aws_data_pipeline_spark.plans.common import T
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               (SELECT COUNT(*) FROM orders) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+               COUNT(DISTINCT {c}) AS distinct_count,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("dq_profile_orders", sql=_profile_oracle())
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of orders: rows/nulls/distinct/min/max for
+    five columns in ONE scan (the naive per-column loop is five scans)."""
+    return quality.profile(T(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@register(
+    "dq_rule_violations_lineitem",
+    sql="""
+    WITH w AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS non_positive_quantity,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS discount_out_of_range,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS non_positive_price,
+             SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS bad_returnflag
+      FROM lineitem
+    )
+    SELECT rule_name, violation_count,
+           violation_count / n_rows AS violation_fraction
+    FROM (
+      SELECT n_rows, 'non_positive_quantity' AS rule_name, non_positive_quantity AS violation_count FROM w
+      UNION ALL SELECT n_rows, 'discount_out_of_range', discount_out_of_range FROM w
+      UNION ALL SELECT n_rows, 'null_shipdate', null_shipdate FROM w
+      UNION ALL SELECT n_rows, 'non_positive_price', non_positive_price FROM w
+      UNION ALL SELECT n_rows, 'bad_returnflag', bad_returnflag FROM w
+    )
+    """,
+)
+def dq_rule_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-rule validation suite over lineitem in ONE conditional-aggregate
+    scan — the generalization of the reference's P2/P3 validation filters
+    (``bronze_to_silver.py:35-42``) that reports instead of dropping."""
+    li = T(spark, sf_dir, "lineitem")
+    return quality.rule_violations(
+        li,
+        {
+            "non_positive_quantity": F.col("l_quantity") <= 0,
+            "discount_out_of_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            "null_shipdate": F.col("l_shipdate").isNull(),
+            "non_positive_price": F.col("l_extendedprice") <= 0,
+            "bad_returnflag": ~F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+@register(
+    "dq_duplicate_order_lines",
+    sql="""
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS occurrences
+    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    """,
+)
+def dq_duplicate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit on lineitem's natural key (orderkey, linenumber)
+    — clean data yields zero rows, and the oracle confirms exactly that."""
+    return quality.duplicate_keys(
+        T(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )

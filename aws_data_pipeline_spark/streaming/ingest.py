@@ -8,10 +8,13 @@ bookmark-enabled Glue runs, but transactional (checkpoint commits atomically
 with the sink in foreachBatch).
 
 Cross-run duplicates (SURVEY.md §4.2-6) are handled at two levels:
-- within the stream: ``dropDuplicatesWithinWatermark`` on transaction_id;
-- at the sink: foreachBatch anti-joins the micro-batch against ids already
-  in the target silver partitions (covers re-delivered files older than the
-  watermark).
+- within each micro-batch: the deterministic key dedup inside
+  ``transform_bronze`` (same operator as batch mode);
+- across batches/runs: the foreachBatch sink anti-joins the micro-batch
+  against transaction_ids already committed to silver — covering
+  re-delivered files no matter how old. (``dropDuplicatesWithinWatermark``
+  is the lighter in-stream alternative when re-delivery is bounded in event
+  time; the anti-join is the unconditional guarantee.)
 """
 
 from __future__ import annotations
