@@ -698,3 +698,27 @@ def salted_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+# -- SQL entry point -------------------------------------------------------
+
+_SQL_SURFACE = """
+    SELECT o_orderstatus,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(o_totalprice)
+             AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@register("sql_surface_order_status", sql=_SQL_SURFACE)
+def sql_surface_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry point (the reference has none — §2.5): the SAME
+    ANSI text runs on Spark (over catalog.register_views temp views) and on
+    the DuckDB oracle, proving dialect-portable SQL in and out."""
+    from aws_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)
