@@ -94,6 +94,83 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 4, height: int = 2) -> DataFrame:
+    """'Resize' stub over Arrow batches: nearest-neighbor byte resampling of
+    the payload to width*height bytes (a real implementation swaps the inner
+    loop for PIL ``Image.resize``; schema, batch shape, and output layout are
+    exactly what the real op uses). Deterministic — tested for idempotence.
+    """
+    import pandas as pd
+
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw:
+                    resized = bytes(
+                        raw[(i * len(raw)) // n_out] for i in range(n_out)
+                    )
+                else:
+                    resized = b"\x00" * n_out
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": resized,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 4, every_nth: int = 2
+) -> DataFrame:
+    """Frame-sampling stub: treat the payload as a 'video' of fixed-size
+    frames and emit every ``every_nth`` frame as its own row (1 row in ->
+    many rows out, the fan-out shape real ffmpeg sampling has; mapInPandas
+    handles asymmetric batch cardinality natively)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = len(raw) // frame_bytes
+                for i in range(0, n_frames, every_nth):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def decode_real(df: DataFrame) -> DataFrame:
     """Real codec path — requires image/audio libraries not in this container."""
     raise NotImplementedError(

@@ -1,0 +1,88 @@
+"""Dataset splitting and sampling for training-data pipelines (north-star
+surface): deterministic hash-based train/val/test assignment, stratified
+sampling, and vocabulary extraction.
+
+All map-side projections or single-shuffle aggregations — the split/sample
+decisions are pure functions of the row key (no RNG state, no
+``randomSplit`` nondeterminism), so re-runs, retries, and different
+partitionings assign every document identically. That determinism is the
+property that matters at 100 TB: a re-run after a lost executor must not
+move documents between train and test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash-bucketing its id.
+
+    ``bucket = pmod(xxhash64(id, seed), 10_000)``; weight ranges carve the
+    bucket space. Deterministic per (id, seed) — independent of row order,
+    partitioning, and cluster size; changing ``seed`` produces a fresh
+    assignment. Weights must sum to ~1.
+    """
+    assert abs(sum(weights.values()) - 1.0) < 1e-9
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10_000))
+    expr = None
+    lo = 0.0
+    items = sorted(weights.items())  # deterministic range order
+    for name, w in items:
+        hi = lo + w * 10_000
+        cond = bucket < F.lit(int(round(hi)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    # guard against float rounding leaving the last bucket unassigned
+    expr = expr.otherwise(items[-1][0])
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its id-hash bucket
+    falls under the stratum's fraction. Unlike ``df.sampleBy`` (seeded RNG
+    over partition iteration order), this is stable under repartitioning —
+    and it needs no shuffle at all (pure filter).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10_000))
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        cond = cond | (
+            (F.col(strata_col) == stratum) & (bucket < F.lit(int(round(frac * 10_000))))
+        )
+    return df.filter(cond)
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary with counts: explode lowercased whitespace tokens,
+    one partial-aggregated shuffle on token. ``top_k`` ranks by (count desc,
+    token) for a deterministic cut."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("token_count"))
+    if min_count > 1:
+        counts = counts.filter(F.col("token_count") >= min_count)
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("token_count").desc(), F.col("token").asc()
+        ).limit(top_k)
+    return counts

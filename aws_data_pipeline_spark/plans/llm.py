@@ -286,3 +286,54 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d, "doc_id")
     return multimodal.decode_features(media)
+
+
+# -- Dataset splitting / sampling / vocabulary -----------------------------
+
+
+@register("dataset_split_counts", sql=None)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (98/1/1-style splits are
+    the LLM norm; 80/10/10 here) — per-(split, lang) doc counts. Rows-only:
+    the xxhash64 bucketing has no DuckDB twin; pytest asserts determinism,
+    disjoint coverage, and fraction tolerance."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    d = T(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@register("stratified_sample_counts", sql=None)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free deterministic stratified sample (50% en, 10% others) —
+    per-lang kept counts. Stable under repartitioning, unlike sampleBy."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    d = T(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    fractions = {lg: (0.5 if lg == "en" else 0.1) for lg in langs}
+    kept = sampling.stratified_sample(d, "lang", fractions, "doc_id")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "vocabulary_top_tokens",
+    sql="""
+    SELECT token, token_count FROM (
+      SELECT t.token, COUNT(*) AS token_count
+      FROM documents d, unnest(string_split(lower(d.text), ' ')) AS t(token)
+      WHERE t.token != ''
+      GROUP BY t.token
+    ) ORDER BY token_count DESC, token ASC LIMIT 50
+    """,
+)
+def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (deterministic
+    tie-break). One partial-aggregated shuffle on token — the map-side
+    combiner is what keeps this linear at 100 TB."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    return sampling.vocabulary(T(spark, sf_dir, "documents"), top_k=50)

@@ -1,0 +1,73 @@
+"""Deterministic split/sample/vocab + multimodal resize/frame-sample."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import load
+from aws_data_pipeline_spark.operators import multimodal, sampling
+
+
+def test_hash_split_deterministic_disjoint_and_sized(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = sampling.hash_split(d, "doc_id", w)
+    s2 = sampling.hash_split(d.repartition(13), "doc_id", w)
+    a1 = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    a2 = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert a1 == a2  # partitioning-independent assignment
+    n = len(a1)
+    assert set(a1.values()) == {"train", "val", "test"}  # full coverage
+    from collections import Counter
+
+    counts = Counter(a1.values())
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.05
+    # different seed -> different assignment (not a constant function)
+    s3 = sampling.hash_split(d, "doc_id", w, seed="split-v2")
+    a3 = {r["doc_id"]: r["split"] for r in s3.select("doc_id", "split").collect()}
+    assert a3 != a1
+
+
+def test_stratified_sample_stable_and_fractional(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "de": 0.1, "fr": 0.1, "es": 0.1, "ja": 0.1}
+    k1 = {r["doc_id"] for r in sampling.stratified_sample(d, "lang", fr, "doc_id").collect()}
+    k2 = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(d.repartition(7), "lang", fr, "doc_id").collect()
+    }
+    assert k1 == k2
+    en_total = d.filter(F.col("lang") == "en").count()
+    en_kept = d.filter(F.col("doc_id").isin(list(k1)) & (F.col("lang") == "en")).count()
+    if en_total > 50:
+        assert abs(en_kept / en_total - 0.5) < 0.1
+
+
+def test_vocabulary_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b c c C")], "doc_id long, text string"
+    )
+    vocab = {r["token"]: r["token_count"] for r in sampling.vocabulary(df).collect()}
+    assert vocab == {"a": 1, "b": 3, "c": 4}
+    top1 = sampling.vocabulary(df, top_k=1).collect()
+    assert [(r["token"], r["token_count"]) for r in top1] == [("c", 4)]
+
+
+def test_resize_and_frame_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(20)
+    media = multimodal.synthesize_media(d, "doc_id")
+    resized = multimodal.resize_images(media, width=4, height=2).collect()
+    assert all(len(bytes(r["payload"])) == 8 for r in resized)
+    assert all((r["width"], r["height"]) == (4, 2) for r in resized)
+    # deterministic
+    again = multimodal.resize_images(media, width=4, height=2).collect()
+    assert sorted(map(tuple, resized)) == sorted(map(tuple, again))
+    # frame sampling: md5 payload = 16 bytes -> 4 frames of 4 bytes -> every
+    # 2nd -> frames 0 and 2 per doc
+    frames = multimodal.sample_frames(media, frame_bytes=4, every_nth=2).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert len(bytes(r["frame"])) == 4
+    assert all(sorted(v) == [0, 2] for v in per_doc.values())
