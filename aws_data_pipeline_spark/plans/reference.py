@@ -170,19 +170,34 @@ def whole_number_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
     FROM (
       SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
-             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+             ) AS rn
       FROM lineitem
     ) WHERE rn = 1
     """,
 )
 def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 (reference bronze_to_silver.py:33) as the deterministic variant:
-    first line per order under a total order — stable across re-runs, which
-    the reference's dropDuplicates is not (SURVEY.md §4.2-6)."""
+    first line per order under a TOTAL order — stable across re-runs, which
+    the reference's dropDuplicates is not (SURVEY.md §4.2-6). The tiebreak
+    spans every projected column because l_linenumber alone is not unique in
+    the testdata (only fully-identical rows remain tied, and those are
+    interchangeable)."""
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    return cleanse.dedup_deterministic(li, ["l_orderkey"], [F.col("l_linenumber")])
+    return cleanse.dedup_deterministic(
+        li,
+        ["l_orderkey"],
+        [
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("l_extendedprice"),
+        ],
+    )
 
 
 # -- A3/A4: daily & monthly aggregations -----------------------------------
