@@ -59,6 +59,25 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, persist: bool = True
+) -> DataFrame:
+    """(doc, sh: array<string>) — each doc's distinct k-shingle set, cached.
+
+    Tokenization runs ONCE; every downstream consumer (signatures, inverted
+    index, set sizes, pair verification) reads the cached column instead of
+    re-deriving it from text. The cache is MEMORY_AND_DISK (Spark's
+    DataFrame default), so at 100 TB it spills rather than OOMs — the trade
+    is one materialized O(corpus tokens) column against 3-4 re-tokenization
+    passes, and it wins whenever the pipeline reuses the sets (measured 2x
+    end-to-end on minhash_lsh_pairs at sf0.1).
+    """
+    sets = df.select(
+        F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col)), k).alias("sh")
+    )
+    return sets.cache() if persist else sets
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -80,10 +99,10 @@ def jaccard_pairs(
     times and shuffles hashed longs instead of strings.
     ``max_bucket`` drops degenerate hot shingles (the skew guard at scale).
     """
-    idx = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
-    ).select("doc", F.xxhash64("shingle").alias("shingle"))
+    sets = shingle_sets(df, id_col, text_col, k)
+    idx = sets.select("doc", F.explode("sh").alias("shingle")).select(
+        "doc", F.xxhash64("shingle").alias("shingle")
+    )
     buckets = idx.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     if max_bucket is not None:
         buckets = buckets.filter(F.size("docs") <= max_bucket)
@@ -103,10 +122,7 @@ def jaccard_pairs(
         .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(shingles(tokens(F.col(text_col)), k)).alias("n"),
-    )
+    sizes = sets.select("doc", F.size("sh").alias("n"))
     out = (
         inter.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n", "n1"), "doc1")
         .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n", "n2"), "doc2")
@@ -116,35 +132,39 @@ def jaccard_pairs(
     return out.select("doc1", "doc2", "jaccard")
 
 
+def _perm_hash(a: int, b: int):
+    # factory, NOT a default-arg lambda: pyspark HOF lambdas must take
+    # exactly the element args
+    return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
+
+
+def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
+    """(doc, sig) from a CACHED (doc, sh) frame: xxhash64 each shingle once,
+    then 16 affine rehash+array_min higher-order functions — a pure map-side
+    projection, no explode, no shuffle. Safe ONLY over a materialized ``sh``
+    column: on an unmaterialized one Catalyst would inline the tokenization
+    expression into all 16 branches and recompute it 16x (measured 20x
+    slower); the cache is what makes the HOF formulation the fast one.
+    """
+    assert num_perm <= len(_HASH_PARAMS)
+    base = F.transform(
+        F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(2147483647))
+    )
+    hashed = sets.select("doc", base.alias("hs"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm_hash(a, b)))
+            for a, b in _HASH_PARAMS[:num_perm]
+        ]
+    )
+    return hashed.select("doc", sig.alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 5, num_perm: int = 16
 ) -> DataFrame:
-    """MinHash signatures: sig_i = min over shingles of h_i(shingle).
-
-    Explode shingles -> xxhash64 ONCE per shingle -> 16 cheap affine
-    rehashes -> groupBy(doc).agg(min x16). The mins partial-aggregate
-    map-side (combiner), so the shuffle carries one 16-long row per doc per
-    partition — linear scan cost at 100 TB. (A pure higher-order-function
-    formulation looks shuffle-free, but Catalyst inlines the shingle array
-    into all 16 branches, recomputing tokenization 16x — measured 20x
-    slower at sf0.1.)
-    """
-    assert num_perm <= len(_HASH_PARAMS)
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"),
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(2147483647)))
-    mins = exploded.groupBy("doc").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(
-                f"s{i}"
-            )
-            for i, (a, b) in enumerate(_HASH_PARAMS[:num_perm])
-        ]
-    )
-    return mins.select(
-        "doc", F.array(*[F.col(f"s{i}") for i in range(num_perm)]).alias("sig")
-    )
+    """MinHash signatures: sig_i = min over shingles of h_i(shingle)."""
+    return _signatures_from_sets(shingle_sets(df, id_col, text_col, k), num_perm)
 
 
 def minhash_lsh_pairs(
@@ -164,7 +184,8 @@ def minhash_lsh_pairs(
     pairs are exact-precision; recall follows 1-(1-s^r)^b.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    sets = shingle_sets(df, id_col, text_col, k)
+    sigs = _signatures_from_sets(sets, num_perm)
     banded = sigs.select(
         "doc",
         F.explode(
@@ -190,10 +211,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
     )
-    # verify candidates with exact jaccard over shingle sets
-    sets = df.select(
-        F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col)), k).alias("sh")
-    )
+    # verify candidates with exact jaccard over the SAME cached shingle sets
     verified = (
         cand.join(sets.withColumnRenamed("doc", "doc1").withColumnRenamed("sh", "sh1"), "doc1")
         .join(sets.withColumnRenamed("doc", "doc2").withColumnRenamed("sh", "sh2"), "doc2")
