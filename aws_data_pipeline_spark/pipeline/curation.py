@@ -1,0 +1,84 @@
+"""LLM training-data curation pipeline: the north-star operators composed
+end-to-end (documents -> quality gate -> language gate -> exact dedup ->
+fuzzy dedup -> deterministic split -> curated zone).
+
+This is the medallion pattern applied to corpus prep: raw documents are the
+bronze, the curated/split zone is the silver a trainer consumes. Order of
+stages is the 100 TB order: cheap row-local filters (quality, language)
+first so the expensive pairwise stages (dedup) see the smallest candidate
+set; exact dedup before fuzzy so the fuzzy stage never wastes candidates on
+bit-identical copies.
+
+Every stage is a pure DataFrame->DataFrame function from operators/ — the
+pipeline only sequences them, so the same stages serve a foreachBatch
+incremental variant unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.operators import dedup, sampling, text
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.5
+    keep_langs: tuple[str, ...] = ()  # empty = keep all
+    jaccard_k: int = 5
+    jaccard_threshold: float = 0.8
+    num_perm: int = 16
+    bands: int = 4
+    split_weights: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    split_seed: str = "curation-v1"
+
+
+def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+    """Run the full curation chain; returns the curated frame with
+    ``quality_score`` and ``split`` columns, duplicates removed.
+
+    Dedup policy: survivors are the min doc_id of each duplicate class —
+    exact classes come from the content digest; fuzzy classes from
+    MinHash-LSH pairs at ``jaccard_threshold`` (each non-minimal side of a
+    verified pair is dropped). Deterministic end-to-end: same input -> same
+    survivors -> same split assignment, regardless of partitioning.
+    """
+    cfg = cfg or CurationConfig()
+
+    # 1-2. row-local gates (no shuffle; predicates push into the scan)
+    scored = text.quality_score(docs)
+    kept = scored.filter(F.col("quality_score") >= cfg.min_quality)
+    if cfg.keep_langs:
+        kept = kept.filter(F.col("lang").isin(*cfg.keep_langs))
+
+    # 3. exact dedup: keep the canonical (min-id) doc per digest
+    exact = dedup.exact_dedup(kept, "doc_id")
+    kept = exact.filter(~F.col("is_duplicate")).drop(
+        "text_hash", "canonical_doc_id", "is_duplicate"
+    )
+
+    # 4. fuzzy dedup: drop the higher id of every verified near-dup pair
+    pairs = dedup.minhash_lsh_pairs(
+        kept,
+        "doc_id",
+        k=cfg.jaccard_k,
+        num_perm=cfg.num_perm,
+        bands=cfg.bands,
+        threshold=cfg.jaccard_threshold,
+    )
+    losers = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    kept = kept.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    # 5. deterministic split assignment
+    return sampling.hash_split(kept, "doc_id", cfg.split_weights, seed=cfg.split_seed)
+
+
+def write_curated(df: DataFrame, path: str) -> None:
+    """Curated zone layout: partitioned by split so trainers read
+    ``.../split=train/`` with partition pruning and nothing else."""
+    df.write.mode("overwrite").partitionBy("split").parquet(path)

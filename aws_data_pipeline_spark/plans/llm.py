@@ -337,3 +337,16 @@ def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_pipeline_spark.operators import sampling
 
     return sampling.vocabulary(T(spark, sf_dir, "documents"), top_k=50)
+
+
+@register("curated_corpus_stats", sql=None)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline (quality gate -> exact dedup -> MinHash-LSH
+    fuzzy dedup -> deterministic 98/1/1 split) reduced to per-(split, lang)
+    counts. Rows-only (LSH inside); end-to-end invariants in
+    tests/test_curation.py."""
+    from aws_data_pipeline_spark.pipeline.curation import CurationConfig, curate
+
+    d = T(spark, sf_dir, "documents")
+    out = curate(d, CurationConfig(min_quality=0.5))
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))

@@ -42,3 +42,33 @@ def read_zone(spark: SparkSession, path: str) -> DataFrame:
     """Partition-discovering parquet scan (S3, ``silver_to_gold.py:120``).
     Partition-key filters prune directories before any I/O."""
     return spark.read.parquet(path)
+
+
+def compact_zone(
+    spark: SparkSession,
+    path: str,
+    partition_by: Sequence[str] = (),
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a zone into ~target-size files; returns the file count written.
+
+    Streaming ingest (one file per micro-batch per partition) accumulates
+    small files; at 100 TB the resulting open/seek overhead dominates scan
+    time. Compaction = read -> repartition to ceil(bytes/target) -> dynamic
+    partition overwrite of the same path (only rewritten partitions are
+    replaced, and readers never see a partial state because parquet commits
+    are atomic per partition directory).
+    """
+    df = read_zone(spark, path)
+    # size estimate from Spark's own scan statistics (no separate FS listing)
+    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes))
+    # materialize before overwriting the path we're reading (lineage through
+    # the input files would otherwise race the delete)
+    df = df.localCheckpoint(eager=True)
+    out = df.repartition(n_files, *partition_by) if partition_by else df.repartition(n_files)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return n_files

@@ -1,0 +1,78 @@
+"""End-to-end curation pipeline + zone maintenance (compaction, pruning)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import load
+from aws_data_pipeline_spark.operators import dedup
+from aws_data_pipeline_spark.pipeline.curation import (
+    CurationConfig,
+    curate,
+    write_curated,
+)
+from aws_data_pipeline_spark.sources.parquet import compact_zone, read_zone
+
+
+def test_curate_end_to_end(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    cfg = CurationConfig(min_quality=0.5)
+    out = curate(docs, cfg)
+    rows = out.collect()
+    assert rows, "curation must keep something"
+    # quality gate holds
+    assert all(r["quality_score"] >= 0.5 for r in rows)
+    # splits cover and only use the configured names
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # no exact duplicates survive
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))
+    # no fuzzy near-dups above threshold survive among the kept docs
+    kept = out.select("doc_id", "text")
+    residual = dedup.minhash_lsh_pairs(kept, "doc_id", k=5, threshold=0.8)
+    assert residual.isEmpty()
+    # deterministic under repartitioning
+    out2 = curate(docs.repartition(11), cfg)
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in out2.select("doc_id").collect()
+    )
+
+    # curated zone: partitioned by split, readable back
+    path = str(tmp_path / "curated")
+    write_curated(out, path)
+    back = read_zone(spark, path)
+    assert back.count() == len(rows)
+
+
+def test_compact_zone(spark, sf_dir, tmp_path):
+    o = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "zone")
+    # simulate streaming ingest: many tiny files
+    o.repartition(40).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    before = spark.read.parquet(path).count()
+    compact_zone(spark, path, target_file_bytes=1 << 30)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == 1  # tiny table -> one target-size file
+    assert spark.read.parquet(path).count() == before
+
+
+def test_partition_pruning_on_curated_zone(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents").limit(200)
+    out = curate(docs, CurationConfig(min_quality=0.0))
+    path = str(tmp_path / "curated")
+    write_curated(out, path)
+    train = read_zone(spark, path).filter(F.col("split") == "train")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        train.explain("formatted")
+    plan = buf.getvalue()
+    # the split filter must prune partitions at planning time, not scan+filter
+    assert "PartitionFilters: [isnotnull(split" in plan.replace("#", "") or (
+        "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1][:200]
+    ), plan
