@@ -1,0 +1,55 @@
+"""Regenerate EXPLAINS.md: physical-plan evidence for the bench headline set.
+
+Usage: python scripts/explain_dump.py [> EXPLAINS.md]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from aws_data_pipeline_spark.plans import load_registry  # noqa: E402
+from aws_data_pipeline_spark.session import get_spark  # noqa: E402
+from bench import HEADLINE  # noqa: E402
+
+HEADER = """\
+# EXPLAINS — physical-plan evidence for the bench headline set
+
+Generated with `.explain("formatted")` at sf0.01 by
+`python scripts/explain_dump.py > EXPLAINS.md`. What to look for, per the
+scale rules in README.md: filters in `PushedFilters`, pruned `ReadSchema`,
+`BroadcastHashJoin` for dims, exactly one `Exchange` per aggregation.
+"""
+
+
+def main() -> None:
+    spark = get_spark("explain-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_registry()
+    sf = "/root/testdata/sf0.01"
+    print(HEADER)
+    for name in HEADLINE:
+        df = reg[name].spark_fn(spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        s = buf.getvalue()
+        tree = s.split("\n\n")[0]  # node tree; per-node blocks are noise
+        pushed = re.findall(r"PushedFilters: \[[^\]]*\]", s)
+        schemas = re.findall(r"ReadSchema: [^\n]*", s)
+        print(f"\n## {name}\n")
+        print("```")
+        print(tree)
+        for p in dict.fromkeys(pushed):
+            print(p)
+        for r in dict.fromkeys(schemas):
+            print(r[:200])
+        print("```")
+
+
+if __name__ == "__main__":
+    main()
