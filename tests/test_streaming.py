@@ -101,3 +101,41 @@ def test_stream_batch_window_equivalence(spark, sf_dir, tmp_path):
     # window must match batch, and most windows should have been emitted
     assert stream_out <= batch_out
     assert len(stream_out) >= 0.9 * len(batch_out)
+
+
+def test_streaming_listener_notifies(spark, sf_dir, tmp_path):
+    """NotifyingListener (O3/O8 streaming twin) sees start, per-batch
+    progress with row counts, and clean termination."""
+    from aws_data_pipeline_spark.streaming.observability import NotifyingListener
+
+    events = []
+    listener = NotifyingListener(lambda status, m: events.append((status, m)))
+    spark.streams.addListener(listener)
+    try:
+        src = load(spark, sf_dir, "events")
+        path = str(tmp_path / "src")
+        src.write.parquet(path)
+        stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+        (
+            tumbling_counts(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        import time
+
+        for _ in range(50):  # listener callbacks are async
+            if any(s == "terminated" for s, _ in events):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    statuses = [s for s, _ in events]
+    assert "started" in statuses
+    assert "progress" in statuses
+    prog = [m for s, m in events if s == "progress"]
+    assert sum(m["num_input_rows"] for m in prog) == src.count()
+    assert "terminated" in statuses
+    assert all(m["exception"] is None for s, m in events if s == "terminated")
