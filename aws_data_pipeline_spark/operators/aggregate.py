@@ -65,6 +65,82 @@ def customer_lifetime(
     )
 
 
+def multi_grain_rollup_hierarchical(
+    df: DataFrame,
+    customer_col: str,
+    amount_col: str,
+    txn_id_col: str,
+    year_col: str = "year",
+    month_col: str = "month",
+    day_col: str = "day",
+) -> DataFrame:
+    """Same result as :func:`multi_grain_rollup`, different physical shape:
+    aggregate the FINEST grain once, then re-aggregate upward
+    (daily -> monthly -> yearly -> lifetime).
+
+    GROUPING SETS expands every input row 4x before the shuffle; this shape
+    shuffles the raw data once (to daily) and each further grain re-reduces
+    the previous one — at 100 TB the re-agg inputs are orders of magnitude
+    smaller than the fact table, so total shuffled bytes drop ~4x.
+
+    PRECONDITION: ``txn_id_col`` is row-unique (each id in exactly one
+    daily group), so coarser distinct counts are sums of finer ones — true
+    for transaction/order keys. A non-unique key would need HLL sketch
+    merge (approx) or the GROUPING SETS variant (exact).
+
+    Sums stay decimal through every level and become double only in the
+    final projection, so results are bit-identical to the single-pass
+    variant (both share the DuckDB oracle).
+    """
+    aggs_up = [
+        F.sum("transaction_count").alias("transaction_count"),
+        F.sum("_sum").alias("_sum"),
+        F.min("min_amount").alias("min_amount"),
+        F.max("max_amount").alias("max_amount"),
+        F.sum("unique_transactions").alias("unique_transactions"),
+    ]
+    daily = df.groupBy(customer_col, year_col, month_col, day_col).agg(
+        F.count("*").alias("transaction_count"),
+        F.sum(F.col(amount_col).cast("decimal(30,2)")).alias("_sum"),
+        F.min(amount_col).alias("min_amount"),
+        F.max(amount_col).alias("max_amount"),
+        F.countDistinct(txn_id_col).alias("unique_transactions"),
+    )
+    monthly = daily.groupBy(customer_col, year_col, month_col).agg(*aggs_up)
+    yearly = monthly.groupBy(customer_col, year_col).agg(*aggs_up)
+    lifetime = yearly.groupBy(customer_col).agg(*aggs_up)
+
+    null_i = F.lit(None).cast("int")
+    levels = [
+        (daily, "daily", [F.col(year_col), F.col(month_col), F.col(day_col)]),
+        (monthly, "monthly", [F.col(year_col), F.col(month_col), null_i]),
+        (yearly, "yearly", [F.col(year_col), null_i, null_i]),
+        (lifetime, "lifetime", [null_i, null_i, null_i]),
+    ]
+    parts = [
+        d.select(
+            F.col(customer_col).alias("customer_id"),
+            y.alias("year"),
+            m.alias("month"),
+            dd.alias("day"),
+            F.lit(level).alias("aggregation_level"),
+            "transaction_count",
+            F.col("_sum").cast("double").alias("total_amount"),
+            (F.col("_sum").cast("double") / F.col("transaction_count")).alias(
+                "avg_amount"
+            ),
+            "min_amount",
+            "max_amount",
+            "unique_transactions",
+        )
+        for d, level, (y, m, dd) in levels
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def multi_grain_rollup(
     df: DataFrame,
     customer_col: str,

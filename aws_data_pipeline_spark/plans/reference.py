@@ -340,3 +340,21 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.multi_grain_rollup(
         o, "o_custkey", "o_totalprice", "o_orderkey"
     )
+
+
+from aws_data_pipeline_spark.plans import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "multi_grain_rollup_hierarchical",
+    sql=_REGISTRY["multi_grain_rollup"].sql,  # SAME oracle: results identical
+)
+def multi_grain_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-superior physical shape of multi_grain_rollup: aggregate the
+    finest grain once, re-aggregate upward (no GROUPING SETS 4x row expand;
+    ~4x less shuffled bytes at 100 TB). Shares multi_grain_rollup's oracle —
+    the driver proves the two formulations value-identical."""
+    o = derive.add_date_parts(T(spark, sf_dir, "orders"), "o_orderdate")
+    return agg_ops.multi_grain_rollup_hierarchical(
+        o, "o_custkey", "o_totalprice", "o_orderkey"
+    )
