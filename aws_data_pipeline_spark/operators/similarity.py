@@ -207,6 +207,94 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> None:
+    """Persist an IVF index: corpus assigned to k-means cells, written
+    partitioned by cell, plus the centroid table.
+
+    Build once, query many: the training pass and the full-corpus assignment
+    happen here; every later query batch reads ONLY its probed cell
+    directories (partition pruning on ``cell=``) — at 100 TB a 1024-cell
+    index turns each query batch into a scan of nprobe/1024 of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("features", array_to_vector("cv"))
+    train = c if train_fraction is None else c.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    assigned = (
+        model.transform(c).withColumnRenamed("prediction", "cell").drop("features")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index: rank centroids per query, read ONLY the
+    probed cell partitions (literal ``cell IN (...)`` filter -> partition
+    pruning at the parquet source), exact cosine within them.
+
+    The probed-cell set is collected to the driver — it is at most
+    ``nprobe * |query batch|`` small integers, and turning it into a literal
+    predicate is precisely what lets the scan skip every other partition.
+    """
+    cent = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cell").asc()
+    )
+    probed = (
+        q.crossJoin(cent)
+        .withColumn("cent_sim", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(f"{index_path}/corpus").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ann_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -90,3 +90,26 @@ def test_multimodal_stub_deterministic(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(media)
+
+
+def test_ivf_persisted_index(spark, sf_dir, tmp_path):
+    """build once / query many: the persisted index returns the same results
+    as the inline ivf_topk with the same quantizer params, and the probe scan
+    prunes to the probed cell partitions."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(e, idx, n_cells=8)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk_indexed(spark, q, idx, k=5, nprobe=4).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(q, e, k=5, n_cells=8, nprobe=4).collect()
+    }
+    assert got == inline
+    # second query batch reuses the index without retraining
+    q2 = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    out2 = similarity.ivf_topk_indexed(spark, q2, idx, k=3, nprobe=2)
+    assert out2.groupBy("query_id").count().filter(F.col("count") != 3).isEmpty()
