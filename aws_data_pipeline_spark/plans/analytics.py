@@ -722,3 +722,62 @@ def sql_surface_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SURFACE)
+
+
+@register("price_percentiles_approx", sql=None)
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch, mergeable map-side) — the
+    scale variant of price_percentiles_by_priority: exact percentiles need
+    the full group sorted; the sketch is one combiner-friendly pass.
+    Rows-only (sketch values are engine-specific); pytest bounds the error
+    vs the exact percentiles."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )
+
+
+@register(
+    "trailing_30d_customer_spend",
+    sql="""
+    SELECT o_custkey AS customer_id, o_orderkey, epoch_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS epoch_day
+      FROM orders
+    )
+    """,
+)
+def trailing_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-customer trailing-30-day spend — a VALUE-based
+    frame (all orders within 29 days), not a row-count frame; peers with the
+    same day share the same result in both engines, so no tie-break issues."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("epoch_day"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        "o_orderkey",
+        "epoch_day",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )

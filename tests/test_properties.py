@@ -101,3 +101,23 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, n, approx[k])
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """With accuracy=10000 the sketch picks an actual sample value near the
+    requested rank; require it within 2% relative of the exact percentile."""
+    from aws_data_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in reg["price_percentiles_by_priority"].spark_fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in reg["price_percentiles_approx"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for prio in exact:
+        for e, a in zip(exact[prio], approx[prio]):
+            assert abs(a - e) / e < 0.02, (prio, e, a)
