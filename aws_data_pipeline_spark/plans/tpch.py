@@ -425,3 +425,350 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "decimal(12,2)").alias("total_acctbal"),
         )
     )
+
+
+# -- Q5: local supplier volume (6-way join, customer nation == supplier) ---
+
+
+@register(
+    "q5_local_supplier_volume",
+    sql=f"""
+    SELECT n.n_name AS nation_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the full 6-table star join where the local-supplier
+    condition (customer and supplier share a nation) rides on the supplier
+    join. Region/nation/supplier/customer all broadcast; lineitem — the only
+    big table — never shuffles until the final per-nation groupBy, and the
+    date filter pushes into the orders scan (reference has no joins at all;
+    SURVEY.md §2.5)."""
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    s = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+    )
+
+
+# -- Q7: volume shipping between two nations ------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume. The nation pair predicate is
+    applied to the two broadcast dim chains BEFORE the fact join, so lineitem
+    rows from uninvolved nations are dropped at the (broadcast) hash-join
+    probe, not carried to the groupBy shuffle."""
+    nations = ("NATION_1", "NATION_2")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = T(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("n2_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("n2_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+    )
+
+
+# -- Q8: national market share --------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    sql=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation_name = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT YEAR(o.o_orderdate) AS o_year, {_REV_SQL} AS volume,
+             n1.n_name AS nation_name
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) t
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold into
+    AMERICA, per order year. The share is one conditional aggregate over a
+    single fact pass (not two filtered scans); numerator and denominator sum
+    exactly in decimal and only the final ratio is double."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = T(spark, sf_dir, "nation").join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("n2_nationkey"))
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    s = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_nationkey")
+    ).select("s_suppkey", "nation_name")
+    c = T(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey")
+    ).select("c_custkey")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _rev_spark()
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation_name") == "NATION_3", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# -- Q13: customer order-count distribution (outer join + double groupBy) --
+
+
+@register(
+    "q13_customer_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k non-finished orders —
+    LEFT join keeps zero-order customers (COUNT over the null o_orderkey is
+    0), then a second, much smaller groupBy builds the histogram. The join
+    predicate filters orders BEFORE the join (pushed), not after (which would
+    turn the outer join inner and lose the zeros)."""
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# -- Q17: small-quantity-order revenue (correlated scalar subquery) --------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated AVG-per-part subquery is decorrelated
+    into one groupBy over lineitem (computed once, broadcast back — the
+    per-part threshold table is |part|-sized, tiny), avoiding the naive
+    re-aggregation per probe row. Quantities are integral doubles, so the
+    double AVG is exact and order-independent — safe against the oracle."""
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice", "decimal(12,2)") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# -- Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS) ----------
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    sql="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_5'
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness adapted to this schema: shipped more than 90
+    days after order date — there is no commit/receipt date, cf. Q4). The
+    EXISTS/NOT-EXISTS pair collapses into two window aggregates over the same
+    order partition: distinct suppliers in the order > 1, and distinct LATE
+    suppliers == 1 (the candidate row is itself late, so ==1 means "me
+    alone"). One shuffle on l_orderkey replaces two correlated semi-joins."""
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    enriched = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    return (
+        enriched.filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
