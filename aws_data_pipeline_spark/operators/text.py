@@ -125,3 +125,91 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fingerprint",
         F.md5(F.array_join(F.array_sort(F.array_distinct(t)), "|")),
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any n-token
+    gram with a held-out benchmark/eval set (the GPT-3/Dolma-style
+    contamination check; the reference pipeline has no text ops at all).
+
+    Scale posture: the benchmark side is an eval suite — tiny relative to a
+    100 TB corpus — so its distinct n-gram set is collected map-side and
+    BROADCAST; the training corpus explodes its (per-doc distinct) n-grams
+    once, probes the broadcast hash set, and aggregates hits per doc. No
+    corpus-sized shuffle except the per-doc hit count.
+    """
+    t = tokens(F.col(text_col))
+    train_grams = (
+        train.select(F.col(id_col), F.explode(shingles(t, n)).alias("ng"))
+    )
+    bench_grams = (
+        bench.select(F.explode(shingles(t, n)).alias("ng")).distinct()
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "ng")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__hits"))
+    )
+    return (
+        train.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_shared_ngrams"),
+            (F.coalesce(F.col("__hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, all in one narrow pass:
+    duplicate-token fraction (1 - distinct/total) and top-bigram fraction
+    (count of the most frequent bigram / total bigrams). Everything is
+    higher-order Column functions over the token array — per-row, no
+    shuffle, no UDF, so it runs at scan speed on 100 TB.
+    """
+    t = tokens(F.col(text_col))
+    bigrams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - 1, 0)),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, 2)))"
+    )
+    # Most-frequent-bigram count without exploding: sort the bigram list and
+    # fold a (prev, run, best) state over it — O(L log L) per doc, so it
+    # stays safe for pathologically long documents (the naive
+    # count-each-distinct scan is O(L^2)).
+    top_bigram_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    n_tok = F.size(t)
+    return df.select(
+        id_col,
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok > 0, 1.0 - F.size(F.array_distinct(t)).cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_fraction"),
+        F.when(
+            n_tok > 1,
+            top_bigram_count.cast("double") / (n_tok - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_fraction"),
+    )

@@ -350,3 +350,129 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     out = curate(d, CurationConfig(min_quality=0.5))
     return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+# -- PII scrubbing ---------------------------------------------------------
+
+# DuckDB twins of operators.scrub generated from the SAME pattern table, so
+# the Spark code and the oracle cannot drift. DuckDB regexp_replace needs the
+# explicit 'g' flag (Spark's replaces all matches by default).
+def _pii_count_sql() -> str:
+    from aws_data_pipeline_spark.operators.scrub import PII_PATTERNS
+
+    return " + ".join(
+        f"len(regexp_extract_all(text, '{pat}', 1))" for _, pat, _ in PII_PATTERNS
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from aws_data_pipeline_spark.operators.scrub import PII_PATTERNS
+
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@register(
+    "pii_redaction_stats",
+    sql=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_pii_count_sql()}) AS BIGINT) AS n_redactions,
+           CAST(SUM(length({_pii_scrub_sql()})) AS BIGINT) AS clean_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (URL/email/SSN/phone/IPv4 -> placeholder tokens) rolled up
+    per source. The testdata word-soup contains no PII, so the oracle checks
+    the zero path; the pattern semantics themselves are unit-tested on
+    crafted strings (tests/test_llm.py) against both engines."""
+    from aws_data_pipeline_spark.operators import scrub
+
+    d = scrub.redact_pii(T(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_redactions").alias("n_redactions"),
+        F.sum(F.length("clean_text")).cast("long").alias("clean_chars"),
+    )
+
+
+# -- Benchmark decontamination ---------------------------------------------
+
+
+@register(
+    "benchmark_decontamination",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    tr AS (SELECT * FROM toks WHERE doc_id % 20 <> 0),
+    be AS (SELECT * FROM toks WHERE doc_id % 20 = 0),
+    trg AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(t, g.g, g.g + 7), ' ') AS ng
+      FROM tr, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 7
+    ),
+    beg AS (
+      SELECT DISTINCT array_to_string(list_slice(t, g.g, g.g + 7), ' ') AS ng
+      FROM be, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 7
+    ),
+    hits AS (
+      SELECT trg.doc_id, COUNT(*) AS n FROM trg JOIN beg USING (ng)
+      GROUP BY trg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_shared_ngrams,
+           COALESCE(hits.n, 0) > 0 AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM tr) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/Dolma-style decontamination: flag training docs sharing any
+    8-gram with the held-out benchmark slice (doc_id % 20 == 0 stands in for
+    an eval suite). Benchmark n-gram set broadcasts; the corpus never
+    shuffles except the per-doc hit count."""
+    from aws_data_pipeline_spark.operators import text as tx
+
+    d = T(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return tx.decontaminate(train, bench, n=8)
+
+
+# -- Repetition quality signals --------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, array_to_string(list_slice(t, g.g, g.g + 1), ' ') AS bigram
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 1
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_count
+      FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CASE WHEN len(t) > 0
+                THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                ELSE 0.0 END AS dup_token_fraction,
+           CASE WHEN len(t) > 1
+                THEN CAST(top.top_count AS DOUBLE) / (len(t) - 1)
+                ELSE 0.0 END AS top_bigram_fraction
+    FROM toks LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and
+    top-bigram fraction per document. Spark side is a single narrow
+    projection (sorted-array run-length fold, O(L log L) per doc, no UDF,
+    no shuffle)."""
+    from aws_data_pipeline_spark.operators import text as tx
+
+    return tx.repetition_stats(T(spark, sf_dir, "documents"))

@@ -113,3 +113,84 @@ def test_ivf_persisted_index(spark, sf_dir, tmp_path):
     q2 = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
     out2 = similarity.ivf_topk_indexed(spark, q2, idx, k=3, nprobe=2)
     assert out2.groupBy("query_id").count().filter(F.col("count") != 3).isEmpty()
+
+
+def test_pii_scrub_patterns(spark):
+    """Pattern semantics on crafted strings — and dialect equivalence: the
+    DuckDB oracle (RE2) must count and scrub exactly like Spark (Java regex),
+    since the registry query only exercises the zero-redaction path."""
+    import duckdb
+
+    from aws_data_pipeline_spark.operators import scrub
+    from aws_data_pipeline_spark.plans.llm import _pii_count_sql, _pii_scrub_sql
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or visit https://a.b/c?d=1 now"),
+        (1, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.255 done"),
+        (2, "no pii here at all"),
+        (3, "double email a@b.io c@d.org and 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.clean_text, r.n_redactions)
+        for r in scrub.redact_pii(df).collect()
+    }
+    assert got[0] == ("contact <EMAIL> or visit <URL> now", 2)
+    assert got[1] == ("ssn <SSN> phone <PHONE> ip <IP> done", 3)
+    assert got[2] == ("no pii here at all", 0)
+    assert got[3] == ("double email <EMAIL> <EMAIL> and <IP>", 3)
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        oracle = con.execute(
+            f"SELECT doc_id, {_pii_scrub_sql()}, {_pii_count_sql()} FROM t"
+        ).fetchall()
+    finally:
+        con.close()
+    for doc_id, clean, n in oracle:
+        assert got[doc_id] == (clean, n), (doc_id, clean, n)
+
+
+def test_decontaminate_planted(spark):
+    """A train doc embedding a verbatim 8-gram from the benchmark is flagged;
+    clean docs (including one shorter than 8 tokens) are not."""
+    from aws_data_pipeline_spark.operators import text as tx
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then alpha beta gamma delta epsilon zeta eta theta closing"),
+            (2, "completely different content with no overlap whatsoever in any window"),
+            (3, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_shared_ngrams, r.contaminated) for r in
+           tx.decontaminate(train, bench, n=8).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from aws_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w"), (3, "q")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+    # doc 1: 5 tokens, 2 distinct -> dup 0.6; bigrams [ab, ba, ab, ba] -> top 2/4
+    assert got[1].n_tokens == 5
+    assert abs(got[1].dup_token_fraction - 0.6) < 1e-12
+    assert abs(got[1].top_bigram_fraction - 0.5) < 1e-12
+    # doc 2: all distinct -> dup 0; every bigram unique -> 1/3
+    assert got[2].dup_token_fraction == 0.0
+    assert abs(got[2].top_bigram_fraction - 1 / 3) < 1e-12
+    # doc 3: single token -> no bigrams
+    assert got[3].n_tokens == 1
+    assert got[3].top_bigram_fraction == 0.0
