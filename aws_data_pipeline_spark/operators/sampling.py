@@ -86,3 +86,27 @@ def vocabulary(
             F.col("token_count").desc(), F.col("token").asc()
         ).limit(top_k)
     return counts
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Approximate top-k tokens via the ``approx_top_k`` sketch — the scale
+    variant of :func:`vocabulary`: the sketch is fixed-size and mergeable, so
+    the combine is map-side and the final reduce moves ONE sketch per
+    partition instead of shuffling the full token-count table (which at
+    100 TB has billions of distinct entries). Error is bounded by
+    ``max_items_tracked``; tests bound it against the exact counts."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = toks.agg(
+        F.expr(f"approx_top_k(token, {k}, {max_items_tracked})").alias("tk")
+    )
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("token"),
+        F.col("e.count").cast("long").alias("token_count"),
+    )

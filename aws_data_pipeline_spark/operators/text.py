@@ -43,6 +43,19 @@ def shingles(toks: Column, k: int = 5) -> Column:
     )
 
 
+def hashed_shingles(toks: Column, k: int = 5) -> Column:
+    """Distinct xxhash64 fingerprints of the k-token shingles — the scale
+    variant of :func:`shingles`: no joined-string materialization, fixed
+    8-byte values for shuffles/joins/broadcasts."""
+    raw = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(raw)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def stopword_count(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
     lit_arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda x: F.array_contains(lit_arr, x)))
@@ -144,26 +157,33 @@ def decontaminate(
     once, probes the broadcast hash set, and aggregates hits per doc. No
     corpus-sized shuffle except the per-doc hit count.
     """
-    t = tokens(F.col(text_col))
+    # explode_outer keeps docs shorter than n tokens (null gram -> no match
+    # -> zero hits), so ONE groupBy on the doc id is the only shuffle; the
+    # broadcast left join marks benchmark grams at the probe. Grams are
+    # xxhash64 of the token slice — no per-gram string materialization, and
+    # 8-byte join/shuffle keys instead of ~50-byte strings (a 64-bit
+    # collision between a corpus gram and a DIFFERENT benchmark gram is
+    # ~1e-8 at billions of grams — the standard trade in decontamination
+    # pipelines). Token arrays materialize in their own projection: a split()
+    # referenced inside the HOF lambda re-evaluates per element (O(L^2)).
+    t = F.col("__t")
     train_grams = (
-        train.select(F.col(id_col), F.explode(shingles(t, n)).alias("ng"))
+        train.withColumn("__t", tokens(F.col(text_col)))
+        .select(F.col(id_col), F.explode_outer(hashed_shingles(t, n)).alias("ng"))
     )
     bench_grams = (
-        bench.select(F.explode(shingles(t, n)).alias("ng")).distinct()
-    )
-    hits = (
-        train_grams.join(F.broadcast(bench_grams), "ng")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("__hits"))
-    )
-    return (
-        train.select(id_col)
+        bench.withColumn("__t", tokens(F.col(text_col)))
+        .select(F.explode(hashed_shingles(t, n)).alias("ng"))
         .distinct()
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_shared_ngrams"),
-            (F.coalesce(F.col("__hits"), F.lit(0)) > 0).alias("contaminated"),
+        .withColumn("__hit", F.lit(1))
+    )
+    hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    return (
+        train_grams.join(F.broadcast(bench_grams), "ng", "left")
+        .groupBy(id_col)
+        .agg(
+            hits.cast("long").alias("n_shared_ngrams"),
+            (hits > 0).alias("contaminated"),
         )
     )
 
@@ -175,10 +195,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     higher-order Column functions over the token array — per-row, no
     shuffle, no UDF, so it runs at scan speed on 100 TB.
     """
-    t = tokens(F.col(text_col))
+    # Token array materializes in its own projection — a split() referenced
+    # inside the bigram HOF lambda would re-evaluate per element (O(L^2)).
+    df = df.withColumn("__t", tokens(F.col(text_col)))
+    t = F.col("__t")
     bigrams = F.expr(
-        f"transform(sequence(1, greatest(size(split(lower({text_col}), ' ')) - 1, 0)),"
-        f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i, 2)))"
+        "transform(sequence(1, greatest(size(__t) - 1, 0)),"
+        " i -> concat_ws(' ', slice(__t, i, 2)))"
     )
     # Most-frequent-bigram count without exploding: sort the bigram list and
     # fold a (prev, run, best) state over it — O(L log L) per doc, so it

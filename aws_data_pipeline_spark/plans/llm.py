@@ -476,3 +476,14 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_pipeline_spark.operators import text as tx
 
     return tx.repetition_stats(T(spark, sf_dir, "documents"))
+
+
+@register("heavy_hitter_tokens_approx", sql=None)
+def heavy_hitter_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based top-20 tokens (approx_top_k): one mergeable sketch per
+    partition instead of a full token-count shuffle — the 100 TB path where
+    the distinct-token table itself is too big to move. Rows-only; accuracy
+    bounded vs the exact vocabulary in tests/test_properties.py."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    return sampling.heavy_hitters(T(spark, sf_dir, "documents"), k=20)

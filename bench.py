@@ -43,6 +43,8 @@ HEADLINE = [
     "embedding_cosine_topk",     # broadcast brute-force ANN baseline
     "dedup_exact_text",          # digest dedup
     "text_quality_scores",       # HOF text featurization
+    "benchmark_decontamination",  # broadcast n-gram overlap vs eval set
+    "q5_local_supplier_volume",  # 6-table star join
 ]
 
 

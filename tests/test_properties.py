@@ -121,3 +121,29 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     for prio in exact:
         for e, a in zip(exact[prio], approx[prio]):
             assert abs(a - e) / e < 0.02, (prio, e, a)
+
+
+def test_heavy_hitters_matches_exact_vocabulary(spark, sf_dir):
+    """With max_items_tracked far above the distinct-token count the sketch
+    is exact: top-20 items and counts must equal the exact vocabulary."""
+    from aws_data_pipeline_spark.operators import sampling
+    from aws_data_pipeline_spark.plans.common import T
+
+    d = T(spark, sf_dir, "documents")
+    exact = {
+        r.token: r.token_count
+        for r in sampling.vocabulary(d, top_k=20).collect()
+    }
+    approx = {
+        r.token: r.token_count
+        for r in sampling.heavy_hitters(d, k=20).collect()
+    }
+    # count values must agree wherever both report a token; the boundary of
+    # the top-20 cut may differ only between equal-count ties
+    for tok in exact.keys() & approx.keys():
+        assert exact[tok] == approx[tok], tok
+    assert len(approx) == 20
+    boundary = min(exact.values())
+    for tok in exact.keys() ^ approx.keys():
+        count = exact.get(tok) or approx[tok]
+        assert count == boundary, (tok, count)
