@@ -781,3 +781,106 @@ def trailing_30d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_30d_spend"),
     )
+
+
+@register(
+    "daily_gapfill_nation_revenue",
+    sql="""
+    WITH daily AS (
+      SELECT n_name AS nation_name, CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders
+    ),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    scaffold AS (SELECT n_name AS nation_name, day FROM nation, days)
+    SELECT s.nation_name, s.day,
+           CAST(COALESCE(d.rev, 0) AS DOUBLE) AS daily_revenue,
+           CAST(SUM(COALESCE(d.rev, CAST(0 AS DECIMAL(30,2)))) OVER (
+             PARTITION BY s.nation_name ORDER BY s.day
+           ) AS DOUBLE) AS running_revenue
+    FROM scaffold s
+    LEFT JOIN daily d ON s.nation_name = d.nation_name AND s.day = d.day
+    """,
+)
+def daily_gapfill_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-filling (hypertable-rollup family): build a gapless
+    per-nation daily scaffold (sequence+explode of the observed date range,
+    cross-joined with the 25-row nation dim), left-join the actual daily
+    revenue, zero-fill, and run a cumulative total over the now-gapless
+    series. The scaffold side is dims x days — tiny and broadcastable — so
+    the only fact-sized work is the one daily groupBy; the window then runs
+    over 25 short partitions."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    scaffold = (
+        T(spark, sf_dir, "nation")
+        .select(F.col("n_name").alias("nation_name"))
+        .crossJoin(F.broadcast(days))
+    )
+    w = Window.partitionBy("nation_name").orderBy("day")
+    zero = F.lit(0).cast("decimal(30,2)")
+    return (
+        scaffold.join(daily, ["nation_name", "day"], "left")
+        .select(
+            "nation_name",
+            "day",
+            F.coalesce(F.col("rev"), zero).cast("double").alias("daily_revenue"),
+            F.sum(F.coalesce(F.col("rev"), zero))
+            .over(w)
+            .cast("double")
+            .alias("running_revenue"),
+        )
+    )
+
+
+@register(
+    "unpivot_returnflag_measures",
+    sql="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, measure, value
+    FROM (UNPIVOT agg ON sum_qty, sum_price INTO NAME measure VALUE value)
+    """,
+)
+def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-flag aggregates to long (measure, value) form —
+    the inverse of pivot_event_values, via the native unpivot operator (a
+    generator projection, no shuffle beyond the feeding agg)."""
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "decimal(12,2)").alias("sum_qty"),
+        dsum("l_extendedprice", "decimal(12,2)").alias("sum_price"),
+    )
+    return agg.unpivot(["l_returnflag"], ["sum_qty", "sum_price"], "measure", "value")
