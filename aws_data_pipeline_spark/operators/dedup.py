@@ -313,3 +313,79 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: (node, label)
+    where label = MIN doc id reachable through the pair graph — the
+    transitive-closure step that turns pairwise similarity into duplicate
+    CLUSTERS (LSH emits pairs; survivorship needs components).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converges in O(graph diameter) rounds
+    — near-dup clusters are shallow (diameter rarely > a few hops), so this
+    beats the constant-factor-heavier large-star/small-star for dedup
+    workloads. Each round is one shuffle (join on node) + one aggregate;
+    ``localCheckpoint`` cuts the lineage so plans stay O(1) per round, and
+    the convergence check piggybacks on the same pass via an aggregate
+    action. Labels are deterministic (min), so re-runs are idempotent.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                labels.node.alias("node"),
+                F.least(labels.label, F.coalesce(F.col("nmin"), labels.label)).alias(
+                    "new_label"
+                ),
+                labels.label.alias("old_label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.filter(F.col("new_label") != F.col("old_label")).limit(1).count()
+        )
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_assignments(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every doc's duplicate-cluster canonical: component-min doc id for docs
+    in the pair graph, self for singletons. Deterministic survivor choice."""
+    labels = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(labels, F.col(id_col) == labels.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(labels.label, F.col(id_col)).alias("canonical_doc_id"),
+            (F.coalesce(labels.label, F.col(id_col)) != F.col(id_col)).alias(
+                "is_duplicate"
+            ),
+        )
+    )

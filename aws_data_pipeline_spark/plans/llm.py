@@ -487,3 +487,57 @@ def heavy_hitter_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_pipeline_spark.operators import sampling
 
     return sampling.heavy_hitters(T(spark, sf_dir, "documents"), k=20)
+
+
+# -- Near-dup clusters (connected components over pair graph) --------------
+
+
+@register(
+    "neardup_clusters",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc1, doc2 FROM inter
+      JOIN sizes s1 ON s1.doc = doc1
+      JOIN sizes s2 ON s2.doc = doc2
+      WHERE inter / (s1.n + s2.n - inter) >= 0.8
+    ), edges AS (
+      SELECT doc1 AS u, doc2 AS v FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ), cc AS (
+      -- min reachable doc id == component canonical (finite fixpoint:
+      -- UNION dedups, so the recursion closes over the reachability set)
+      WITH RECURSIVE reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+      )
+      SELECT node, MIN(label) AS label FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(cc.label, d.doc_id) AS canonical_doc_id,
+           COALESCE(cc.label, d.doc_id) <> d.doc_id AS is_duplicate
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over exact-Jaccard near-dup pairs: connected
+    components assign every doc a deterministic cluster canonical (component
+    min), turning pairwise similarity into dedup survivorship. Spark side is
+    iterative min-label propagation (O(diameter) rounds, one shuffle each);
+    the oracle expresses the same fixpoint as a recursive CTE."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
+    return dedup.cluster_assignments(d, pairs)

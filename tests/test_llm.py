@@ -194,3 +194,64 @@ def test_repetition_stats_hand_computed(spark):
     # doc 3: single token -> no bigrams
     assert got[3].n_tokens == 1
     assert got[3].top_bigram_fraction == 0.0
+
+
+def test_connected_components_chain(spark):
+    """Transitivity: A-B and B-C (no A-C edge) must land in ONE cluster with
+    the min id canonical; isolated docs stay singletons."""
+    from aws_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(7)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (3, 4)], ["doc1", "doc2"]
+    )
+    got = {
+        r.doc_id: (r.canonical_doc_id, r.is_duplicate)
+        for r in dedup.cluster_assignments(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, False),
+        1: (1, False),
+        2: (1, True),
+        3: (1, True),
+        4: (1, True),
+        5: (5, False),
+        6: (5, True),
+    }
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """Spark label propagation == plain union-find on the collected pair
+    list (independent implementation)."""
+    from aws_data_pipeline_spark.operators import dedup
+    from aws_data_pipeline_spark.plans.common import T
+
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
+    edge_list = [(r.doc1, r.doc2) for r in pairs.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id in component: one more pass normalizes path halving
+    expected = {n: find(n) for n in parent}
+
+    got = {
+        r.doc_id: r.canonical_doc_id
+        for r in dedup.cluster_assignments(d, pairs).collect()
+    }
+    for n, c in expected.items():
+        assert got[n] == c, (n, c, got[n])
+    for n, c in got.items():
+        if n not in expected:
+            assert c == n
