@@ -43,10 +43,11 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     ``quality_score`` and ``split`` columns, duplicates removed.
 
     Dedup policy: survivors are the min doc_id of each duplicate class —
-    exact classes come from the content digest; fuzzy classes from
-    MinHash-LSH pairs at ``jaccard_threshold`` (each non-minimal side of a
-    verified pair is dropped). Deterministic end-to-end: same input -> same
-    survivors -> same split assignment, regardless of partitioning.
+    exact classes come from the content digest; fuzzy classes are the
+    CONNECTED COMPONENTS of the MinHash-LSH verified pair graph at
+    ``jaccard_threshold`` (transitive closure; each cluster keeps its min
+    doc_id). Deterministic end-to-end: same input -> same survivors -> same
+    split assignment, regardless of partitioning.
     """
     cfg = cfg or CurationConfig()
 
@@ -62,7 +63,10 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         "text_hash", "canonical_doc_id", "is_duplicate"
     )
 
-    # 4. fuzzy dedup: drop the higher id of every verified near-dup pair
+    # 4. fuzzy dedup: connected components over the verified near-dup pairs,
+    # keep only each cluster's canonical (component-min doc_id). Transitive:
+    # pairs (1,5),(2,5) collapse 1~2~5 into ONE survivor — the
+    # drop-every-doc2 policy would wrongly keep both 1 and 2.
     pairs = dedup.minhash_lsh_pairs(
         kept,
         "doc_id",
@@ -71,7 +75,10 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
         bands=cfg.bands,
         threshold=cfg.jaccard_threshold,
     )
-    losers = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    labels = dedup.connected_components(pairs)
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
     kept = kept.join(F.broadcast(losers), "doc_id", "left_anti")
 
     # 5. deterministic split assignment
