@@ -884,3 +884,73 @@ def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice", "decimal(12,2)").alias("sum_price"),
     )
     return agg.unpivot(["l_returnflag"], ["sum_qty", "sum_price"], "measure", "value")
+
+
+@register(
+    "funnel_view_click_purchase",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ct
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS view_to_click,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c) AS click_to_purchase
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> first click strictly after the
+    first view -> first purchase strictly after that click, each within a 24-hour conversion window). Spark-first
+    shape: ONE shuffle on user_id, then three stacked window-mins over the
+    same partitioning (Catalyst reuses the exchange — no re-shuffle per
+    stage), then a single global rollup; the oracle needs three
+    self-join+reaggregate passes to say the same thing."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    vt = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("vt", vt)
+    hour = F.expr("INTERVAL 24 HOUR")
+    ct = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("vt"))
+            & (F.col("ts") <= F.col("vt") + hour),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("ct", ct)
+    pt = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + hour),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("pt", pt)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("vt").alias("vt"), F.max("ct").alias("ct"), F.max("pt").alias("pt")
+    )
+    return per_user.agg(
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
+        (F.count("ct").cast("double") / F.count("vt")).alias("view_to_click"),
+        (F.count("pt").cast("double") / F.count("ct")).alias("click_to_purchase"),
+    )

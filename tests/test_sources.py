@@ -57,3 +57,36 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]" in plan
     # column pruning: only the 2 selected columns in the read schema
     assert "struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_text_corpus_whole_file(spark, tmp_path):
+    """One doc per file, stable path-hash ids, feeds text operators."""
+    from aws_data_pipeline_spark.operators import text as tx
+    from aws_data_pipeline_spark.sources.textfile import read_text_corpus
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.txt").write_text("the quick brown fox")
+    (tmp_path / "sub" / "b.txt").write_text("jumps over the lazy dog")
+    docs = read_text_corpus(spark, str(tmp_path))
+    rows = {r.source.rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["a.txt"].text == "the quick brown fox"
+    # ids deterministic across re-reads
+    again = {r.source.rsplit("/", 1)[-1]: r.doc_id
+             for r in read_text_corpus(spark, str(tmp_path)).collect()}
+    assert {k: v.doc_id for k, v in rows.items()} == again
+    # downstream operators accept the frame as-is
+    stats = tx.token_stats(docs).collect()
+    assert {r.n_tokens for r in stats} == {4, 5}
+
+
+def test_text_corpus_per_line(spark, tmp_path):
+    from aws_data_pipeline_spark.sources.textfile import read_text_corpus
+
+    (tmp_path / "c.txt").write_text("line one\nline two\nline one\n")
+    docs = read_text_corpus(spark, str(tmp_path), whole_file=False)
+    rows = docs.collect()
+    assert len(rows) == 3
+    # duplicate lines share an id (exact dedup collapses them downstream)
+    ids = [r.doc_id for r in rows if r.text == "line one"]
+    assert len(ids) == 2 and len(set(ids)) == 1
