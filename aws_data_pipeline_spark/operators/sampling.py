@@ -12,7 +12,7 @@ move documents between train and test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,4 +109,33 @@ def heavy_hitters(
     return sk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("token"),
         F.col("e.count").cast("long").alias("token_count"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "source",
+) -> DataFrame:
+    """Assign each doc to a fixed-token-budget training pack: concatenate the
+    shard's docs in deterministic (id) order and chunk every ``max_tokens``
+    — a doc belongs to the pack containing its start offset (docs longer
+    than the budget get split at training time; assignment stays by start).
+
+    One window shuffle, partitioned by the shard column — packs never cross
+    shards, so the cumulative sum parallelizes across the corpus instead of
+    serializing through a single global ordering (the 100 TB constraint).
+    Deterministic: same corpus -> same packs, any cluster size.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = Window.partitionBy(by).orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(F.col(by), F.col(id_col), n_tok.cast("long").alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor((cum - F.col("n_tokens")) / F.lit(max_tokens)).cast("long"),
+        )
     )

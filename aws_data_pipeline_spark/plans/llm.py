@@ -541,3 +541,42 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
     return dedup.cluster_assignments(d, pairs)
+
+
+@register(
+    "sequence_packing",
+    sql="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t
+    ),
+    packs AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+      FROM c
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens
+    FROM packs GROUP BY source, pack_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: chunk each shard's concatenated token
+    stream into 512-token packs (assignment by start offset, deterministic
+    doc_id order). Per-shard windows — no global sort — then a pack-level
+    rollup."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    packed = sampling.pack_sequences(
+        T(spark, sf_dir, "documents"), max_tokens=512
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )

@@ -76,3 +76,37 @@ def test_partition_pruning_on_curated_zone(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(split" in plan.replace("#", "") or (
         "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1][:200]
     ), plan
+
+
+def test_compact_zone_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
+    """sort_by clustering: every output file covers a disjoint o_orderkey
+    range and row-group min/max stats are tight, so a selective key filter
+    reads a strict subset of files (parquet-level evidence via pyarrow)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_data_pipeline_spark.catalog import load
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    path = str(tmp_path / "zone")
+    load(spark, sf_dir, "orders").write.parquet(path)
+    n = compact_zone(spark, path, target_file_bytes=4 * 1024, sort_by=["o_orderkey"])
+    assert n > 3
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        col_idx = [meta.schema.column(i).name for i in range(meta.num_columns)].index(
+            "o_orderkey"
+        )
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) > 3
+    # disjoint, tight ranges: sorted by min, each range must not overlap the next
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ((lo1, hi1), (lo2, hi2))
+    # correctness preserved
+    assert spark.read.parquet(path).count() == load(spark, sf_dir, "orders").count()
