@@ -954,3 +954,76 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("ct").cast("double") / F.count("vt")).alias("view_to_click"),
         (F.count("pt").cast("double") / F.count("ct")).alias("click_to_purchase"),
     )
+
+
+@register(
+    "scd2_customer_segment_history",
+    sql="""
+    WITH yearly AS (
+      SELECT o_custkey AS customer_id, CAST(YEAR(o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT customer_id, yr,
+             CASE WHEN spend > 600000 THEN 'high'
+                  WHEN spend > 300000 THEN 'medium'
+                  ELSE 'low' END AS segment
+      FROM yearly
+    ),
+    lagged AS (
+      SELECT customer_id, yr, segment,
+             LAG(segment) OVER (PARTITION BY customer_id ORDER BY yr) AS prev_seg,
+             LAG(yr) OVER (PARTITION BY customer_id ORDER BY yr) AS prev_yr
+      FROM seg
+    ),
+    isl AS (
+      SELECT customer_id, yr, segment,
+             SUM(CASE WHEN segment = prev_seg AND yr = prev_yr + 1 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY customer_id ORDER BY yr) AS grp
+      FROM lagged
+    )
+    SELECT customer_id, segment,
+           MIN(yr) AS valid_from_year, MAX(yr) AS valid_to_year,
+           COUNT(*) AS n_years
+    FROM isl GROUP BY customer_id, segment, grp
+    """,
+)
+def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: per-customer yearly spend segment
+    collapsed into validity intervals (gaps-and-islands — a new interval
+    starts on segment change OR a gap year). One shuffle on customer_id
+    serves all three window passes and the final island rollup; at scale
+    this is the standard 'rebuild dimension history from facts' shape."""
+    o = T(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("customer_id"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(dsum("o_totalprice", "decimal(30,2)").alias("spend"))
+    seg = yearly.select(
+        "customer_id",
+        "yr",
+        F.when(F.col("spend") > 600000, "high")
+        .when(F.col("spend") > 300000, "medium")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    w = Window.partitionBy("customer_id").orderBy("yr")
+    lagged = seg.withColumns(
+        {"prev_seg": F.lag("segment").over(w), "prev_yr": F.lag("yr").over(w)}
+    )
+    isl = lagged.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                (F.col("segment") == F.col("prev_seg"))
+                & (F.col("yr") == F.col("prev_yr") + 1),
+                0,
+            ).otherwise(1)
+        ).over(w),
+    )
+    return isl.groupBy("customer_id", "segment", "grp").agg(
+        F.min("yr").alias("valid_from_year"),
+        F.max("yr").alias("valid_to_year"),
+        F.count("*").alias("n_years"),
+    ).drop("grp")
