@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_data_pipeline_spark.functions.exact import davg, dsum
+from aws_data_pipeline_spark.functions.exact import davg, dsum, units, usum
 from aws_data_pipeline_spark.operators import joins, windows
 from aws_data_pipeline_spark.plans import register
 from aws_data_pipeline_spark.plans.common import T, davg_sql, dsum_sql
@@ -22,15 +22,27 @@ from aws_data_pipeline_spark.plans.common import T, davg_sql, dsum_sql
 # (scale 4) and sum are exact, and the final double cast is deterministic.
 # (Lazy: Column construction needs an active SparkContext in pyspark 4.)
 def _rev_spark():
-    return F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)")
-    )
+    """Revenue per line in EXACT integer 1e-4-dollar units: cents(price) x
+    (100 - cents(discount)). Both factors recover their 2-dp-intended values
+    exactly, the long multiply is exact, so the sum is the same rational the
+    decimal formulation computes — but on codegen-primitive longs
+    (functions/exact.py documents the ~3.7x and the overflow bounds)."""
+    return units("l_extendedprice", 2) * (F.lit(100) - units("l_discount", 2))
+
+
+def _sum_rev():
+    """SUM of _rev_spark units -> exact re-scale -> double (oracle twin:
+    CAST(SUM(<_REV_SQL>) AS DOUBLE))."""
+    return usum(_rev_spark(), 4)
 
 
 def _charge_spark():
-    return _rev_spark() * (
-        F.lit(1).cast("decimal(12,2)") + F.col("l_tax").cast("decimal(12,2)")
-    )
+    """Charge per line in exact integer 1e-6-dollar units."""
+    return _rev_spark() * (F.lit(100) + units("l_tax", 2))
+
+
+def _sum_charge():
+    return usum(_charge_spark(), 6)
 
 
 _REV_SQL = (
@@ -71,8 +83,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "decimal(12,2)").alias("sum_qty"),
         dsum("l_extendedprice", "decimal(12,2)").alias("sum_base_price"),
-        F.sum(_rev_spark()).cast("double").alias("sum_disc_price"),
-        F.sum(_charge_spark()).cast("double").alias("sum_charge"),
+        _sum_rev().alias("sum_disc_price"),
+        _sum_charge().alias("sum_charge"),
         davg("l_quantity", "decimal(12,2)").alias("avg_qty"),
         davg("l_extendedprice", "decimal(12,2)").alias("avg_price"),
         davg("l_discount", "decimal(12,2)").alias("avg_disc"),
@@ -118,7 +130,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
     ).agg(
         F.count("*").alias("line_count"),
-        F.sum(_rev_spark()).cast("double").alias("revenue"),
+        _sum_rev().alias("revenue"),
     )
 
 

@@ -20,10 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_data_pipeline_spark.functions.exact import davg, dsum
+from aws_data_pipeline_spark.functions.exact import davg, dsum, usum
 from aws_data_pipeline_spark.operators import joins
 from aws_data_pipeline_spark.plans import register
-from aws_data_pipeline_spark.plans.analytics import _REV_SQL, _rev_spark
+from aws_data_pipeline_spark.plans.analytics import _REV_SQL, _rev_spark, _sum_rev
 from aws_data_pipeline_spark.plans.common import T, dsum_sql
 
 
@@ -63,7 +63,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+        .agg(_sum_rev().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -183,7 +183,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+        .agg(_sum_rev().alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -253,15 +253,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    promo = F.when(F.col("p_type") == "PROMO", _rev_spark()).otherwise(
-        F.lit(0).cast("decimal(12,2)")
-    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev_spark()).otherwise(F.lit(0))
     return joined.agg(
-        (
-            F.lit(100.0)
-            * F.sum(promo).cast("double")
-            / F.sum(_rev_spark()).cast("double")
-        )
+        (F.lit(100.0) * usum(promo, 4) / _sum_rev())
         .cast("double")
         .alias("promo_revenue_pct"),
         F.count("*").alias("line_count"),
@@ -295,7 +289,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev_spark()).cast("double").alias("total_revenue")
+        _sum_rev().alias("total_revenue")
     )
     top = rev.withColumn(
         "__max", F.max("total_revenue").over(Window.partitionBy())
@@ -381,7 +375,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & q.between(20, 40))
     )
     return j.filter(cond).agg(
-        F.sum(_rev_spark()).cast("double").alias("revenue"),
+        _sum_rev().alias("revenue"),
         F.count("*").alias("line_count"),
     )
 
@@ -481,7 +475,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+        .agg(_sum_rev().alias("revenue"))
     )
 
 
@@ -544,7 +538,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+        .agg(_sum_rev().alias("revenue"))
     )
 
 
@@ -607,7 +601,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     vol = _rev_spark()
-    zero = F.lit(0).cast("decimal(12,2)")
+    zero = F.lit(0)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
@@ -615,9 +609,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("nation_name") == "NATION_3", vol).otherwise(zero))
-                .cast("double")
-                / F.sum(vol).cast("double")
+                usum(F.when(F.col("nation_name") == "NATION_3", vol).otherwise(zero), 4)
+                / usum(vol, 4)
             ).alias("mkt_share")
         )
     )
