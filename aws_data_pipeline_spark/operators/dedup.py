@@ -87,7 +87,7 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index buckets.
 
@@ -100,7 +100,16 @@ def jaccard_pairs(
     counts join the small pair table at the end). vs the naive
     self-join-the-index shape this computes the index once instead of three
     times and shuffles hashed longs instead of strings.
-    ``max_bucket`` drops degenerate hot shingles (the skew guard at scale).
+    ``max_bucket`` drops degenerate hot shingles (the skew guard at scale):
+    a boilerplate shingle shared by n docs would otherwise materialize one
+    O(n) array row and an O(n²) pair expansion on a single task. The guard
+    defaults ON (1000): a shingle shared by >1000 docs carries no near-dup
+    signal, exactly like a stopword — and the semantics follow through:
+    with the cap on, BOTH the intersection and the union sizes are computed
+    over the kept-shingle universe (otherwise the intersection would lose
+    the dropped shingles while the union kept them, deflating every hot-
+    shingle pair's jaccard). Pass ``None`` to disable and score over the
+    full shingle space.
     """
     sets = shingle_sets(df, id_col, text_col, k)
     idx = sets.select("doc", F.explode("sh").alias("shingle")).select(
@@ -108,7 +117,8 @@ def jaccard_pairs(
     )
     buckets = idx.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("docs") <= max_bucket)
+        # one extra reuse of the bucket frame (cached: sizes + pairs read it)
+        buckets = buckets.filter(F.size("docs") <= max_bucket).cache()
     # ordered pairs (docs[i], docs[j]) for i < j within each bucket
     pair_arr = F.flatten(
         F.transform(
@@ -125,7 +135,15 @@ def jaccard_pairs(
         .groupBy(F.col("p.doc1").alias("doc1"), F.col("p.doc2").alias("doc2"))
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sets.select("doc", F.size("sh").alias("n"))
+    if max_bucket is not None:
+        # doc sizes over the SAME kept-shingle universe (incl. size-1 buckets)
+        sizes = (
+            buckets.select(F.explode("docs").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count("*").alias("n"))
+        )
+    else:
+        sizes = sets.select("doc", F.size("sh").alias("n"))
     out = (
         inter.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n", "n1"), "doc1")
         .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n", "n2"), "doc2")

@@ -51,17 +51,28 @@ def stratified_sample(
     fractions: dict[str, float],
     id_col: str,
     seed: str = "sample-v1",
+    default_fraction: float | None = None,
 ) -> DataFrame:
     """Per-stratum deterministic sampling: keep a row iff its id-hash bucket
     falls under the stratum's fraction. Unlike ``df.sampleBy`` (seeded RNG
     over partition iteration order), this is stable under repartitioning —
     and it needs no shuffle at all (pure filter).
+
+    ``default_fraction`` applies to strata absent from ``fractions`` — the
+    whole policy stays a pure row-local expression, so callers never need to
+    enumerate the stratum values up front (no driver-side ``distinct().
+    collect()`` in the query path).
     """
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10_000))
     cond = F.lit(False)
-    for stratum, frac in fractions.items():
+    listed = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        hit = F.col(strata_col) == stratum
+        listed = listed | hit
+        cond = cond | (hit & (bucket < F.lit(int(round(frac * 10_000)))))
+    if default_fraction is not None:
         cond = cond | (
-            (F.col(strata_col) == stratum) & (bucket < F.lit(int(round(frac * 10_000))))
+            ~listed & (bucket < F.lit(int(round(default_fraction * 10_000))))
         )
     return df.filter(cond)
 

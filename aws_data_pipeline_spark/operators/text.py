@@ -86,16 +86,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_toks = F.size(t)
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
     sw = stopword_count(t)
-    mean_tok_len = alpha_chars / n_toks
+    # try_divide: an empty document (0 chars / 0 tokens) yields null ratios
+    # instead of a whole-job DIVIDE_BY_ZERO under Spark 4 ANSI mode
+    mean_tok_len = F.try_divide(alpha_chars, n_toks)
     return df.withColumns(
         {
             "n_tokens": n_toks,
-            "stopword_ratio": sw / n_toks,
-            "alpha_ratio": alpha_chars / n_chars,
+            "stopword_ratio": F.try_divide(sw, n_toks),
+            "alpha_ratio": F.try_divide(alpha_chars, n_chars),
             "mean_token_len": mean_tok_len,
             "quality_score": (
                 F.least(F.lit(1.0), n_toks / F.lit(100.0)) * 0.4
-                + (sw / n_toks) * 0.3
+                + F.try_divide(sw, n_toks) * 0.3
                 + F.least(F.lit(1.0), mean_tok_len / F.lit(8.0)) * 0.3
             ),
         }

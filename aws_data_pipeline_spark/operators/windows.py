@@ -68,12 +68,21 @@ def sessionize(
     ts_col: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Gaps-and-islands sessionization: a new session starts when the gap to
     the previous event exceeds ``gap_seconds``; session id is the running
     count of session starts per key. Two window passes over one shuffle on
-    ``key`` — the batch twin of Structured Streaming's session_window."""
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    ``key`` — the batch twin of Structured Streaming's session_window.
+
+    Pass ``tiebreak`` (a unique key, e.g. event_id) to make the window order
+    total: with timestamp ties and no tie-break, ``lag`` pairs rows
+    nondeterministically and session boundaries can flip between runs.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = (

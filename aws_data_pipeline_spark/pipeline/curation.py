@@ -79,7 +79,9 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     losers = labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("doc_id")
     )
-    kept = kept.join(F.broadcast(losers), "doc_id", "left_anti")
+    # no broadcast hint: the loser set is O(near-duplicates in the corpus),
+    # unbounded at 100 TB — AQE picks broadcast only while it actually fits
+    kept = kept.join(losers, "doc_id", "left_anti")
 
     # 5. deterministic split assignment
     return sampling.hash_split(kept, "doc_id", cfg.split_weights, seed=cfg.split_seed)

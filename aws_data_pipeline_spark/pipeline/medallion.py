@@ -27,7 +27,7 @@ from aws_data_pipeline_spark.catalog import TXN_SCHEMA
 from aws_data_pipeline_spark.operators import aggregate as agg_ops
 from aws_data_pipeline_spark.operators import cleanse, derive
 from aws_data_pipeline_spark.sources.jsonl import read_jsonl
-from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone
+from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone, zone_exists
 
 REQUIRED_KEYS = ("transaction_id", "customer_id", "amount", "transaction_date")
 
@@ -84,11 +84,12 @@ def bronze_to_silver(
     bronze = read_jsonl(spark, cfg.bronze_path, TXN_SCHEMA)
     silver = transform_bronze(bronze, clock=clock)
 
-    try:
+    # explicit existence probe: only a genuinely missing zone (first run)
+    # skips the anti-join; any other silver read error propagates rather
+    # than silently disabling cross-run dedup (SURVEY §4.2-6)
+    if zone_exists(spark, cfg.silver_path):
         existing = read_zone(spark, cfg.silver_path).select("transaction_id").distinct()
         silver = silver.join(existing, "transaction_id", "left_anti")
-    except Exception:
-        pass  # first run: no silver zone yet
 
     obs = Observation("qc")
     observed = silver.observe(

@@ -362,7 +362,7 @@ def string_normalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_type,
            COUNT(*) AS event_count,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
@@ -497,18 +497,18 @@ def events_within_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     sql="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                   THEN 1 ELSE 0 END AS is_new
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -522,8 +522,10 @@ def events_within_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min gap) + per-session rollup —
     the batch twin of Structured Streaming session windows."""
-    e = T(spark, sf_dir, "events").select("user_id", "ts", "value")
-    s = windows.sessionize(e, key="user_id", ts_col="ts", gap_seconds=1800)
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    s = windows.sessionize(
+        e, key="user_id", ts_col="ts", gap_seconds=1800, tiebreak="event_id"
+    )
     return s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
@@ -963,8 +965,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("vt").alias("n_view"),
         F.count("ct").alias("n_click"),
         F.count("pt").alias("n_purchase"),
-        (F.count("ct").cast("double") / F.count("vt")).alias("view_to_click"),
-        (F.count("pt").cast("double") / F.count("ct")).alias("click_to_purchase"),
+        # try_divide: a funnel stage with zero entrants yields null, not a
+        # DIVIDE_BY_ZERO crash under ANSI mode (DuckDB also nulls on /0)
+        F.try_divide(F.count("ct").cast("double"), F.count("vt")).alias(
+            "view_to_click"
+        ),
+        F.try_divide(F.count("pt").cast("double"), F.count("ct")).alias(
+            "click_to_purchase"
+        ),
     )
 
 

@@ -133,10 +133,12 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.45 (the corpus max is
-    ~0.51, so this exercises the tail). Self-join at test SF; LSH-bucketed
-    at scale (operators/similarity.py::lsh_bucket)."""
+    ~0.51, so this exercises the recall tail). Banded-LSH equi-join + exact
+    cosine verify — the physical plan is an equi-join on (band, code), never
+    a BroadcastNestedLoopJoin; the all-pairs theta join survives only as the
+    test twin (tests/test_llm.py asserts pairwise equality with it)."""
     e = T(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs(e, threshold=0.45)
+    return similarity.neardup_pairs_lsh(e, threshold=0.45)
 
 
 @register("embedding_ann_ivf", sql=None)
@@ -309,13 +311,15 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stratified_sample_counts", sql=None)
 def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free deterministic stratified sample (50% en, 10% others) —
-    per-lang kept counts. Stable under repartitioning, unlike sampleBy."""
+    per-lang kept counts. Stable under repartitioning, unlike sampleBy; the
+    default fraction covers unlisted strata as a row-local expression, so no
+    driver-side lang enumeration happens in the query path."""
     from aws_data_pipeline_spark.operators import sampling
 
     d = T(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    fractions = {lg: (0.5 if lg == "en" else 0.1) for lg in langs}
-    kept = sampling.stratified_sample(d, "lang", fractions, "doc_id")
+    kept = sampling.stratified_sample(
+        d, "lang", {"en": 0.5}, "doc_id", default_fraction=0.1
+    )
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
@@ -562,7 +566,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT source, pack_id, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS pack_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM packs GROUP BY source, pack_id
     """,
 )

@@ -20,7 +20,7 @@ def _profile_oracle() -> str:
         f"""
         SELECT '{c}' AS column_name,
                (SELECT COUNT(*) FROM orders) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_count,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
                COUNT(DISTINCT {c}) AS distinct_count,
                CAST(MIN({c}) AS VARCHAR) AS min_value,
                CAST(MAX({c}) AS VARCHAR) AS max_value
@@ -50,7 +50,7 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS bad_returnflag
       FROM lineitem
     )
-    SELECT rule_name, violation_count,
+    SELECT rule_name, CAST(violation_count AS BIGINT) AS violation_count,
            violation_count / n_rows AS violation_fraction
     FROM (
       SELECT n_rows, 'non_positive_quantity' AS rule_name, non_positive_quantity AS violation_count FROM w

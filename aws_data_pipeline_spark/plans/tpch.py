@@ -203,10 +203,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_shipyear",
     sql="""
     SELECT CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY YEAR(l.l_shipdate)
     """,
@@ -214,12 +214,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_priority_by_shipyear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional SUM(CASE...) folds what would be two
     filtered scans into one pass (reference-style code would run two jobs);
-    orders broadcast, shipmode adapted to o_orderpriority classes."""
+    shipmode adapted to o_orderpriority classes. No broadcast hint on orders
+    — it is a fact table, so the strategy is left to AQE: broadcast while the
+    projected (o_orderkey, o_orderpriority) side fits the threshold, sort-
+    merge beyond it (a forced broadcast would OOM at 100x)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),

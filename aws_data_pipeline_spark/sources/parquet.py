@@ -44,6 +44,22 @@ def read_zone(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def zone_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the zone path exists on its filesystem (Hadoop FS probe —
+    works for local paths, S3A, HDFS alike).
+
+    Callers that tolerate a missing zone (first-run idempotency anti-joins)
+    must use THIS probe, not ``try: read_zone(...) except: pass`` — a bare
+    except also swallows transient FS errors / corrupt footers / permission
+    failures, silently disabling cross-run dedup and appending duplicates.
+    Only genuine absence short-circuits; every other read error propagates.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def compact_zone(
     spark: SparkSession,
     path: str,

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.catalog import TXN_SCHEMA
 from aws_data_pipeline_spark.pipeline.medallion import transform_bronze
-from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone
+from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone, zone_exists
 
 
 def read_bronze_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -54,15 +54,16 @@ def incremental_bronze_to_silver(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         silver = transform_bronze(batch, clock=clock)
-        try:
+        # explicit existence probe: only a genuinely missing zone (first
+        # batch) skips the anti-join; other read errors propagate instead of
+        # silently disabling cross-run dedup
+        if zone_exists(batch.sparkSession, silver_path):
             existing = (
                 read_zone(batch.sparkSession, silver_path)
                 .select("transaction_id")
                 .distinct()
             )
             silver = silver.join(existing, "transaction_id", "left_anti")
-        except Exception:
-            pass  # first batch: no silver yet
         write_zone(
             silver, silver_path, partition_by=("year", "month", "day"), mode="append"
         )

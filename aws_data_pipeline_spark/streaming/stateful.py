@@ -89,7 +89,10 @@ def sessionize_stream(
                 if cur is None:
                     cur = (t, t, 1, v)
                 elif t - cur[1] <= gap_us:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+                    # min on start as well as max on end: a late-but-within-
+                    # watermark event from an earlier micro-batch can precede
+                    # the open session's start — it must extend both ends
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + v)
                 else:
                     closed.append(cur)
                     cur = (t, t, 1, v)

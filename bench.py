@@ -45,6 +45,10 @@ HEADLINE = [
     "text_quality_scores",       # HOF text featurization
     "benchmark_decontamination",  # broadcast n-gram overlap vs eval set
     "q5_local_supplier_volume",  # 6-table star join
+    "neardup_clusters",          # pair graph + iterative connected components
+    "simhash_hamming_pairs",     # Arrow pandas-UDF path + band equi-join
+    "embedding_ann_ivf",         # k-means IVF ANN (train + probe)
+    "embedding_neardup_pairs",   # banded-LSH equi-join + exact verify
 ]
 
 

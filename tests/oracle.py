@@ -41,6 +41,20 @@ def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> None:
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: columns {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}"
     )
+    # dtype-CLASS parity BEFORE normalize: the driver hashes raw values, so a
+    # Spark int64 vs oracle float64 (the DuckDB HUGEINT artifact — SUM(BIGINT)
+    # widens to HUGEINT, .df() downgrades to float) hash-mismatches even when
+    # every value is numerically equal. normalize() would mask that here;
+    # catching it early is what keeps this replica stricter than the driver.
+    for c in sdf.columns:
+        s_int = pd.api.types.is_integer_dtype(sdf[c])
+        o_int = pd.api.types.is_integer_dtype(odf[c])
+        s_f = pd.api.types.is_float_dtype(sdf[c])
+        o_f = pd.api.types.is_float_dtype(odf[c])
+        assert not (s_int and o_f) and not (s_f and o_int), (
+            f"{name}: column {c} dtype-class mismatch: spark={sdf[c].dtype} "
+            f"oracle={odf[c].dtype} (HUGEINT oracle typing? CAST(... AS BIGINT))"
+        )
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()

@@ -147,3 +147,40 @@ def test_heavy_hitters_matches_exact_vocabulary(spark, sf_dir):
     for tok in exact.keys() ^ approx.keys():
         count = exact.get(tok) or approx[tok]
         assert count == boundary, (tok, count)
+
+
+def test_sessionize_deterministic_with_timestamp_ties(spark):
+    """Two same-timestamp events per user: with a unique tie-breaker the
+    window order is total, so session boundaries are identical across
+    arbitrary input partitionings (without one, lag() pairs tied rows
+    nondeterministically)."""
+    from aws_data_pipeline_spark.operators import windows as W
+
+    rows = [
+        # user 1: tie at t=1000 opening the session, gap, tie at t=5000
+        (1, 1000, 101),
+        (1, 1000, 102),
+        (1, 5000, 103),
+        (1, 5000, 104),
+        # user 2: tie exactly at the gap boundary
+        (2, 1000, 201),
+        (2, 2800, 202),
+        (2, 2800, 203),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, epoch long, event_id long"
+    ).withColumn("ts", F.col("epoch").cast("timestamp"))
+
+    def run(frame):
+        out = W.sessionize(
+            frame, key="user_id", ts_col="ts", gap_seconds=1800, tiebreak="event_id"
+        )
+        return {(r.user_id, r.event_id): r.session_id for r in out.collect()}
+
+    base = run(df)
+    assert base[(1, 101)] == base[(1, 102)] == 1
+    assert base[(1, 103)] == base[(1, 104)] == 2
+    # 1800s gap is inclusive (> gap starts new): 2800-1000=1800 -> same session
+    assert base[(2, 201)] == base[(2, 202)] == base[(2, 203)] == 1
+    for n in (1, 7):
+        assert run(df.repartition(n, "event_id")) == base
