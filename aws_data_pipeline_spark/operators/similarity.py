@@ -100,7 +100,7 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    bands: int = 32,
+    bands: int = 64,
     rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
@@ -112,40 +112,55 @@ def neardup_pairs_lsh(
     they agree on ALL bits of at least one band — an EQUI-join on
     (band, code), never a cross product. Each candidate is then verified
     with exact cosine, so emitted pairs are exact-precision; recall per pair
-    is 1-(1-p^r)^b with p = 1-theta/pi (at theta=63deg / sim 0.45 and
-    r=4,b=32 that is ~0.9998 per pair; at genuine near-dup thresholds
-    (sim>=0.9, p~0.9) it is 1 to 12 decimal places while the band code
-    prunes hard). All hyperplanes are seeded and deterministic, so re-runs
-    emit identical pairs.
+    is 1-(1-p^r)^b with p = 1-theta/pi. At the hardest case — a pair sitting
+    exactly at threshold sim 0.45, theta=63.3deg, p=0.6486 — that is
+    1-(1-0.6486^4)^64 ~= 0.999996 (b=32 would give only ~0.998, a 500x
+    thinner miss margin; the matmul below makes the extra bands nearly
+    free). At genuine near-dup thresholds (sim>=0.9, p~0.9) recall is 1 to
+    ~12 decimal places while the band code still prunes hard. All
+    hyperplanes are seeded and deterministic, so re-runs emit identical
+    pairs.
 
-    Scale shape: codes are a map-side projection (corpus bucketed in one
-    scan); the only shuffles are the (band, code) equi-join and the
-    candidate distinct. tests/test_llm.py asserts exact equality with the
-    all-pairs baseline on the test corpora.
+    Scale shape: all ``bands*rows_per_band`` sign bits come from ONE
+    vectorized numpy matmul per Arrow batch — ``(n, dim) @ (dim, b*r)`` —
+    inside ``mapInPandas`` (a per-plane Catalyst HOF projection blows up
+    codegen: 128 F.aggregate calls over 64-literal arrays cost 21 s at
+    sf0.1; the matmul is <1 s). Codes stay a map-side projection (corpus
+    bucketed in one scan); the only shuffles are the (band, code) equi-join
+    and the candidate distinct. tests/test_llm.py asserts exact equality
+    with the all-pairs baseline on the test corpora.
     """
-    planes = _hyperplanes(bands * rows_per_band, dim, seed)
+    import numpy as np
+
+    planes = np.asarray(_hyperplanes(bands * rows_per_band, dim, seed), dtype="float64")
     v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    id_type = v.schema["id"].dataType.simpleString()
 
-    def band_code(j: int) -> Column:
-        code = F.lit(0).cast("long")
-        for i in range(rows_per_band):
-            p = planes[j * rows_per_band + i]
-            plane = F.array(*[F.lit(x) for x in p])
-            bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-            code = code + bit.cast("long") * F.lit(1 << i)
-        return code
+    def compute_codes(batches):
+        import numpy as np
+        import pandas as pd
 
-    banded = v.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), band_code(j).alias("code"))
-                    for j in range(bands)
-                ]
+        proj = planes.T  # (dim, bands*rows_per_band)
+        weights = (1 << np.arange(rows_per_band)).astype("int64")
+        band_ids = np.arange(bands, dtype="int32")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy())  # (n, dim)
+            # bit i of band j comes from plane j*rows_per_band+i — the same
+            # layout as the per-plane formulation, so codes are identical
+            bits = (mat @ proj) >= 0.0
+            codes = bits.reshape(n, bands, rows_per_band).astype("int64") @ weights
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), bands),
+                    "band": np.tile(band_ids, n),
+                    "code": codes.reshape(-1),
+                }
             )
-        ).alias("bc"),
-    ).select("id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+
+    banded = v.mapInPandas(compute_codes, schema=f"id {id_type}, band int, code long")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

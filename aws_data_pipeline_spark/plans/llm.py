@@ -136,7 +136,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.51, so this exercises the recall tail). Banded-LSH equi-join + exact
     cosine verify — the physical plan is an equi-join on (band, code), never
     a BroadcastNestedLoopJoin; the all-pairs theta join survives only as the
-    test twin (tests/test_llm.py asserts pairwise equality with it)."""
+    test twin (tests/test_llm.py asserts pairwise equality with it). With
+    r=4, b=64 the per-pair recall floor at exactly sim=0.45 is
+    1-(1-0.6486^4)^64 ~= 0.999996, so the expected miss count stays <<1
+    even as the qualifying-pair population grows with SF; the band codes are
+    one numpy matmul per Arrow batch (see neardup_pairs_lsh)."""
     e = T(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs_lsh(e, threshold=0.45)
 

@@ -9,10 +9,14 @@ and scalar-subquery + anti-join (Q22). Columns are adapted to the driver
 schema (TESTDATA.md) — e.g. no l_commitdate, so Q4's lateness predicate is
 ``l_shipdate > o_orderdate``.
 
-Scale posture: every dim side is broadcast (region/nation/customer/part/
-supplier are tiny relative to the facts); the fact table shuffles only for
-its final groupBy; all money math routes through decimal (functions/exact.py)
-so results are order-independent and bit-match the DuckDB oracle.
+Scale posture: broadcast hints go ONLY on true dims (region/nation/customer/
+supplier/part — tiny relative to the facts). Orders-derived join sides
+(orders filtered by date/status, orders⋈customer intermediates) never carry
+a hint: an explicit hint bypasses AQE's size gate, so at 100x it would OOM
+executors instead of degrading to sort-merge. AQE picks their strategy at
+runtime. The fact table shuffles only for its final groupBy; all money math
+routes through decimal (functions/exact.py) so results are order-independent
+and bit-match the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -47,9 +51,12 @@ from aws_data_pipeline_spark.plans.common import T, dsum_sql
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: both selective filters push into the scans, customer
-    and orders broadcast into lineitem, one shuffle for the groupBy, then a
-    global top-k (ties broken by l_orderkey so LIMIT is deterministic)."""
+    """TPC-H Q3 shape: both selective filters push into the scans, the
+    customer dim broadcasts into orders, one shuffle for the groupBy, then a
+    global top-k (ties broken by l_orderkey so LIMIT is deterministic).
+    No broadcast hint on the orders-derived side: the date cut keeps most of
+    orders, so the strategy is left to AQE — broadcast while it fits the
+    threshold, sort-merge beyond it (a forced hint would OOM at 100x)."""
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = T(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -58,7 +65,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))),
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey")),
         li.l_orderkey == o.o_orderkey,
     )
     return (
@@ -450,7 +457,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Region/nation/supplier/customer all broadcast; lineitem — the only
     big table — never shuffles until the final per-nation groupBy, and the
     date filter pushes into the orders scan (reference has no joins at all;
-    SURVEY.md §2.5)."""
+    SURVEY.md §2.5). The orders⋈customer intermediate is fact-sized, so it
+    carries no broadcast hint — AQE picks broadcast vs sort-merge by its
+    runtime size, exactly as in q12."""
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = T(spark, sf_dir, "nation").join(
         F.broadcast(r.select("r_regionkey")),
@@ -471,7 +480,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "c_nationkey"
     )
     return (
-        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey)
@@ -507,8 +516,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume. The nation pair predicate is
     applied to the two broadcast dim chains BEFORE the fact join, so lineitem
-    rows from uninvolved nations are dropped at the (broadcast) hash-join
-    probe, not carried to the groupBy shuffle."""
+    rows from uninvolved nations are dropped at the hash-join probe, not
+    carried to the groupBy shuffle. orders⋈customer is orders-sized (the
+    customer side is nation-filtered but orders is not), so that join side
+    carries no broadcast hint — AQE decides, as in q12."""
     nations = ("NATION_1", "NATION_2")
     n = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
     s = T(spark, sf_dir, "supplier").join(
@@ -533,7 +544,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -577,7 +588,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold into
     AMERICA, per order year. The share is one conditional aggregate over a
     single fact pass (not two filtered scans); numerator and denominator sum
-    exactly in decimal and only the final ratio is double."""
+    exactly in decimal and only the final ratio is double. The region-
+    filtered customer set still leaves orders⋈customer orders-scale, so no
+    broadcast hint on it — AQE chooses (q12 pattern); true dims (part,
+    supplier chains) keep their hints."""
     p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n2 = T(spark, sf_dir, "nation").join(
@@ -607,7 +621,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        .join(oc, li.l_orderkey == oc.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("o_year")
         .agg(
@@ -734,7 +748,10 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS/NOT-EXISTS pair collapses into two window aggregates over the same
     order partition: distinct suppliers in the order > 1, and distinct LATE
     suppliers == 1 (the candidate row is itself late, so ==1 means "me
-    alone"). One shuffle on l_orderkey replaces two correlated semi-joins."""
+    alone"). One shuffle on l_orderkey replaces two correlated semi-joins.
+    orders filtered only by status 'F' keeps ~half the table — fact-sized —
+    so the lineitem⋈orders join carries no broadcast hint (AQE decides, q12
+    pattern); the nation-filtered supplier dim keeps its hint."""
     n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     s = T(spark, sf_dir, "supplier").join(
         F.broadcast(n.select("n_nationkey")),
@@ -746,7 +763,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    lo = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).withColumn(
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
