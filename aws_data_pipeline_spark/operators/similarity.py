@@ -125,10 +125,33 @@ def neardup_pairs_lsh(
     vectorized numpy matmul per Arrow batch — ``(n, dim) @ (dim, b*r)`` —
     inside ``mapInPandas`` (a per-plane Catalyst HOF projection blows up
     codegen: 128 F.aggregate calls over 64-literal arrays cost 21 s at
-    sf0.1; the matmul is <1 s). Codes stay a map-side projection (corpus
-    bucketed in one scan); the only shuffles are the (band, code) equi-join
-    and the candidate distinct. tests/test_llm.py asserts exact equality
-    with the all-pairs baseline on the test corpora.
+    sf0.1; the matmul is <1 s). Candidates are then verified INSIDE each
+    (band, code) bucket by a pairwise numpy matmul: below-threshold
+    candidates die in the matmul instead of becoming shuffle rows. (At a
+    loose threshold like 0.45, p_random=0.5 is barely below
+    p_threshold=0.65, so a self-equi-join on (band, code) would
+    materialize nearly all n^2 candidate pairs — ~12M shuffle rows at
+    sf0.1 — before the verify filter; bucket-local verify keeps the
+    shuffled data at n*bands rows and emits only qualifying pairs.)
+
+    The bucket pass is ``repartition(band, code)`` + ONE ``mapInPandas``
+    that groups in-process — not ``groupBy().applyInPandas`` — because
+    with 2^rows_per_band codes per band the groups are many and tiny, and
+    per-group Python dispatch dominates (measured 3x the whole query).
+    Hash-repartitioning guarantees every (band, code) group lands whole in
+    one partition; the in-function ``pd.concat`` holds one partition,
+    which is the normal partition-fits-in-executor sizing rule. The few
+    numpy-passed pairs re-verify JVM-side with the sequential-fold
+    ``cosine`` (the numpy prefilter keeps a 1e-6 slack so summation-order
+    rounding can never drop a boundary pair), so emitted pairs are exactly
+    the all-pairs result restricted to band-colliding candidates.
+    tests/test_llm.py asserts exact equality with the all-pairs baseline
+    on the test corpora.
+
+    Per-band bucket sizes are ~n/2^rows_per_band; at 100 TB raise
+    ``rows_per_band`` (with ``bands`` per the recall formula) to bound the
+    per-bucket pairwise cost, and tighten ``threshold`` toward real
+    near-dup similarity so the bands actually prune.
     """
     import numpy as np
 
@@ -161,15 +184,44 @@ def neardup_pairs_lsh(
             )
 
     banded = v.mapInPandas(compute_codes, schema=f"id {id_type}, band int, code long")
-    a, b = banded.alias("a"), banded.alias("b")
+
+    # numpy sims differ from the sequential JVM fold only by summation-order
+    # rounding (~1e-15 relative); the slack guarantees the prefilter is a
+    # superset of the exact >= threshold set.
+    slack = 1e-6
+
+    def partition_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out1, out2 = [], []
+        for _, g in pdf.groupby(["band", "code"], sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            mat = np.vstack(g["v"].to_numpy())
+            ids = g["id"].to_numpy()
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(n, k=1)
+            keep = sims[iu, ju] >= threshold - slack
+            if keep.any():
+                a, b = ids[iu[keep]], ids[ju[keep]]
+                out1.append(np.minimum(a, b))
+                out2.append(np.maximum(a, b))
+        if out1:
+            yield pd.DataFrame(
+                {"id1": np.concatenate(out1), "id2": np.concatenate(out2)}
+            )
+
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        banded.join(v, "id")
+        .repartition(F.col("band"), F.col("code"))
+        .mapInPandas(partition_pairs, schema=f"id1 {id_type}, id2 {id_type}")
         .distinct()
     )
     v1 = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
