@@ -255,34 +255,52 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """64-bit SimHash via an Arrow-batched pandas UDF (mapInPandas).
 
     The per-token md5→bit-vote loop is genuinely awkward as Column algebra
-    (64-way bit explosion); this is the engine's documented Python path:
-    vectorized over Arrow batches, never row-at-a-time over the wire.
+    (64-way bit explosion); this is the engine's documented Python path —
+    and inside it the work is numpy, not a per-row/per-bit Python loop
+    (which costs ~4 s at sf0.1 vs <1 s vectorized): md5 runs once per
+    DISTINCT token in the batch (np.unique), the ±1 vote matrix comes from
+    ``np.unpackbits`` on the hash bytes, and per-doc vote sums are one
+    ``np.add.reduceat`` over doc segments. Bit semantics are unchanged:
+    hash = first 8 md5 bytes big-endian, bit i = (h >> i) & 1, output bit
+    set iff votes strictly positive, wrapped to signed 64 (the int64 view
+    of the packed uint64).
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
 
     def batches(it):
         for pdf in it:
-            out_ids, out_hashes = [], []
-            for doc, text in zip(pdf[id_col], pdf[text_col]):
-                votes = [0] * 64
-                for tok in str(text).lower().split(" "):
-                    h = int.from_bytes(
-                        hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
-                    )
-                    for bit in range(64):
-                        votes[bit] += 1 if (h >> bit) & 1 else -1
-                val = 0
-                for bit in range(64):
-                    if votes[bit] > 0:
-                        val |= 1 << bit
-                # wrap to signed 64
-                if val >= 1 << 63:
-                    val -= 1 << 64
-                out_ids.append(doc)
-                out_hashes.append(val)
-            yield pd.DataFrame({"doc": out_ids, "simhash": out_hashes})
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks = [str(t).lower().split(" ") for t in pdf[text_col]]
+            counts = np.fromiter((len(t) for t in toks), dtype="int64", count=n)
+            flat = np.array([t for row in toks for t in row], dtype=object)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            digests = b"".join(
+                hashlib.md5(t.encode()).digest()[:8] for t in uniq.tolist()
+            )
+            uh = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+            # (n_uniq, 64) with column i = bit i of the integer (native
+            # little-endian byte order after astype, so byte 0 is the LSB)
+            bits_u = np.unpackbits(
+                uh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            pm_flat = (2 * bits_u.astype(np.int32) - 1)[inv]
+            # every doc has >=1 token ("".split(" ") == [""]), so reduceat
+            # segments are never empty
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            votes = np.add.reduceat(pm_flat, offsets, axis=0)
+            out_bits = (votes > 0).astype(np.uint8)
+            vals = (
+                np.packbits(out_bits, axis=1, bitorder="little")
+                .view(np.uint64)
+                .reshape(-1)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({"doc": pdf[id_col].to_numpy(), "simhash": vals})
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
         batches, schema=_SIMHASH_SCHEMA
@@ -294,8 +312,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Hamming-≤k SimHash pairs via 4-band blocking (pigeonhole: any pair
     within Hamming 3 agrees exactly on at least one 16-bit band) + bit_count
-    verification — the equi-join shape, no cross product."""
-    sh = simhash(df, id_col, text_col)
+    verification — the equi-join shape, no cross product.
+
+    The signature frame is localCheckpoint'ed before the self-join: without
+    it each join side re-runs the whole text scan + Python hashing stage
+    (measured 2.5x the query at sf0.1). The materialized frame is one
+    16-byte row per doc — negligible next to the corpus at any scale."""
+    sh = simhash(df, id_col, text_col).localCheckpoint()
     bands = sh.select(
         "doc",
         "simhash",
