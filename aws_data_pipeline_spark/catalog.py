@@ -139,17 +139,27 @@ TXN_SCHEMA = T.StructType(
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan with Catalyst pushdown/pruning.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read nanos as long (legacy conf)
-    and truncate to microsecond timestamps — exactly what DuckDB does
-    implicitly (its TIMESTAMP is µs), keeping oracle parity.
+    ``events.ts`` has been written as parquet TIMESTAMP(NANOS) by some
+    generator versions, which Spark's vectorized reader rejects outright;
+    when that happens we read nanos as long (legacy conf) and truncate to
+    microsecond timestamps — exactly what DuckDB does implicitly (its
+    TIMESTAMP is µs), keeping oracle parity. Generators that already write
+    µs timestamps need no conversion, so the truncation is gated on the
+    read schema actually surfacing a long.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # generators that write naive µs timestamps surface TIMESTAMP_NTZ;
+            # streaming watermarks require TIMESTAMP, and with the session
+            # timezone pinned to UTC the cast preserves every value
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

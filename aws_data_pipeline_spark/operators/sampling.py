@@ -61,13 +61,15 @@ def stratified_sample(
     ``default_fraction`` applies to strata absent from ``fractions`` — the
     whole policy stays a pure row-local expression, so callers never need to
     enumerate the stratum values up front (no driver-side ``distinct().
-    collect()`` in the query path).
+    collect()`` in the query path). NULL strata count as "absent from
+    fractions" (``eqNullSafe`` membership, so the three-valued NULL of a
+    plain ``==`` can't silently drop them from the default branch).
     """
     bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10_000))
     cond = F.lit(False)
     listed = F.lit(False)
     for stratum, frac in sorted(fractions.items()):
-        hit = F.col(strata_col) == stratum
+        hit = F.col(strata_col).eqNullSafe(F.lit(stratum))
         listed = listed | hit
         cond = cond | (hit & (bucket < F.lit(int(round(frac * 10_000)))))
     if default_fraction is not None:

@@ -50,11 +50,16 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id AS doc,
              array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
       FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
+    ), kept AS (
+      -- mirror the engine's max_bucket=1000 hot-shingle guard: a shingle
+      -- shared by >1000 docs is dropped from BOTH intersection and union
+      SELECT doc, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
     ), sizes AS (
-      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+      SELECT doc, count(*) AS n FROM kept GROUP BY doc
     ), inter AS (
       SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2
     )
     SELECT doc1, doc2, inter / (s1.n + s2.n - inter) AS jaccard
@@ -509,11 +514,16 @@ def heavy_hitter_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id AS doc,
              array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
       FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
+    ), kept AS (
+      -- mirror the engine's max_bucket=1000 hot-shingle guard: a shingle
+      -- shared by >1000 docs is dropped from BOTH intersection and union
+      SELECT doc, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
     ), sizes AS (
-      SELECT doc, count(*) AS n FROM sh GROUP BY doc
+      SELECT doc, count(*) AS n FROM kept GROUP BY doc
     ), inter AS (
       SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY 1, 2
     ), pairs AS (
       SELECT doc1, doc2 FROM inter

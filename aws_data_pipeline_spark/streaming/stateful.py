@@ -83,19 +83,31 @@ def sessionize_stream(
             cur = tuple(state.get) if state.exists else None
             rows = pd.concat(list(pdfs))
             rows = rows.sort_values("ts")
-            for ts, val in zip(rows["ts"], rows["value"]):
-                t = _us(ts)
-                v = float(val)
+            # interval sessionization over the open-session interval plus the
+            # batch's events, in start order — the same merge rule as Spark's
+            # session_window ([t, t+gap) windows merge iff they overlap). A
+            # late-but-within-watermark event can land anywhere relative to
+            # the open session: in-gap events extend it (min start/max end),
+            # but an event more than gap BEFORE the session start must form
+            # its own earlier session, not merge into the later one.
+            items = [(_us(ts), _us(ts), 1, float(val)) for ts, val in zip(rows["ts"], rows["value"])]
+            if cur is not None:
+                items.append(cur)
+            items.sort(key=lambda it: (it[0], it[1]))
+            cur = None
+            for it in items:
                 if cur is None:
-                    cur = (t, t, 1, v)
-                elif t - cur[1] <= gap_us:
-                    # min on start as well as max on end: a late-but-within-
-                    # watermark event from an earlier micro-batch can precede
-                    # the open session's start — it must extend both ends
-                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + v)
+                    cur = it
+                elif it[0] - cur[1] <= gap_us:
+                    cur = (
+                        cur[0],
+                        max(cur[1], it[1]),
+                        cur[2] + it[2],
+                        cur[3] + it[3],
+                    )
                 else:
                     closed.append(cur)
-                    cur = (t, t, 1, v)
+                    cur = it
             if cur is not None:
                 state.update(cur)
                 # close the session gap_seconds past the newest event, by
