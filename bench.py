@@ -11,8 +11,10 @@ collect). Per query: one untimed warm-up execution, then the timed run —
 this measures steady-state throughput (codegen compiled, file footers and
 any operator-level caches hot), which is the regime a long-running engine
 operates in; at test SF a cold run mostly measures JVM codegen latency,
-which amortizes to zero at 100 TB. Set BENCH_COLD=1 to time first
-executions instead.
+which amortizes to zero at 100 TB. The timed run repeats BENCH_REPS times
+(default 3) and reports the per-query MEDIAN, so one GC pause or scheduler
+hiccup in a 22-query suite can't masquerade as a plan regression. Set
+BENCH_COLD=1 to time first executions instead (single rep).
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ HEADLINE = [
     "json_props_stats",          # JSON extraction + agg
     "sessionize_events",         # gaps-and-islands windows
     "tumbling_window_counts",    # time windows
+    "sliding_window_counts",     # overlapping windows (13.5k-row output)
     "ngram_jaccard_pairs",       # shingle inverted-index join
     "minhash_lsh_dedup",         # MinHash + LSH banding
     "embedding_cosine_topk",     # broadcast brute-force ANN baseline
@@ -68,16 +71,21 @@ def main() -> None:
     registry[names[0]].spark_fn(spark, sf_dir).count()
 
     cold = os.environ.get("BENCH_COLD") == "1"
+    reps = 1 if cold else max(1, int(os.environ.get("BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         if not cold:
             registry[name].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        t0 = time.perf_counter()
-        df = registry[name].spark_fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = registry[name].spark_fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
