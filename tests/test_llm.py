@@ -323,3 +323,42 @@ def test_jaccard_hot_shingle_skew_guard(spark):
     # above-threshold pairs survive the guard: near-dups share many
     # discriminative shingles, so dropping boilerplate buckets loses nothing
     assert capped == uncapped == {(0, 1)}
+
+
+def test_simhash_numpy_matches_reference_loop(spark):
+    """The vectorized simhash (np.unique + unpackbits + reduceat) must be
+    bit-identical to the definitional per-token md5 vote loop, including on
+    empty text, None, unicode, repeated tokens, and long docs."""
+    import hashlib
+
+    def ref(text):
+        votes = [0] * 64
+        for tok in str(text).lower().split(" "):
+            h = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
+            )
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        val = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                val |= 1 << bit
+        return val - (1 << 64) if val >= 1 << 63 else val
+
+    texts = [
+        "hello world foo bar",
+        "",
+        "a",
+        "the quick brown fox jumps over the lazy dog",
+        "x " * 500 + "y",
+        None,
+        "Ünïcôdé tøkens här",
+        "dup dup dup dup",
+        "  leading double  spaces ",
+        "MiXeD CaSe ToKeNs",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc"]: r["simhash"] for r in dedup.simhash(df, "doc_id").collect()}
+    assert got == {i: ref(t) for i, t in enumerate(texts)}

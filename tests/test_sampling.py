@@ -71,3 +71,18 @@ def test_resize_and_frame_sample(spark, sf_dir):
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
         assert len(bytes(r["frame"])) == 4
     assert all(sorted(v) == [0, 2] for v in per_doc.values())
+
+
+def test_stratified_sample_null_strata_uses_default_fraction(spark):
+    """NULL strata are 'absent from fractions': kept at default_fraction
+    (never silently dropped by three-valued ==), and excluded when no
+    default is given."""
+    rows = [(i, "en" if i % 2 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.stratified_sample(
+        df, "lang", {"en": 0.5}, "doc_id", default_fraction=1.0
+    )
+    null_kept = kept.filter(F.col("lang").isNull()).count()
+    assert null_kept == 200  # every NULL-stratum row sampled at 1.0
+    no_default = sampling.stratified_sample(df, "lang", {"en": 0.5}, "doc_id")
+    assert no_default.filter(F.col("lang").isNull()).count() == 0

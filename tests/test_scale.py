@@ -111,3 +111,54 @@ def test_stateful_stream_sessionization(spark, tmp_path):
     assert (1, "2024-05-01 10:00:00", 2, 3.0) in got
     assert (1, "2024-05-01 12:00:00", 1, 3.0) in got
     assert (2, "2024-05-01 10:05:00", 1, 5.0) in got
+
+
+def test_stateful_session_late_event_beyond_gap_forms_earlier_session(
+    spark, tmp_path
+):
+    """A late-but-within-watermark event more than gap BEFORE the open
+    session's start must become its own earlier session (session_window
+    merge rule), not silently merge; an in-gap late event extends the
+    session start instead."""
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    out_path = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "ts": ts, "value": v})
+                for u, ts, v in rows
+            )
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        (
+            sessionize_stream(stream, gap_seconds=1800, watermark_delay="6 hours")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_batch("batch1.json", [(1, "2024-05-01 12:00:00", 3.0)])
+    run_batch(
+        "batch2.json",
+        [
+            (1, "2024-05-01 10:00:00", 1.0),  # > gap before open start
+            (1, "2024-05-01 11:45:00", 2.0),  # in-gap: extends start
+            (99, "2024-05-03 00:00:00", 0.0),  # watermark sentinel
+        ],
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.session_value)
+        for r in spark.read.parquet(out_path).filter("user_id = 1").collect()
+    }
+    assert got == {
+        (1, "2024-05-01 10:00:00", "2024-05-01 10:00:00", 1, 1.0),
+        (1, "2024-05-01 11:45:00", "2024-05-01 12:00:00", 2, 5.0),
+    }
