@@ -79,6 +79,43 @@ def stratified_sample(
     return df.filter(cond)
 
 
+def source_mixture_weights(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix report per corpus slice: doc/token counts, token share,
+    and a temperature-scaled sampling weight (T=2, i.e. weight ∝ sqrt of
+    the slice's token count — the standard upweighting of small
+    high-quality sources in LLM data mixes, normalized to the largest
+    slice = 1.0).
+
+    Scale shape: one partial-aggregated shuffle on ``group_cols`` to a
+    #slices-row frame, then window totals over that tiny frame — the corpus
+    is scanned once and never re-shuffled. Numeric posture: token counts
+    sum as exact longs; the derived doubles use only division and sqrt
+    (both correctly-rounded IEEE ops), and the weight normalizes by MAX
+    (order-independent), never by a float sum whose accumulation order an
+    engine could choose — so results bit-match any engine evaluating the
+    same expressions.
+    """
+    n_toks = F.size(F.split(F.lower(F.col(text_col)), " "))
+    agg = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_toks).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_share"),
+        (
+            F.sqrt(F.col("n_tokens")) / F.sqrt(F.max("n_tokens").over(w))
+        ).alias("sampling_weight"),
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

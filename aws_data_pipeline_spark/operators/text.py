@@ -104,6 +104,35 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_median_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx: bool = False,
+) -> DataFrame:
+    """Corpus-relative quality gate: keep documents whose quality score is at
+    or above the corpus median — the relative-threshold curation step that
+    absolute cutoffs can't express (half of ANY corpus survives, regardless
+    of its score distribution).
+
+    Shape: score in one scan, reduce to a single median row, broadcast it
+    back as the filter threshold — the corpus itself never shuffles.
+    ``approx=True`` swaps the exact ``percentile`` aggregate for
+    ``approx_percentile`` (t-digest): exact percentile buffers per-group
+    values and is the documented small-SF / oracle-parity path, the sketch
+    is the 100 TB path. Per-doc output rows (no float aggregation), so
+    results are order-independent.
+    """
+    scored = quality_score(df, text_col)
+    fn = "approx_percentile" if approx else "percentile"
+    med = scored.agg(F.expr(f"{fn}(quality_score, 0.5)").alias("med_score"))
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .filter(F.col("quality_score") >= F.col("med_score"))
+        .select(id_col, "quality_score")
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/stopword-profile language ID: score each language by profile
     token matches, argmax with a deterministic tie-break on language code.

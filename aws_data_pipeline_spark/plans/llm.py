@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from aws_data_pipeline_spark.operators import dedup, multimodal, sampling, similarity, text
 from aws_data_pipeline_spark.plans import register
 from aws_data_pipeline_spark.plans.common import T
 
@@ -245,6 +245,63 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_token_len",
         "quality_score",
     )
+
+
+@register(
+    "quality_median_filter",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
+                  AS INTEGER) AS sw,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             least(1.0, n / 100.0) * 0.4 + (sw / n) * 0.3
+               + least(1.0, (alpha / n) / 8.0) * 0.3 AS quality_score
+      FROM t
+    ), m AS (
+      SELECT quantile_cont(quality_score, 0.5) AS med_score FROM scored
+    )
+    SELECT doc_id, quality_score FROM scored, m
+    WHERE quality_score >= med_score
+    """,
+)
+def quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: documents at or above the corpus median
+    quality score. One scan to score, a one-row median aggregate broadcast
+    back as the threshold (the corpus never shuffles); at 100 TB the same
+    operator runs with approx_percentile (``approx=True``)."""
+    d = T(spark, sf_dir, "documents")
+    return text.quality_median_filter(d)
+
+
+@register(
+    "source_mixture_weights",
+    sql="""
+    WITH slices AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share,
+           sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max(n_tokens) OVER () AS DOUBLE))
+             AS sampling_weight
+    FROM slices
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report per (source, lang): doc/token counts, token share,
+    and a T=2 temperature-scaled sampling weight (∝ sqrt tokens, largest
+    slice = 1.0). Token counts sum as exact longs and the doubles use only
+    division/sqrt normalized by MAX — no float sum whose accumulation order
+    could differ between engines."""
+    d = T(spark, sf_dir, "documents")
+    return sampling.source_mixture_weights(d)
 
 
 @register(
