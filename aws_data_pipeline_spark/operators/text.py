@@ -104,6 +104,44 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF
+    (tf * ln(n_docs / df)) — SURVEY §7 step 6's text-analysis item.
+
+    Shape: one shuffle for per-doc term frequencies, one for document
+    frequencies (the vocab-sized df table joins back on token — broadcast
+    while it fits, shuffle join beyond), the corpus count rides in as a
+    broadcast one-row aggregate (no driver action), then a per-doc window
+    top-k. Output carries RANKS only (ties broken by token): the tfidf
+    doubles themselves can differ in final ulps across engines (ln is not
+    a correctly-rounded op), ranks don't — same policy as
+    embedding_cosine_topk.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "rank")
+    )
+
+
 def quality_median_filter(
     df: DataFrame,
     text_col: str = "text",

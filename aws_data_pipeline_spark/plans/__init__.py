@@ -61,16 +61,17 @@ _PLAN_MODULES = (
 # The window ROTATES each round so no query's hard driver signal goes more
 # than one round stale (the local oracle replica tests/test_oracle_parity.py
 # asserts hash parity over the FULL registry on every pytest run besides).
-# Round-3 prefix = 2 new queries (first driver signal), 13 queries whose
+# Round-3 prefix = 3 new queries (first driver signal), 13 queries whose
 # code or input handling changed this round (LSH/simhash/jaccard
 # vectorization and oracle-cap mirroring, TPC-H broadcast-hint drops,
 # stratified NULL-strata fix, events.ts type adaptation), then the queries
-# whose last driver row is round 1 (the final two of those fall past the
+# whose last driver row is round 1 (the final three of those fall past the
 # 50-entry window this round and rotate to the head next round).
 _PRIORITY = (
     # new this round (first-ever driver signal)
     "quality_median_filter",
     "source_mixture_weights",
+    "tfidf_top_terms",
     # changed this round
     "embedding_neardup_pairs",
     "simhash_hamming_pairs",

@@ -305,6 +305,38 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, token, rank FROM (
+      SELECT tf.doc_id, tf.token,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+                        tf.token ASC
+             ) AS rank
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF (tf * ln(N/df)).
+    Ranks only in the output — the tfidf doubles can differ in final ulps
+    across engines (ln is not correctly rounded), ranks don't."""
+    d = T(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=5)
+
+
+@register(
     "token_counts",
     sql="""
     SELECT doc_id,
