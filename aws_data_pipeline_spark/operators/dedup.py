@@ -172,6 +172,57 @@ def jaccard_pairs(
     return out.select("doc1", "doc2", "jaccard")
 
 
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, the number of
+    distinct k-token grams they share, plus containment (shared / smaller
+    source's gram count) — the pre-mixing diagnostic that tells you two
+    "independent" corpus slices are actually the same crawl.
+
+    Shape: one distinct (source, gram-hash) index (8-byte xxhash64 grams,
+    never gram strings, in the shuffle), then an inverted-index equi-join on
+    the gram — pairs materialize only where a gram is shared, and each
+    gram's bucket is at most #sources wide, so the expansion is bounded by
+    #sources², never #docs². Containment divides exact longs, so values are
+    order-independent.
+    """
+    grams = (
+        df.withColumn("__t", tokens(F.col(text_col)))
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(hashed_shingles(F.col("__t"), k)).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.least("na", "nb")).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def _perm_hash(a: int, b: int):
     # factory, NOT a default-arg lambda: pyspark HOF lambdas must take
     # exactly the element args
