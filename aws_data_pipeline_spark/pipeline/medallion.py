@@ -27,9 +27,47 @@ from aws_data_pipeline_spark.catalog import TXN_SCHEMA
 from aws_data_pipeline_spark.operators import aggregate as agg_ops
 from aws_data_pipeline_spark.operators import cleanse, derive
 from aws_data_pipeline_spark.sources.jsonl import read_jsonl
-from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone, zone_exists
+from aws_data_pipeline_spark.sources.parquet import (
+    read_partition_slice,
+    read_zone,
+    write_zone,
+    zone_exists,
+)
 
 REQUIRED_KEYS = ("transaction_id", "customer_id", "amount", "transaction_date")
+
+PARTITION_KEYS = ("year", "month", "day")
+
+
+def dedup_against_silver(batch: DataFrame, silver_path: str) -> DataFrame:
+    """Cross-run idempotency anti-join, partition-pruned (SURVEY §4.2-6).
+
+    Re-delivered input must not duplicate rows already committed to silver.
+    A re-delivered row lands in the same (year, month, day) partition as its
+    first delivery (the partition keys derive from transaction_date), so the
+    anti-join only needs ids from the partitions THIS batch touches — the
+    batch's distinct key set is collected (tiny: one tuple per touched day)
+    and the silver read is restricted to those directories via
+    PartitionFilters. Work per run is O(batch + touched partitions), never
+    O(history) — a full-zone ``select(id).distinct()`` would re-scan and
+    re-shuffle the entire silver history on every micro-batch at 100 TB.
+
+    The caller must have persisted/checkpointed ``batch`` if recomputing its
+    lineage twice (once for the key collect, once downstream) is expensive.
+    """
+    touched = [
+        tuple(r)
+        for r in batch.select(*PARTITION_KEYS).distinct().collect()
+        if None not in tuple(r)  # null keys are dropped by the write guard
+    ]
+    if not touched:
+        return batch
+    existing = (
+        read_partition_slice(batch.sparkSession, silver_path, touched, PARTITION_KEYS)
+        .select("transaction_id")
+        .distinct()
+    )
+    return batch.join(existing, "transaction_id", "left_anti")
 
 
 @dataclass
@@ -87,9 +125,12 @@ def bronze_to_silver(
     # explicit existence probe: only a genuinely missing zone (first run)
     # skips the anti-join; any other silver read error propagates rather
     # than silently disabling cross-run dedup (SURVEY §4.2-6)
+    persisted = None
     if zone_exists(spark, cfg.silver_path):
-        existing = read_zone(spark, cfg.silver_path).select("transaction_id").distinct()
-        silver = silver.join(existing, "transaction_id", "left_anti")
+        # persist: the transformed batch is consumed twice (touched-key
+        # collect + the write) — without this the bronze scan re-runs
+        persisted = silver.persist()
+        silver = dedup_against_silver(persisted, cfg.silver_path)
 
     obs = Observation("qc")
     observed = silver.observe(
@@ -99,9 +140,16 @@ def bronze_to_silver(
         # right cardinality tool at 100 TB
         F.approx_count_distinct(F.col("customer_id")).alias("approx_customers"),
     )
-    write_zone(
-        observed, cfg.silver_path, partition_by=("year", "month", "day"), mode="append"
-    )
+    try:
+        write_zone(
+            observed,
+            cfg.silver_path,
+            partition_by=PARTITION_KEYS,
+            mode="append",
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     return {k: int(v) for k, v in obs.get.items()}
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.operators.cleanse import require_non_null
 
@@ -42,6 +43,31 @@ def read_zone(spark: SparkSession, path: str) -> DataFrame:
     """Partition-discovering parquet scan (S3, ``silver_to_gold.py:120``).
     Partition-key filters prune directories before any I/O."""
     return spark.read.parquet(path)
+
+
+def read_partition_slice(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[tuple],
+    key_cols: Sequence[str] = ("year", "month", "day"),
+) -> DataFrame:
+    """Partition-pruned zone read restricted to the listed partition-key
+    tuples (e.g. ``[(2024, 1, 3), (2024, 1, 4)]`` for year/month/day).
+
+    The disjunction of equality predicates on partition columns resolves at
+    planning time to PartitionFilters — only the matching directories are
+    listed and scanned. This is what keeps per-run idempotency anti-joins
+    O(batch), not O(history): a micro-batch touching 2 days reads 2 days of
+    silver, never the full zone (SURVEY.md §4.2-5/6; the same pruning
+    ``streaming/gold.py`` uses for targeted gold rebuilds).
+    """
+    cond = F.lit(False)
+    for tup in keys:
+        row_cond = F.lit(True)
+        for col, val in zip(key_cols, tup):
+            row_cond = row_cond & (F.col(col) == F.lit(val))
+        cond = cond | row_cond
+    return read_zone(spark, path).filter(cond)
 
 
 def zone_exists(spark: SparkSession, path: str) -> bool:

@@ -11,20 +11,26 @@ Cross-run duplicates (SURVEY.md §4.2-6) are handled at two levels:
 - within each micro-batch: the deterministic key dedup inside
   ``transform_bronze`` (same operator as batch mode);
 - across batches/runs: the foreachBatch sink anti-joins the micro-batch
-  against transaction_ids already committed to silver — covering
-  re-delivered files no matter how old. (``dropDuplicatesWithinWatermark``
-  is the lighter in-stream alternative when re-delivery is bounded in event
-  time; the anti-join is the unconditional guarantee.)
+  against transaction_ids already committed to silver, restricted to the
+  (year, month, day) partitions the batch touches — partition pruning keeps
+  the probe O(batch), not O(history) (a re-delivered row always lands in
+  its original partition, so pruned coverage is complete).
+  (``dropDuplicatesWithinWatermark`` is the lighter in-stream alternative
+  when re-delivery is bounded in event time; the anti-join is the
+  unconditional guarantee.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.catalog import TXN_SCHEMA
-from aws_data_pipeline_spark.pipeline.medallion import transform_bronze
-from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone, zone_exists
+from aws_data_pipeline_spark.pipeline.medallion import (
+    PARTITION_KEYS,
+    dedup_against_silver,
+    transform_bronze,
+)
+from aws_data_pipeline_spark.sources.parquet import write_zone, zone_exists
 
 
 def read_bronze_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -57,16 +63,19 @@ def incremental_bronze_to_silver(
         # explicit existence probe: only a genuinely missing zone (first
         # batch) skips the anti-join; other read errors propagate instead of
         # silently disabling cross-run dedup
+        persisted = None
         if zone_exists(batch.sparkSession, silver_path):
-            existing = (
-                read_zone(batch.sparkSession, silver_path)
-                .select("transaction_id")
-                .distinct()
+            # persist: the transformed micro-batch is consumed twice
+            # (touched-key collect + write) — avoid re-running the transform
+            persisted = silver.persist()
+            silver = dedup_against_silver(persisted, silver_path)
+        try:
+            write_zone(
+                silver, silver_path, partition_by=PARTITION_KEYS, mode="append"
             )
-            silver = silver.join(existing, "transaction_id", "left_anti")
-        write_zone(
-            silver, silver_path, partition_by=("year", "month", "day"), mode="append"
-        )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     (
         stream.writeStream.foreachBatch(sink)
