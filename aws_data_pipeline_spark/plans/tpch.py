@@ -331,8 +331,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: the IN-subquery (orders whose lineitems sum past a
-    quantity threshold) is an aggregate + semi-join; the qualifying-key set
-    is small, so it broadcasts into the fact join."""
+    quantity threshold) is an aggregate + semi-join. The qualifying-key set
+    is a data-dependent aggregate (HAVING-selective at test SF, but its size
+    scales with orders), so no forced broadcast — AQE chooses the strategy
+    from the set's measured runtime size."""
     li = T(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -342,7 +344,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    filtered = li.join(F.broadcast(big), "l_orderkey", "left_semi")
+    filtered = li.join(big, "l_orderkey", "left_semi")
     joined = joins.enrich(
         filtered,
         [
@@ -689,10 +691,14 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: the correlated AVG-per-part subquery is decorrelated
-    into one groupBy over lineitem (computed once, broadcast back — the
-    per-part threshold table is |part|-sized, tiny), avoiding the naive
-    re-aggregation per probe row. Quantities are integral doubles, so the
-    double AVG is exact and order-independent — safe against the oracle."""
+    into one groupBy — but only AFTER restricting lineitem to Brand#13 parts
+    via a broadcast semi-join. Only probed parts ever need a threshold, so
+    aggregating the full fact first (then broadcasting a |part|-sized
+    threshold table) would waste ~the whole aggregation and OOM the
+    broadcast at 100× scale. The threshold side's size is data-dependent
+    (|Brand#13 parts|), so no forced hint — AQE picks the join strategy.
+    Quantities are integral doubles, so the double AVG is exact and
+    order-independent — safe against the oracle."""
     p = (
         T(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#13")
@@ -701,12 +707,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    # semi-join keeps ALL lineitems of the probed parts (the correlated
+    # subquery averages over every lineitem of the part, so this slice is
+    # exactly the aggregation domain)
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    thresholds = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        brand_li.join(thresholds, brand_li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (dsum("l_extendedprice", "decimal(12,2)") / F.lit(7.0)).alias(
