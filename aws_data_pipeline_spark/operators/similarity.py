@@ -279,6 +279,51 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: KMeans(n_cells) over the corpus (or a
+    ``train_fraction`` sample — at 100 TB you train on ~1M sampled vectors,
+    never the full corpus). Returns the centroid list — a driver-sized
+    artifact (n_cells × dim floats) that callers cache/persist so the
+    training pass is paid ONCE per corpus, not per query batch."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(as_double(F.col(vec_col)).alias("cv")).withColumn(
+        "features", array_to_vector("cv")
+    )
+    train = c if train_fraction is None else c.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    return [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+
+
+def nearest_cell(v: Column, centroids: list[list[float]]) -> Column:
+    """Cell id of the nearest centroid (squared euclidean, first-min ties) —
+    a pure JVM expression over literal centroid arrays, so corpus assignment
+    is one map-side codegen pass: no ML model dispatch, no shuffle."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in ctr]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for ctr in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -289,38 +334,44 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     train_fraction: float | None = None,
+    centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer + cell-probed search.
 
-    Index build: train KMeans(n_cells) on the corpus (or a
-    ``train_fraction`` sample — at 100 TB you train the quantizer on ~1M
-    sampled vectors, never the full corpus), then assign every corpus vector
-    to its nearest centroid in one map-side pass. Search: each query probes
-    its ``nprobe`` nearest centroids and ranks by exact cosine within those
-    cells only — corpus work per query drops from O(N) to O(N * nprobe /
-    n_cells). The cell assignment is a one-time cost amortized across every
-    query batch (persist the assigned corpus partitioned by cell).
+    Index build: use the supplied ``centroids`` (the train-once scale path —
+    see :func:`train_ivf_centroids`; callers cache them per corpus) or train
+    inline as a convenience; then assign every corpus vector to its nearest
+    centroid in one map-side codegen pass — or skip assignment entirely by
+    passing a prebuilt ``assigned`` frame (columns neighbor_id, cv, cell —
+    e.g. a persisted one; that IS the inverted file, resident). Search:
+    each query probes its ``nprobe`` nearest centroids and ranks by exact
+    cosine within those cells only — corpus work per query drops from O(N)
+    to O(N * nprobe / n_cells). For repeated query batches over a static
+    corpus on disk, use :func:`build_ivf_index` / :func:`ivf_topk_indexed`
+    (probed-cell partition pruning over the persisted assignment).
 
     vs LSH (ann_topk_lsh): IVF adapts to the data distribution (centroids
     follow density; hyperplanes don't), at the price of a training pass.
     pytest measures recall vs brute_force_topk.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("features", array_to_vector("cv"))
-    train = c if train_fraction is None else c.sample(train_fraction, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(c).withColumnRenamed("prediction", "cell")
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_cells, seed, train_fraction
+        )
+    if assigned is None:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+        assigned = c.withColumn("cell", nearest_cell(F.col("cv"), centroids))
 
     # broadcast the centroid table; each query ranks centroids by cosine and
     # keeps its nprobe nearest cells
-    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession
     cent_df = F.broadcast(
-        spark.createDataFrame(centroids, "cell int, centroid array<double>")
+        spark.createDataFrame(
+            list(enumerate(centroids)), "cell int, centroid array<double>"
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -368,22 +419,17 @@ def build_ivf_index(
     directories (partition pruning on ``cell=``) — at 100 TB a 1024-cell
     index turns each query batch into a scan of nprobe/1024 of the corpus.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    centroids = train_ivf_centroids(
+        corpus, id_col, vec_col, n_cells, seed, train_fraction
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("features", array_to_vector("cv"))
-    train = c if train_fraction is None else c.sample(train_fraction, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    assigned = (
-        model.transform(c).withColumnRenamed("prediction", "cell").drop("features")
     )
+    assigned = c.withColumn("cell", nearest_cell(F.col("cv"), centroids))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
+        list(enumerate(centroids)), "cell int, centroid array<double>"
     )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
 

@@ -114,10 +114,11 @@ def tfidf_top_terms(
     frequencies (the vocab-sized df table joins back on token — broadcast
     while it fits, shuffle join beyond), the corpus count rides in as a
     broadcast one-row aggregate (no driver action), then a per-doc window
-    top-k. Output carries RANKS only (ties broken by token): the tfidf
-    doubles themselves can differ in final ulps across engines (ln is not
-    a correctly-rounded op), ranks don't — same policy as
-    embedding_cosine_topk.
+    top-k. Output carries RANKS only, and the ordering is engine-stable by
+    construction: tfidf is rounded to 9 digits before comparison (ln is not
+    correctly rounded, so raw doubles can differ in final ulps across
+    engines), with the exact integer pair (tf desc, df asc) then the token
+    breaking every remaining tie deterministically.
     """
     from pyspark.sql import Window
 
@@ -128,7 +129,10 @@ def tfidf_top_terms(
     dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = df.agg(F.count("*").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("token").asc()
+        F.round(F.col("tfidf"), 9).desc(),
+        F.col("tf").desc(),
+        F.col("df").asc(),
+        F.col("token").asc(),
     )
     return (
         tf.join(dfreq, "token")

@@ -61,69 +61,67 @@ _PLAN_MODULES = (
 # The window ROTATES each round so no query's hard driver signal goes more
 # than one round stale (the local oracle replica tests/test_oracle_parity.py
 # asserts hash parity over the FULL registry on every pytest run besides).
-# Round-3 prefix = 3 new queries (first driver signal), 13 queries whose
-# code or input handling changed this round (LSH/simhash/jaccard
-# vectorization and oracle-cap mirroring, TPC-H broadcast-hint drops,
-# stratified NULL-strata fix, events.ts type adaptation), then the queries
-# whose last driver row is round 1 (the final three of those fall past the
-# 50-entry window this round and rotate to the head next round).
+# Round-4 prefix = the 3 queries whose last driver row is round 1 (they fell
+# past round 3's window — VERDICT r3 item 4), then the queries whose plans
+# changed this round (q17 threshold slice, q18 hint drop, tfidf ordering,
+# simhash distinct placement, IVF quantizer caching), then every query whose
+# last driver row is round 2, then round-3-dated fillers to cap the 50-entry
+# window. After this round every registry query's newest green row is r3/r4.
 _PRIORITY = (
-    # new this round (first-ever driver signal)
-    "quality_median_filter",
-    "source_mixture_weights",
-    "tfidf_top_terms",
-    # changed this round
-    "embedding_neardup_pairs",
-    "simhash_hamming_pairs",
-    "ngram_jaccard_pairs",
-    "neardup_clusters",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q21_suppliers_kept_waiting",
-    "stratified_sample_counts",
-    "sessionize_events",
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "session_window_counts",
-    # driver signal last refreshed in round 1
-    "normalize_types",
-    "filter_valid_transactions",
-    "audit_columns",
-    "derive_date_parts",
-    "amount_category",
-    "whole_number_flag",
-    "monthly_aggregations",
-    "multi_grain_rollup_hierarchical",
-    "regional_revenue",
-    "left_join_order_counts",
-    "semi_join_active_customers",
-    "anti_join_dormant_customers",
-    "topk_orders_per_customer",
-    "running_customer_spend",
-    "order_gap_days",
-    "top_orders_global",
-    "order_year_set_ops",
-    "string_normalize_parts",
-    "pivot_event_values",
-    "events_within_10min",
-    "cube_priority_status",
-    "global_table_stats",
-    "approx_distinct_customers",
-    "full_outer_nation_balance",
-    "price_percentiles_by_priority",
-    "customer_spend_quartiles",
-    "salted_nation_order_stats",
-    "sql_surface_order_status",
-    "price_percentiles_approx",
-    "trailing_30d_customer_spend",
-    "unpivot_returnflag_measures",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
+    # driver signal last refreshed in round 1 (stale — head of the window)
     "q10_returned_items",
     "q14_promo_effect",
     "q15_top_supplier",
+    # changed this round
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "tfidf_top_terms",
+    "simhash_hamming_pairs",
+    "embedding_ann_ivf",
+    # driver signal last refreshed in round 2
+    "dedup_by_key",
+    "daily_aggregations",
+    "customer_insights",
+    "multi_grain_rollup",
+    "q1_pricing_summary",
+    "json_props_stats",
+    "asof_last_click_before_purchase",
+    "daily_gapfill_nation_revenue",
+    "funnel_view_click_purchase",
+    "scd2_customer_segment_history",
+    "q12_priority_by_shipyear",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q13_customer_distribution",
+    "dedup_exact_text",
+    "minhash_lsh_dedup",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh",
+    "lang_id_stopwords",
+    "text_quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "multimodal_decode_features",
+    "dataset_split_counts",
+    "vocabulary_top_tokens",
+    "curated_corpus_stats",
+    "pii_redaction_stats",
+    "benchmark_decontamination",
+    "text_repetition_stats",
+    "heavy_hitter_tokens_approx",
+    "sequence_packing",
+    "dq_profile_orders",
+    "dq_rule_violations_lineitem",
+    "dq_duplicate_order_lines",
+    # round-3-dated fillers (stay ≤1 round stale)
+    "quality_median_filter",
+    "source_mixture_weights",
+    "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "neardup_clusters",
+    "sessionize_events",
+    "stratified_sample_counts",
+    "session_window_counts",
 )
 
 
