@@ -162,3 +162,58 @@ def test_stateful_session_late_event_beyond_gap_forms_earlier_session(
         (1, "2024-05-01 10:00:00", "2024-05-01 10:00:00", 1, 1.0),
         (1, "2024-05-01 11:45:00", "2024-05-01 12:00:00", 2, 5.0),
     }
+
+
+def test_stateful_session_not_emitted_before_watermark_ripens(spark, tmp_path):
+    """ADVICE r3 (medium): an interval closed by an in-batch gap must stay in
+    state until the watermark passes end+gap — later within-watermark events
+    can still bridge it. Old behavior emitted it mid-batch, then the bridge
+    produced a split/duplicate session."""
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    out_path = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "ts": ts, "value": v})
+                for u, ts, v in rows
+            )
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        (
+            sessionize_stream(stream, gap_seconds=1800, watermark_delay="6 hours")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # batch 1: two events 2h apart -> two intervals; neither is ripe
+    run_batch(
+        "batch1.json",
+        [(1, "2024-05-01 10:00:00", 1.0), (1, "2024-05-01 12:00:00", 2.0)],
+    )
+    assert spark.read.parquet(out_path).filter("user_id = 1").isEmpty()
+
+    # batch 2: late events chain the two intervals into ONE session
+    run_batch(
+        "batch2.json",
+        [
+            (1, "2024-05-01 10:20:00", 1.0),
+            (1, "2024-05-01 10:50:00", 1.0),
+            (1, "2024-05-01 11:20:00", 1.0),
+            (1, "2024-05-01 11:50:00", 1.0),
+            (99, "2024-05-03 00:00:00", 0.0),  # watermark sentinel
+        ],
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.session_value)
+        for r in spark.read.parquet(out_path).filter("user_id = 1").collect()
+    }
+    assert got == {(1, "2024-05-01 10:00:00", "2024-05-01 12:00:00", 6, 7.0)}
