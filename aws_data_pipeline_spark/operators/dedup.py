@@ -352,9 +352,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
             digests = b"".join(
                 hashlib.md5(t.encode()).digest()[:8] for t in uniq.tolist()
             )
-            uh = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
-            # (n_uniq, 64) with column i = bit i of the integer (native
-            # little-endian byte order after astype, so byte 0 is the LSB)
+            # explicit '<u8' (not native uint64): the view-as-bytes tricks
+            # below assume byte 0 is the LSB, which only holds if the array's
+            # memory layout is little-endian regardless of host endianness
+            uh = np.frombuffer(digests, dtype=">u8").astype("<u8")
+            # (n_uniq, 64) with column i = bit i of the integer
             bits_u = np.unpackbits(
                 uh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
             )
@@ -364,11 +366,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
             offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
             votes = np.add.reduceat(pm_flat, offsets, axis=0)
             out_bits = (votes > 0).astype(np.uint8)
+            # '<i8' view: bytes packed LSB-first read back as the same
+            # integer on any host; astype normalizes to native int64 for
+            # Arrow without changing values
             vals = (
                 np.packbits(out_bits, axis=1, bitorder="little")
-                .view(np.uint64)
+                .reshape(-1, 8)
+                .view("<i8")
                 .reshape(-1)
-                .view(np.int64)
+                .astype(np.int64, copy=False)
             )
             yield pd.DataFrame({"doc": pdf[id_col].to_numpy(), "simhash": vals})
 
@@ -421,8 +427,10 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the hamming test is a cheap bit_count on
+        # rows already in hand; dedup shuffles — shrink first
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -4,8 +4,9 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
 signature, partition sizing — is real and tested; the actual codec calls are
 STUBBED (this container ships no image/audio libraries): ``decode_features``
-computes deterministic fake features from the raw bytes, and
-``decode_real`` raises NotImplementedError where PIL/ffmpeg would plug in.
+computes deterministic fake features from the raw bytes, and ``decode_real``
+probes for Pillow at import — it decodes for real when PIL is installed and
+raises NotImplementedError here.
 
 At 100 TB: binary payloads dominate row size, so multimodal tables should be
 written with small ``spark.sql.files.maxPartitionBytes`` relative to text
@@ -171,9 +172,65 @@ def sample_frames(
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
+# import-probed at module load: decode_real lights up automatically in an
+# environment that ships Pillow, with no code change
+try:
+    from PIL import Image as _PIL_IMAGE
+except ImportError:  # container has no image libraries — honest stub below
+    _PIL_IMAGE = None
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+
 def decode_real(df: DataFrame) -> DataFrame:
-    """Real codec path — requires image/audio libraries not in this container."""
-    raise NotImplementedError(
-        "real media decoding needs PIL/ffmpeg; use decode_features for the "
-        "deterministic stub pipeline"
-    )
+    """Real image decode over Arrow batches (PIL), same mapInPandas plumbing
+    as ``decode_features``. Available iff Pillow importable at module load;
+    otherwise raises — the deterministic stub pipeline (`decode_features`)
+    is the tested path in codec-less environments. Payloads that fail to
+    decode yield null dimensions rather than poisoning the batch (at scale
+    a corrupt object must not kill a 10k-row Arrow batch)."""
+    if _PIL_IMAGE is None:
+        raise NotImplementedError(
+            "real media decoding needs PIL/ffmpeg; use decode_features for "
+            "the deterministic stub pipeline"
+        )
+    import io
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = _PIL_IMAGE.open(io.BytesIO(bytes(payload)))
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "format": img.format,
+                            "width": img.width,
+                            "height": img.height,
+                            "mode": img.mode,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "format": None,
+                            "width": None,
+                            "height": None,
+                            "mode": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
