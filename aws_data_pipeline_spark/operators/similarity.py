@@ -291,7 +291,13 @@ def train_ivf_centroids(
     ``train_fraction`` sample — at 100 TB you train on ~1M sampled vectors,
     never the full corpus). Returns the centroid list — a driver-sized
     artifact (n_cells × dim floats) that callers cache/persist so the
-    training pass is paid ONCE per corpus, not per query batch."""
+    training pass is paid ONCE per corpus, not per query batch.
+
+    NOTE: Spark's KMeans is NOT bit-deterministic across fits even with a
+    fixed seed (parallel k-means|| init and float accumulation order vary
+    with scheduling), and DataFrame.sample depends on the input's partition
+    layout. When reproducibility matters, train once and persist the
+    centroids (``build_ivf_index``) — never retrain and expect equality."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

@@ -72,6 +72,8 @@ _PRIORITY = (
     "q10_returned_items",
     "q14_promo_effect",
     "q15_top_supplier",
+    # new this round (first-ever driver signal)
+    "embedding_ann_ivf_indexed",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

@@ -50,7 +50,8 @@ HEADLINE = [
     "q5_local_supplier_volume",  # 6-table star join
     "neardup_clusters",          # pair graph + iterative connected components
     "simhash_hamming_pairs",     # Arrow pandas-UDF path + band equi-join
-    "embedding_ann_ivf",         # k-means IVF ANN (train + probe)
+    "embedding_ann_ivf",         # k-means IVF ANN (resident index + probe)
+    "embedding_ann_ivf_indexed",  # persisted IVF index, partition-pruned probe
     "embedding_neardup_pairs",   # banded-LSH equi-join + exact verify
 ]
 

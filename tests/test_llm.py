@@ -362,3 +362,19 @@ def test_simhash_numpy_matches_reference_loop(spark):
     )
     got = {r["doc"]: r["simhash"] for r in dedup.simhash(df, "doc_id").collect()}
     assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
+def test_registry_ivf_resident_equals_persisted(spark, sf_dir):
+    """The resident (embedding_ann_ivf) and persisted (embedding_ann_ivf_indexed)
+    searches share ONE trained quantizer (the on-disk index — seeded KMeans is
+    not bit-deterministic across fits, so retraining would diverge) and must
+    return identical rows."""
+    from aws_data_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    a = {tuple(r) for r in reg["embedding_ann_ivf"].spark_fn(spark, sf_dir).collect()}
+    b = {
+        tuple(r)
+        for r in reg["embedding_ann_ivf_indexed"].spark_fn(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
