@@ -36,6 +36,49 @@ def read_csv(
     )
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+    recursive: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan that QUARANTINES malformed rows instead of failing the job:
+    returns ``(good, bad)`` where ``good`` has exactly the declared schema
+    and ``bad`` carries the raw text of each unparseable line.
+
+    This is the other half of the ``read_csv`` FAILFAST trade: FAILFAST is
+    right when any corruption means the export is broken and must be
+    re-delivered; at 100 TB of third-party feeds, one mangled line must not
+    kill a multi-hour job — route it to a quarantine sink, count it in QC,
+    keep going. PERMISSIVE + columnNameOfCorruptRecord makes the split
+    in-plan (one scan, a null-test filter each side), not a separate
+    validation pass.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+        # Spark requires referencing typed columns alongside the corrupt
+        # column from a cached plan, not the raw scan (SPARK-21610)
+        .cache()
+    )
+    good = raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    bad = raw.filter(raw[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
 def write_csv(
     df: DataFrame, path: str, header: bool = True, delimiter: str = ","
 ) -> None:

@@ -90,3 +90,21 @@ def test_text_corpus_per_line(spark, tmp_path):
     # duplicate lines share an id (exact dedup collapses them downstream)
     ids = [r.doc_id for r in rows if r.text == "line one"]
     assert len(ids) == 2 and len(set(ids)) == 1
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    """read_csv_quarantine: malformed lines land in the quarantine frame with
+    their raw text; good rows parse to exactly the declared schema."""
+    from aws_data_pipeline_spark.sources.delimited import read_csv_quarantine
+
+    bad_dir = tmp_path / "mixed"
+    bad_dir.mkdir()
+    (bad_dir / "x.csv").write_text("a,b\n1,2\nnot_a_number,3\n4,5\n")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    s = StructType([StructField("a", IntegerType()), StructField("b", IntegerType())])
+    good, bad = read_csv_quarantine(spark, str(bad_dir), s)
+    assert sorted(map(tuple, good.collect())) == [(1, 2), (4, 5)]
+    assert good.columns == ["a", "b"]
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert bad_rows == ["not_a_number,3"]
