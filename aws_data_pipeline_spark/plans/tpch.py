@@ -456,12 +456,14 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: the full 6-table star join where the local-supplier
     condition (customer and supplier share a nation) rides on the supplier
-    join. Region/nation/supplier/customer all broadcast; lineitem — the only
-    big table — never shuffles until the final per-nation groupBy, and the
-    date filter pushes into the orders scan (reference has no joins at all;
-    SURVEY.md §2.5). The orders⋈customer intermediate is fact-sized, so it
-    carries no broadcast hint — AQE picks broadcast vs sort-merge by its
-    runtime size, exactly as in q12."""
+    join. Region/nation/supplier/customer all broadcast; the date filter
+    pushes into the orders scan (reference has no joins at all; SURVEY.md
+    §2.5). Join order is chosen to shrink the fact BEFORE its one shuffle:
+    lineitem joins the broadcast ASIA-supplier dim first (map-side, drops
+    ~4/5 of lines at this selectivity), and only the surviving slice
+    shuffles into the orderkey join against the fact-sized orders⋈customer
+    intermediate — which carries no broadcast hint; AQE picks broadcast vs
+    sort-merge by its runtime size, exactly as in q12."""
     r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = T(spark, sf_dir, "nation").join(
         F.broadcast(r.select("r_regionkey")),
@@ -481,12 +483,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_nationkey"
     )
+    li_asia = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
     return (
-        li.join(oc, li.l_orderkey == oc.o_orderkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey)
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        li_asia.join(
+            oc,
+            (li_asia.l_orderkey == oc.o_orderkey)
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(_sum_rev().alias("revenue"))
