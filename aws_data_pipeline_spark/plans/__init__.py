@@ -74,6 +74,7 @@ _PRIORITY = (
     "q15_top_supplier",
     # new this round (first-ever driver signal)
     "embedding_ann_ivf_indexed",
+    "click_purchase_attribution",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

@@ -81,3 +81,28 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(30-min gap) per user. Spark defines session end as
     last-event + gap; the gaps-and-islands oracle reproduces that exactly."""
     return sw.session_counts(T(spark, sf_dir, "events"))
+
+
+@register(
+    "click_purchase_attribution",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: each purchase attributed to
+    every same-user click in the preceding 10 minutes. The identical
+    operator (streaming/joins.py::click_purchase_pairs) runs under
+    readStream with both sides watermarked — the time-range condition is
+    what lets Spark evict buffered rows instead of holding both streams
+    forever; tests/test_streaming.py asserts stream/batch equality."""
+    from aws_data_pipeline_spark.streaming.joins import click_purchase_pairs
+
+    return click_purchase_pairs(T(spark, sf_dir, "events"))

@@ -139,3 +139,37 @@ def test_streaming_listener_notifies(spark, sf_dir, tmp_path):
     assert sum(m["num_input_rows"] for m in prog) == src.count()
     assert "terminated" in statuses
     assert all(m["exception"] is None for s, m in events if s == "terminated")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """click_purchase_pairs under readStream (both sides watermarked,
+    time-range state eviction) emits exactly the batch twin's rows."""
+    from aws_data_pipeline_spark.streaming.joins import click_purchase_pairs
+
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    batch_out = {
+        (r.click_id, r.purchase_id) for r in click_purchase_pairs(events).collect()
+    }
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out_path = str(tmp_path / "pairs_out")
+    (
+        click_purchase_pairs(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    stream_out = {
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    # inner stream-stream join emits matches eagerly; every pair must appear
+    assert stream_out == batch_out
+    assert len(batch_out) > 0
