@@ -258,6 +258,36 @@ def minhash_signatures(
     return _signatures_from_sets(shingle_sets(df, id_col, text_col, k), num_perm)
 
 
+def choose_minhash_params(
+    threshold: float, num_perm: int = 16
+) -> tuple[int, int]:
+    """Pick ``(num_perm_used, bands)`` for :func:`minhash_lsh_pairs` given a
+    Jaccard threshold — the banding S-curve rule as code. For ``b`` bands of
+    ``r`` rows the curve's midpoint (50%-recall similarity) sits at
+    ``(1/b)^(1/r)``; choose the (r, b) with ``r*b <= num_perm`` whose
+    midpoint lands closest below the threshold, so pairs AT the threshold
+    are already on the high-recall side. Candidate precision is exact
+    regardless (every candidate is verified with true Jaccard) — the choice
+    trades candidate volume against recall only. ``num_perm`` is capped by
+    the signature budget (16 precomputed permutations here; signatures
+    shuffle as one long per permutation, so raising it scales linearly).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    num_perm = min(num_perm, len(_HASH_PARAMS))
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        mid = (1.0 / b) ** (1.0 / r)
+        if mid > threshold:
+            continue  # midpoint above threshold => <50% recall at threshold
+        if best is None or mid > best[0]:
+            best = (mid, r, b)
+    if best is None:  # tiny threshold: even 1 row per band sits above it
+        return num_perm, num_perm
+    return best[1] * best[2], best[2]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -95,6 +95,39 @@ def neardup_pairs(
     )
 
 
+def choose_lsh_params(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.999,
+    max_bucket: int = 10_000,
+) -> tuple[int, int]:
+    """Pick ``(rows_per_band, bands)`` for :func:`neardup_pairs_lsh` at a
+    given corpus size — the scale rule from its docstring as code, not
+    advice. Two constraints, solved in order:
+
+    - pruning: expected bucket size ``n / 2^r`` must not exceed
+      ``max_bucket`` (per-bucket verification is O(bucket²) in the worst
+      case), so ``r = ceil(log2(n / max_bucket))``;
+    - recall: per-pair recall at the threshold is ``1-(1-p^r)^b`` with
+      ``p = 1 - acos(threshold)/pi`` (probability one hyperplane bit
+      agrees), so ``b = ceil(ln(1-target) / ln(1-p^r))``.
+
+    Raising ``r`` (deeper codes) always prunes harder and costs recall;
+    ``b`` buys the recall back linearly in shuffled rows (n*b). Callers on
+    growing corpora re-derive params per run from the corpus count — the
+    output is deterministic, so so are the emitted pairs.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    r = max(1, math.ceil(math.log2(max(1.0, n_rows / max_bucket))))
+    pr = p**r
+    if pr >= 1.0 - 1e-12:
+        return r, 1
+    b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr)))
+    return r, b
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -148,10 +181,11 @@ def neardup_pairs_lsh(
     tests/test_llm.py asserts exact equality with the all-pairs baseline
     on the test corpora.
 
-    Per-band bucket sizes are ~n/2^rows_per_band; at 100 TB raise
-    ``rows_per_band`` (with ``bands`` per the recall formula) to bound the
-    per-bucket pairwise cost, and tighten ``threshold`` toward real
-    near-dup similarity so the bands actually prune.
+    Per-band bucket sizes are ~n/2^rows_per_band; at 100 TB derive
+    ``(rows_per_band, bands)`` from the corpus count with
+    :func:`choose_lsh_params` (bounds per-bucket pairwise cost, then buys
+    the recall back with more bands), and tighten ``threshold`` toward
+    real near-dup similarity so the bands actually prune.
     """
     import numpy as np
 

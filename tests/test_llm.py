@@ -378,3 +378,33 @@ def test_registry_ivf_resident_equals_persisted(spark, sf_dir):
         for r in reg["embedding_ann_ivf_indexed"].spark_fn(spark, sf_dir).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_choose_lsh_params_rule():
+    """choose_lsh_params: bucket bound holds, recall formula satisfied,
+    deeper codes for bigger corpora."""
+    import math
+
+    r, b = similarity.choose_lsh_params(10**9, 0.45, target_recall=0.999)
+    assert 10**9 / 2**r <= 10_000
+    p = 1.0 - math.acos(0.45) / math.pi
+    assert 1.0 - (1.0 - p**r) ** b >= 0.999
+    r2, _ = similarity.choose_lsh_params(10**12, 0.45, target_recall=0.999)
+    assert r2 > r
+    # tiny corpus: no pruning needed, one row per band suffices
+    r3, b3 = similarity.choose_lsh_params(1000, 0.45)
+    assert r3 == 1 and b3 >= 1
+
+
+def test_choose_minhash_params_rule():
+    """choose_minhash_params: S-curve midpoint lands at/below the threshold,
+    and at the registered query's threshold (0.8) it reproduces the
+    registered banding (16 perms, 4 bands of 4)."""
+    from aws_data_pipeline_spark.operators.dedup import choose_minhash_params
+
+    n, b = choose_minhash_params(0.8)
+    assert (n, b) == (16, 4)
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        n, b = choose_minhash_params(thr)
+        r = n // b
+        assert (1.0 / b) ** (1.0 / r) <= thr + 1e-12
