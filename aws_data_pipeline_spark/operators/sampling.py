@@ -12,8 +12,32 @@ move documents between train and test.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _hash_bucket(id_col: str, seed: str, hash_fn: str) -> Column:
+    """Deterministic bucket in [0, 10000) from (id, seed).
+
+    ``xxhash64`` (default): fastest JVM-side choice for the hot path.
+    ``md5``: engine-portable — md5 is identically defined everywhere, so
+    the exact assignment is reproducible outside Spark (the DuckDB oracle
+    recomputes it bit-for-bit; xxhash64 has no DuckDB twin). Use md5 when
+    split membership must be auditable/reproducible across engines — for
+    train/test splits that's often a compliance property, and the
+    per-row md5 cost is noise next to tokenization.
+    """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    elif hash_fn == "md5":
+        # first 15 hex chars = 60 bits, exactly representable in a long
+        hx = F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 15
+        )
+        h = F.conv(hx, 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return F.pmod(h, F.lit(10_000))
 
 
 def hash_split(
@@ -22,16 +46,18 @@ def hash_split(
     weights: dict[str, float],
     seed: str = "split-v1",
     out_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Assign each row to a named split by hash-bucketing its id.
 
-    ``bucket = pmod(xxhash64(id, seed), 10_000)``; weight ranges carve the
+    ``bucket = pmod(hash(id, seed), 10_000)``; weight ranges carve the
     bucket space. Deterministic per (id, seed) — independent of row order,
     partitioning, and cluster size; changing ``seed`` produces a fresh
-    assignment. Weights must sum to ~1.
+    assignment. Weights must sum to ~1. ``hash_fn``: see
+    :func:`_hash_bucket` (xxhash64 hot path / md5 engine-portable).
     """
     assert abs(sum(weights.values()) - 1.0) < 1e-9
-    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10_000))
+    bucket = _hash_bucket(id_col, seed, hash_fn)
     expr = None
     lo = 0.0
     items = sorted(weights.items())  # deterministic range order
@@ -52,6 +78,7 @@ def stratified_sample(
     id_col: str,
     seed: str = "sample-v1",
     default_fraction: float | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling: keep a row iff its id-hash bucket
     falls under the stratum's fraction. Unlike ``df.sampleBy`` (seeded RNG
@@ -65,7 +92,7 @@ def stratified_sample(
     fractions" (``eqNullSafe`` membership, so the three-valued NULL of a
     plain ``==`` can't silently drop them from the default branch).
     """
-    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(10_000))
+    bucket = _hash_bucket(id_col, seed, hash_fn)
     cond = F.lit(False)
     listed = F.lit(False)
     for stratum, frac in sorted(fractions.items()):

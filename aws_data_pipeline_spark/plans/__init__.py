@@ -75,6 +75,7 @@ _PRIORITY = (
     # new this round (first-ever driver signal)
     "embedding_ann_ivf_indexed",
     "click_purchase_attribution",
+    "dataset_split_assignments_portable",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

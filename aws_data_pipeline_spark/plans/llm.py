@@ -88,10 +88,58 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8)
 
 
-@register("simhash_hamming_pairs", sql=None)
+@register(
+    "simhash_hamming_pairs",
+    # full value oracle: simhash is md5-based, and DuckDB ships md5 +
+    # 64-bit integer ops, so the DEFINITIONAL simhash (per-occurrence ±1
+    # bit votes, bit i = (h >> i) & 1 of the first 8 digest bytes read
+    # big-endian, set iff votes strictly positive, two's-complement view)
+    # and the same 16-bit band blocking are expressible exactly. HUGEINT
+    # carries the unsigned accumulation; the CASE maps it to the signed
+    # int64 the Spark side emits.
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, i.i,
+             SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN generate_series(0, 63) i(i)
+      GROUP BY doc_id, i.i
+    ), sh_u AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)
+               AS u
+      FROM votes GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id,
+             CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                       THEN u - 18446744073709551616::HUGEINT
+                       ELSE u END AS BIGINT) AS simhash,
+             u
+      FROM sh_u
+    ), banded AS (
+      SELECT doc_id, simhash,
+             b.b AS band, CAST((u >> (b.b * 16)) & 65535 AS BIGINT) AS key
+      FROM sh CROSS JOIN generate_series(0, 3) b(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a
+    JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash (Arrow-batched pandas UDF) with Hamming<=3 pairing via
-    16-bit band blocking + bit_count verification."""
+    16-bit band blocking + bit_count verification. The vectorized numpy
+    implementation is bit-identical to the definitional per-token loop
+    (unit-tested) AND to the DuckDB oracle above — the whole hash, not just
+    row counts, is driver-checked."""
     d = T(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", max_hamming=3)
 
@@ -498,6 +546,43 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return split.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "dataset_split_assignments_portable",
+    # bucket = pmod(int(md5(id || ':' || seed)[:15 hex], 16), 10000) — md5
+    # is engine-universal, so the oracle recomputes the EXACT per-document
+    # assignment, not just counts: cross-engine reproducibility of split
+    # membership is the audited property here
+    sql="""
+    SELECT doc_id,
+           CASE
+             WHEN bucket < 1000 THEN 'test'
+             WHEN bucket < 9000 THEN 'train'
+             ELSE 'val'
+           END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'split-v1'),
+                             1, 15))::UBIGINT % 10000 AS bucket
+      FROM documents
+    )
+    """,
+)
+def dataset_split_assignments_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment with the PORTABLE (md5) bucket hash —
+    the engine-independent twin of dataset_split_counts' xxhash64 path.
+    The oracle recomputes every row's bucket bit-for-bit, so the driver
+    value-hashes actual split membership. Range order note: weight ranges
+    are carved in sorted(name) order (test < train < val alphabetically —
+    test gets [0,1000), train [1000,9000), val [9000,10000))."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    d = T(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="md5"
+    )
+    return split.select("doc_id", "split")
 
 
 @register("stratified_sample_counts", sql=None)
