@@ -229,18 +229,35 @@ def _perm_hash(a: int, b: int):
     return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
 
 
-def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
-    """(doc, sig) from a CACHED (doc, sh) frame: xxhash64 each shingle once,
+def _signatures_from_sets(
+    sets: DataFrame, num_perm: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc, sig) from a CACHED (doc, sh) frame: hash each shingle once,
     then 16 affine rehash+array_min higher-order functions — a pure map-side
     projection, no explode, no shuffle. Safe ONLY over a materialized ``sh``
     column: on an unmaterialized one Catalyst would inline the tokenization
     expression into all 16 branches and recompute it 16x (measured 20x
     slower); the cache is what makes the HOF formulation the fast one.
+
+    ``hash_fn='md5'`` swaps the xxhash64 base hash for the engine-portable
+    first-60-bits-of-md5 (same [0, 2^31-1) range via the same pmod), making
+    signatures — and therefore LSH candidates — reproducible outside Spark.
     """
     assert num_perm <= len(_HASH_PARAMS)
-    base = F.transform(
-        F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(2147483647))
-    )
+    if hash_fn == "xxhash64":
+        base = F.transform(
+            F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(2147483647))
+        )
+    elif hash_fn == "md5":
+        base = F.transform(
+            F.col("sh"),
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                F.lit(2147483647),
+            ),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     hashed = sets.select("doc", base.alias("hs"))
     sig = F.array(
         *[
@@ -296,17 +313,19 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     Banding: num_perm/bands rows per band; docs agreeing on ALL rows of any
     band become candidates (equi-join on (band_idx, band_slice)). Each
     candidate pair is then verified with exact shingle Jaccard, so emitted
-    pairs are exact-precision; recall follows 1-(1-s^r)^b.
+    pairs are exact-precision; recall follows 1-(1-s^r)^b. ``hash_fn='md5'``
+    makes the candidate set engine-reproducible (see _signatures_from_sets).
     """
     rows = num_perm // bands
     sets = shingle_sets(df, id_col, text_col, k)
-    sigs = _signatures_from_sets(sets, num_perm)
+    sigs = _signatures_from_sets(sets, num_perm, hash_fn)
     banded = sigs.select(
         "doc",
         F.explode(

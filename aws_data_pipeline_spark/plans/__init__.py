@@ -76,6 +76,7 @@ _PRIORITY = (
     "embedding_ann_ivf_indexed",
     "click_purchase_attribution",
     "dataset_split_assignments_portable",
+    "minhash_lsh_dedup_portable",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

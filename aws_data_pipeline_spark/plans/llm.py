@@ -88,6 +88,71 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8)
 
 
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup._HASH_PARAMS)
+)
+
+
+@register(
+    "minhash_lsh_dedup_portable",
+    # the FULL MinHash-LSH pipeline as a DuckDB oracle: md5-based shingle
+    # hash (engine-portable, same pmod range as the xxhash64 hot path), the
+    # 16 affine permutations (params inlined from the engine's table), min
+    # per permutation, 4-band keys, candidate self-join, exact-Jaccard
+    # verify. The driver value-hashes candidates AND jaccard values — LSH
+    # banding itself is proven engine-reproducible, not just its recall.
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
+    ), hs AS (
+      SELECT doc,
+             CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 2147483647
+                  AS BIGINT) AS h
+      FROM sh
+    ), params(i, a, b) AS (VALUES {_MINHASH_PARAMS_SQL}),
+    sigs AS (
+      SELECT doc, p.i, MIN((p.a * h + p.b) % 2305843009213693951) AS sig
+      FROM hs CROSS JOIN params p GROUP BY doc, p.i
+    ), banded AS (
+      SELECT doc, i // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
+      FROM sigs GROUP BY doc, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT c.doc1, c.doc2, COUNT(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc = c.doc1
+      JOIN sh s2 ON s2.doc = c.doc2 AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    )
+    SELECT v.doc1, v.doc2, v.i / (za.n + zb.n - v.i) AS jaccard
+    FROM inter v
+    JOIN sizes za ON za.doc = v.doc1
+    JOIN sizes zb ON zb.doc = v.doc2
+    WHERE v.i / (za.n + zb.n - v.i) >= 0.8
+    """,
+)
+def minhash_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + 4-band LSH + exact-Jaccard >= 0.8, with the
+    engine-portable md5 shingle hash — the oracle replays the entire
+    pipeline (signatures, banding, candidates, verification) outside Spark
+    and the driver value-hashes the result. The xxhash64 sibling
+    (minhash_lsh_dedup) is the hot path; this variant pins the semantics."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8, hash_fn="md5"
+    )
+
+
 @register(
     "simhash_hamming_pairs",
     # full value oracle: simhash is md5-based, and DuckDB ships md5 +
