@@ -584,12 +584,32 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Multimodal plumbing ---------------------------------------------------
 
 
-@register("multimodal_decode_features", sql=None)
+@register(
+    "multimodal_decode_features",
+    # the synthetic payload is unhex(md5(text)), so the oracle recomputes
+    # every byte from hex pairs of the digest and re-derives the features —
+    # the Arrow-batched Python decode path is value-checked end to end
+    # (mean is sum/16: a power-of-two division, so doubles are exact)
+    sql="""
+    WITH bytes AS (
+      SELECT doc_id, ('0x' || substr(md5(text), 2 * i.i - 1, 2))::INT AS b
+      FROM documents CROSS JOIN generate_series(1, 16) i(i)
+    )
+    SELECT doc_id,
+           'fake/raw' AS format,
+           16 AS n_bytes,
+           CAST(SUM(b) AS DOUBLE) / 16 AS mean_byte,
+           MAX(b) AS max_byte,
+           CAST(COUNT(DISTINCT b) AS INTEGER) AS byte_entropy_bins
+    FROM bytes GROUP BY doc_id
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload pipeline: synthesize media column (md5 bytes of text),
     then mapInPandas 'decode' + feature extraction over Arrow batches. The
     codec is a deterministic stub (no image libs in this container); the
-    Spark plumbing — binary schema, metadata struct, batch shape — is real."""
+    Spark plumbing — binary schema, metadata struct, batch shape — is real,
+    and the oracle value-checks the decoded features byte-for-byte."""
     d = T(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(d, "doc_id")
     return multimodal.decode_features(media)
