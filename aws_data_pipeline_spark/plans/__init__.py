@@ -62,11 +62,16 @@ _PLAN_MODULES = (
 # than one round stale (the local oracle replica tests/test_oracle_parity.py
 # asserts hash parity over the FULL registry on every pytest run besides).
 # Round-4 prefix = the 3 queries whose last driver row is round 1 (they fell
-# past round 3's window — VERDICT r3 item 4), then the queries whose plans
-# changed this round (q17 threshold slice, q18 hint drop, tfidf ordering,
-# simhash distinct placement, IVF quantizer caching), then every query whose
-# last driver row is round 2, then round-3-dated fillers to cap the 50-entry
-# window. After this round every registry query's newest green row is r3/r4.
+# past round 3's window — VERDICT r3 item 4), then queries NEW this round
+# (first driver signal: persisted IVF, stream-stream attribution, portable
+# split/minhash), then queries whose plans changed this round (q17 threshold
+# slice, q18 hint drop, tfidf ordering, simhash oracle+distinct placement,
+# IVF index caching), then every query whose last driver row is round 2,
+# then round-3-dated fillers. The list runs 4 past the 50-entry window; the
+# overflow (neardup_clusters, sessionize_events, stratified_sample_counts,
+# session_window_counts) is r3-green — exactly 1 round stale after r4,
+# rotate them to the r5 head. After this round every other registry query's
+# newest green row is r3/r4.
 _PRIORITY = (
     # driver signal last refreshed in round 1 (stale — head of the window)
     "q10_returned_items",
