@@ -500,11 +500,16 @@ def connected_components(
     beats the constant-factor-heavier large-star/small-star for dedup
     workloads. Each round is one shuffle (join on node) + one aggregate;
     ``localCheckpoint`` cuts the lineage so plans stay O(1) per round.
-    The convergence check (a driver action) runs only every second round:
-    propagation is monotone, so overshooting by one round is harmless, and
-    halving the action count halves per-round job-launch overhead — the
-    dominant fixed cost once rounds are cheap. Labels are deterministic
-    (min), so re-runs are idempotent.
+
+    Two round-count levers, because per-round JOB overhead (not data) is
+    the dominant cost for the shallow graphs dedup produces:
+    - labels are SEEDED with ``min(self, neighbors)`` — round 1's entire
+      propagation folded into the init aggregation (stars and cliques, the
+      common near-dup shapes, converge with ZERO loop rounds);
+    - the convergence probe runs every round: it reads the freshly
+      checkpointed frame (cached partitions, ~ms), so probing always beats
+      the full round it can save. Labels are deterministic (min), so
+      re-runs are idempotent.
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.union(
@@ -512,12 +517,12 @@ def connected_components(
     ).distinct()
     edges = edges.localCheckpoint()
     labels = (
-        edges.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        edges.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
         .localCheckpoint()
     )
-    for i in range(max_iter):
+    for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -535,14 +540,13 @@ def connected_components(
             .localCheckpoint()
         )
         labels = new_labels.select("node", F.col("new_label").alias("label"))
-        if i % 2 == 1 or i == max_iter - 1:
-            changed = (
-                new_labels.filter(F.col("new_label") != F.col("old_label"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                break
+        changed = (
+            new_labels.filter(F.col("new_label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
+            break
     return labels
 
 
