@@ -10,6 +10,15 @@ those gold partitions via dynamic partitionOverwriteMode. The checkpoint
 makes each silver file count exactly once — this is the Glue-bookmark
 contract applied to the gold layer.
 
+The customer-insights table needs a different treatment
+(``incremental_customer_insights``): its grain is LIFETIME per customer, so
+date-partition pruning can't bound a rebuild — instead the gold table is
+partitioned by a stable hash bucket of customer_id and holds MERGEABLE
+aggregate state (counts/sums/min/max merge trivially; distinct active days
+as a Datasketches HLL binary, merged with ``hll_union``). Each run
+aggregates the batch, reads only the touched buckets, merges, and
+dynamic-overwrites those buckets — never the full table, never full silver.
+
 At 100 TB/day: work per run is O(new data + size of touched partitions),
 and the touched-partition re-read is partition-pruned I/O only.
 """
@@ -20,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.operators import aggregate as agg_ops
-from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone
+from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone, zone_exists
 
 
 def incremental_silver_to_gold(
@@ -72,4 +81,127 @@ def incremental_silver_to_gold(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+N_BUCKETS = 64
+
+
+def _bucket(col):
+    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(N_BUCKETS))
+
+
+def _batch_state(batch: DataFrame) -> DataFrame:
+    """Per-customer mergeable aggregate state for one micro-batch: additive
+    counts/sums, order-free min/max, and the distinct-active-days HLL
+    sketch (binary, merged across runs with hll_union). Sums accumulate in
+    decimal so merge order can never drift the double."""
+    return batch.groupBy("customer_id").agg(
+        F.count("*").alias("txn_count"),
+        F.sum(F.col("amount").cast("decimal(38,2)")).alias("total_amount"),
+        F.min("transaction_date").alias("first_transaction_date"),
+        F.max("transaction_date").alias("last_transaction_date"),
+        # sketch input must be int/long/string/binary — the ISO day string
+        # is canonical and collision-free
+        F.hll_sketch_agg(F.to_date("transaction_date").cast("string")).alias(
+            "days_sketch"
+        ),
+    )
+
+
+def incremental_customer_insights(
+    spark: SparkSession,
+    silver_path: str,
+    gold_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Incrementally maintain the lifetime customer-insights table.
+
+    The table is hash-bucket partitioned (``bucket = pmod(xxhash64(
+    customer_id), 64)``) — the trick that makes a naturally-unpartitioned
+    lifetime table dynamic-partition-overwritable: a micro-batch touching
+    k customers rewrites at most min(k, 64) bucket directories, not the
+    table. State merges instead of recomputing: counts and decimal sums
+    add, min/max take least/greatest, and distinct active days live as an
+    HLL sketch union — so a customer's full history is NEVER re-read; at
+    100 TB the per-run cost is O(batch + touched buckets). (Exact
+    countDistinct would need the full day set per customer; the sketch is
+    the documented scale trade, estimate error ~2% at lgK=12 default.)
+    """
+    silver_schema = read_zone(spark, silver_path).schema
+    stream = spark.readStream.schema(silver_schema).parquet(silver_path)
+    table = f"{gold_path}/customer_insights_incremental"
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        src = batch.sparkSession
+        delta = _batch_state(batch).withColumn("bucket", _bucket("customer_id"))
+        if delta.isEmpty():
+            return
+        if zone_exists(src, table):
+            buckets = [
+                r["bucket"] for r in delta.select("bucket").distinct().collect()
+            ]
+            existing = read_zone(src, table).filter(F.col("bucket").isin(buckets))
+            d, e = delta.alias("d"), existing.alias("e")
+            merged = (
+                d.join(e, F.col("d.customer_id") == F.col("e.customer_id"), "full")
+                .select(
+                    F.coalesce("d.customer_id", "e.customer_id").alias("customer_id"),
+                    (
+                        F.coalesce("d.txn_count", F.lit(0))
+                        + F.coalesce("e.txn_count", F.lit(0))
+                    ).alias("txn_count"),
+                    (
+                        F.coalesce("d.total_amount", F.lit(0).cast("decimal(38,2)"))
+                        + F.coalesce("e.total_amount", F.lit(0).cast("decimal(38,2)"))
+                    ).alias("total_amount"),
+                    F.least(
+                        "d.first_transaction_date", "e.first_transaction_date"
+                    ).alias("first_transaction_date"),
+                    F.greatest(
+                        "d.last_transaction_date", "e.last_transaction_date"
+                    ).alias("last_transaction_date"),
+                    F.when(
+                        F.col("d.days_sketch").isNull(), F.col("e.days_sketch")
+                    )
+                    .when(F.col("e.days_sketch").isNull(), F.col("d.days_sketch"))
+                    .otherwise(F.hll_union("d.days_sketch", "e.days_sketch"))
+                    .alias("days_sketch"),
+                    F.coalesce("d.bucket", "e.bucket").alias("bucket"),
+                )
+            )
+        else:
+            merged = delta
+        # materialize BEFORE overwriting the path we just read — lineage
+        # through the input files would otherwise race the delete (same
+        # guard as compact_zone)
+        merged = merged.localCheckpoint(eager=True)
+        # dynamic partition overwrite: only the touched bucket= dirs rewrite
+        write_zone(merged, table, partition_by=("bucket",), mode="overwrite")
+
+    (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_customer_insights_incremental(
+    spark: SparkSession, gold_path: str
+) -> DataFrame:
+    """Reader view over the incremental state: derives the presentation
+    columns (avg, active-days estimate) the batch gold table exposes."""
+    t = read_zone(spark, f"{gold_path}/customer_insights_incremental")
+    return t.select(
+        "customer_id",
+        F.col("txn_count").alias("lifetime_transactions"),
+        F.col("total_amount").cast("double").alias("lifetime_value"),
+        (F.col("total_amount") / F.col("txn_count"))
+        .cast("double")
+        .alias("avg_transaction_amount"),
+        "first_transaction_date",
+        "last_transaction_date",
+        F.hll_sketch_estimate("days_sketch").alias("active_days_estimate"),
     )

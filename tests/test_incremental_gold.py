@@ -76,3 +76,56 @@ def test_incremental_gold_matches_batch(spark, tmp_path):
     incremental_silver_to_gold(spark, silver_path, gold_path, ckpt)
     again = spark.read.parquet(f"{gold_path}/daily_aggregations")
     assert again.count() == got.count()
+
+
+def test_incremental_customer_insights_merges_state(spark, tmp_path):
+    """Lifetime insights maintained by bucket-partitioned state merge: two
+    incremental runs must equal a full batch recompute on the exact columns,
+    with the HLL active-days estimate close to the exact distinct count —
+    and the second run must only rewrite the buckets it touches."""
+    from aws_data_pipeline_spark.streaming.gold import (
+        incremental_customer_insights,
+        read_customer_insights_incremental,
+    )
+
+    silver_path = str(tmp_path / "silver")
+    gold_path = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ci_ckpt")
+
+    _stage_silver(spark, tmp_path, "r1", [_txn(i, 5) for i in range(40)])
+    incremental_customer_insights(spark, silver_path, gold_path, ckpt)
+
+    # second wave: overlapping customers (state must MERGE, not reset)
+    _stage_silver(spark, tmp_path, "r2", [_txn(i, 6) for i in range(100, 130)])
+    incremental_customer_insights(spark, silver_path, gold_path, ckpt)
+
+    got = {
+        r.customer_id: r
+        for r in read_customer_insights_incremental(spark, gold_path).collect()
+    }
+    silver = spark.read.parquet(silver_path)
+    expected = {
+        r.customer_id: r
+        for r in silver.groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("amount").cast("decimal(38,2)")).cast("double").alias("lv"),
+            F.min("transaction_date").alias("first_ts"),
+            F.max("transaction_date").alias("last_ts"),
+            F.countDistinct(F.to_date("transaction_date")).alias("days"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for cid, e in expected.items():
+        g = got[cid]
+        assert g.lifetime_transactions == e.n
+        assert g.lifetime_value == e.lv
+        assert g.first_transaction_date == e.first_ts
+        assert g.last_transaction_date == e.last_ts
+        # HLL estimate: exact for tiny cardinalities at default lgK
+        assert abs(g.active_days_estimate - e.days) <= max(1, 0.05 * e.days)
+
+    # idempotent: no new files -> no change
+    incremental_customer_insights(spark, silver_path, gold_path, ckpt)
+    assert read_customer_insights_incremental(spark, gold_path).count() == len(got)
