@@ -109,6 +109,70 @@ def _batch_state(batch: DataFrame) -> DataFrame:
     )
 
 
+def merge_insights_batch(batch: DataFrame, table: str, batch_id: int) -> None:
+    """Merge one micro-batch of silver rows into the bucketed insights
+    table. IDEMPOTENT under foreachBatch's at-least-once replay: every row
+    written carries ``applied_batch_id``; if a crash lands between the
+    bucket write and the checkpoint commit, the replayed batch (same id)
+    finds existing rows already stamped with its id and keeps them verbatim
+    instead of folding the delta in twice. (The bucket overwrite itself is
+    job-commit atomic, so a bucket is either fully pre- or fully
+    post-merge — never half.)"""
+    src = batch.sparkSession
+    delta = _batch_state(batch).withColumn("bucket", _bucket("customer_id"))
+    if delta.isEmpty():
+        return
+    if zone_exists(src, table):
+        buckets = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+        existing = read_zone(src, table).filter(F.col("bucket").isin(buckets))
+        d, e = delta.alias("d"), existing.alias("e")
+        # replay guard: this batch's delta is already folded into e
+        replayed = F.col("e.applied_batch_id") == F.lit(batch_id)
+
+        def pick(merged_col, existing_col):
+            return F.when(replayed, existing_col).otherwise(merged_col)
+
+        merged = d.join(
+            e, F.col("d.customer_id") == F.col("e.customer_id"), "full"
+        ).select(
+            F.coalesce("d.customer_id", "e.customer_id").alias("customer_id"),
+            pick(
+                F.coalesce("d.txn_count", F.lit(0))
+                + F.coalesce("e.txn_count", F.lit(0)),
+                F.col("e.txn_count"),
+            ).alias("txn_count"),
+            pick(
+                F.coalesce("d.total_amount", F.lit(0).cast("decimal(38,2)"))
+                + F.coalesce("e.total_amount", F.lit(0).cast("decimal(38,2)")),
+                F.col("e.total_amount"),
+            ).alias("total_amount"),
+            pick(
+                F.least("d.first_transaction_date", "e.first_transaction_date"),
+                F.col("e.first_transaction_date"),
+            ).alias("first_transaction_date"),
+            pick(
+                F.greatest("d.last_transaction_date", "e.last_transaction_date"),
+                F.col("e.last_transaction_date"),
+            ).alias("last_transaction_date"),
+            pick(
+                F.when(F.col("d.days_sketch").isNull(), F.col("e.days_sketch"))
+                .when(F.col("e.days_sketch").isNull(), F.col("d.days_sketch"))
+                .otherwise(F.hll_union("d.days_sketch", "e.days_sketch")),
+                F.col("e.days_sketch"),
+            ).alias("days_sketch"),
+            F.lit(batch_id).alias("applied_batch_id"),
+            F.coalesce("d.bucket", "e.bucket").alias("bucket"),
+        )
+    else:
+        merged = delta.withColumn("applied_batch_id", F.lit(batch_id))
+    # materialize BEFORE overwriting the path we just read — lineage
+    # through the input files would otherwise race the delete (same
+    # guard as compact_zone)
+    merged = merged.localCheckpoint(eager=True)
+    # dynamic partition overwrite: only the touched bucket= dirs rewrite
+    write_zone(merged, table, partition_by=("bucket",), mode="overwrite")
+
+
 def incremental_customer_insights(
     spark: SparkSession,
     silver_path: str,
@@ -127,60 +191,16 @@ def incremental_customer_insights(
     100 TB the per-run cost is O(batch + touched buckets). (Exact
     countDistinct would need the full day set per customer; the sketch is
     the documented scale trade, estimate error ~2% at lgK=12 default.)
+    Replay-safe: see :func:`merge_insights_batch`.
     """
     silver_schema = read_zone(spark, silver_path).schema
     stream = spark.readStream.schema(silver_schema).parquet(silver_path)
     table = f"{gold_path}/customer_insights_incremental"
 
-    def merge(batch: DataFrame, batch_id: int) -> None:
-        src = batch.sparkSession
-        delta = _batch_state(batch).withColumn("bucket", _bucket("customer_id"))
-        if delta.isEmpty():
-            return
-        if zone_exists(src, table):
-            buckets = [
-                r["bucket"] for r in delta.select("bucket").distinct().collect()
-            ]
-            existing = read_zone(src, table).filter(F.col("bucket").isin(buckets))
-            d, e = delta.alias("d"), existing.alias("e")
-            merged = (
-                d.join(e, F.col("d.customer_id") == F.col("e.customer_id"), "full")
-                .select(
-                    F.coalesce("d.customer_id", "e.customer_id").alias("customer_id"),
-                    (
-                        F.coalesce("d.txn_count", F.lit(0))
-                        + F.coalesce("e.txn_count", F.lit(0))
-                    ).alias("txn_count"),
-                    (
-                        F.coalesce("d.total_amount", F.lit(0).cast("decimal(38,2)"))
-                        + F.coalesce("e.total_amount", F.lit(0).cast("decimal(38,2)"))
-                    ).alias("total_amount"),
-                    F.least(
-                        "d.first_transaction_date", "e.first_transaction_date"
-                    ).alias("first_transaction_date"),
-                    F.greatest(
-                        "d.last_transaction_date", "e.last_transaction_date"
-                    ).alias("last_transaction_date"),
-                    F.when(
-                        F.col("d.days_sketch").isNull(), F.col("e.days_sketch")
-                    )
-                    .when(F.col("e.days_sketch").isNull(), F.col("d.days_sketch"))
-                    .otherwise(F.hll_union("d.days_sketch", "e.days_sketch"))
-                    .alias("days_sketch"),
-                    F.coalesce("d.bucket", "e.bucket").alias("bucket"),
-                )
-            )
-        else:
-            merged = delta
-        # materialize BEFORE overwriting the path we just read — lineage
-        # through the input files would otherwise race the delete (same
-        # guard as compact_zone)
-        merged = merged.localCheckpoint(eager=True)
-        # dynamic partition overwrite: only the touched bucket= dirs rewrite
-        write_zone(merged, table, partition_by=("bucket",), mode="overwrite")
-
     (
-        stream.writeStream.foreachBatch(merge)
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: merge_insights_batch(batch, table, bid)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -129,3 +129,29 @@ def test_incremental_customer_insights_merges_state(spark, tmp_path):
     # idempotent: no new files -> no change
     incremental_customer_insights(spark, silver_path, gold_path, ckpt)
     assert read_customer_insights_incremental(spark, gold_path).count() == len(got)
+
+
+def test_insights_merge_is_replay_safe(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the SAME batch id (crash
+    between bucket write and checkpoint commit) must not double-count."""
+    from aws_data_pipeline_spark.streaming.gold import merge_insights_batch
+
+    _stage_silver(spark, tmp_path, "r1", [_txn(i, 5) for i in range(30)])
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    table = str(tmp_path / "gold" / "customer_insights_incremental")
+
+    merge_insights_batch(silver, table, batch_id=0)
+    once = {
+        (r.customer_id, r.txn_count, float(r.total_amount))
+        for r in spark.read.parquet(table).collect()
+    }
+    merge_insights_batch(silver, table, batch_id=0)  # replay, same id
+    twice = {
+        (r.customer_id, r.txn_count, float(r.total_amount))
+        for r in spark.read.parquet(table).collect()
+    }
+    assert once == twice
+    # a genuinely NEW batch id still merges
+    merge_insights_batch(silver, table, batch_id=1)
+    after = {r.customer_id: r.txn_count for r in spark.read.parquet(table).collect()}
+    assert all(v == 2 * dict((c, n) for c, n, _ in once)[k] for k, v in after.items())
