@@ -82,3 +82,28 @@ def click_purchase_pairs(
         window_seconds=window_seconds,
         watermark_delay=watermark_delay,
     ).select("click_id", "purchase_id")
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    spark,
+    dim_path: str,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a streaming fact with a dimension table
+    read from storage. Unlike the stream-stream case, the static side needs
+    no watermark and holds no state — Spark re-reads ``dim_path`` at EVERY
+    micro-batch, so dim updates (new partitions, overwritten rows) are
+    picked up between batches without restarting the query. That re-read is
+    the contract to design for at 100 TB: keep the dim pruned/columnar
+    (broadcast-sized after pruning), or snapshot it to a compact gold table
+    first — the fact stream never buffers, only the dim is re-planned.
+
+    ``how='left'`` keeps unmatched facts (dim lag must not drop events);
+    inner is the filtering variant. (Right/full outer are unsupported by
+    Spark for stream-static joins — state would be unbounded on the static
+    side's unmatched set.)
+    """
+    dim = spark.read.parquet(dim_path)
+    return stream.join(dim, on, how)

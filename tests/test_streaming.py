@@ -173,3 +173,51 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     # inner stream-stream join emits matches eagerly; every pair must appear
     assert stream_out == batch_out
     assert len(batch_out) > 0
+
+
+def test_stream_static_enrichment_rereads_dim(spark, sf_dir, tmp_path):
+    """Stream-static join: facts enrich against the dim AS OF each
+    micro-batch — a dim update between availableNow runs is visible to the
+    later run without restarting the query."""
+    from aws_data_pipeline_spark.streaming.joins import enrich_stream_with_dim
+
+    dim_path = str(tmp_path / "dim")
+    src = tmp_path / "facts"
+    src.mkdir()
+    out_path = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "eckpt")
+
+    spark.createDataFrame(
+        [(1, "bronze")], "user_id long, tier string"
+    ).write.parquet(dim_path)
+
+    def run_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+        (
+            enrich_stream_with_dim(stream, spark, dim_path, on="user_id")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_batch("b1.json", [{"user_id": 1, "ts": "2024-05-01 10:00:00"},
+                          {"user_id": 2, "ts": "2024-05-01 10:01:00"}])
+    # dim update between runs: user 1 upgraded, user 2 appears
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    run_batch("b2.json", [{"user_id": 1, "ts": "2024-05-02 10:00:00"},
+                          {"user_id": 2, "ts": "2024-05-02 10:01:00"}])
+
+    rows = {(r.user_id, str(r.ts), r.tier)
+            for r in spark.read.parquet(out_path).collect()}
+    assert rows == {
+        (1, "2024-05-01 10:00:00", "bronze"),   # dim as of batch 1
+        (2, "2024-05-01 10:01:00", None),       # left join keeps dim-lagged fact
+        (1, "2024-05-02 10:00:00", "gold"),     # updated dim visible in batch 2
+        (2, "2024-05-02 10:01:00", "silver"),
+    }
