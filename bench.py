@@ -33,7 +33,7 @@ HEADLINE = [
     "q6_forecast_revenue",       # fully pushed-down scan-agg
     "q18_large_volume_customers",  # having-subquery semi-join chain
     "customer_insights",         # flagship hash-agg + distinct
-    "multi_grain_rollup",        # single-pass GROUPING SETS
+    "multi_grain_rollup_hierarchical",  # multi-grain via re-aggregation (no 4x GROUPING SETS expand; measured faster and shuffles strictly less)
     "regional_revenue",          # 4-way broadcast join chain
     "topk_orders_per_customer",  # window top-k
     "dedup_by_key",              # window dedup

@@ -184,3 +184,51 @@ def test_sessionize_deterministic_with_timestamp_ties(spark):
     assert base[(2, 201)] == base[(2, 202)] == base[(2, 203)] == 1
     for n in (1, 7):
         assert run(df.repartition(n, "event_id")) == base
+
+
+@given(
+    txns=TXNS,
+    split_at=st.integers(min_value=0, max_value=60),
+)
+@_SETTINGS
+def test_insights_merge_equals_one_shot(spark, tmp_path_factory, txns, split_at):
+    """Mergeable-state property: splitting the input at ANY point into two
+    incremental merge batches yields exactly the one-shot recompute for the
+    exact columns (counts, decimal sums, min/max timestamps)."""
+    from aws_data_pipeline_spark.streaming.gold import merge_insights_batch
+
+    from datetime import datetime
+
+    rows = [
+        (
+            f"txn_{i:06d}",
+            f"cust_{c:06d}",
+            float(a),
+            datetime(2024, m, d, 9, 0, 0),
+        )
+        for i, (c, m, d, a) in enumerate(txns)
+    ]
+    schema = "transaction_id string, customer_id string, amount double, transaction_date timestamp"
+    split_at = min(split_at, len(rows))
+    table = str(tmp_path_factory.mktemp("ci") / "tbl")
+    for bid, chunk in enumerate((rows[:split_at], rows[split_at:])):
+        if chunk:
+            merge_insights_batch(spark.createDataFrame(chunk, schema), table, bid)
+    got = {
+        r.customer_id: (r.txn_count, float(r.total_amount), r.first_transaction_date,
+                        r.last_transaction_date)
+        for r in spark.read.parquet(table).collect()
+    }
+    expected = {
+        r.customer_id: (r.n, float(r.s), r.lo, r.hi)
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("amount").cast("decimal(38,2)")).alias("s"),
+            F.min("transaction_date").alias("lo"),
+            F.max("transaction_date").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == expected
