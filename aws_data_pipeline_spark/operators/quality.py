@@ -92,3 +92,39 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .filter(F.col("occurrences") > 1)
     )
+
+
+def zscore_outlier_counts(
+    df: DataFrame, group_col: str, value_col: str, sigmas: int = 3
+) -> DataFrame:
+    """Per-group k-sigma outlier counts with the boundary decided in EXACT
+    integer arithmetic: for integer cents c_i with n, s = sum(c),
+    ss = sum(c^2), the test ``|x - mean| > k*std`` is algebraically
+    ``(n*x - s)^2 > k^2 * (n*ss - s^2)`` — every term an exact
+    decimal(38,0) integer, so the outlier set is bit-identical across
+    engines and partitionings (builtin stddev aggregates drift with float
+    accumulation order; even decimal->double casts round differently
+    between engines in the last ulp). Population variance semantics.
+
+    Shape: one grouped moment scan (group-cardinality rows, broadcast back)
+    + one re-join for the count — the fact shuffles once per aggregation.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("decimal(38,0)")
+    c = df.select(group_col, cents.alias("__cents"))
+    st = c.groupBy(group_col).agg(
+        F.count("*").cast("decimal(38,0)").alias("__n"),
+        F.sum("__cents").alias("__s"),
+        F.sum(F.col("__cents") * F.col("__cents")).alias("__ss"),
+    )
+    dev = F.col("__n") * F.col("__cents") - F.col("__s")
+    spread = F.lit(sigmas * sigmas).cast("decimal(38,0)") * (
+        F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    )
+    return (
+        c.join(F.broadcast(st), group_col)
+        .groupBy(
+            F.col(group_col).alias("priority"),
+            F.col("__n").cast("bigint").alias("n_orders"),
+        )
+        .agg(F.count(F.when(dev * dev > spread, F.lit(1))).alias("n_outliers"))
+    )

@@ -82,6 +82,7 @@ _PRIORITY = (
     "click_purchase_attribution",
     "dataset_split_assignments_portable",
     "minhash_lsh_dedup_portable",
+    "dq_zscore_outlier_counts",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

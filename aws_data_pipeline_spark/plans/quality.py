@@ -91,3 +91,47 @@ def dq_duplicate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.duplicate_keys(
         T(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
     )
+
+
+@register(
+    "dq_zscore_outlier_counts",
+    # the 3-sigma boundary as EXACT integer arithmetic: with cents c_i,
+    # n, s = sum(c), ss = sum(c^2), the test |x - mean| > 3*std is
+    # algebraically (n*x - s)^2 > 9*(n*ss - s^2) — every term an exact
+    # integer (HUGEINT here, decimal(38,0) in Spark), so no float ever
+    # touches the boundary and the counts cannot drift by an ulp between
+    # engines (a stddev aggregate, or even moments derived in double,
+    # rounds differently across engines)
+    sql="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+      FROM orders
+    ), st AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(cents) AS s,
+             SUM(cents * cents) AS ss
+      FROM c GROUP BY 1
+    )
+    SELECT c.o_orderpriority AS priority,
+           CAST(st.n AS BIGINT) AS n_orders,
+           COUNT(CASE WHEN (st.n * c.cents - st.s) * (st.n * c.cents - st.s)
+                           > 9 * (st.n * st.ss - st.s * st.s)
+                      THEN 1 END) AS n_outliers
+    FROM c JOIN st ON c.o_orderpriority = st.o_orderpriority
+    GROUP BY 1, 2
+    """,
+)
+def dq_zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority 3-sigma outlier audit over order totals, with the
+    boundary decided in EXACT integer arithmetic: |x-mean| > 3*std is
+    rewritten as (n*x - s)^2 > 9*(n*ss - s^2) over integer cents, so the
+    outlier set is bit-identical across engines and partitionings — no
+    float mean/std ever enters the comparison (builtin stddev aggregates
+    drift with accumulation order; even decimal->double casts round
+    differently between engines in the last ulp). Shape: one grouped
+    moment scan (broadcastable), one re-join for the count — the fact
+    shuffles once."""
+    o = T(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return quality.zscore_outlier_counts(o, "o_orderpriority", "o_totalprice")

@@ -232,3 +232,19 @@ def test_insights_merge_equals_one_shot(spark, tmp_path_factory, txns, split_at)
         .collect()
     }
     assert got == expected
+
+
+def test_zscore_outliers_detects_planted_extremes(spark):
+    """zscore_outlier_counts must flag planted extremes and nothing in a
+    tight cluster — and agree with a float recomputation away from the
+    boundary."""
+    from aws_data_pipeline_spark.operators.quality import zscore_outlier_counts
+
+    rows = [("a", 100.0 + (i % 7) * 0.5) for i in range(200)]
+    rows += [("a", 10_000.0)]          # blatant outlier
+    rows += [("b", 50.0)] * 50         # zero-variance group: no outliers
+    df = spark.createDataFrame(rows, "grp string, val double")
+    got = {r.priority: (r.n_orders, r.n_outliers)
+           for r in zscore_outlier_counts(df, "grp", "val").collect()}
+    assert got["a"] == (201, 1)
+    assert got["b"] == (50, 0)
