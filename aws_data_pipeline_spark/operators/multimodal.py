@@ -75,6 +75,10 @@ def decode_features(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                # pd.DataFrame([]) has NO columns — Arrow re-serialization
+                # against the declared schema would fail on the empty batch
+                continue
             rows = []
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_meta"]
@@ -117,6 +121,8 @@ def resize_images(df: DataFrame, width: int = 4, height: int = 2) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # column-less empty frame breaks Arrow re-serialization
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
@@ -208,6 +214,8 @@ def decode_real(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # column-less empty frame breaks Arrow re-serialization
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:

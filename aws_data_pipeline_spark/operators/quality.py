@@ -123,8 +123,8 @@ def zscore_outlier_counts(
     return (
         c.join(F.broadcast(st), group_col)
         .groupBy(
-            F.col(group_col).alias("priority"),
-            F.col("__n").cast("bigint").alias("n_orders"),
+            F.col(group_col),
+            F.col("__n").cast("bigint").alias("n_rows"),
         )
         .agg(F.count(F.when(dev * dev > spread, F.lit(1))).alias("n_outliers"))
     )

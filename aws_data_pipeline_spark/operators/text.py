@@ -114,11 +114,15 @@ def tfidf_top_terms(
     frequencies (the vocab-sized df table joins back on token — broadcast
     while it fits, shuffle join beyond), the corpus count rides in as a
     broadcast one-row aggregate (no driver action), then a per-doc window
-    top-k. Output carries RANKS only, and the ordering is engine-stable by
-    construction: tfidf is rounded to 9 digits before comparison (ln is not
-    correctly rounded, so raw doubles can differ in final ulps across
-    engines), with the exact integer pair (tf desc, df asc) then the token
-    breaking every remaining tie deterministically.
+    top-k. Output carries RANKS only, ordered on tfidf rounded to 9 digits
+    (ln is not correctly rounded, so raw doubles can differ in final ulps
+    across engines) with the exact integer pair (tf desc, df asc) then the
+    token breaking remaining ties. The rounding shrinks the cross-engine
+    divergence window from "any ulp gap" to "an ulp gap straddling an
+    exact x.5e-9 rounding boundary" — vanishingly rare but not impossible
+    (engines also round differently AT the boundary); a fully
+    engine-independent ordering would need an exact integer comparison
+    key, which tf*ln(N/df) does not admit.
     """
     from pyspark.sql import Window
 

@@ -43,14 +43,23 @@ def dedup_against_silver(batch: DataFrame, silver_path: str) -> DataFrame:
     """Cross-run idempotency anti-join, partition-pruned (SURVEY §4.2-6).
 
     Re-delivered input must not duplicate rows already committed to silver.
-    A re-delivered row lands in the same (year, month, day) partition as its
-    first delivery (the partition keys derive from transaction_date), so the
-    anti-join only needs ids from the partitions THIS batch touches — the
-    batch's distinct key set is collected (tiny: one tuple per touched day)
-    and the silver read is restricted to those directories via
-    PartitionFilters. Work per run is O(batch + touched partitions), never
-    O(history) — a full-zone ``select(id).distinct()`` would re-scan and
-    re-shuffle the entire silver history on every micro-batch at 100 TB.
+    A re-delivered row (identical content) lands in the same (year, month,
+    day) partition as its first delivery — the partition keys derive from
+    transaction_date — so the anti-join only needs ids from the partitions
+    THIS batch touches: the batch's distinct key set is collected (tiny:
+    one tuple per touched day) and the silver read is restricted to those
+    directories via PartitionFilters. Work per run is O(batch + touched
+    partitions), never O(history) — a full-zone ``select(id).distinct()``
+    would re-scan and re-shuffle the entire silver history on every
+    micro-batch at 100 TB.
+
+    SCOPE: this guards against RE-DELIVERY (same record, same content),
+    which is what at-least-once file triggers produce. A record arriving
+    again with an AMENDED transaction_date lands in a different partition
+    and is appended as a second row for that id — that is an update, not a
+    re-delivery, and an append-only silver zone cannot express updates;
+    corrections belong in a compaction/merge pass (or an ACID table
+    format), not in the ingest dedup.
 
     The caller must have persisted/checkpointed ``batch`` if recomputing its
     lineage twice (once for the key collect, once downstream) is expensive.

@@ -276,32 +276,44 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX: dict[tuple, tuple[list[list[float]], DataFrame]] = {}
 
 
-def _ivf_index_path(sf_dir: str) -> str:
+def _ivf_index_path(sf_dir: str, n_cells: int, seed: int) -> str:
+    import hashlib
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
-    return str(root / f"ivf_index_{pathlib.Path(sf_dir).name}")
+    # full-path digest, not basename: two sf_dirs sharing a basename must
+    # not collide on one index; params in the name so an 8-cell index can
+    # never be served to a 16-cell caller
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return str(
+        root / f"ivf_index_{pathlib.Path(sf_dir).name}_{tag}_c{n_cells}_s{seed}"
+    )
 
 
 def _ensure_ivf_index(
     spark: SparkSession, sf_dir: str, n_cells: int = 8, seed: int = 42
 ) -> str:
     """Build the on-disk IVF index (train + cell-partitioned corpus write)
-    iff absent; returns its path. Quantizer trained on a 10% sample
-    (centroid quality needs only a representative sample; at 100 TB
-    full-corpus KMeans is prohibitive — the sample IS the scale recipe)."""
+    iff absent OR stale; returns its path. Quantizer trained on a 10%
+    sample (centroid quality needs only a representative sample; at 100 TB
+    full-corpus KMeans is prohibitive — the sample IS the scale recipe).
+
+    Staleness: the indexed corpus row count must equal the source corpus
+    row count (a parquet-footer metadata read, cheap at any scale); a
+    regenerated corpus under the same path triggers a rebuild instead of
+    silently serving neighbors from the old data. Params are part of the
+    index path, so differently-parameterized indexes coexist.
+    """
     from aws_data_pipeline_spark.sources.parquet import zone_exists
 
-    idx = _ivf_index_path(sf_dir)
-    if not (
-        zone_exists(spark, f"{idx}/corpus") and zone_exists(spark, f"{idx}/centroids")
-    ):
+    idx = _ivf_index_path(sf_dir, n_cells, seed)
+    e = T(spark, sf_dir, "embeddings")
+    fresh = False
+    if zone_exists(spark, f"{idx}/corpus") and zone_exists(spark, f"{idx}/centroids"):
+        fresh = spark.read.parquet(f"{idx}/corpus").count() == e.count()
+    if not fresh:
         similarity.build_ivf_index(
-            T(spark, sf_dir, "embeddings"),
-            idx,
-            n_cells=n_cells,
-            seed=seed,
-            train_fraction=0.1,
+            e, idx, n_cells=n_cells, seed=seed, train_fraction=0.1
         )
     return idx
 

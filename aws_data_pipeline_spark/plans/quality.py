@@ -134,4 +134,11 @@ def dq_zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment scan (broadcastable), one re-join for the count — the fact
     shuffles once."""
     o = T(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    return quality.zscore_outlier_counts(o, "o_orderpriority", "o_totalprice")
+    out = quality.zscore_outlier_counts(o, "o_orderpriority", "o_totalprice")
+    # contract names (oracle aliases) applied here — the operator's output
+    # is generically named (group col, n_rows, n_outliers)
+    return out.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_rows").alias("n_orders"),
+        "n_outliers",
+    )

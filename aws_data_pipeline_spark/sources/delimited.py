@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -55,9 +56,12 @@ def read_csv_quarantine(
     right when any corruption means the export is broken and must be
     re-delivered; at 100 TB of third-party feeds, one mangled line must not
     kill a multi-hour job — route it to a quarantine sink, count it in QC,
-    keep going. PERMISSIVE + columnNameOfCorruptRecord makes the split
-    in-plan (one scan, a null-test filter each side), not a separate
-    validation pass.
+    keep going. The two frames are independent scans over the same files —
+    nothing is cached or pinned (an earlier draft cached the raw scan for
+    the whole session; two parse passes are strictly cheaper than holding
+    100 TB of parsed CSV in executor storage). Spark refuses plans whose
+    scan references ONLY the corrupt column (SPARK-21610), so the bad
+    frame carries one schema column through the filter and drops it after.
     """
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -70,12 +74,17 @@ def read_csv_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
-        # Spark requires referencing typed columns alongside the corrupt
-        # column from a cached plan, not the raw scan (SPARK-21610)
-        .cache()
     )
     good = raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
-    bad = raw.filter(raw[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
+    # the coalesce keeps one schema column referenced in the scan (plain
+    # select-then-drop gets pruned back to corrupt-only and rejected);
+    # values are unchanged — corrupt is always non-null under this filter
+    first_field = schema.fieldNames()[0]
+    bad = raw.filter(raw[CORRUPT_COL].isNotNull()).select(
+        F.coalesce(
+            F.col(CORRUPT_COL), F.col(first_field).cast("string")
+        ).alias(CORRUPT_COL)
+    )
     return good, bad
 
 

@@ -119,11 +119,22 @@ def merge_insights_batch(batch: DataFrame, table: str, batch_id: int) -> None:
     job-commit atomic, so a bucket is either fully pre- or fully
     post-merge — never half.)"""
     src = batch.sparkSession
-    delta = _batch_state(batch).withColumn("bucket", _bucket("customer_id"))
-    if delta.isEmpty():
+    # persist: the per-batch aggregation is consumed up to three times
+    # (bucket collect, merge join, write) — without this each pass would
+    # recompute the batch scan + shuffle from scratch
+    delta = _batch_state(batch).withColumn("bucket", _bucket("customer_id")).persist()
+    try:
+        _merge_delta(src, delta, table, batch_id)
+    finally:
+        delta.unpersist()
+
+
+def _merge_delta(src, delta: DataFrame, table: str, batch_id: int) -> None:
+    # the collected bucket list doubles as the emptiness probe — one action
+    buckets = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+    if not buckets:
         return
     if zone_exists(src, table):
-        buckets = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         existing = read_zone(src, table).filter(F.col("bucket").isin(buckets))
         d, e = delta.alias("d"), existing.alias("e")
         # replay guard: this batch's delta is already folded into e

@@ -13,11 +13,13 @@ Cross-run duplicates (SURVEY.md §4.2-6) are handled at two levels:
 - across batches/runs: the foreachBatch sink anti-joins the micro-batch
   against transaction_ids already committed to silver, restricted to the
   (year, month, day) partitions the batch touches — partition pruning keeps
-  the probe O(batch), not O(history) (a re-delivered row always lands in
-  its original partition, so pruned coverage is complete).
+  the probe O(batch), not O(history). Coverage is complete for true
+  re-delivery (identical content lands in its original partition); a
+  record re-arriving with an amended event date is an UPDATE, out of scope
+  for append-only ingest dedup (see
+  ``pipeline.medallion.dedup_against_silver``).
   (``dropDuplicatesWithinWatermark`` is the lighter in-stream alternative
-  when re-delivery is bounded in event time; the anti-join is the
-  unconditional guarantee.)
+  when re-delivery is bounded in event time.)
 """
 
 from __future__ import annotations

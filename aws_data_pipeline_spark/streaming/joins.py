@@ -93,17 +93,24 @@ def enrich_stream_with_dim(
 ) -> DataFrame:
     """Stream-static join: enrich a streaming fact with a dimension table
     read from storage. Unlike the stream-stream case, the static side needs
-    no watermark and holds no state — Spark re-reads ``dim_path`` at EVERY
-    micro-batch, so dim updates (new partitions, overwritten rows) are
-    picked up between batches without restarting the query. That re-read is
-    the contract to design for at 100 TB: keep the dim pruned/columnar
-    (broadcast-sized after pruning), or snapshot it to a compact gold table
-    first — the fact stream never buffers, only the dim is re-planned.
+    no watermark and holds no state.
 
-    ``how='left'`` keeps unmatched facts (dim lag must not drop events);
-    inner is the filtering variant. (Right/full outer are unsupported by
-    Spark for stream-static joins — state would be unbounded on the static
-    side's unmatched set.)
+    Dim freshness contract: for a path-based parquet dim the file listing
+    is resolved when the static DataFrame is created — i.e. per QUERY
+    start, not per micro-batch. Under this engine's availableNow model
+    (each scheduled run starts a fresh query — the bookmark pattern used
+    throughout), every run therefore sees the dim as of that run, which is
+    the behavior tests assert. A CONTINUOUSLY-running query keeps the
+    startup snapshot; to pick up dim changes mid-query you need a catalog
+    table / ACID format on the static side, or a foreachBatch sink that
+    re-creates the dim frame per batch.
+
+    At 100 TB keep the dim pruned/columnar (broadcast-sized after pruning)
+    or snapshot it to a compact gold table first — the fact stream never
+    buffers, only the dim is re-planned. ``how='left'`` keeps unmatched
+    facts (dim lag must not drop events); inner is the filtering variant.
+    (Right/full outer are unsupported by Spark for stream-static joins —
+    state would be unbounded on the static side's unmatched set.)
     """
     dim = spark.read.parquet(dim_path)
     return stream.join(dim, on, how)

@@ -244,7 +244,7 @@ def test_zscore_outliers_detects_planted_extremes(spark):
     rows += [("a", 10_000.0)]          # blatant outlier
     rows += [("b", 50.0)] * 50         # zero-variance group: no outliers
     df = spark.createDataFrame(rows, "grp string, val double")
-    got = {r.priority: (r.n_orders, r.n_outliers)
+    got = {r.grp: (r.n_rows, r.n_outliers)
            for r in zscore_outlier_counts(df, "grp", "val").collect()}
     assert got["a"] == (201, 1)
     assert got["b"] == (50, 0)

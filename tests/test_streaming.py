@@ -176,9 +176,10 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_stream_static_enrichment_rereads_dim(spark, sf_dir, tmp_path):
-    """Stream-static join: facts enrich against the dim AS OF each
-    micro-batch — a dim update between availableNow runs is visible to the
-    later run without restarting the query."""
+    """Stream-static join under the availableNow model: each run starts a
+    fresh query, so it sees the dim AS OF that run — a dim update between
+    runs is visible to the later run. (A continuously-running query would
+    keep its startup snapshot; see enrich_stream_with_dim's docstring.)"""
     from aws_data_pipeline_spark.streaming.joins import enrich_stream_with_dim
 
     dim_path = str(tmp_path / "dim")
