@@ -84,6 +84,7 @@ _PRIORITY = (
     "dataset_split_assignments_portable",
     "minhash_lsh_dedup_portable",
     "dq_zscore_outlier_counts",
+    "order_sequence_windows",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

@@ -277,6 +277,56 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("o_custkey", "customer_id")
 
 
+@register(
+    "order_sequence_windows",
+    sql="""
+    SELECT o_orderkey, o_custkey AS customer_id,
+           lead(o_orderdate) OVER w AS next_order_date,
+           first_value(o_totalprice) OVER w AS first_order_price,
+           last_value(o_totalprice) OVER wf AS last_order_price,
+           nth_value(o_totalprice, 2) OVER wf AS second_order_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def order_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function bundle over each customer's order sequence:
+    lead (next order date), first_value (running frame), last_value and
+    nth_value (full frame) — the window verbs the lag/rank queries don't
+    exercise. One total order (date, orderkey tiebreak) shared by both
+    frames, so the plan is a single partition shuffle + sort feeding every
+    function; frames are EXPLICIT in Spark and oracle alike (default
+    frames for first_value/last_value differ subtly across engines —
+    running vs full — so relying on defaults is a portability bug)."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("customer_id"),
+        F.lead("o_orderdate").over(
+            Window.partitionBy("o_custkey").orderBy(*order)
+        ).alias("next_order_date"),
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.last("o_totalprice").over(wf).alias("last_order_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_order_price"),
+    )
+
+
 # -- Sort / limit ----------------------------------------------------------
 
 
