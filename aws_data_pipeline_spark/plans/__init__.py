@@ -67,12 +67,12 @@ _PLAN_MODULES = (
 # split/minhash), then queries whose plans changed this round (q17 threshold
 # slice, q18 hint drop, tfidf ordering, simhash oracle+distinct placement,
 # IVF index caching), then every query whose last driver row is round 2,
-# then round-3-dated fillers. The list runs 5 past the 50-entry window; the
-# overflow (ngram_jaccard_pairs, sessionize_events,
-# stratified_sample_counts, session_window_counts, and the 50th-slot
-# boundary filler) is r3-green — exactly 1 round stale after r4, rotate
-# them to the r5 head. After this round every other registry query's
-# newest green row is r3/r4.
+# then round-3-dated fillers. The list runs 6 past the 50-entry window; the
+# overflow (source_mixture_weights, embedding_neardup_pairs,
+# ngram_jaccard_pairs, sessionize_events, stratified_sample_counts,
+# session_window_counts) is r3-green — exactly 1 round stale after r4,
+# rotate them to the r5 head. After this round every other registry
+# query's newest green row is r3/r4.
 _PRIORITY = (
     # driver signal last refreshed in round 1 (stale — head of the window)
     "q10_returned_items",

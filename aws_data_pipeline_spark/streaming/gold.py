@@ -40,7 +40,10 @@ def incremental_silver_to_gold(
 ) -> None:
     """One availableNow run: new silver files -> targeted gold partition
     rebuild for the daily_aggregations table (grain: year, month, day,
-    customer_id; partitioned by year, month)."""
+    customer_id; partitioned by year, month) AND the monthly_aggregations
+    table (grain: year, month, customer_id; partitioned by year — a
+    touched month rebuilds its whole year partition, still pruned to the
+    touched years, never full history)."""
     silver_schema = read_zone(spark, silver_path).schema
     # NOTE: no recursiveFileLookup — it would disable hive-partition
     # discovery, nulling the year/month/day partition columns
@@ -72,6 +75,25 @@ def incremental_silver_to_gold(
             daily,
             f"{gold_path}/daily_aggregations",
             partition_by=("year", "month"),
+            mode="overwrite",
+        )
+        # monthly is partitioned by year only, so its rebuild unit is the
+        # YEAR: re-read the touched years (pruned), re-aggregate, replace
+        # just those year dirs — months of the year outside this batch are
+        # recomputed from silver, so the partition swap is self-consistent
+        years = sorted({y for y, _ in touched})
+        silver_y = read_zone(src, silver_path).filter(F.col("year").isin(years))
+        monthly = agg_ops.aggregate_transactions(
+            silver_y,
+            ["year", "month", "customer_id"],
+            "amount",
+            "transaction_id",
+            level="monthly",
+        )
+        write_zone(
+            monthly,
+            f"{gold_path}/monthly_aggregations",
+            partition_by=("year",),
             mode="overwrite",
         )
 

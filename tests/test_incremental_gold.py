@@ -72,10 +72,28 @@ def test_incremental_gold_matches_batch(spark, tmp_path):
         map(tuple, expected.select(*cols).collect())
     )
 
+    # monthly table: rebuilt per touched YEAR, must equal batch recompute
+    got_m = spark.read.parquet(f"{gold_path}/monthly_aggregations")
+    expected_m = agg_ops.aggregate_transactions(
+        spark.read.parquet(silver_path),
+        ["year", "month", "customer_id"],
+        "amount",
+        "transaction_id",
+        level="monthly",
+    )
+    cols_m = sorted(expected_m.columns)
+    assert sorted(map(tuple, got_m.select(*cols_m).collect())) == sorted(
+        map(tuple, expected_m.select(*cols_m).collect())
+    )
+
     # run 3: nothing new -> no-op, gold unchanged
     incremental_silver_to_gold(spark, silver_path, gold_path, ckpt)
     again = spark.read.parquet(f"{gold_path}/daily_aggregations")
     assert again.count() == got.count()
+    assert (
+        spark.read.parquet(f"{gold_path}/monthly_aggregations").count()
+        == got_m.count()
+    )
 
 
 def test_incremental_customer_insights_merges_state(spark, tmp_path):
