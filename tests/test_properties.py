@@ -248,3 +248,45 @@ def test_zscore_outliers_detects_planted_extremes(spark):
            for r in zscore_outlier_counts(df, "grp", "val").collect()}
     assert got["a"] == (201, 1)
     assert got["b"] == (50, 0)
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # user
+        st.integers(min_value=0, max_value=3600), # seconds offset
+        st.booleans(),                            # is_purchase
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(events=EVENTS)
+@_SETTINGS
+def test_interval_join_matches_bruteforce(spark, events):
+    """interval_join (batch mode) must emit exactly the pairs a brute-force
+    comprehension produces: same user, purchase strictly after the click,
+    and within the closed window end."""
+    from datetime import datetime, timedelta
+
+    from aws_data_pipeline_spark.streaming.joins import click_purchase_pairs
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (i, base + timedelta(seconds=off), u, "purchase" if p else "click", 0.0, None)
+        for i, (u, off, p) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {(r.click_id, r.purchase_id)
+           for r in click_purchase_pairs(df, window_seconds=600).collect()}
+    expected = {
+        (ci, pi)
+        for ci, (cu, coff, cp) in enumerate(events) if not cp
+        for pi, (pu, poff, pp) in enumerate(events) if pp
+        if cu == pu and coff < poff <= coff + 600
+    }
+    assert got == expected
