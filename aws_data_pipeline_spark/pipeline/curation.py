@@ -30,8 +30,11 @@ class CurationConfig:
     keep_langs: tuple[str, ...] = ()  # empty = keep all
     jaccard_k: int = 5
     jaccard_threshold: float = 0.8
-    num_perm: int = 16
-    bands: int = 4
+    # None = derive from the threshold via the banding S-curve rule
+    # (dedup.choose_minhash_params) — the parameter-scaling guidance as the
+    # live default rather than a hand-tuned constant
+    num_perm: int | None = None
+    bands: int | None = None
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )
@@ -67,12 +70,16 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     # keep only each cluster's canonical (component-min doc_id). Transitive:
     # pairs (1,5),(2,5) collapse 1~2~5 into ONE survivor — the
     # drop-every-doc2 policy would wrongly keep both 1 and 2.
+    if cfg.num_perm is None or cfg.bands is None:
+        num_perm, bands = dedup.choose_minhash_params(cfg.jaccard_threshold)
+    else:
+        num_perm, bands = cfg.num_perm, cfg.bands
     pairs = dedup.minhash_lsh_pairs(
         kept,
         "doc_id",
         k=cfg.jaccard_k,
-        num_perm=cfg.num_perm,
-        bands=cfg.bands,
+        num_perm=num_perm,
+        bands=bands,
         threshold=cfg.jaccard_threshold,
     )
     labels = dedup.connected_components(pairs)
