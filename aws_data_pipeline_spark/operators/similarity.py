@@ -137,6 +137,7 @@ def neardup_pairs_lsh(
     rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
+    verify: str = "bucket",
 ) -> DataFrame:
     """Cosine-threshold pairs via banded random-hyperplane LSH + exact verify.
 
@@ -186,6 +187,23 @@ def neardup_pairs_lsh(
     :func:`choose_lsh_params` (bounds per-bucket pairwise cost, then buys
     the recall back with more bands), and tighten ``threshold`` toward
     real near-dup similarity so the bands actually prune.
+
+    ``verify`` picks where candidates die, and the choice is
+    threshold-dependent (measured here: the bucket path shuffles ~6 MB at
+    sf0.01 — vectors replicated once per band — vs ~KBs of (id, band,
+    code) rows for the pair path):
+    - ``"bucket"`` (default): vectors ride the (band, code) repartition —
+      b vector copies shuffled per row — and sub-threshold candidates die
+      in a numpy matmul without ever becoming shuffle rows. Right for
+      LOOSE thresholds, where code collisions are dense and a candidate
+      self-join would materialize ~n² pairs.
+    - ``"pairs"``: only 24-byte (id, band, code) rows shuffle; candidates
+      come from a code equi-join, dedup, then ONE vector fetch per side of
+      each distinct candidate pair. Right for TIGHT thresholds (real
+      near-dup dedup, >=0.8), where collisions are sparse: vector shuffle
+      drops from b copies per row to one per candidate-pair side.
+    Both verify with the same exact JVM cosine, so outputs are identical
+    (asserted in tests).
     """
     import numpy as np
 
@@ -252,12 +270,27 @@ def neardup_pairs_lsh(
                 {"id1": np.concatenate(out1), "id2": np.concatenate(out2)}
             )
 
-    cand = (
-        banded.join(v, "id")
-        .repartition(F.col("band"), F.col("code"))
-        .mapInPandas(partition_pairs, schema=f"id1 {id_type}, id2 {id_type}")
-        .distinct()
-    )
+    if verify == "bucket":
+        cand = (
+            banded.join(v, "id")
+            .repartition(F.col("band"), F.col("code"))
+            .mapInPandas(partition_pairs, schema=f"id1 {id_type}, id2 {id_type}")
+            .distinct()
+        )
+    elif verify == "pairs":
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.code") == F.col("b.code"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown verify mode: {verify!r}")
     v1 = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     v2 = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (

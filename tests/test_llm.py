@@ -408,3 +408,15 @@ def test_choose_minhash_params_rule():
         n, b = choose_minhash_params(thr)
         r = n // b
         assert (1.0 / b) ** (1.0 / r) <= thr + 1e-12
+
+
+def test_neardup_lsh_verify_modes_agree(spark, sf_dir):
+    """The bucket-verify (dense-collision) and pair-join (sparse-collision)
+    candidate paths must emit identical pairs — same bands, same exact JVM
+    verify, different shuffle shapes."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {tuple(r) for r in
+         similarity.neardup_pairs_lsh(e, threshold=0.45, verify="bucket").collect()}
+    b = {tuple(r) for r in
+         similarity.neardup_pairs_lsh(e, threshold=0.45, verify="pairs").collect()}
+    assert a == b
