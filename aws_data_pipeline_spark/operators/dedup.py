@@ -567,3 +567,48 @@ def cluster_assignments(
             ),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level exact dedup: every distinct line keeps only its
+    FIRST corpus-wide occurrence (min (doc, position) — deterministic);
+    later occurrences are removed from their documents. This is the
+    boilerplate killer for web corpora — navigation bars, cookie banners,
+    footers repeat verbatim across millions of pages and survive
+    DOCUMENT-level dedup because the surrounding text differs.
+
+    Returns (doc_id, n_lines, n_lines_kept, clean_text); documents whose
+    every line occurred earlier collapse to ''. Shape: one explode + one
+    shuffle on the line text (the only key that can group duplicates), a
+    window first-occurrence filter, then a per-doc reassembly aggregate —
+    no pairwise comparison anywhere, so cost is O(total lines), and a
+    hot boilerplate line is one window group (skew-bounded by its count).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc", "pos")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc").agg(
+        F.count("*").alias("n_lines_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("doc").agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

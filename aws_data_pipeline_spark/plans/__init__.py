@@ -85,6 +85,7 @@ _PRIORITY = (
     "minhash_lsh_dedup_portable",
     "dq_zscore_outlier_counts",
     "order_sequence_windows",
+    "line_dedup_stats",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

@@ -88,6 +88,46 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8)
 
 
+@register(
+    "line_dedup_stats",
+    sql="""
+    WITH parts AS (
+      SELECT doc_id AS doc, string_split(text, chr(10)) AS p FROM documents
+    ), lines AS (
+      SELECT doc, g.g - 1 AS pos, p[g.g] AS line
+      FROM parts, generate_series(1, 4096) g(g) WHERE g.g <= len(p)
+    ), ranked AS (
+      SELECT doc, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc, pos) AS rn
+      FROM lines
+    ), kept AS (
+      SELECT doc, pos, line FROM ranked WHERE rn = 1
+    ), tot AS (
+      SELECT doc, COUNT(*) AS n_lines FROM lines GROUP BY doc
+    ), reb AS (
+      SELECT doc, COUNT(*) AS n_lines_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc
+    )
+    SELECT t.doc AS doc_id, t.n_lines,
+           COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN reb r ON t.doc = r.doc
+    """,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup over the corpus: each distinct line
+    survives only at its first corpus-wide occurrence (the boilerplate
+    killer for web corpora — repeated banners/footers survive
+    document-level dedup because the surrounding text differs). The
+    synthetic corpus is single-line, so here it degenerates to whole-text
+    first-occurrence dedup — the machinery (explode, corpus-wide window,
+    ordered reassembly) is value-checked regardless; multi-line behavior
+    is pinned by tests/test_llm.py with planted boilerplate."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.line_dedup(d)
+
+
 _MINHASH_PARAMS_SQL = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup._HASH_PARAMS)
 )

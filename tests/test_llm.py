@@ -420,3 +420,29 @@ def test_neardup_lsh_verify_modes_agree(spark, sf_dir):
     b = {tuple(r) for r in
          similarity.neardup_pairs_lsh(e, threshold=0.45, verify="pairs").collect()}
     assert a == b
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    """Line-level dedup: repeated boilerplate lines survive only at their
+    first corpus-wide occurrence; unique lines always survive; a document
+    of pure boilerplate collapses to empty."""
+    from aws_data_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nFOOTER"),
+            (2, "COOKIE BANNER\nunique beta\nFOOTER"),
+            (3, "COOKIE BANNER\nFOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert got[1].clean_text == "COOKIE BANNER\nunique alpha\nFOOTER"
+    assert got[1].n_lines == 3 and got[1].n_lines_kept == 3
+    assert got[2].clean_text == "unique beta"
+    assert got[2].n_lines == 3 and got[2].n_lines_kept == 1
+    assert got[3].clean_text == "" and got[3].n_lines_kept == 0
+    # deterministic under repartitioning
+    again = {r.doc_id: r.clean_text
+             for r in line_dedup(docs.repartition(7)).collect()}
+    assert again == {k: v.clean_text for k, v in got.items()}
