@@ -216,3 +216,39 @@ def pack_sequences(
             F.floor((cum - F.col("n_tokens")) / F.lit(max_tokens)).cast("long"),
         )
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus sizing: keep the highest-quality documents of each
+    source until its token budget is exhausted — the standard step that
+    turns "all of source X" into "the best N tokens of source X" when
+    composing a training mixture. Greedy by quality: rank docs by
+    (quality_score desc, id) — a total order, and the quality doubles are
+    cross-engine bit-stable (single correctly-rounded ops over exact
+    integer counts; proven by the text_quality_scores oracle) — then keep
+    the prefix whose running token sum stays within ``budget_tokens``.
+
+    Shape: one scan for scoring (row-local), one shuffle on the source for
+    the ranked cumulative sum — no collect, no iteration; a source's
+    selection cost is O(its docs). Returns (source, id, n_tokens,
+    cum_tokens) for the kept prefix.
+    """
+    from aws_data_pipeline_spark.operators.text import quality_score
+
+    scored = quality_score(df)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(source_col, id_col, "n_tokens", "cum_tokens")
+    )

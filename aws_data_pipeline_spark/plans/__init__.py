@@ -86,6 +86,7 @@ _PRIORITY = (
     "dq_zscore_outlier_counts",
     "order_sequence_windows",
     "line_dedup_stats",
+    "token_budget_sample_docs",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",

@@ -1003,3 +1003,43 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+@register(
+    "token_budget_sample_docs",
+    # ordering doubles across engines is safe HERE because quality_score is
+    # bit-stable (see text_quality_scores); the cumulative sum is integer
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
+                  AS INTEGER) AS sw,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+      FROM documents
+    ), q AS (
+      SELECT source, doc_id, n AS n_tokens,
+             least(1.0, n / 100.0) * 0.4 + (sw / n) * 0.3
+               + least(1.0, (alpha / n) / 8.0) * 0.3 AS quality_score
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens FROM (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM q
+    ) WHERE cum_tokens <= 800
+    """,
+)
+def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection: the highest-quality prefix of each
+    source whose running token sum stays within 800 tokens — the corpus
+    sizing step of mixture composition. Greedy quality-desc order with an
+    id tiebreak; the running sum is exact integer arithmetic, and the
+    quality doubles are engine-stable, so the kept set value-hashes."""
+    d = T(spark, sf_dir, "documents")
+    return sampling.token_budget_sample(d, budget_tokens=800)
