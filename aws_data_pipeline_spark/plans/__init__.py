@@ -67,12 +67,16 @@ _PLAN_MODULES = (
 # split/minhash), then queries whose plans changed this round (q17 threshold
 # slice, q18 hint drop, tfidf ordering, simhash oracle+distinct placement,
 # IVF index caching), then every query whose last driver row is round 2,
-# then round-3-dated fillers. The list runs 6 past the 50-entry window; the
-# overflow (source_mixture_weights, embedding_neardup_pairs,
-# ngram_jaccard_pairs, sessionize_events, stratified_sample_counts,
-# session_window_counts) is r3-green — exactly 1 round stale after r4,
-# rotate them to the r5 head. After this round every other registry
-# query's newest green row is r3/r4.
+# then every query whose last driver row is round 2. The 17 new/changed
+# entries squeezed the window: slot 50 (just past the driver's prefix)
+# holds the single LOWEST-RISK r2-dated entry — dq_duplicate_order_lines,
+# a zero-rows invariant whose oracle parity the local pytest suite
+# re-proves on every run — explicitly carried over. ROUND-5 HEAD must be:
+# dq_duplicate_order_lines (2 rounds stale), then the r3-green queries
+# that sat out r4 (quality_median_filter, source_mixture_weights,
+# embedding_neardup_pairs, ngram_jaccard_pairs, sessionize_events,
+# stratified_sample_counts, session_window_counts), then r4's new/changed
+# cohort.
 _PRIORITY = (
     # driver signal last refreshed in round 1 (stale — head of the window)
     "q10_returned_items",
@@ -128,15 +132,8 @@ _PRIORITY = (
     "sequence_packing",
     "dq_profile_orders",
     "dq_rule_violations_lineitem",
+    # slot 50 — outside the driver prefix this round, MUST lead round 5
     "dq_duplicate_order_lines",
-    # round-3-dated fillers (stay ≤1 round stale)
-    "quality_median_filter",
-    "source_mixture_weights",
-    "embedding_neardup_pairs",
-    "ngram_jaccard_pairs",
-    "sessionize_events",
-    "stratified_sample_counts",
-    "session_window_counts",
 )
 
 
