@@ -302,6 +302,46 @@ def neardup_pairs_lsh(
     )
 
 
+def semantic_dedup_flags(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    **lsh_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication marks (Abbas et al. 2023,
+    arXiv:2303.09540, public): a row is a semantic duplicate iff some
+    LOWER-id row sits within cosine ``threshold`` of it; the lowest such
+    neighbor is reported as ``canonical_id`` (the row itself when unique).
+
+    This is the greedy mark-by-lowest-id pass: the canonical neighbor may
+    itself be marked when near-dup relations chain (a—b—c with cos(a,c)
+    below threshold still removes both b and c). Deduplication that keeps
+    exactly one representative per TRANSITIVE group is the
+    connected-components operator (``dedup.cluster_pairs``) over the same
+    pair set; production SemDeDup uses the greedy pass because it needs no
+    iteration — one candidate join, one groupBy min.
+
+    Scale shape: candidate pairs come from :func:`neardup_pairs_lsh`
+    (banded hyperplane equi-join + exact verify — never a cross product),
+    then ONE groupBy-min on the higher id and a left join back to the
+    corpus. Cost is the pair generator's; the mark pass adds a single
+    |pairs|-row shuffle.
+    """
+    pairs = neardup_pairs_lsh(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **lsh_kwargs
+    )
+    lowest = pairs.groupBy(F.col("id2").alias(id_col)).agg(
+        F.min("id1").alias("__lowest_neighbor")
+    )
+    return df.join(lowest, id_col, "left").withColumns(
+        {
+            "is_semdup": F.col("__lowest_neighbor").isNotNull(),
+            "canonical_id": F.coalesce(F.col("__lowest_neighbor"), F.col(id_col)),
+        }
+    ).drop("__lowest_neighbor")
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (Box-Muller over a
     fixed LCG — stable across numpy versions since it uses none)."""

@@ -104,6 +104,81 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORD_TYPES = ("the", "a", "and", "of", "to")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_types: int = 2,
+    min_unique_word_ratio: float = 0.3,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style rule-based document quality gates (Rae et al. 2021,
+    "Scaling Language Models" §A1.1, public), adapted to single-line text:
+    per-document boolean flags plus the AND-composite ``passes_gopher``.
+    Complements :func:`quality_score` (a continuous composite) with the
+    hard-rule filter family production corpus curation actually ships.
+
+    Rules (each an independent column, so downstream can re-weigh):
+    - ``flag_word_count``: whitespace word count within [min, max];
+    - ``flag_mean_word_len``: mean word length within [min, max] — kills
+      both symbol soup (short) and unsegmented junk (long);
+    - ``flag_stopwords``: at least ``min_stopword_types`` DISTINCT common
+      stopwords present (Gopher's "2 of 5 common words" natural-language
+      evidence rule);
+    - ``flag_repetition``: distinct-word fraction at or above the floor
+      (the single-line stand-in for Gopher's duplicate-line fractions);
+    - ``flag_symbol_ratio``: non-[a-z0-9 space] character fraction at or
+      below the cap (ellipsis/hash-ratio family).
+
+    Scale shape: pure JVM Column expressions over one scan — no shuffle,
+    no UDF; ratios are exact-int divisions (bit-identical IEEE doubles in
+    any engine), so the flags are engine-portable and oracle-hashable.
+    """
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    lower = F.lower(F.col(text_col))
+    symbol_chars = n_chars - F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
+    sum_word_len = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = F.try_divide(sum_word_len, n_words)
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORD_TYPES])
+    n_stop_types = F.size(
+        F.filter(F.array_distinct(t), lambda x: F.array_contains(stop_lit, x))
+    )
+    unique_ratio = F.try_divide(F.size(F.array_distinct(t)), n_words)
+    symbol_ratio = F.try_divide(symbol_chars, n_chars)
+    flags = {
+        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "flag_stopwords": n_stop_types >= min_stopword_types,
+        "flag_repetition": unique_ratio >= min_unique_word_ratio,
+        "flag_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+    }
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "n_stopword_types": n_stop_types,
+            "unique_word_ratio": unique_ratio,
+            "symbol_ratio": symbol_ratio,
+            **flags,
+        }
+    )
+    passes = flags["flag_word_count"]
+    for name in list(flags)[1:]:
+        passes = passes & flags[name]
+    return out.withColumn("passes_gopher", passes)
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

@@ -67,12 +67,13 @@ _PLAN_MODULES = (
 # split/minhash), then queries whose plans changed this round (q17 threshold
 # slice, q18 hint drop, tfidf ordering, simhash oracle+distinct placement,
 # IVF index caching), then every query whose last driver row is round 2,
-# then every query whose last driver row is round 2. The 17 new/changed
-# entries squeezed the window: slot 50 (just past the driver's prefix)
-# holds the single LOWEST-RISK r2-dated entry — dq_duplicate_order_lines,
-# a zero-rows invariant whose oracle parity the local pytest suite
+# then every query whose last driver row is round 2. The 19 new/changed
+# entries squeezed the window: slots past the driver's 50-entry prefix
+# hold the three LOWEST-RISK r2-dated entries — the DQ invariants
+# (dq_profile_orders, dq_rule_violations_lineitem,
+# dq_duplicate_order_lines), whose oracle parity the local pytest suite
 # re-proves on every run — explicitly carried over. ROUND-5 HEAD must be:
-# dq_duplicate_order_lines (2 rounds stale), then the r3-green queries
+# those three DQ entries (2 rounds stale), then the r3-green queries
 # that sat out r4 (quality_median_filter, source_mixture_weights,
 # embedding_neardup_pairs, ngram_jaccard_pairs, sessionize_events,
 # stratified_sample_counts, session_window_counts), then r4's new/changed
@@ -91,6 +92,8 @@ _PRIORITY = (
     "order_sequence_windows",
     "line_dedup_stats",
     "token_budget_sample_docs",
+    "gopher_quality_flags",
+    "semantic_dedup_flags",
     # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
@@ -130,9 +133,11 @@ _PRIORITY = (
     "text_repetition_stats",
     "heavy_hitter_tokens_approx",
     "sequence_packing",
+    # slots 51+ — outside the driver prefix this round, MUST lead round 5
+    # (lowest-risk carry-overs: DQ invariants re-proved by local pytest
+    # oracle parity on every run)
     "dq_profile_orders",
     "dq_rule_violations_lineitem",
-    # slot 50 — outside the driver prefix this round, MUST lead round 5
     "dq_duplicate_order_lines",
 )
 

@@ -303,6 +303,35 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs_lsh(e, threshold=0.45)
 
 
+@register(
+    "semantic_dedup_flags",
+    sql="""
+    SELECT b.vec_id, b.label,
+           (m.c IS NOT NULL) AS is_semdup,
+           COALESCE(m.c, b.vec_id) AS canonical_id
+    FROM embeddings b
+    LEFT JOIN (
+      SELECT b2.vec_id AS v, MIN(a.vec_id) AS c
+      FROM embeddings a
+      JOIN embeddings b2 ON a.vec_id < b2.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b2.embedding AS DOUBLE[])) >= 0.45
+      GROUP BY b2.vec_id
+    ) m ON m.v = b.vec_id
+    """,
+)
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style greedy semantic dedup marks: a vector is a duplicate
+    iff some lower-id vector is within cosine 0.45; lowest such neighbor is
+    its canonical. Candidates from the banded-LSH equi-join (recall floor
+    0.999996 at the threshold, see embedding_neardup_pairs), exact-verified,
+    so the marks match the brute-force oracle above."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_flags(e, threshold=0.45).select(
+        "vec_id", "label", "is_semdup", "canonical_id"
+    )
+
+
 # build-once IVF index, persisted under the (gitignored) warehouse dir and
 # cached session-resident: the IVF contract is "build the index once,
 # search many times" — retraining KMeans AND re-assigning the corpus inside
@@ -533,6 +562,65 @@ def quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator runs with approx_percentile (``approx=True``)."""
     d = T(spark, sf_dir, "documents")
     return text.quality_median_filter(d)
+
+
+@register(
+    "gopher_quality_flags",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+             CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n,
+             CAST(length(text) AS INTEGER) AS nc
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n, nc,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS swl,
+             CAST(len(list_filter(list_distinct(toks),
+                  x -> list_contains(['the','a','and','of','to'], x))) AS INTEGER) AS nst,
+             CAST(len(list_distinct(toks)) AS INTEGER) AS nd,
+             nc - CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+                  AS INTEGER) AS sym
+      FROM t
+    ), f AS (
+      SELECT doc_id, n AS n_words, swl / n AS mean_word_len,
+             nst AS n_stopword_types, nd / n AS unique_word_ratio,
+             sym / nc AS symbol_ratio
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, n_stopword_types, unique_word_ratio,
+           symbol_ratio,
+           (n_words >= 30 AND n_words <= 100000) AS flag_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_word_len,
+           (n_stopword_types >= 2) AS flag_stopwords,
+           (unique_word_ratio >= 0.3) AS flag_repetition,
+           (symbol_ratio <= 0.1) AS flag_symbol_ratio,
+           (n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND n_stopword_types >= 2 AND unique_word_ratio >= 0.3
+            AND symbol_ratio <= 0.1) AS passes_gopher
+    FROM f
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard-rule quality gates (word count, mean word length,
+    stopword evidence, repetition, symbol ratio) as independent boolean
+    flags + the AND composite — all JVM Column expressions over one scan,
+    exact-int-division doubles so the whole row hash is engine-portable."""
+    d = T(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(d).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopword_types",
+        "unique_word_ratio",
+        "symbol_ratio",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_stopwords",
+        "flag_repetition",
+        "flag_symbol_ratio",
+        "passes_gopher",
+    )
 
 
 @register(

@@ -446,3 +446,76 @@ def test_line_dedup_removes_boilerplate(spark):
     again = {r.doc_id: r.clean_text
              for r in line_dedup(docs.repartition(7)).collect()}
     assert again == {k: v.clean_text for k, v in got.items()}
+
+
+def test_gopher_flags_rules(spark):
+    """Each Gopher rule trips on its designed violation and only that one
+    (plus the composite); a clean document passes everything."""
+    from aws_data_pipeline_spark.operators.text import gopher_quality_flags
+
+    base = ("the quick brown fox jumps over a lazy dog near of river bank "
+            "while birds sing and wind moves through tall green trees today "
+            "making gentle sounds everyone enjoys during warm summer days")
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                  # clean: passes all
+            (2, "too short to pass"),                   # < 30 words
+            (3, " ".join(f"w{i}" for i in range(35))),  # no stopwords
+            (4, "the a " + "word " * 37 + "word"),      # repetition
+            (5, "the a " + "#$%! " * 10 + " ".join(f"w{i}" for i in range(28))),
+            (6, "the a " + "x " * 37 + "y"),            # mean word len < 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert got[1].passes_gopher
+    assert all(
+        getattr(got[1], f)
+        for f in ("flag_word_count", "flag_mean_word_len", "flag_stopwords",
+                  "flag_repetition", "flag_symbol_ratio")
+    )
+    assert not got[2].flag_word_count and not got[2].passes_gopher
+    assert got[3].flag_word_count and not got[3].flag_stopwords
+    assert not got[4].flag_repetition and got[4].flag_stopwords
+    assert not got[5].flag_symbol_ratio and got[5].symbol_ratio > 0.1
+    assert not got[6].flag_mean_word_len and got[6].mean_word_len < 3.0
+    for d in (2, 3, 4, 5, 6):
+        assert not got[d].passes_gopher
+
+
+def test_semantic_dedup_greedy_marks_and_chain(spark):
+    """Greedy SemDeDup marks: lower-id in-threshold neighbor => duplicate;
+    canonical is the LOWEST such neighbor; chains mark every non-minimum
+    member even when the canonical is itself marked (documented greedy
+    semantics, not transitive CC)."""
+    import math
+
+    def vec(*coords):
+        v = [0.0] * 64
+        for i, c in enumerate(coords):
+            v[i] = c
+        return v
+
+    a55 = math.radians(55)
+    a110 = math.radians(110)
+    rows = [
+        (0, vec(1.0, 0.0)),
+        (1, vec(math.cos(a55), math.sin(a55))),      # 55deg from v0 -> dup(0)
+        (2, vec(0.0, 0.0, 1.0)),                     # orthogonal -> unique
+        (3, vec(0.0, 0.0, 0.9, 0.436)),              # cos ~0.9 to v2 -> dup(2)
+        (4, vec(-1.0, 0.0)),                         # anti-parallel -> unique
+        (5, vec(math.cos(a110), math.sin(a110))),    # 110deg from v0, 55 from v1
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup_flags(e, threshold=0.45).collect()
+    }
+    assert not got[0].is_semdup and got[0].canonical_id == 0
+    assert got[1].is_semdup and got[1].canonical_id == 0
+    assert not got[2].is_semdup and got[2].canonical_id == 2
+    assert got[3].is_semdup and got[3].canonical_id == 2
+    assert not got[4].is_semdup and got[4].canonical_id == 4
+    # chain: v5 is within threshold of v1 only — marked, canonical 1,
+    # even though v1 itself is marked (greedy, not transitive)
+    assert got[5].is_semdup and got[5].canonical_id == 1
