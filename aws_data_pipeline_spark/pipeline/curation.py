@@ -1,6 +1,7 @@
 """LLM training-data curation pipeline: the north-star operators composed
-end-to-end (documents -> quality gate -> language gate -> exact dedup ->
-fuzzy dedup -> deterministic split -> curated zone).
+end-to-end (documents -> quality gate [+ optional Gopher hard rules] ->
+language gate -> exact dedup -> fuzzy dedup [+ optional SemDeDup over an
+embeddings frame] -> deterministic split -> curated zone).
 
 This is the medallion pattern applied to corpus prep: raw documents are the
 bronze, the curated/split zone is the silver a trainer consumes. Order of
@@ -21,13 +22,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aws_data_pipeline_spark.operators import dedup, sampling, text
+from aws_data_pipeline_spark.operators import dedup, sampling, similarity, text
 
 
 @dataclass
 class CurationConfig:
     min_quality: float = 0.5
     keep_langs: tuple[str, ...] = ()  # empty = keep all
+    # opt-in hard-rule gate (text.gopher_quality_flags) layered on the
+    # continuous score gate — off by default so existing chains are unchanged
+    use_gopher_rules: bool = False
     jaccard_k: int = 5
     jaccard_threshold: float = 0.8
     # None = derive from the threshold via the banding S-curve rule
@@ -35,13 +39,22 @@ class CurationConfig:
     # live default rather than a hand-tuned constant
     num_perm: int | None = None
     bands: int | None = None
+    # opt-in SemDeDup stage: needs an embeddings frame passed to curate();
+    # None = stage disabled
+    semantic_threshold: float | None = None
+    embedding_id_col: str = "vec_id"
+    embedding_col: str = "embedding"
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )
     split_seed: str = "curation-v1"
 
 
-def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
+def curate(
+    docs: DataFrame,
+    cfg: CurationConfig | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
     """Run the full curation chain; returns the curated frame with
     ``quality_score`` and ``split`` columns, duplicates removed.
 
@@ -59,6 +72,12 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     kept = scored.filter(F.col("quality_score") >= cfg.min_quality)
     if cfg.keep_langs:
         kept = kept.filter(F.col("lang").isin(*cfg.keep_langs))
+    if cfg.use_gopher_rules:
+        # hard-rule gate rides the same scan (still row-local, no shuffle);
+        # the diagnostic columns are dropped — downstream stages only need
+        # the surviving rows
+        gated = text.gopher_quality_flags(kept)
+        kept = gated.filter(F.col("passes_gopher")).select(*kept.columns)
 
     # 3. exact dedup: keep the canonical (min-id) doc per digest
     exact = dedup.exact_dedup(kept, "doc_id")
@@ -89,6 +108,27 @@ def curate(docs: DataFrame, cfg: CurationConfig | None = None) -> DataFrame:
     # no broadcast hint: the loser set is O(near-duplicates in the corpus),
     # unbounded at 100 TB — AQE picks broadcast only while it actually fits
     kept = kept.join(losers, "doc_id", "left_anti")
+
+    # 4b. optional SemDeDup stage: greedy lowest-id semantic-duplicate marks
+    # over the embedding space of the SURVIVORS ONLY — the semi-join prune
+    # comes first so (a) already-removed docs can't mark a survivor and
+    # (b) the LSH pair generator sees the post-dedup corpus, not the raw one
+    if cfg.semantic_threshold is not None and embeddings is not None:
+        surv_vecs = embeddings.join(
+            kept.select(F.col("doc_id").alias(cfg.embedding_id_col)),
+            cfg.embedding_id_col,
+            "left_semi",
+        )
+        marks = similarity.semantic_dedup_flags(
+            surv_vecs,
+            id_col=cfg.embedding_id_col,
+            vec_col=cfg.embedding_col,
+            threshold=cfg.semantic_threshold,
+        )
+        sem_losers = marks.filter(F.col("is_semdup")).select(
+            F.col(cfg.embedding_id_col).alias("doc_id")
+        )
+        kept = kept.join(sem_losers, "doc_id", "left_anti")
 
     # 5. deterministic split assignment
     return sampling.hash_split(kept, "doc_id", cfg.split_weights, seed=cfg.split_seed)

@@ -110,3 +110,43 @@ def test_compact_zone_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, ((lo1, hi1), (lo2, hi2))
     # correctness preserved
     assert spark.read.parquet(path).count() == load(spark, sf_dir, "orders").count()
+
+
+def test_curate_with_gopher_and_semantic_stages(spark, sf_dir):
+    """Opt-in stages: the Gopher hard-rule gate removes rule violators, the
+    SemDeDup stage removes semantic near-dups among SURVIVORS only, and the
+    default-off config reproduces the original pipeline exactly."""
+    from aws_data_pipeline_spark.operators import similarity, text
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    base_cfg = CurationConfig(min_quality=0.5)
+    base_ids = {r.doc_id for r in curate(docs, base_cfg).select("doc_id").collect()}
+
+    cfg = CurationConfig(
+        min_quality=0.5, use_gopher_rules=True, semantic_threshold=0.45
+    )
+    out = curate(docs, cfg, embeddings=emb)
+    rows = out.collect()
+    assert rows, "stages must not empty the corpus"
+    ids = {r.doc_id for r in rows}
+    # opt-in stages only ever REMOVE relative to the base pipeline
+    assert ids <= base_ids
+    # every survivor passes the hard rules
+    surv_flags = text.gopher_quality_flags(
+        docs.join(out.select("doc_id"), "doc_id", "left_semi")
+    )
+    assert surv_flags.filter(~F.col("passes_gopher")).isEmpty()
+    # no surviving pair of embeddings sits within the cosine threshold
+    surv_vecs = emb.join(
+        out.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    residual = similarity.neardup_pairs_lsh(surv_vecs, threshold=0.45)
+    assert residual.isEmpty()
+    # deterministic under repartitioning
+    again = curate(docs.repartition(13), cfg, embeddings=emb.repartition(7))
+    assert ids == {r.doc_id for r in again.select("doc_id").collect()}
+    # default-off config with an embeddings frame passed is still a no-op
+    noop = curate(docs, base_cfg, embeddings=emb)
+    assert {r.doc_id for r in noop.select("doc_id").collect()} == base_ids
