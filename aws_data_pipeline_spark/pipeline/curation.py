@@ -39,6 +39,10 @@ class CurationConfig:
     # live default rather than a hand-tuned constant
     num_perm: int | None = None
     bands: int | None = None
+    # shingle/split hash family: "xxhash64" (JVM-side, the hot path) or
+    # "md5" (engine-portable — lets an external oracle replay the WHOLE
+    # pipeline including fuzzy-dedup candidates and split membership)
+    hash_fn: str = "xxhash64"
     # opt-in SemDeDup stage: needs an embeddings frame passed to curate();
     # None = stage disabled
     semantic_threshold: float | None = None
@@ -100,6 +104,7 @@ def curate(
         num_perm=num_perm,
         bands=bands,
         threshold=cfg.jaccard_threshold,
+        hash_fn=cfg.hash_fn,
     )
     labels = dedup.connected_components(pairs)
     losers = labels.filter(F.col("node") != F.col("label")).select(
@@ -131,7 +136,9 @@ def curate(
         kept = kept.join(sem_losers, "doc_id", "left_anti")
 
     # 5. deterministic split assignment
-    return sampling.hash_split(kept, "doc_id", cfg.split_weights, seed=cfg.split_seed)
+    return sampling.hash_split(
+        kept, "doc_id", cfg.split_weights, seed=cfg.split_seed, hash_fn=cfg.hash_fn
+    )
 
 
 def write_curated(df: DataFrame, path: str) -> None:

@@ -139,6 +139,10 @@ _PRIORITY = (
     "dq_profile_orders",
     "dq_rule_violations_lineitem",
     "dq_duplicate_order_lines",
+    # new in r4 but registered AFTER the window filled — first driver
+    # signal must come in round 5 (local pytest oracle parity covers it
+    # until then)
+    "curated_corpus_portable",
 )
 
 

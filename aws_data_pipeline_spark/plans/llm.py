@@ -858,6 +858,117 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
 
 
+@register(
+    "curated_corpus_portable",
+    # The ENTIRE curation pipeline as one DuckDB oracle: quality gate ->
+    # exact dedup (min-id survivor per md5 digest) -> portable-minhash
+    # fuzzy dedup (signatures, banding, candidates, exact-Jaccard verify,
+    # recursive-CTE connected components, component-min survivors) ->
+    # md5-bucket split assignment. Every stage reuses a previously
+    # driver-proven fragment (text_quality_scores, dedup_exact_text,
+    # minhash_lsh_dedup_portable, neardup_clusters,
+    # dataset_split_assignments_portable); this query proves their
+    # COMPOSITION — per-document survivorship and split membership of the
+    # end-to-end pipeline, value-hashed.
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             least(1.0, n / 100.0) * 0.4 + (sw / n) * 0.3
+               + least(1.0, (alpha / n) / 8.0) * 0.3 AS q
+      FROM (
+        SELECT doc_id, text,
+               CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
+                    AS INTEGER) AS sw,
+               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+        FROM documents
+      )
+    ), kept0 AS (
+      SELECT * FROM scored WHERE q >= 0.5
+    ), exact AS (
+      SELECT doc_id, text, q FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m FROM kept0
+      ) WHERE doc_id = m
+    ), toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM exact
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
+    ), hs AS (
+      SELECT doc,
+             CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 2147483647
+                  AS BIGINT) AS h
+      FROM sh
+    ), params(i, a, b) AS (VALUES {_MINHASH_PARAMS_SQL}),
+    sigs AS (
+      SELECT doc, p.i, MIN((p.a * h + p.b) % 2305843009213693951) AS sig
+      FROM hs CROSS JOIN params p GROUP BY doc, p.i
+    ), banded AS (
+      SELECT doc, i // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
+      FROM sigs GROUP BY doc, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    ), sizes AS (
+      SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT c.doc1, c.doc2, COUNT(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc = c.doc1
+      JOIN sh s2 ON s2.doc = c.doc2 AND s2.shingle = s1.shingle
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT v.doc1, v.doc2
+      FROM inter v
+      JOIN sizes za ON za.doc = v.doc1
+      JOIN sizes zb ON zb.doc = v.doc2
+      WHERE v.i / (za.n + zb.n - v.i) >= 0.8
+    ), edges AS (
+      SELECT doc1 AS u, doc2 AS v FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ), cc AS (
+      WITH RECURSIVE reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+      )
+      SELECT node, MIN(label) AS label FROM reach GROUP BY node
+    ), surv AS (
+      SELECT e.doc_id, e.q FROM exact e
+      LEFT JOIN (SELECT node FROM cc WHERE node <> label) l ON e.doc_id = l.node
+      WHERE l.node IS NULL
+    )
+    SELECT doc_id, q AS quality_score,
+           CASE WHEN bucket < 100 THEN 'test'
+                WHEN bucket < 9900 THEN 'train'
+                ELSE 'val' END AS split
+    FROM (
+      SELECT doc_id, q,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'curation-v1'),
+                             1, 15))::UBIGINT % 10000 AS bucket
+      FROM surv
+    )
+    """,
+)
+def curated_corpus_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline with the engine-portable (md5) hash
+    family: per-document survivorship AND split membership are value-hashed
+    against a DuckDB oracle that replays every stage — the composition
+    proof on top of the per-stage oracles. The xxhash64 sibling
+    (curated_corpus_stats) is the hot path; invariant tests in
+    tests/test_curation.py cover both."""
+    from aws_data_pipeline_spark.pipeline.curation import CurationConfig, curate
+
+    d = T(spark, sf_dir, "documents")
+    out = curate(d, CurationConfig(min_quality=0.5, hash_fn="md5"))
+    return out.select("doc_id", "quality_score", "split")
+
+
 # -- PII scrubbing ---------------------------------------------------------
 
 # DuckDB twins of operators.scrub generated from the SAME pattern table, so
