@@ -25,6 +25,7 @@ Cross-run duplicates (SURVEY.md §4.2-6) are handled at two levels:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.catalog import TXN_SCHEMA
 from aws_data_pipeline_spark.pipeline.medallion import (
@@ -51,14 +52,48 @@ def incremental_bronze_to_silver(
     silver_path: str,
     checkpoint_path: str,
     clock: Column | None = None,
+    dedup_mode: str = "anti_join",
+    watermark_delay: str = "7 days",
 ) -> None:
     """One availableNow run: new files -> transform -> idempotent append.
 
     The pure batch transform (pipeline/medallion.py::transform_bronze) is
     reused unchanged inside foreachBatch — operators being pure
     DataFrame->DataFrame functions is what makes that possible.
+
+    ``dedup_mode`` picks the cross-run re-delivery guard:
+
+    - ``"anti_join"`` (default): the sink anti-joins each micro-batch
+      against ids already in the touched silver partitions (partition-
+      pruned — see ``dedup_against_silver``). Unbounded re-delivery
+      horizon; per-batch cost O(batch + touched partitions).
+    - ``"watermark"``: ``dropDuplicatesWithinWatermark`` on the STREAM,
+      keyed by transaction_id with ``watermark_delay`` of event-time
+      slack. State (one key per id inside the watermark window) lives in
+      the checkpointed state store, so the guard survives across
+      availableNow runs with ZERO reads of silver — the cheaper shape
+      when re-delivery is bounded in event time. The trade is the bound
+      itself: a record re-delivered (or genuinely arriving) with an event
+      time older than ``max_event_time - delay`` is dropped as late data,
+      so the delay must cover both the re-delivery horizon AND honest
+      event-time lag.
     """
     stream = read_bronze_stream(spark, bronze_path)
+    if dedup_mode == "watermark":
+        stream = (
+            stream.withColumn(
+                "__event_ts",
+                F.to_timestamp("transaction_date", "yyyy-MM-dd HH:mm:ss"),
+            )
+            # null/unparseable event times can't participate in watermark
+            # state; such rows fail the validation gate downstream anyway
+            .filter(F.col("__event_ts").isNotNull())
+            .withWatermark("__event_ts", watermark_delay)
+            .dropDuplicatesWithinWatermark(["transaction_id"])
+            .drop("__event_ts")
+        )
+    elif dedup_mode != "anti_join":
+        raise ValueError(f"unknown dedup_mode: {dedup_mode!r}")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         silver = transform_bronze(batch, clock=clock)
@@ -66,7 +101,9 @@ def incremental_bronze_to_silver(
         # batch) skips the anti-join; other read errors propagate instead of
         # silently disabling cross-run dedup
         persisted = None
-        if zone_exists(batch.sparkSession, silver_path):
+        if dedup_mode == "anti_join" and zone_exists(
+            batch.sparkSession, silver_path
+        ):
             # persist: the transformed micro-batch is consumed twice
             # (touched-key collect + write) — avoid re-running the transform
             persisted = silver.persist()

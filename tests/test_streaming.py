@@ -222,3 +222,42 @@ def test_stream_static_enrichment_rereads_dim(spark, sf_dir, tmp_path):
         (1, "2024-05-02 10:00:00", "gold"),     # updated dim visible in batch 2
         (2, "2024-05-02 10:01:00", "silver"),
     }
+
+
+def test_watermark_dedup_mode_survives_runs(spark, tmp_path):
+    """dedup_mode='watermark': dropDuplicatesWithinWatermark state rides the
+    checkpoint, so re-delivered ids in a LATER availableNow run are dropped
+    without any read of silver (the bounded-re-delivery alternative to the
+    anti-join guard)."""
+    bronze = tmp_path / "bronze"
+    bronze.mkdir()
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    clock = F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+    def run():
+        incremental_bronze_to_silver(
+            spark,
+            str(bronze),
+            silver,
+            ckpt,
+            clock=clock,
+            dedup_mode="watermark",
+            watermark_delay="365 days",  # cover the test's event-time span
+        )
+
+    # run 1: 50 rows, including an in-batch duplicate file
+    _write_batch(bronze, 0, 50)
+    _write_batch(bronze, 30, 10)  # ids 30-39 delivered twice within the run
+    run()
+    assert spark.read.parquet(silver).count() == 50
+
+    # run 2: 30 new rows + 10 re-delivered ids from run 1 — state from the
+    # checkpoint must drop them even though this run never saw them before
+    _write_batch(bronze, 50, 30)
+    _write_batch(bronze, 40, 10)
+    run()
+    got = spark.read.parquet(silver)
+    assert got.count() == 80
+    dups = got.groupBy("transaction_id").count().filter(F.col("count") > 1)
+    assert dups.isEmpty()
