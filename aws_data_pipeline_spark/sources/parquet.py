@@ -39,10 +39,24 @@ def write_zone(
     writer.parquet(path)
 
 
-def read_zone(spark: SparkSession, path: str) -> DataFrame:
+def read_zone(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Partition-discovering parquet scan (S3, ``silver_to_gold.py:120``).
-    Partition-key filters prune directories before any I/O."""
-    return spark.read.parquet(path)
+    Partition-key filters prune directories before any I/O.
+
+    ``merge_schema=True`` reconciles files written under EVOLVED schemas
+    (a column added to the pipeline mid-history): the scan schema is the
+    union of all file footers and older files surface the new columns as
+    null. Off by default — footer reconciliation reads every file's footer
+    at planning time, pure overhead for stable-schema zones; at 100 TB,
+    pin an explicit read schema (or an ACID table format's schema log)
+    once evolution stabilizes instead of paying the merge on every scan.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_partition_slice(

@@ -108,3 +108,29 @@ def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
     assert good.columns == ["a", "b"]
     bad_rows = [r._corrupt_record for r in bad.collect()]
     assert bad_rows == ["not_a_number,3"]
+
+
+def test_read_zone_merge_schema_reconciles_evolved_files(spark, tmp_path):
+    """A zone whose later files carry an added column reads whole with
+    merge_schema=True (old files surface the column as null); the default
+    scan stays cheap and serves the footer-sampled schema."""
+    from aws_data_pipeline_spark.sources.parquet import read_zone, write_zone
+
+    path = str(tmp_path / "zone")
+    v1 = spark.createDataFrame(
+        [(1, 10.0, 2024), (2, 20.0, 2024)], "id long, amount double, year int"
+    )
+    write_zone(v1, path, partition_by=("year",), mode="append")
+    v2 = spark.createDataFrame(
+        [(3, 30.0, "web", 2025)],
+        "id long, amount double, channel string, year int",
+    )
+    write_zone(v2, path, partition_by=("year",), mode="append")
+
+    merged = read_zone(spark, path, merge_schema=True)
+    assert "channel" in merged.columns
+    rows = {r.id: r for r in merged.collect()}
+    assert len(rows) == 3
+    assert rows[1].channel is None and rows[3].channel == "web"
+    # default read still works (partition discovery unaffected)
+    assert read_zone(spark, path).count() == 3
