@@ -252,3 +252,92 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(source_col, id_col, "n_tokens", "cum_tokens")
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    public): score every document by how much more likely its hashed
+    unigram features are under a TARGET distribution (the rows where
+    ``is_target`` holds — e.g. a trusted high-quality slice) than under
+    the full-corpus proposal. ``log_importance = Σ_b c_b · ln(p_t(b) /
+    p_p(b))`` over the doc's bucket counts, with add-1 smoothing over the
+    ``n_buckets`` feature buckets. Selecting top-weight documents (or
+    Gumbel-resampling on the weights) tilts the corpus toward the target
+    domain — the importance-resampling alternative to hard rule gates.
+
+    Determinism: buckets come from the engine-portable md5 hash (same
+    60-bit prefix trick as the portable split); smoothed probabilities are
+    exact-int divisions (correctly rounded, engine-identical); per-doc
+    weights sum in exact fixed-point (9 dp integer units), so the result
+    is independent of execution order. ``ln`` is the one non-correctly-
+    rounded op — cross-engine divergence needs an ulp gap straddling a
+    1e-9 decimal boundary (the tfidf caveat; vanishingly rare).
+
+    Scale shape: one explode + two bucket aggregations (the distributions
+    collapse to ``n_buckets`` rows, broadcast back), one (doc, bucket)
+    aggregation, one per-doc sum — no collects, no UDFs; cost is
+    O(corpus tokens) with shuffles keyed on doc prefixes only.
+    """
+    from aws_data_pipeline_spark.functions.exact import units
+    from aws_data_pipeline_spark.operators.text import tokens
+
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    bk = df.select(
+        F.col(id_col).alias("doc"),
+        is_target.alias("__t"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc", "__t", bucket.alias("bucket"))
+
+    prop = bk.groupBy("bucket").agg(
+        F.count("*").alias("cp"),
+        F.count_if(F.col("__t")).alias("ct"),
+    )
+    tot = prop.agg(
+        F.sum("cp").alias("np"), F.sum("ct").alias("nt")
+    )
+    dist = (
+        df.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(prop, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                / (F.col("nt") + F.lit(n_buckets))
+            ).alias("pt"),
+            (
+                (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1))
+                / (F.col("np") + F.lit(n_buckets))
+            ).alias("pp"),
+        )
+    )
+    docb = bk.groupBy("doc", "bucket").agg(F.count("*").alias("c"))
+    term = F.col("c") * (F.log(F.col("pt")) - F.log(F.col("pp")))
+    return (
+        docb.join(F.broadcast(dist), "bucket")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.sum("c").alias("n_feats"),
+            # exact long sum of 1e-9 units, ONE double division at the end
+            # (not usum: Spark's decimal division floors the result scale
+            # at 6 under precision loss — too coarse for 9-dp weights).
+            # Both operands of the division are exact, so the result is the
+            # correctly-rounded rational — identical to the oracle's
+            # replay of the same integer-unit mechanics. Bound: the unit
+            # sum must stay within 2^53 (|weight| <= ~9e6 — log weights
+            # are orders of magnitude smaller).
+            (F.sum(units(term, 9)).cast("double") / F.lit(1e9)).alias(
+                "log_importance"
+            ),
+        )
+    )

@@ -143,6 +143,7 @@ _PRIORITY = (
     # signal must come in round 5 (local pytest oracle parity covers it
     # until then)
     "curated_corpus_portable",
+    "dsir_importance_weights",
 )
 
 

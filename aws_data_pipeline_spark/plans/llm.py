@@ -1242,3 +1242,48 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality doubles are engine-stable, so the kept set value-hashes."""
     d = T(spark, sf_dir, "documents")
     return sampling.token_budget_sample(d, budget_tokens=800)
+
+
+@register(
+    "dsir_importance_weights",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), bk AS (
+      SELECT doc_id, lang = 'en' AS t,
+             CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 256 AS BIGINT)
+               AS bucket
+      FROM toks
+    ), prop AS (
+      SELECT bucket, COUNT(*) AS cp, COUNT(*) FILTER (WHERE t) AS ct
+      FROM bk GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(cp) AS np, SUM(ct) AS nt FROM prop
+    ), dist AS (
+      SELECT g.g AS bucket,
+             (COALESCE(p.ct, 0) + 1) / (tot.nt + 256) AS pt,
+             (COALESCE(p.cp, 0) + 1) / (tot.np + 256) AS pp
+      FROM generate_series(0, 255) g(g)
+      LEFT JOIN prop p ON p.bucket = g.g
+      CROSS JOIN tot
+    ), docb AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM bk GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_feats,
+           CAST(SUM(CAST(round(c * (ln(d.pt) - ln(d.pp)) * 1000000000)
+                         AS BIGINT)) AS DOUBLE) / 1000000000.0
+             AS log_importance
+    FROM docb JOIN dist d USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with lang='en' as the target slice: per-doc
+    log importance of hashed unigram features under target vs full-corpus
+    distributions (add-1 smoothing, 256 md5 buckets). Exact fixed-point
+    per-doc sums make the weights order-independent; the oracle replays
+    hashing, smoothing, and the decimal-summed weight."""
+    d = T(spark, sf_dir, "documents")
+    return sampling.dsir_log_weights(d, is_target=F.col("lang") == "en")

@@ -86,3 +86,33 @@ def test_stratified_sample_null_strata_uses_default_fraction(spark):
     assert null_kept == 200  # every NULL-stratum row sampled at 1.0
     no_default = sampling.stratified_sample(df, "lang", {"en": 0.5}, "doc_id")
     assert no_default.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_dsir_weights_separate_domains(spark):
+    """Two disjoint vocabularies: documents written in the target domain's
+    vocabulary score strictly higher than proposal-only documents; a
+    mixed document lands between; weights are deterministic under
+    repartitioning."""
+    target_text = "alpha beta gamma delta " * 10
+    other_text = "omega psi chi phi " * 10
+    mixed_text = "alpha beta omega psi " * 10
+    rows = (
+        [(i, target_text, True) for i in range(10)]
+        + [(100 + i, other_text, False) for i in range(10)]
+        + [(200, mixed_text, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    got = {
+        r.doc_id: r.log_importance
+        for r in sampling.dsir_log_weights(df, is_target=F.col("is_tgt")).collect()
+    }
+    w_target, w_other, w_mixed = got[0], got[100], got[200]
+    assert w_target > w_mixed > w_other
+    assert w_target > 0 > w_other
+    again = {
+        r.doc_id: r.log_importance
+        for r in sampling.dsir_log_weights(
+            df.repartition(7), is_target=F.col("is_tgt")
+        ).collect()
+    }
+    assert got == again
