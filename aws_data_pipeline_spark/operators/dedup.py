@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from aws_data_pipeline_spark.functions.portable import md5_prefix_long
 from aws_data_pipeline_spark.operators.text import shingles, tokens
 
 # Fixed universal-hash parameters: h_i(s) = (a_i * x + b_i) mod M, where
@@ -251,10 +252,7 @@ def _signatures_from_sets(
     elif hash_fn == "md5":
         base = F.transform(
             F.col("sh"),
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-                F.lit(2147483647),
-            ),
+            lambda s: F.pmod(md5_prefix_long(s), F.lit(2147483647)),
         )
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_data_pipeline_spark.functions.portable import md5_prefix_long
+
 
 def _hash_bucket(id_col: str, seed: str, hash_fn: str) -> Column:
     """Deterministic bucket in [0, 10000) from (id, seed).
@@ -30,11 +32,9 @@ def _hash_bucket(id_col: str, seed: str, hash_fn: str) -> Column:
     if hash_fn == "xxhash64":
         h = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
     elif hash_fn == "md5":
-        # first 15 hex chars = 60 bits, exactly representable in a long
-        hx = F.substring(
-            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))), 1, 15
+        h = md5_prefix_long(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
         )
-        h = F.conv(hx, 16, 10).cast("long")
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     return F.pmod(h, F.lit(10_000))
@@ -287,15 +287,16 @@ def dsir_log_weights(
     from aws_data_pipeline_spark.functions.exact import units
     from aws_data_pipeline_spark.operators.text import tokens
 
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
+    bucket = F.pmod(md5_prefix_long(F.col("tok")), F.lit(n_buckets))
     bk = df.select(
         F.col(id_col).alias("doc"),
         is_target.alias("__t"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("doc", "__t", bucket.alias("bucket"))
+    # persist: bk feeds the distribution aggregates AND the per-doc counts —
+    # without it the tokenize+explode+md5 lineage re-runs per consumer
+    # (2-3 full corpus scans at 100 TB); same rationale as shingle_sets
+    bk = bk.persist()
 
     prop = bk.groupBy("bucket").agg(
         F.count("*").alias("cp"),

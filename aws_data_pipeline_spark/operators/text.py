@@ -149,10 +149,9 @@ def gopher_quality_flags(
         t, F.lit(0), lambda acc, x: acc + F.length(x)
     )
     mean_word_len = F.try_divide(sum_word_len, n_words)
-    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORD_TYPES])
-    n_stop_types = F.size(
-        F.filter(F.array_distinct(t), lambda x: F.array_contains(stop_lit, x))
-    )
+    # distinct tokens first, so the existing membership counter counts
+    # stopword TYPES (Gopher's rule), not occurrences
+    n_stop_types = stopword_count(F.array_distinct(t), GOPHER_STOPWORD_TYPES)
     unique_ratio = F.try_divide(F.size(F.array_distinct(t)), n_words)
     symbol_ratio = F.try_divide(symbol_chars, n_chars)
     flags = {

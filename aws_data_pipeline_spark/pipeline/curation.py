@@ -118,6 +118,12 @@ def curate(
     # over the embedding space of the SURVIVORS ONLY — the semi-join prune
     # comes first so (a) already-removed docs can't mark a survivor and
     # (b) the LSH pair generator sees the post-dedup corpus, not the raw one
+    if cfg.semantic_threshold is not None and embeddings is None:
+        # a configured stage that silently no-ops would ship semantic
+        # near-dups the config explicitly asked to remove — fail loudly
+        raise ValueError(
+            "semantic_threshold is set but no embeddings frame was passed"
+        )
     if cfg.semantic_threshold is not None and embeddings is not None:
         surv_vecs = embeddings.join(
             kept.select(F.col("doc_id").alias(cfg.embedding_id_col)),

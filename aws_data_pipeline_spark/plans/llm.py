@@ -133,17 +133,20 @@ _MINHASH_PARAMS_SQL = ", ".join(
 )
 
 
-@register(
-    "minhash_lsh_dedup_portable",
-    # the FULL MinHash-LSH pipeline as a DuckDB oracle: md5-based shingle
-    # hash (engine-portable, same pmod range as the xxhash64 hot path), the
-    # 16 affine permutations (params inlined from the engine's table), min
-    # per permutation, 4-band keys, candidate self-join, exact-Jaccard
-    # verify. The driver value-hashes candidates AND jaccard values — LSH
-    # banding itself is proven engine-reproducible, not just its recall.
-    sql=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+def _portable_minhash_ctes(src: str) -> str:
+    """The portable-MinHash CTE chain, shared by every oracle that replays
+    LSH candidate generation (``minhash_lsh_dedup_portable`` over the raw
+    corpus, ``curated_corpus_portable`` over its exact-dedup survivors):
+    k=5 shingles (start positions capped at 4096 — irrelevant below ~4100
+    tokens, and the cap must stay in ONE place so no oracle drifts), the
+    md5 60-bit base hash pmod 2^31-1, the 16 affine permutations from the
+    engine's parameter table, 4-band keys, the candidate self-join, and
+    shared-shingle intersection counts. ``src`` must expose (doc_id, text).
+    A change to any mechanic here updates every composed oracle at once —
+    the one-sided-edit hazard is why this is a function, not copy-paste.
+    """
+    return f"""toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM {src}
     ), sh AS (
       SELECT DISTINCT doc_id AS doc,
              array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
@@ -173,7 +176,19 @@ _MINHASH_PARAMS_SQL = ", ".join(
       JOIN sh s1 ON s1.doc = c.doc1
       JOIN sh s2 ON s2.doc = c.doc2 AND s2.shingle = s1.shingle
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@register(
+    "minhash_lsh_dedup_portable",
+    # the FULL MinHash-LSH pipeline as a DuckDB oracle: md5-based shingle
+    # hash (engine-portable, same pmod range as the xxhash64 hot path), the
+    # 16 affine permutations (params inlined from the engine's table), min
+    # per permutation, 4-band keys, candidate self-join, exact-Jaccard
+    # verify. The driver value-hashes candidates AND jaccard values — LSH
+    # banding itself is proven engine-reproducible, not just its recall.
+    sql=f"""
+    WITH {_portable_minhash_ctes("documents")}
     SELECT v.doc1, v.doc2, v.i / (za.n + zb.n - v.i) AS jaccard
     FROM inter v
     JOIN sizes za ON za.doc = v.doc1
@@ -890,38 +905,7 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, q FROM (
         SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS m FROM kept0
       ) WHERE doc_id = m
-    ), toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM exact
-    ), sh AS (
-      SELECT DISTINCT doc_id AS doc,
-             array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
-      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
-    ), hs AS (
-      SELECT doc,
-             CAST(('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 2147483647
-                  AS BIGINT) AS h
-      FROM sh
-    ), params(i, a, b) AS (VALUES {_MINHASH_PARAMS_SQL}),
-    sigs AS (
-      SELECT doc, p.i, MIN((p.a * h + p.b) % 2305843009213693951) AS sig
-      FROM hs CROSS JOIN params p GROUP BY doc, p.i
-    ), banded AS (
-      SELECT doc, i // 4 AS band,
-             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
-      FROM sigs GROUP BY doc, i // 4
-    ), cand AS (
-      SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
-    ), sizes AS (
-      SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc
-    ), inter AS (
-      SELECT c.doc1, c.doc2, COUNT(*) AS i
-      FROM cand c
-      JOIN sh s1 ON s1.doc = c.doc1
-      JOIN sh s2 ON s2.doc = c.doc2 AND s2.shingle = s1.shingle
-      GROUP BY 1, 2
-    ), pairs AS (
+    ), {_portable_minhash_ctes("exact")}, pairs AS (
       SELECT v.doc1, v.doc2
       FROM inter v
       JOIN sizes za ON za.doc = v.doc1

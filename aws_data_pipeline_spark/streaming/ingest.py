@@ -77,16 +77,31 @@ def incremental_bronze_to_silver(
       time older than ``max_event_time - delay`` is dropped as late data,
       so the delay must cover both the re-delivery horizon AND honest
       event-time lag.
+
+    SCOPE (both modes): the guard is for RE-DELIVERY — the same record,
+    same content, delivered again. For true re-delivery the two modes
+    agree exactly. Same-id rows with DIFFERENT content are updates, out of
+    scope for append-only ingest: anti_join mode resolves an in-batch
+    content conflict with ``dedup_deterministic``'s ordered tie-break,
+    while watermark mode keeps the first ARRIVAL (the state store has no
+    ordering hook) — content-amended records need a compaction/merge pass
+    or an ACID table format, not the ingest guard (see
+    ``pipeline.medallion.dedup_against_silver``).
     """
     stream = read_bronze_stream(spark, bronze_path)
     if dedup_mode == "watermark":
         stream = (
             stream.withColumn(
                 "__event_ts",
-                F.to_timestamp("transaction_date", "yyyy-MM-dd HH:mm:ss"),
+                # try_to_timestamp, NOT to_timestamp: under Spark 4 ANSI
+                # (the session default) to_timestamp THROWS on a malformed
+                # date, failing the whole run; try_ yields null so the
+                # filter below drops the row — the same fate the
+                # validation gate gives it downstream
+                F.try_to_timestamp(
+                    F.col("transaction_date"), F.lit("yyyy-MM-dd HH:mm:ss")
+                ),
             )
-            # null/unparseable event times can't participate in watermark
-            # state; such rows fail the validation gate downstream anyway
             .filter(F.col("__event_ts").isNotNull())
             .withWatermark("__event_ts", watermark_delay)
             .dropDuplicatesWithinWatermark(["transaction_id"])

@@ -150,3 +150,14 @@ def test_curate_with_gopher_and_semantic_stages(spark, sf_dir):
     # default-off config with an embeddings frame passed is still a no-op
     noop = curate(docs, base_cfg, embeddings=emb)
     assert {r.doc_id for r in noop.select("doc_id").collect()} == base_ids
+
+
+def test_curate_semantic_threshold_without_embeddings_raises(spark):
+    """A configured SemDeDup stage with no embeddings frame must fail
+    loudly, never silently skip."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "some text", "en", "s", 9)],
+                                 "doc_id long, text string, lang string, source string, n_chars long")
+    with pytest.raises(ValueError, match="embeddings"):
+        curate(docs, CurationConfig(semantic_threshold=0.45))
