@@ -290,3 +290,37 @@ def test_interval_join_matches_bruteforce(spark, events):
         if cu == pu and coff < poff <= coff + 600
     }
     assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_md5_prefix_long_matches_hashlib(spark, texts):
+    """The engine-portable hash core must agree with an INDEPENDENT third
+    implementation (Python hashlib) for arbitrary unicode input — the
+    property every portable-hash oracle (splits, MinHash signatures, DSIR
+    buckets) transitively relies on."""
+    import hashlib
+
+    from aws_data_pipeline_spark.functions.portable import md5_prefix_long
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", md5_prefix_long(F.col("s")).alias("h")).collect()
+    }
+    for t in texts:
+        expect = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[t] == expect, t
