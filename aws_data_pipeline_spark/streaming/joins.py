@@ -40,7 +40,14 @@ def interval_join(
     batch plans it as a hash join + filter (never a broadcast-nested-loop).
     Column names must be disjoint across the two sides (pre-alias).
     Outer variants (``how='left_outer'`` etc.) emit unmatched rows only
-    once the watermark proves no match can arrive.
+    once the watermark proves no match can arrive — and the query's
+    watermark is the MIN over all watermarked inputs, so a QUIET stream
+    pins it and defers outer emission indefinitely: both inputs must keep
+    producing (or carry heartbeat events) for unmatched rows to flush.
+    The flush lands in the first batch that runs AFTER the watermark
+    advances (watermarks update at batch end), so under availableNow it
+    takes one extra run. Both behaviors are pinned by
+    ``test_stream_stream_left_outer_emits_unmatched_after_watermark``.
     """
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)

@@ -261,3 +261,87 @@ def test_watermark_dedup_mode_survives_runs(spark, tmp_path):
     assert got.count() == 80
     dups = got.groupBy("transaction_id").count().filter(F.col("count") > 1)
     assert dups.isEmpty()
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer interval join: an unmatched left row is held in state and
+    emitted with nulls only once the watermark PROVES no match can arrive
+    (click_ts + window < watermark); a later run's events advance the
+    checkpointed watermark and flush it."""
+    from aws_data_pipeline_spark.streaming.joins import interval_join
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "click_id long, click_user long, click_ts timestamp"
+    rschema = "purchase_id long, purchase_user long, purchase_ts timestamp"
+    lsrc, rsrc = tmp_path / "clicks", tmp_path / "purchases"
+    lsrc.mkdir(), rsrc.mkdir()
+
+    def run():
+        clicks = spark.readStream.schema(schema).json(str(lsrc))
+        purchases = spark.readStream.schema(rschema).json(str(rsrc))
+        (
+            interval_join(
+                clicks, purchases,
+                left_key="click_user", right_key="purchase_user",
+                left_ts="click_ts", right_ts="purchase_ts",
+                window_seconds=600, watermark_delay="10 minutes",
+                how="left_outer",
+            )
+            .select("click_id", "purchase_id")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    (lsrc / "b1.json").write_text(
+        json.dumps({"click_id": 1, "click_user": 1,
+                    "click_ts": "2024-05-01 10:00:00"})
+        + "\n"
+        + json.dumps({"click_id": 2, "click_user": 2,
+                      "click_ts": "2024-05-01 10:00:00"})
+    )
+    (rsrc / "b1.json").write_text(
+        json.dumps({"purchase_id": 10, "purchase_user": 1,
+                    "purchase_ts": "2024-05-01 10:05:00"})
+    )
+    run()
+    got = {(r.click_id, r.purchase_id) for r in spark.read.parquet(out_path).collect()}
+    # the match emits eagerly; the unmatched click (user 2) must NOT have
+    # been emitted yet — its no-match window is still open
+    assert (1, 10) in got
+    assert not any(c == 2 for c, _ in got)
+
+    # far-future events on BOTH inputs: the query's watermark is the MIN
+    # over all watermarked inputs, so a quiet left stream would pin it at
+    # its last click forever. The flush itself lands in the NEXT batch that
+    # runs under the advanced watermark (watermarks update at batch end),
+    # so a third run delivers it.
+    (rsrc / "b2.json").write_text(
+        json.dumps({"purchase_id": 99, "purchase_user": 9,
+                    "purchase_ts": "2024-05-01 12:00:00"})
+    )
+    (lsrc / "b2.json").write_text(
+        json.dumps({"click_id": 50, "click_user": 9,
+                    "click_ts": "2024-05-01 12:00:00"})
+    )
+    run()
+    (rsrc / "b3.json").write_text(
+        json.dumps({"purchase_id": 100, "purchase_user": 8,
+                    "purchase_ts": "2024-05-01 12:01:00"})
+    )
+    (lsrc / "b3.json").write_text(
+        json.dumps({"click_id": 51, "click_user": 8,
+                    "click_ts": "2024-05-01 12:01:00"})
+    )
+    run()
+    got = {(r.click_id, r.purchase_id) for r in spark.read.parquet(out_path).collect()}
+    assert (2, None) in got  # flushed with null right side
