@@ -161,3 +161,70 @@ def test_curate_semantic_threshold_without_embeddings_raises(spark):
                                  "doc_id long, text string, lang string, source string, n_chars long")
     with pytest.raises(ValueError, match="embeddings"):
         curate(docs, CurationConfig(semantic_threshold=0.45))
+
+
+def test_merge_and_delete_zone_rewrite_only_touched_partitions(spark, tmp_path):
+    """Copy-on-write upsert/delete: matched keys replaced, new keys
+    inserted, deletes removed — and files in UNtouched partitions are not
+    rewritten (the O(touched partitions) contract)."""
+    import pathlib
+
+    from aws_data_pipeline_spark.sources.parquet import (
+        delete_from_zone,
+        merge_into_zone,
+    )
+
+    path = str(tmp_path / "zone")
+    base = spark.createDataFrame(
+        [
+            ("t1", 10.0, 2024, 1, 1),
+            ("t2", 20.0, 2024, 1, 1),
+            ("t3", 30.0, 2024, 1, 2),
+            ("t4", 40.0, 2024, 1, 3),
+        ],
+        "transaction_id string, amount double, year int, month int, day int",
+    )
+    from aws_data_pipeline_spark.sources.parquet import write_zone
+
+    write_zone(base, path, partition_by=("year", "month", "day"), mode="append")
+
+    def files_in(day):
+        d = pathlib.Path(path) / "year=2024" / "month=1" / f"day={day}"
+        return {p.name: p.stat().st_mtime_ns for p in d.glob("*.parquet")}
+
+    day2_before, day3_before = files_in(2), files_in(3)
+
+    # upsert: correct t1's amount, insert t9 into the same partition
+    updates = spark.createDataFrame(
+        [("t1", 11.0, 2024, 1, 1), ("t9", 99.0, 2024, 1, 1)],
+        "transaction_id string, amount double, year int, month int, day int",
+    )
+    touched = merge_into_zone(spark, path, updates, ["transaction_id"])
+    assert touched == 1
+    got = {
+        r.transaction_id: r.amount
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {"t1": 11.0, "t2": 20.0, "t3": 30.0, "t4": 40.0, "t9": 99.0}
+    assert files_in(2) == day2_before  # untouched partitions: same files
+    assert files_in(3) == day3_before
+
+    # delete t3 (sole row of day=2 — the partition must VANISH: dynamic
+    # overwrite can't write an empty partition, so the directory is
+    # dropped explicitly) and t2 (partial delete within day=1)
+    doomed = spark.createDataFrame(
+        [("t3", 2024, 1, 2), ("t2", 2024, 1, 1)],
+        "transaction_id string, year int, month int, day int",
+    )
+    touched = delete_from_zone(spark, path, doomed, ["transaction_id"])
+    assert touched == 2
+    got = {r.transaction_id for r in spark.read.parquet(path).collect()}
+    assert got == {"t1", "t4", "t9"}
+    assert files_in(2) == {}  # emptied partition directory is gone
+    assert files_in(3) == day3_before  # still untouched
+
+    # no-op batches short-circuit without touching anything
+    empty = updates.filter("1=0")
+    assert merge_into_zone(spark, path, empty, ["transaction_id"]) == 0
+    assert delete_from_zone(spark, path, empty.select(
+        "transaction_id", "year", "month", "day"), ["transaction_id"]) == 0
