@@ -342,6 +342,45 @@ def semantic_dedup_flags(
     ).drop("__lowest_neighbor")
 
 
+def embedding_decontamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training rows whose
+    vector sits within cosine ``threshold`` of ANY benchmark/eval vector —
+    the semantic sibling of the n-gram overlap check
+    (``text.decontaminate``), catching paraphrased contamination that
+    shares no 8-gram.
+
+    Scale shape mirrors the n-gram version: the benchmark side is an eval
+    suite — tiny next to a 100 TB corpus — so it BROADCASTS; every train
+    vector scores against it map-side (a |train|x|bench| comparison that
+    never shuffles), and the only shuffles are the distinct + left join on
+    the train id. Output carries the boolean flag only — similarity
+    VALUES stay internal, so the result is engine-portable without float
+    re-verification.
+    """
+    t = train.select(
+        F.col(id_col).alias("__tid"), as_double(F.col(vec_col)).alias("tv")
+    )
+    b = bench.select(as_double(F.col(vec_col)).alias("bv"))
+    hits = (
+        t.crossJoin(F.broadcast(b))
+        .filter(cosine(F.col("tv"), F.col("bv")) >= threshold)
+        .select("__tid")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        train.join(hits, train[id_col] == hits.__tid, "left")
+        .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__tid", "__hit")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (Box-Muller over a
     fixed LCG — stable across numpy versions since it uses none)."""

@@ -61,6 +61,12 @@ _PLAN_MODULES = (
 # The window ROTATES each round so no query's hard driver signal goes more
 # than one round stale (the local oracle replica tests/test_oracle_parity.py
 # asserts hash parity over the FULL registry on every pytest run besides).
+# STALENESS POLICY at >100 registered queries: the ≤1-round-stale guarantee
+# applies to ORACLED queries (92 — two 50-windows cover them with room);
+# rows-only entries get a weaker rows-ran driver signal that the local
+# pytest suite fully replicates every run, so they may cycle at lower
+# priority when the window is tight — prefer evicting a rows-only entry
+# over an oracled one.
 # Round-4 prefix = the 3 queries whose last driver row is round 1 (they fell
 # past round 3's window — VERDICT r3 item 4), then queries NEW this round
 # (first driver signal: persisted IVF, stream-stream attribution, portable
@@ -144,6 +150,7 @@ _PRIORITY = (
     # until then)
     "curated_corpus_portable",
     "dsir_importance_weights",
+    "embedding_decontamination",
 )
 
 

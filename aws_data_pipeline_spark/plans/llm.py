@@ -347,6 +347,34 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_decontamination",
+    sql="""
+    SELECT t.vec_id, t.label,
+           EXISTS(
+             SELECT 1 FROM embeddings b
+             WHERE b.vec_id < 10
+               AND list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) >= 0.45
+           ) AS contaminated
+    FROM embeddings t
+    WHERE t.vec_id >= 10
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: training vectors (vec_id >= 10) within
+    cosine 0.45 of any benchmark vector (vec_id < 10) are flagged — the
+    embedding-space sibling of the 8-gram overlap check, catching
+    paraphrase-level contamination. Benchmark side broadcasts; boolean
+    flags only, so no float re-verification is needed."""
+    e = T(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 10)
+    train = e.filter(F.col("vec_id") >= 10)
+    return similarity.embedding_decontamination(train, bench).select(
+        "vec_id", "label", "contaminated"
+    )
+
+
 # build-once IVF index, persisted under the (gitignored) warehouse dir and
 # cached session-resident: the IVF contract is "build the index once,
 # search many times" — retraining KMeans AND re-assigning the corpus inside

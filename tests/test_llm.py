@@ -519,3 +519,35 @@ def test_semantic_dedup_greedy_marks_and_chain(spark):
     # chain: v5 is within threshold of v1 only — marked, canonical 1,
     # even though v1 itself is marked (greedy, not transitive)
     assert got[5].is_semdup and got[5].canonical_id == 1
+
+
+def test_embedding_decontamination_planted(spark):
+    """A training vector planted near a benchmark vector is flagged; an
+    orthogonal one is not; the benchmark side never flags itself (it is
+    not in the train frame)."""
+    import math
+
+    def vec(*coords):
+        v = [0.0] * 64
+        for i, c in enumerate(coords):
+            v[i] = c
+        return v
+
+    bench = spark.createDataFrame(
+        [(0, vec(1.0, 0.0))], "vec_id long, embedding array<float>"
+    )
+    a30 = math.radians(30)
+    train = spark.createDataFrame(
+        [
+            (10, vec(math.cos(a30), math.sin(a30))),  # 30deg -> contaminated
+            (11, vec(0.0, 0.0, 1.0)),                 # orthogonal -> clean
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.contaminated
+        for r in similarity.embedding_decontamination(
+            train, bench, threshold=0.45
+        ).collect()
+    }
+    assert got == {10: True, 11: False}
