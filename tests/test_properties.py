@@ -324,3 +324,72 @@ def test_md5_prefix_long_matches_hashlib(spark, texts):
     for t in texts:
         expect = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
         assert got[t] == expect, t
+
+
+MERGE_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(min_value=0, max_value=11),   # key
+        st.integers(min_value=1, max_value=3),    # day (partition)
+        st.floats(min_value=1.0, max_value=99.0, allow_nan=False).map(
+            lambda x: round(x, 2)
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ops=MERGE_OPS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_merge_delete_zone_matches_dict_model(spark, tmp_path_factory, ops):
+    """Any sequence of partition-stable upserts and deletes applied through
+    merge_into_zone/delete_from_zone must leave the zone equal to the
+    trivial dict model (last write wins, delete removes)."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        delete_from_zone,
+        merge_into_zone,
+        write_zone,
+    )
+
+    tmp = tmp_path_factory.mktemp("mz")
+    path = str(tmp / "zone")
+    schema = "k long, amount double, year int, month int, day int"
+    # keys live in a FIXED partition (partition-stable requirement): day = k % 3 + 1
+    base = [(k, 0.0, 2024, 1, k % 3 + 1) for k in range(6)]
+    write_zone(
+        spark.createDataFrame(base, schema),
+        path,
+        partition_by=("year", "month", "day"),
+        mode="append",
+    )
+    model = {k: (k, 0.0, 2024, 1, k % 3 + 1) for k in range(6)}
+
+    for op, k, _, amount in ops:
+        day = k % 3 + 1  # partition-stable
+        row = (k, amount, 2024, 1, day)
+        if op == "upsert":
+            merge_into_zone(
+                spark, path, spark.createDataFrame([row], schema), ["k"]
+            )
+            model[k] = row
+        else:
+            delete_from_zone(
+                spark,
+                path,
+                spark.createDataFrame([(k, 2024, 1, day)],
+                                      "k long, year int, month int, day int"),
+                ["k"],
+            )
+            model.pop(k, None)
+
+    try:
+        rows = spark.read.parquet(path).collect()
+    except Exception:
+        rows = []  # fully-emptied zone: no parquet files left to infer from
+    got = {r.k: (r.k, r.amount, r.year, r.month, r.day) for r in rows}
+    assert got == model
