@@ -29,8 +29,18 @@ scale rules in README.md: filters in `PushedFilters`, pruned `ReadSchema`,
 # non-headline queries whose physical plan is load-bearing scale evidence
 # (judged plan fixes live here): q17's threshold aggregate must run over the
 # brand-filtered slice with no forced |part|-sized broadcast; q18's
-# qualifying-key join strategy must be AQE's choice, not a hint
-EXTRA = ("q17_small_quantity_revenue", "q18_large_volume_customers")
+# qualifying-key join strategy must be AQE's choice, not a hint; the round-4
+# additions must show their claimed shapes (gopher: scan-only, no shuffle;
+# semantic dedup: LSH equi-join, no cartesian; DSIR: broadcast 256-row dist;
+# embedding decontamination: broadcast bench side)
+EXTRA = (
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "gopher_quality_flags",
+    "semantic_dedup_flags",
+    "dsir_importance_weights",
+    "embedding_decontamination",
+)
 
 
 def main() -> None:
