@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 from aws_data_pipeline_spark.plans import load_registry  # noqa: E402
 from aws_data_pipeline_spark.session import get_spark  # noqa: E402
 from bench import HEADLINE  # noqa: E402
+from scripts.explain_dump import EXTRA  # noqa: E402
 
 
 def audit(df) -> dict:
@@ -67,7 +68,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_registry()
     print(f"{'query':40s} {'shuffle_MB':>10s} {'exch':>5s} {'bcast_MB':>9s} {'rows':>8s}")
-    for name in HEADLINE:
+    for name in (*HEADLINE, *EXTRA):
         if name not in reg:
             continue
         df = reg[name].spark_fn(spark, sf_dir)
