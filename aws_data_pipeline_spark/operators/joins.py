@@ -22,14 +22,26 @@ from pyspark.sql import functions as F
 
 def enrich(
     fact: DataFrame,
-    dims: Sequence[tuple[DataFrame, Column | Sequence[str]]],
+    dims: Sequence[tuple],
     how: str = "inner",
     broadcast_dims: bool = True,
 ) -> DataFrame:
-    """Chain fact ⋈ dim joins, broadcasting each dim side."""
+    """Chain fact ⋈ dim joins, broadcasting each dim side.
+
+    Each entry is ``(dim, on)`` or ``(dim, on, broadcast)``; the 3-tuple
+    form overrides ``broadcast_dims`` per side. Hint ONLY true dims
+    (region/nation/customer/supplier/part — bounded small relative to the
+    facts). A fact-derived side (orders, any filtered/aggregated fact
+    slice) must pass ``broadcast=False``: its size is data-dependent, and
+    a forced broadcast that fits at test SF OOMs at 100x — leave the
+    strategy to AQE, which broadcasts only while the measured runtime size
+    actually fits (the q12 pattern, VERDICT r3).
+    """
     out = fact
-    for dim, on in dims:
-        d = F.broadcast(dim) if broadcast_dims else dim
+    for entry in dims:
+        dim, on = entry[0], entry[1]
+        bcast = entry[2] if len(entry) > 2 else broadcast_dims
+        d = F.broadcast(dim) if bcast else dim
         out = out.join(d, on, how)
     return out
 

@@ -107,6 +107,7 @@ _PRIORITY = (
     "simhash_hamming_pairs",
     "embedding_ann_ivf",
     "neardup_clusters",
+    "regional_revenue",
     # driver signal last refreshed in round 2
     "dedup_by_key",
     "daily_aggregations",
@@ -131,7 +132,6 @@ _PRIORITY = (
     "token_counts",
     "doc_fingerprints",
     "multimodal_decode_features",
-    "dataset_split_counts",
     "vocabulary_top_tokens",
     "curated_corpus_stats",
     "pii_redaction_stats",
@@ -151,6 +151,10 @@ _PRIORITY = (
     "curated_corpus_portable",
     "dsir_importance_weights",
     "embedding_decontamination",
+    # rows-only entry evicted from the r4 window to fit regional_revenue's
+    # plan-change recheck (staleness policy above: local pytest replicates
+    # the rows-only signal every run)
+    "dataset_split_counts",
 )
 
 

@@ -110,8 +110,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: fact ⋈ dim chain with every dim broadcast — the fact
-    side shuffles once (for the final groupBy), never for the joins."""
+    """TPC-H Q5 shape: fact ⋈ dim chain — true dims broadcast, the
+    orders side left to AQE (fact-sized at scale), lineitem shuffles once
+    (for the final groupBy), never for the joins."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -120,7 +121,10 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.enrich(
         li,
         [
-            (o, li.l_orderkey == o.o_orderkey),
+            # orders is a fact — no broadcast hint (its projected size fits
+            # at test SF, so AQE still picks broadcast HERE, but the choice
+            # must stay runtime-measured: forced, it OOMs at 100x)
+            (o, li.l_orderkey == o.o_orderkey, False),
             (c, o.o_custkey == c.c_custkey),
             (n, c.c_nationkey == n.n_nationkey),
             (r, n.n_regionkey == r.r_regionkey),

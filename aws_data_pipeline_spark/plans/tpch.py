@@ -183,7 +183,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.enrich(
         li,
         [
-            (o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey),
+            # orders is fact-derived (the date cut scales with SF) — no
+            # hint, AQE picks broadcast only while it measurably fits
+            (o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey, False),
             (c, o.o_custkey == c.c_custkey),
             (n.select("n_nationkey", "n_name"), c.c_nationkey == F.col("n_nationkey")),
         ],
@@ -348,7 +350,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.enrich(
         filtered,
         [
-            (o, filtered.l_orderkey == o.o_orderkey),
+            # full orders — a fact, never hinted (AQE decides, q12 pattern)
+            (o, filtered.l_orderkey == o.o_orderkey, False),
             (c, o.o_custkey == c.c_custkey),
         ],
     )
