@@ -151,6 +151,7 @@ _PRIORITY = (
     "curated_corpus_portable",
     "dsir_importance_weights",
     "embedding_decontamination",
+    "quality_classifier_scores",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

@@ -1256,6 +1256,26 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(d, budget_tokens=800)
 
 
+@register("quality_classifier_scores", sql=None)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained LR quality filter (GPT-3/CCNet family): fit on lang='en' as
+    the target slice over shared portable-hash bucket features, score every
+    document with P(target). Rows-only (L-BFGS fit has no SQL twin);
+    class-separation + determinism proven in
+    tests/test_llm.py::test_quality_classifier_separates_planted_classes.
+    At 100 TB: fit on a sample (train_frac), score map-side."""
+    from aws_data_pipeline_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    model = train_quality_classifier(d, F.col("lang") == "en", max_iter=20)
+    return score_quality(model, d).select(
+        "doc_id", F.round("p_target", 6).alias("p_target")
+    )
+
+
 @register(
     "dsir_importance_weights",
     sql="""

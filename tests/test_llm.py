@@ -551,3 +551,35 @@ def test_embedding_decontamination_planted(spark):
         ).collect()
     }
     assert got == {10: True, 11: False}
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """LR quality filter: clean-prose positives and junk negatives (disjoint
+    vocabularies) must separate with wide margin; scoring is deterministic
+    under repartitioning."""
+    from pyspark.sql import functions as F2
+
+    from aws_data_pipeline_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rows = (
+        [(i, "clean prose with the usual words flowing nicely along", True)
+         for i in range(20)]
+        + [(100 + i, "spam spam buy now click here zzz qqq xxx", False)
+           for i in range(20)]
+        + [(200, "clean prose with the usual words plus click here spam", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_good boolean")
+    labeled = df.filter(F2.col("is_good").isNotNull())
+    model = train_quality_classifier(labeled, F2.col("is_good"))
+    got = {r.doc_id: r.p_target for r in score_quality(model, df).collect()}
+    assert got[0] > 0.9 and got[100] < 0.1
+    # the mixed doc lands strictly between the classes
+    assert got[100] < got[200] < got[0]
+    again = {
+        r.doc_id: r.p_target
+        for r in score_quality(model, df.repartition(7)).collect()
+    }
+    assert got == again
