@@ -387,3 +387,56 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .otherwise(F.lit(0.0))
         .alias("top_bigram_fraction"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style fluency scoring (the CCNet filter family): score
+    every document by its average negative log-probability under a unigram
+    LM fitted on the corpus itself (add-1 smoothing over the observed
+    vocabulary). High ``avg_neg_logprob`` = rare-token-heavy documents —
+    the perplexity tail a production pipeline inspects or drops. (CCNet
+    fits the LM on a trusted external corpus; the estimator here is
+    corpus-self, and swapping the count table for an external one is the
+    same plan.)
+
+    Determinism: token counts and totals are exact ints, the smoothed
+    probability is one correctly-rounded division, and each token's
+    -ln(p) rounds to exact 9-dp integer units so the per-doc sum is
+    order-independent; the two final divisions (unit rescale, then token
+    normalize) are mirrored verbatim in the oracle.
+
+    Scale shape: one token explode feeds both the count table (vocab-sized
+    aggregate) and the per-doc fold; the logprob table joins back on the
+    token with no broadcast hint — vocab is data-dependent (AQE
+    broadcasts while it fits, shuffle-joins beyond), the tfidf df-table
+    rule. Shuffles carry (token, count) and (doc, unit-sum) rows only.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    toks = toks.persist()  # feeds the count table AND the per-doc fold
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n_corpus"), F.count("*").alias("v_vocab")
+    )
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            -F.log((F.col("c") + F.lit(1)) / (F.col("n_corpus") + F.col("v_vocab")))
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum("u").cast("double") / F.lit(1e9) / F.count("*")
+            ).alias("avg_neg_logprob"),
+        )
+    )

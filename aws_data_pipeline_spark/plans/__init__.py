@@ -152,6 +152,7 @@ _PRIORITY = (
     "dsir_importance_weights",
     "embedding_decontamination",
     "quality_classifier_scores",
+    "unigram_logprob_scores",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

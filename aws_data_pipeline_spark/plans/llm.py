@@ -1256,6 +1256,39 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.token_budget_sample(d, budget_tokens=800)
 
 
+@register(
+    "unigram_logprob_scores",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(c) AS n_corpus, COUNT(*) AS v_vocab FROM cnt
+    ), lp AS (
+      SELECT tok,
+             CAST(round(-ln((c + 1) / (tot.n_corpus + tot.v_vocab))
+                        * 1000000000) AS BIGINT) AS u
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(l.u) AS DOUBLE) / 1000000000.0 / COUNT(*)
+             AS avg_neg_logprob
+    FROM toks t JOIN lp l USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-family fluency scores: per-doc average negative log-prob
+    under an add-1-smoothed corpus unigram LM (CCNet-style filtering tail).
+    Exact-int counts, 9-dp fixed-point token sums, mirrored final
+    divisions — the whole score value-hashes against the oracle."""
+    d = T(spark, sf_dir, "documents")
+    return text.unigram_logprob(d)
+
+
 @register("quality_classifier_scores", sql=None)
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained LR quality filter (GPT-3/CCNet family): fit on lang='en' as

@@ -583,3 +583,23 @@ def test_quality_classifier_separates_planted_classes(spark):
         for r in score_quality(model, df.repartition(7)).collect()
     }
     assert got == again
+
+
+def test_unigram_logprob_ranks_rare_token_docs_higher(spark):
+    """A document of corpus-rare tokens must carry a higher average
+    negative log-prob than one of corpus-common tokens; scores are
+    deterministic under repartitioning."""
+    from aws_data_pipeline_spark.operators.text import unigram_logprob
+
+    rows = (
+        [(i, "common words appear in every single document here") for i in range(10)]
+        + [(100, "zyx wvu tsr qpo nml kji hgf edc")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_neg_logprob for r in unigram_logprob(df).collect()}
+    assert got[100] > got[0] > 0
+    again = {
+        r.doc_id: r.avg_neg_logprob
+        for r in unigram_logprob(df.repartition(5)).collect()
+    }
+    assert got == again
