@@ -38,6 +38,10 @@ def bucket_count_features(
 ) -> DataFrame:
     """(id, features: ml Vector) — per-doc hashed token-count vectors.
 
+    Rows with NULL text produce no tokens and are ABSENT from the output
+    (and therefore from every score) — callers must left-join scores and
+    decide a policy for unscored documents.
+
     All JVM: the (bucket -> count) map scatters into a dense fixed-width
     array with ``transform(sequence(...))``, so the only shuffle is the
     per-doc groupBy. Buckets use the shared portable md5 hash, so the
@@ -114,7 +118,8 @@ def score_quality(
     text_col: str = "text",
     n_buckets: int = 256,
 ) -> DataFrame:
-    """(id, p_target) for every document — stateless map-side scoring (the
+    """(id, p_target) per scorable document (NULL-text rows are absent —
+    see bucket_count_features) — stateless map-side scoring (the
     coefficient vector rides the closure; no shuffle beyond the
     featurizer's per-doc groupBy)."""
     from pyspark.ml.functions import vector_to_array

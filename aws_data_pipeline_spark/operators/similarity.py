@@ -34,7 +34,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm — a zero vector (an empty
+    document embedded to zeros is common in real corpora) is similar to
+    nothing, and under Spark 4 ANSI mode a plain ``/`` would abort the
+    WHOLE job with DIVIDE_BY_ZERO on the first such row. NULL falls out
+    of every ``sim >= t`` filter (three-valued logic) and sorts last in
+    descending rankings, which is exactly the wanted semantics. For
+    non-degenerate inputs the value is bit-identical to the plain
+    division (same fold order)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

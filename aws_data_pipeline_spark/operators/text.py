@@ -390,7 +390,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Perplexity-style fluency scoring (the CCNet filter family): score
     every document by its average negative log-probability under a unigram
@@ -407,6 +410,10 @@ def unigram_logprob(
     order-independent; the two final divisions (unit rescale, then token
     normalize) are mirrored verbatim in the oracle.
 
+    Rows with NULL text produce no tokens and are absent from the output
+    (the DuckDB twin's unnest agrees) — score joins must left-join and
+    decide a policy for unscored docs.
+
     Scale shape: one token explode feeds both the count table (vocab-sized
     aggregate) and the per-doc fold; the logprob table joins back on the
     token with no broadcast hint — vocab is data-dependent (AQE
@@ -416,7 +423,12 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    toks = toks.persist()  # feeds the count table AND the per-doc fold
+    if persist:
+        # feeds the count table AND the per-doc fold; MEMORY_AND_DISK with
+        # LRU eviction, same per-call trade as shingle_sets (one
+        # materialized token column vs two tokenization passes) — pass
+        # persist=False to keep a long-lived session's storage pool clean
+        toks = toks.persist()
     cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
     tot = cnt.agg(
         F.sum("c").alias("n_corpus"), F.count("*").alias("v_vocab")

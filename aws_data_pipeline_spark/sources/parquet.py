@@ -146,6 +146,22 @@ def compact_zone(
     return n_files
 
 
+def _touched_partitions(
+    df: DataFrame, partition_cols: Sequence[str], what: str
+) -> list[tuple]:
+    """Distinct partition-key tuples of a merge/delete batch. A NULL
+    partition value is a caller error, not a row to skip: silently dropping
+    it would make the amendment a no-op the caller believes landed."""
+    tuples = [tuple(r) for r in df.select(*partition_cols).distinct().collect()]
+    bad = [t for t in tuples if None in t]
+    if bad:
+        raise ValueError(
+            f"{what} carries NULL partition values {bad[:3]} — every row "
+            f"must name the concrete {tuple(partition_cols)} it lives in"
+        )
+    return tuples
+
+
 def merge_into_zone(
     spark: SparkSession,
     path: str,
@@ -175,19 +191,18 @@ def merge_into_zone(
     ``delete_from_zone`` + ``merge_into_zone`` so each side stays
     partition-pruned.
     """
-    touched = [
-        tuple(r)
-        for r in updates.select(*partition_cols).distinct().collect()
-        if None not in tuple(r)
-    ]
+    touched = _touched_partitions(updates, partition_cols, "updates")
     if not touched:
         return 0
     current = read_partition_slice(spark, path, touched, partition_cols)
-    keys = updates.select(*key_cols)
+    # anti-join on key AND partition columns: a key listed for one
+    # partition must never remove a same-key row that (illegitimately or
+    # not) lives in another touched partition — replacement is strictly
+    # within-partition
+    on = [*key_cols, *partition_cols]
+    keys = updates.select(*on)
     # materialize survivors before overwriting the files they came from
-    survivors = current.join(keys, list(key_cols), "left_anti").localCheckpoint(
-        eager=True
-    )
+    survivors = current.join(keys, on, "left_anti").localCheckpoint(eager=True)
     merged = survivors.unionByName(updates.select(*survivors.columns))
     write_zone(merged, path, partition_by=tuple(partition_cols), mode="overwrite")
     return len(touched)
@@ -212,16 +227,15 @@ def delete_from_zone(
     whose LAST row was deleted would otherwise keep its old files — its
     directory is removed via the filesystem instead.
     """
-    touched = [
-        tuple(r)
-        for r in keys.select(*partition_cols).distinct().collect()
-        if None not in tuple(r)
-    ]
+    touched = _touched_partitions(keys, partition_cols, "keys")
     if not touched:
         return 0
     current = read_partition_slice(spark, path, touched, partition_cols)
+    # key AND partition columns (see merge_into_zone): the partition values
+    # in ``keys`` SCOPE each deletion, they don't just route the read
+    on = [*key_cols, *partition_cols]
     survivors = current.join(
-        keys.select(*key_cols), list(key_cols), "left_anti"
+        keys.select(*on), on, "left_anti"
     ).localCheckpoint(eager=True)
     surv_parts = {
         tuple(r) for r in survivors.select(*partition_cols).distinct().collect()
@@ -231,10 +245,17 @@ def delete_from_zone(
             survivors, path, partition_by=tuple(partition_cols), mode="overwrite"
         )
     jvm = spark._jvm
+    # Spark's own partition-path escaping: string values with ':', '%',
+    # spaces etc. are written Hive-escaped, so the delete must target the
+    # escaped directory name or the "emptied" partition's files survive
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     for part in touched:
         if part in surv_parts:
             continue
-        segs = "/".join(f"{c}={v}" for c, v in zip(partition_cols, part))
+        segs = "/".join(
+            f"{c}={esc.escapePathName(str(v))}"
+            for c, v in zip(partition_cols, part)
+        )
         jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{segs}")
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)

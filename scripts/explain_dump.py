@@ -49,7 +49,7 @@ def main() -> None:
     reg = load_registry()
     sf = "/root/testdata/sf0.01"
     print(HEADER)
-    for name in tuple(HEADLINE) + EXTRA:
+    for name in dict.fromkeys((*HEADLINE, *EXTRA)):
         df = reg[name].spark_fn(spark, sf)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

@@ -68,7 +68,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_registry()
     print(f"{'query':40s} {'shuffle_MB':>10s} {'exch':>5s} {'bcast_MB':>9s} {'rows':>8s}")
-    for name in (*HEADLINE, *EXTRA):
+    for name in dict.fromkeys((*HEADLINE, *EXTRA)):
         if name not in reg:
             continue
         df = reg[name].spark_fn(spark, sf_dir)

@@ -228,3 +228,79 @@ def test_merge_and_delete_zone_rewrite_only_touched_partitions(spark, tmp_path):
     assert merge_into_zone(spark, path, empty, ["transaction_id"]) == 0
     assert delete_from_zone(spark, path, empty.select(
         "transaction_id", "year", "month", "day"), ["transaction_id"]) == 0
+
+
+def test_delete_zone_scopes_keys_to_their_partition(spark, tmp_path):
+    """A delete key names a CONCRETE partition: the same key value living in
+    another touched partition must survive (regression: the anti-join once
+    matched on key columns alone and destroyed it)."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources.parquet import (
+        delete_from_zone,
+        merge_into_zone,
+        write_zone,
+    )
+
+    path = str(tmp_path / "zone")
+    schema = "k string, amount double, year int, month int, day int"
+    write_zone(
+        spark.createDataFrame(
+            [("A", 1.0, 2024, 1, 1), ("A", 2.0, 2024, 1, 2), ("C", 3.0, 2024, 1, 2)],
+            schema,
+        ),
+        path,
+        partition_by=("year", "month", "day"),
+        mode="append",
+    )
+    # delete A@day1 and C@day2 — BOTH partitions are touched, but A@day2
+    # must survive because its partition was only touched for key C
+    doomed = spark.createDataFrame(
+        [("A", 2024, 1, 1), ("C", 2024, 1, 2)],
+        "k string, year int, month int, day int",
+    )
+    delete_from_zone(spark, path, doomed, ["k"])
+    got = {(r.k, r.day, r.amount) for r in spark.read.parquet(path).collect()}
+    assert got == {("A", 2, 2.0)}
+
+    # merge is scoped the same way: an update for A@day2 must not remove
+    # any same-key row of another touched partition
+    write_zone(
+        spark.createDataFrame([("A", 9.0, 2024, 1, 1)], schema),
+        path,
+        partition_by=("year", "month", "day"),
+        mode="append",
+    )
+    merge_into_zone(
+        spark,
+        path,
+        spark.createDataFrame(
+            [("A", 5.0, 2024, 1, 2), ("Z", 7.0, 2024, 1, 1)], schema
+        ),
+        ["k"],
+    )
+    got = {(r.k, r.day, r.amount) for r in spark.read.parquet(path).collect()}
+    assert got == {("A", 1, 9.0), ("A", 2, 5.0), ("Z", 1, 7.0)}
+
+    # NULL partition values are a loud error, not a silent no-op
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_into_zone(
+            spark,
+            path,
+            spark.createDataFrame([("B", 1.0, None, None, None)], schema),
+            ["k"],
+        )
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    """A zero-norm embedding must not abort the job under ANSI mode: cosine
+    yields NULL, which every sim>=t filter drops (similar to nothing)."""
+    from aws_data_pipeline_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("sim")).collect()
+    assert got[0].sim is None and abs(got[1].sim - 1.0) < 1e-12
+    assert df.filter(cosine(F.col("a"), F.col("b")) >= 0.5).count() == 1

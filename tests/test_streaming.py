@@ -272,8 +272,6 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     checkpointed watermark and flush it."""
     from aws_data_pipeline_spark.streaming.joins import interval_join
 
-    src = tmp_path / "ev"
-    src.mkdir()
     out_path = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     schema = "click_id long, click_user long, click_ts timestamp"
