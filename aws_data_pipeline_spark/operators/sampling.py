@@ -254,6 +254,130 @@ def token_budget_sample(
     )
 
 
+def context_chunks(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length chunking: split each document's token stream into
+    fixed-size training windows of ``window`` tokens every ``stride``
+    tokens (``stride < window`` ⇒ overlapping windows, the standard way to
+    keep context across chunk boundaries when documents exceed the model's
+    context length). One chunk per start offset 0, stride, 2·stride, …
+    strictly below the token count; the final chunk is the (possibly
+    short) tail.
+
+    Scale shape: pure row-local ``sequence``+``explode`` — no shuffle at
+    all; output size is corpus_tokens/stride rows. The chunk content
+    travels as an md5 fingerprint (16 bytes), not the chunk text, so the
+    explode never amplifies bytes by the window/stride overlap factor —
+    at 100 TB the chunk text itself is re-sliced at training time from
+    the stored document, or written by the caller selecting
+    ``chunk_text`` explicitly.
+    """
+    toks = F.col("__toks")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice(toks, F.col("chunk_start") + 1, window)
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
+        )
+        .select(
+            id_col,
+            "__toks",
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("chunk_start") / stride).cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: hash-split on the near-dup
+    cluster CANONICAL id, not the document id, so near-duplicate documents
+    can never straddle a split boundary (the train→test leakage that
+    document-level hashing permits: two 95%-identical pages hash
+    independently, one lands in train and one in test, and the eval set is
+    contaminated).
+
+    ``pairs`` is any symmetric duplicate-pair frame (doc1, doc2) — e.g.
+    from exact-Jaccard, MinHash-LSH, or embedding near-dup candidates.
+    Composition: connected components assign the component-min canonical
+    (same operator as dedup survivorship), then the deterministic hash
+    split keys on the canonical. Singleton docs are their own canonical,
+    so they keep the per-document assignment.
+
+    Scale: the pair graph is the expensive input (bucketed candidate
+    generation, never all-pairs — see ``dedup``); on top of it this adds
+    O(diameter) label-propagation rounds plus one map-side split
+    projection. Defaults to the md5 hash: split membership is the
+    compliance-grade artifact an external engine must be able to replay.
+    """
+    from aws_data_pipeline_spark.operators.dedup import cluster_assignments
+
+    assigned = cluster_assignments(df, pairs, id_col=id_col)
+    return hash_split(
+        assigned, "canonical_doc_id", weights, seed=seed, hash_fn=hash_fn
+    ).select(id_col, "canonical_doc_id", "split")
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "mix-v1",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Execute a temperature-scaled mixture: keep each document with
+    probability equal to its slice's T=2 ``sampling_weight`` (from
+    :func:`source_mixture_weights` — ∝ sqrt of slice tokens, largest
+    slice = 1.0), decided by deterministic hash acceptance instead of RNG.
+    Downweights the dominant source toward the temperature mix while
+    keeping every document's fate a pure function of (id, seed) — re-runs
+    and repartitioning cannot move documents in or out of the sample.
+
+    Acceptance: ``bucket(id, seed) < round(weight · 10000)`` — the same
+    10k-bucket space as :func:`hash_split`. The weight doubles are
+    engine-stable (exact-long token sums; division and sqrt are
+    correctly-rounded IEEE ops normalized by MAX), so the rounded
+    threshold — and therefore the exact kept set — is replayable by an
+    external engine under the md5 contract.
+
+    Scale shape: one partial-aggregated shuffle to the #slices-row weight
+    frame, broadcast back to a map-side filter — the corpus itself is
+    scanned once and never shuffled.
+    """
+    wts = source_mixture_weights(df, group_cols=group_cols, text_col=text_col)
+    thresh = F.round(F.col("sampling_weight") * 10_000).cast("long")
+    bucket = _hash_bucket(id_col, seed, hash_fn)
+    return (
+        df.join(
+            F.broadcast(wts.select(*group_cols, thresh.alias("__keep_lt"))),
+            on=list(group_cols),
+        )
+        .filter(bucket < F.col("__keep_lt"))
+        .select(id_col, *group_cols)
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     is_target: Column,

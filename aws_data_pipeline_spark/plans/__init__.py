@@ -153,6 +153,11 @@ _PRIORITY = (
     "embedding_decontamination",
     "quality_classifier_scores",
     "unigram_logprob_scores",
+    "bpe_merges",
+    "bpe_token_counts",
+    "context_window_chunks",
+    "leakage_safe_splits",
+    "mixture_resample_docs",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

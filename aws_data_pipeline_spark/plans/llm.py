@@ -1352,3 +1352,252 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing, smoothing, and the decimal-summed weight."""
     d = T(spark, sf_dir, "documents")
     return sampling.dsir_log_weights(d, is_target=F.col("lang") == "en")
+
+
+# -- Training-window chunking ---------------------------------------------
+
+
+@register(
+    "context_window_chunks",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(g.g // 48 AS BIGINT) AS chunk_id,
+           CAST(g.g AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, g.g + 1, g.g + 64)) AS INTEGER)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, g.g + 1, g.g + 64), ' '))
+             AS chunk_hash
+    FROM t, generate_series(0, 8192, 48) g(g)
+    WHERE g.g <= greatest(len(toks) - 1, 0)
+    """,
+)
+def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 64-token training windows every 48 tokens
+    (overlapping), one row per (doc, start offset). Row-local
+    sequence+explode — zero shuffles; chunk content travels as an md5
+    fingerprint, so the overlap factor never amplifies shuffled bytes.
+    The oracle replays the same slicing and hashes the same joined text."""
+    d = T(spark, sf_dir, "documents")
+    return sampling.context_chunks(d, window=64, stride=48)
+
+
+# -- Leakage-safe splits ---------------------------------------------------
+
+
+@register(
+    "leakage_safe_splits",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc,
+             array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
+    ), kept AS (
+      SELECT doc, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+    ), sizes AS (
+      SELECT doc, count(*) AS n FROM kept GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc1, doc2 FROM inter
+      JOIN sizes s1 ON s1.doc = doc1
+      JOIN sizes s2 ON s2.doc = doc2
+      WHERE inter / (s1.n + s2.n - inter) >= 0.8
+    ), edges AS (
+      SELECT doc1 AS u, doc2 AS v FROM pairs
+      UNION
+      SELECT doc2, doc1 FROM pairs
+    ), cc AS (
+      WITH RECURSIVE reach(node, label) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+      )
+      SELECT node, MIN(label) AS label FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id,
+             COALESCE(cc.label, d.doc_id) AS canonical_doc_id,
+             ('0x' || substr(md5(COALESCE(cc.label, d.doc_id)::VARCHAR
+                                 || ':split-v1'), 1, 15))::UBIGINT % 10000
+               AS b
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    )
+    SELECT doc_id, canonical_doc_id,
+           CASE WHEN b < 1000 THEN 'test'
+                WHEN b < 9000 THEN 'train'
+                ELSE 'val' END AS split
+    FROM assigned
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test assignment: hash-split on the near-dup
+    cluster canonical (exact-Jaccard pairs -> connected components), so
+    near-duplicates can never straddle a split boundary — the train->test
+    contamination that per-document hashing permits. md5 split hash: the
+    membership is replayable outside Spark (compliance posture). The
+    oracle replays pair generation, the component fixpoint, and the exact
+    bucket carve."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
+    return sampling.leakage_safe_split(
+        d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+# -- Mixture resampling ----------------------------------------------------
+
+
+@register(
+    "mixture_resample_docs",
+    sql="""
+    WITH slices AS (
+      SELECT source, lang,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source, lang
+    ), w AS (
+      SELECT source, lang,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE))
+                        / sqrt(CAST(max(n_tokens) OVER () AS DOUBLE))
+                        * 10000) AS BIGINT) AS keep_lt
+      FROM slices
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN w USING (source, lang)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix-v1'), 1, 15))::UBIGINT
+            % 10000 < keep_lt
+    """,
+)
+def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the T=2 temperature mixture: keep each document with
+    probability equal to its (source, lang) slice's sampling weight
+    (∝ sqrt slice tokens, largest slice = 1.0), decided by deterministic
+    md5-hash acceptance — no RNG, so the exact kept set is a pure function
+    of (doc_id, seed) and the oracle replays it bit-for-bit. One shuffle
+    to the slice-weight frame; the corpus itself is a map-side filter."""
+    d = T(spark, sf_dir, "documents")
+    return sampling.mixture_resample(d, seed="mix-v1", hash_fn="md5")
+
+
+# -- Distributed BPE tokenizer training ------------------------------------
+
+
+def _bpe_round_ctes(n_merges: int) -> str:
+    """CTE chain replaying BPE training round by round (operators/bpe.py
+    spec): r0 = the word-type table with per-character symbols; each round
+    counts adjacent pairs, picks the (count desc, left, right)-max, and
+    applies it via the same greedy left-to-right fold the engine runs
+    (list_reduce here, F.aggregate there). The 256-slot series bounds
+    symbols per word (words are ^[a-z]+$, far shorter). Round CTEs are
+    MATERIALIZED: each r{i} is referenced twice (pair counts + next
+    round), so the default inlining would expand the chain to 2^n scans
+    of the corpus."""
+    parts = [
+        r"""
+    words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+    ),
+    r0 AS MATERIALIZED (
+      SELECT word, freq,
+             regexp_replace(word, '(.)', '\1 ', 'g') || '</w>' AS symbols
+      FROM words
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT s[g.g] AS pair_left, s[g.g + 1] AS pair_right,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (SELECT string_split(symbols, ' ') AS s, freq FROM r{i}),
+           generate_series(1, 256) g(g)
+      WHERE g.g <= len(s) - 1
+      GROUP BY 1, 2
+    ),
+    t{i} AS (
+      SELECT pair_left, pair_right, pair_count FROM p{i}
+      ORDER BY pair_count DESC, pair_left, pair_right LIMIT 1
+    ),
+    r{i + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             list_reduce(string_split(symbols, ' '),
+               (acc, x) -> CASE
+                 WHEN regexp_extract(acc, '[^ ]+$') = t.pair_left
+                      AND x = t.pair_right
+                 THEN left(acc, length(acc) - length(t.pair_left))
+                      || t.pair_left || t.pair_right
+                 ELSE acc || ' ' || x END) AS symbols
+      FROM r{i} CROSS JOIN t{i} t
+    )"""
+        )
+    return "".join(parts)
+
+
+_BPE_N_MERGES = 16
+
+_BPE_MERGES_SQL = (
+    "WITH "
+    + _bpe_round_ctes(_BPE_N_MERGES)
+    + "".join(
+        f"""
+    {"SELECT" if i == 0 else "UNION ALL SELECT"}
+      CAST({i} AS INTEGER) AS merge_rank, pair_left, pair_right, pair_count
+    FROM t{i}"""
+        for i in range(_BPE_N_MERGES)
+    )
+)
+
+_BPE_TOKEN_COUNTS_SQL = (
+    "WITH "
+    + _bpe_round_ctes(_BPE_N_MERGES)
+    + f""",
+    docw AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), fw AS (
+      SELECT doc_id, word FROM docw WHERE regexp_matches(word, '^[a-z]+$')
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(r.symbols, ' '))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM fw JOIN r{_BPE_N_MERGES} r USING (word)
+    GROUP BY doc_id
+    """
+)
+
+
+@register("bpe_merges", sql=_BPE_MERGES_SQL)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich 2016): 16 merges learned by
+    iterative corpus-wide pair counting over the word-TYPE table (the
+    100 TB compression — pair statistics need word frequencies, not the
+    corpus). Per round: one vocab-sized shuffle + a 1-row argmax collect +
+    a map-side fold apply. The oracle replays every round — pair counts,
+    deterministic argmax, and the identical greedy left-to-right merge
+    fold — so the learned merge table value-matches across engines."""
+    from aws_data_pipeline_spark.operators import bpe
+
+    d = T(spark, sf_dir, "documents")
+    return bpe.learn_bpe(d, n_merges=_BPE_N_MERGES).merges_df()
+
+
+@register("bpe_token_counts", sql=_BPE_TOKEN_COUNTS_SQL)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the 16 learned BPE merges: encode by
+    joining documents' words against the merged word-type table (merges
+    apply once per word TYPE; Spark broadcasts the small vocab), then a
+    per-doc aggregate. The oracle replays training AND encoding."""
+    from aws_data_pipeline_spark.operators import bpe
+
+    d = T(spark, sf_dir, "documents")
+    model = bpe.learn_bpe(d, n_merges=_BPE_N_MERGES)
+    return bpe.bpe_token_counts(d, model)

@@ -1,0 +1,192 @@
+"""Definitional tests for the distributed BPE trainer and the new
+chunk/split/resample operators.
+
+The BPE reference below is an independent single-node implementation of
+the module spec (Sennrich-style pair counting + greedy left-to-right
+merge), kept deliberately naive — dict counters and tuple rewriting — so
+agreement with the Spark fold is evidence of correctness, not shared
+code."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_spark.catalog import load
+from aws_data_pipeline_spark.operators import bpe, dedup, sampling
+
+CORPUS = [
+    "the low lower lowest low low",
+    "new newer newest new new newer",
+    "wide wider widest wide new low",
+    "aaaa aaaa aaab the the the",
+]
+
+
+def _ref_words(texts):
+    counts = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if re.fullmatch("[a-z]+", w):
+                counts[w] += 1
+    return {tuple(w) + ("</w>",): c for w, c in counts.items()}
+
+
+def _ref_merge_word(symbols, left, right):
+    out = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == left and symbols[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_learn(texts, n_merges):
+    vocab = _ref_words(texts)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # max by (count desc, left asc, right asc)
+        (left, right), count = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, count))
+        vocab = {
+            _ref_merge_word(s, left, right): c for s, c in vocab.items()
+        }
+    return merges, vocab
+
+
+def _corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id LONG, text STRING"
+    )
+
+
+def test_learn_bpe_matches_definitional_reference(spark):
+    d = _corpus_df(spark)
+    model = bpe.learn_bpe(d, n_merges=10)
+    ref_merges, ref_vocab = _ref_learn(CORPUS, 10)
+    assert list(model.merges) == ref_merges
+    got_vocab = {
+        tuple(r.symbols.split(" ")): r.freq for r in model.vocab.collect()
+    }
+    assert got_vocab == ref_vocab
+
+
+def test_bpe_token_counts_match_reference_encode(spark):
+    d = _corpus_df(spark)
+    model = bpe.learn_bpe(d, n_merges=10)
+    _, ref_vocab = _ref_learn(CORPUS, 10)
+    sym_len = {"".join(s).removesuffix("</w>"): len(s) for s in ref_vocab}
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_token_counts(d, model).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        words = [w for w in t.split(" ") if re.fullmatch("[a-z]+", w)]
+        assert got[i] == (len(words), sum(sym_len[w] for w in words))
+
+
+def test_merge_fold_is_greedy_left_to_right(spark):
+    # runs of identical symbols: LTR non-overlapping, no rescan of output
+    cases = [
+        ("a a a a </w>", "a", "a", "aa aa </w>"),
+        ("a a a </w>", "a", "a", "aa a </w>"),
+        ("x a b y </w>", "a", "b", "x ab y </w>"),
+        ("a b a b </w>", "a", "b", "ab ab </w>"),
+        ("a </w>", "a", "</w>", "a</w>"),
+    ]
+    df = spark.createDataFrame(
+        [(s, l, r, want) for s, l, r, want in cases],
+        "s STRING, l STRING, r STRING, want STRING",
+    )
+    for row in df.collect():
+        got = (
+            spark.range(1)
+            .select(bpe.merge_fold(F.lit(row.s), row.l, row.r).alias("m"))
+            .first()
+            .m
+        )
+        assert got == row.want, (row.s, row.l, row.r, got)
+
+
+def test_context_chunks_cover_document_exactly(spark):
+    texts = ["tok" + str(i) for i in range(150)]
+    d = spark.createDataFrame(
+        [(1, " ".join(texts)), (2, "a b"), (3, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    rows = sampling.context_chunks(d, window=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at 0,48,96,144; full windows except the tail
+    starts = sorted(r.chunk_start for r in by_doc[1])
+    assert starts == [0, 48, 96, 144]
+    sizes = {r.chunk_start: r.n_chunk_tokens for r in by_doc[1]}
+    assert sizes == {0: 64, 48: 64, 96: 54, 144: 6}
+    # every token index is covered by at least one chunk
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+    assert covered == set(range(150))
+    # short docs produce exactly one chunk with all tokens
+    assert [(r.chunk_start, r.n_chunk_tokens) for r in by_doc[2]] == [(0, 2)]
+    assert [(r.chunk_start, r.n_chunk_tokens) for r in by_doc[3]] == [(0, 1)]
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
+    out = sampling.leakage_safe_split(
+        d, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    split_of = {r.doc_id: (r.split, r.canonical_doc_id) for r in out.collect()}
+    collected = pairs.collect()
+    assert collected, "fixture corpus should contain near-dup pairs"
+    for p in collected:
+        assert split_of[p.doc1][0] == split_of[p.doc2][0]
+    # singletons keep the per-document assignment (canonical == self)
+    in_pairs = {p.doc1 for p in collected} | {p.doc2 for p in collected}
+    singles = [i for i in split_of if i not in in_pairs]
+    base = sampling.hash_split(
+        d.select("doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, hash_fn="md5",
+    )
+    base_of = {r.doc_id: r.split for r in base.collect()}
+    for i in singles:
+        assert split_of[i] == (base_of[i], i)
+
+
+def test_mixture_resample_deterministic_and_keeps_largest_slice(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    a = set(r.doc_id for r in sampling.mixture_resample(d).collect())
+    b = set(
+        r.doc_id
+        for r in sampling.mixture_resample(d.repartition(7)).collect()
+    )
+    assert a == b  # pure function of (id, seed): partitioning-independent
+    # the largest (source, lang) slice has weight 1.0 -> fully kept
+    wts = sampling.source_mixture_weights(d).collect()
+    top = max(wts, key=lambda r: r.n_tokens)
+    top_ids = {
+        r.doc_id
+        for r in d.filter(
+            (F.col("source") == top.source) & (F.col("lang") == top.lang)
+        ).collect()
+    }
+    assert top_ids <= a
+    # smaller slices are downsampled, so the kept set is a strict subset
+    assert len(a) < d.count()
