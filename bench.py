@@ -53,6 +53,11 @@ HEADLINE = [
     "embedding_ann_ivf",         # k-means IVF ANN (resident index + probe)
     "embedding_ann_ivf_indexed",  # persisted IVF index, partition-pruned probe
     "embedding_neardup_pairs",   # banded-LSH equi-join + exact verify
+    "context_window_chunks",     # row-local sequence+explode chunking (no shuffle)
+    "leakage_safe_splits",       # near-dup pairs -> components -> cluster-keyed split
+    # bpe_merges deliberately NOT headline: 16 inherently-sequential training
+    # rounds (~11 s at sf0.1) would dominate the suite total without being a
+    # per-query throughput signal; its cost profile is recorded in SHUFFLES.md
 ]
 
 

@@ -40,6 +40,12 @@ EXTRA = (
     "semantic_dedup_flags",
     "dsir_importance_weights",
     "embedding_decontamination",
+    # round-4 additions: mixture resample must broadcast the slice-weight
+    # frame (map-side filter, corpus never shuffled); bpe_token_counts must
+    # join the corpus against the vocab via broadcast (merges applied per
+    # word TYPE, not per token)
+    "mixture_resample_docs",
+    "bpe_token_counts",
 )
 
 

@@ -190,3 +190,37 @@ def test_mixture_resample_deterministic_and_keeps_largest_slice(spark, sf_dir):
     assert top_ids <= a
     # smaller slices are downsampled, so the kept set is a strict subset
     assert len(a) < d.count()
+
+
+# -- property: random corpora agree with the definitional reference --------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small alphabet + short words force dense pair collisions and frequent
+# argmax ties, stressing exactly the tiebreak + fold mechanics
+_WORD = st.text(alphabet="abc", min_size=1, max_size=5)
+_DOC = st.lists(_WORD, min_size=1, max_size=8).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=6)
+
+
+@given(corpus=_CORPUS, n_merges=st.integers(min_value=1, max_value=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_learn_bpe_property_matches_reference(spark, corpus, n_merges):
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id LONG, text STRING"
+    )
+    model = bpe.learn_bpe(d, n_merges=n_merges)
+    ref_merges, ref_vocab = _ref_learn(corpus, n_merges)
+    assert list(model.merges) == ref_merges
+    got_vocab = {
+        tuple(r.symbols.split(" ")): r.freq for r in model.vocab.collect()
+    }
+    assert got_vocab == ref_vocab
