@@ -173,9 +173,36 @@ def learn_bpe(
                 vocab = vocab.persist()
                 to_unpersist.append(vocab)
     finally:
-        for frame in to_unpersist[:-1]:
-            frame.unpersist()
+        # identity-based cleanup: the early break can fire in the round
+        # right after a localCheckpoint, in which case the returned vocab
+        # is the checkpoint (never appended) and a positional [:-1] would
+        # leak the last persisted frame
+        for frame in to_unpersist:
+            if frame is not vocab:
+                frame.unpersist()
     return BpeModel(merges=tuple(merges), vocab=vocab)
+
+
+def encode_word_types(
+    words: DataFrame, merges: tuple[tuple[str, str, int], ...]
+) -> DataFrame:
+    """Encode a (word)-typed frame under the learned merges: build initial
+    character symbols, then apply each merge in rank order with the same
+    fold the trainer uses, localCheckpoint'ing on the trainer's cadence.
+    The round LOOP matters: chaining all folds into one expression
+    multiplies the expression tree ~8x per merge (each fold references its
+    input several times) — 16 chained merges is an analyzer OOM, not a
+    plan. This is the out-of-vocabulary path; known words come from the
+    merged vocab table."""
+    out = words.withColumn(
+        "symbols",
+        F.concat(F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit(END_MARK)),
+    )
+    for i, (left, right, _) in enumerate(merges):
+        out = out.withColumn("symbols", merge_fold(F.col("symbols"), left, right))
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and i + 1 < len(merges):
+            out = out.localCheckpoint(eager=False)
+    return out
 
 
 def bpe_token_counts(
@@ -187,17 +214,27 @@ def bpe_token_counts(
     """Per-document BPE token counts under the learned merges: explode the
     document's spec-words, join the merged word-type table (merges are
     applied once per word TYPE — the join is the scale move; Spark
-    broadcasts the vocab when small), sum symbol counts. Documents with
-    zero spec-words are absent (nothing to encode)."""
+    broadcasts the vocab when small), sum symbol counts. Words absent
+    from the training vocab (encoding a DIFFERENT corpus than the one
+    trained on) are encoded for real — their distinct types run the same
+    merge-fold rounds the trainer uses — not silently dropped. Documents
+    with zero spec-words are absent (nothing to encode)."""
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
     ).filter(F.col("word").rlike(WORD_RE))
-    enc = words.join(
-        model.vocab.select(
-            "word", F.size(F.split(F.col("symbols"), " ")).alias("__n_sym")
-        ),
+    n_sym = F.size(F.split(F.col("symbols"), " "))
+    hits = words.join(
+        F.broadcast(model.vocab.select("word", n_sym.alias("__n_sym"))),
         "word",
+        "left",
+    )
+    oov = hits.filter(F.col("__n_sym").isNull()).select("word").distinct()
+    oov_enc = encode_word_types(oov, model.merges).select(
+        "word", n_sym.alias("__n_sym_oov")
+    )
+    enc = hits.join(F.broadcast(oov_enc), "word", "left").withColumn(
+        "__n_sym", F.coalesce(F.col("__n_sym"), F.col("__n_sym_oov"))
     )
     return enc.groupBy(id_col).agg(
         F.count("*").alias("n_words"),

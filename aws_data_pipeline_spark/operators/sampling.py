@@ -368,11 +368,22 @@ def mixture_resample(
     wts = source_mixture_weights(df, group_cols=group_cols, text_col=text_col)
     thresh = F.round(F.col("sampling_weight") * 10_000).cast("long")
     bucket = _hash_bucket(id_col, seed, hash_fn)
-    return (
-        df.join(
-            F.broadcast(wts.select(*group_cols, thresh.alias("__keep_lt"))),
-            on=list(group_cols),
+    w = F.broadcast(
+        wts.select(
+            *[F.col(c).alias(f"__w_{c}") for c in group_cols],
+            thresh.alias("__keep_lt"),
         )
+    )
+    # eqNullSafe join keys: a NULL slice (e.g. lang unset) got a weight from
+    # source_mixture_weights like any other slice, and a plain equi-join
+    # would silently sample it at probability 0 (same NULL-strata rationale
+    # as stratified_sample)
+    cond = None
+    for c in group_cols:
+        hit = F.col(c).eqNullSafe(F.col(f"__w_{c}"))
+        cond = hit if cond is None else cond & hit
+    return (
+        df.join(w, on=cond)
         .filter(bucket < F.col("__keep_lt"))
         .select(id_col, *group_cols)
     )

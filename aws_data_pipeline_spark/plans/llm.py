@@ -1121,18 +1121,22 @@ def heavy_hitter_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Near-dup clusters (connected components over pair graph) --------------
 
 
-@register(
-    "neardup_clusters",
-    sql="""
-    WITH toks AS (
+# Shared CTE chain: exact-Jaccard pair generation (k=5, threshold 0.8,
+# max_bucket=1000 hot-shingle guard — the kept CTE mirrors the engine's
+# guard: a shingle shared by >1000 docs is dropped from BOTH intersection
+# and union) + connected components (min reachable doc id == component
+# canonical; finite fixpoint — UNION dedups, so the recursion closes over
+# the reachability set). Used by BOTH neardup_clusters and
+# leakage_safe_splits so a future change to the pair/component semantics
+# cannot silently diverge between the two oracles.
+_NEARDUP_CC_CTES = """
+    toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id AS doc,
              array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
       FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
     ), kept AS (
-      -- mirror the engine's max_bucket=1000 hot-shingle guard: a shingle
-      -- shared by >1000 docs is dropped from BOTH intersection and union
       SELECT doc, shingle FROM sh
       QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
     ), sizes AS (
@@ -1151,15 +1155,20 @@ def heavy_hitter_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT doc2, doc1 FROM pairs
     ), cc AS (
-      -- min reachable doc id == component canonical (finite fixpoint:
-      -- UNION dedups, so the recursion closes over the reachability set)
       WITH RECURSIVE reach(node, label) AS (
         SELECT u, u FROM (SELECT DISTINCT u FROM edges)
         UNION
         SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
       )
       SELECT node, MIN(label) AS label FROM reach GROUP BY node
-    )
+    )"""
+
+
+@register(
+    "neardup_clusters",
+    sql="WITH "
+    + _NEARDUP_CC_CTES
+    + """
     SELECT d.doc_id,
            COALESCE(cc.label, d.doc_id) AS canonical_doc_id,
            COALESCE(cc.label, d.doc_id) <> d.doc_id AS is_duplicate
@@ -1362,16 +1371,24 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH t AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), st AS (
+      -- start offsets via the list-valued range() FUNCTION (correlated
+      -- bounds; the generate_series TABLE function can't take them), so
+      -- the starts are exact for any document length — no fixed cap that
+      -- could silently diverge from the uncapped engine on long docs
+      SELECT doc_id, toks,
+             unnest(list_filter(range(0, greatest(len(toks), 1)),
+                                x -> x % 48 = 0)) AS g
+      FROM t
     )
     SELECT doc_id,
-           CAST(g.g // 48 AS BIGINT) AS chunk_id,
-           CAST(g.g AS BIGINT) AS chunk_start,
-           CAST(len(list_slice(toks, g.g + 1, g.g + 64)) AS INTEGER)
+           CAST(g // 48 AS BIGINT) AS chunk_id,
+           CAST(g AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, g + 1, g + 64)) AS INTEGER)
              AS n_chunk_tokens,
-           md5(array_to_string(list_slice(toks, g.g + 1, g.g + 64), ' '))
+           md5(array_to_string(list_slice(toks, g + 1, g + 64), ' '))
              AS chunk_hash
-    FROM t, generate_series(0, 8192, 48) g(g)
-    WHERE g.g <= greatest(len(toks) - 1, 0)
+    FROM st
     """,
 )
 def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,39 +1406,9 @@ def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "leakage_safe_splits",
-    sql="""
-    WITH toks AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id AS doc,
-             array_to_string(list_slice(t, g.g, g.g + 4), ' ') AS shingle
-      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 4
-    ), kept AS (
-      SELECT doc, shingle FROM sh
-      QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
-    ), sizes AS (
-      SELECT doc, count(*) AS n FROM kept GROUP BY doc
-    ), inter AS (
-      SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS inter
-      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT doc1, doc2 FROM inter
-      JOIN sizes s1 ON s1.doc = doc1
-      JOIN sizes s2 ON s2.doc = doc2
-      WHERE inter / (s1.n + s2.n - inter) >= 0.8
-    ), edges AS (
-      SELECT doc1 AS u, doc2 AS v FROM pairs
-      UNION
-      SELECT doc2, doc1 FROM pairs
-    ), cc AS (
-      WITH RECURSIVE reach(node, label) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        UNION
-        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
-      )
-      SELECT node, MIN(label) AS label FROM reach GROUP BY node
-    ), assigned AS (
+    sql="WITH "
+    + _NEARDUP_CC_CTES
+    + """, assigned AS (
       SELECT d.doc_id,
              COALESCE(cc.label, d.doc_id) AS canonical_doc_id,
              ('0x' || substr(md5(COALESCE(cc.label, d.doc_id)::VARCHAR
@@ -1470,7 +1457,9 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM slices
     )
     SELECT d.doc_id, d.source, d.lang
-    FROM documents d JOIN w USING (source, lang)
+    FROM documents d JOIN w
+      ON d.source IS NOT DISTINCT FROM w.source
+     AND d.lang IS NOT DISTINCT FROM w.lang
     WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix-v1'), 1, 15))::UBIGINT
             % 10000 < keep_lt
     """,
@@ -1528,15 +1517,20 @@ def _bpe_round_ctes(n_merges: int) -> str:
       ORDER BY pair_count DESC, pair_left, pair_right LIMIT 1
     ),
     r{i + 1} AS MATERIALIZED (
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: an exhausted vocabulary (no
+      -- pairs left -> empty t{i}) must pass symbols through unchanged,
+      -- matching the engine's early break — a cross join would empty
+      -- every later round and zero the final result
       SELECT word, freq,
+             CASE WHEN t.pair_left IS NULL THEN symbols ELSE
              list_reduce(string_split(symbols, ' '),
                (acc, x) -> CASE
                  WHEN regexp_extract(acc, '[^ ]+$') = t.pair_left
                       AND x = t.pair_right
                  THEN left(acc, length(acc) - length(t.pair_left))
                       || t.pair_left || t.pair_right
-                 ELSE acc || ' ' || x END) AS symbols
-      FROM r{i} CROSS JOIN t{i} t
+                 ELSE acc || ' ' || x END) END AS symbols
+      FROM r{i} LEFT JOIN t{i} t ON TRUE
     )"""
         )
     return "".join(parts)

@@ -224,3 +224,74 @@ def test_learn_bpe_property_matches_reference(spark, corpus, n_merges):
         tuple(r.symbols.split(" ")): r.freq for r in model.vocab.collect()
     }
     assert got_vocab == ref_vocab
+
+
+def test_bpe_oracle_survives_vocab_exhaustion(spark):
+    # words fully merge well before the registered 16 rounds: the engine
+    # breaks early and keeps the last vocab; the round-replay oracle must
+    # pass symbols through empty rounds, not empty the result
+    import duckdb
+
+    from aws_data_pipeline_spark.plans.llm import (
+        _BPE_MERGES_SQL,
+        _BPE_N_MERGES,
+        _BPE_TOKEN_COUNTS_SQL,
+    )
+
+    rows = [(1, "ab ab"), (2, "ab")]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    model = bpe.learn_bpe(d, n_merges=_BPE_N_MERGES)
+    assert len(model.merges) < _BPE_N_MERGES  # exhaustion actually happened
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe.bpe_token_counts(d, model).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab'), (2, 'ab'))"
+        " t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_BPE_TOKEN_COUNTS_SQL).fetchall()
+    }
+    assert got == want == {1: (2, 2), 2: (1, 1)}  # 'ab' -> single 'ab</w>'
+    merges_oracle = con.execute(_BPE_MERGES_SQL).fetchall()
+    assert [(l, r, c) for _, l, r, c in sorted(merges_oracle)] == list(
+        model.merges
+    )
+
+
+def test_bpe_encode_handles_out_of_vocabulary_words(spark):
+    train = _corpus_df(spark)
+    model = bpe.learn_bpe(train, n_merges=10)
+    ref_merges, _ = _ref_learn(CORPUS, 10)
+    new = spark.createDataFrame(
+        [(100, "lowest newest zzz qqqq the")], "doc_id LONG, text STRING"
+    )
+    got = bpe.bpe_token_counts(new, model).collect()[0]
+
+    def ref_encode(word):
+        syms = tuple(word) + ("</w>",)
+        for left, right, _ in ref_merges:
+            syms = _ref_merge_word(syms, left, right)
+        return len(syms)
+
+    words = ["lowest", "newest", "zzz", "qqqq", "the"]
+    assert (got.n_words, got.n_bpe_tokens) == (
+        len(words),
+        sum(ref_encode(w) for w in words),
+    )
+
+
+def test_mixture_resample_null_slice_is_sampled_not_dropped(spark):
+    # NULL lang forms the LARGEST slice -> weight 1.0 -> fully kept; a
+    # plain equi-join would sample it at probability 0
+    rows = [(i, "w " * 50, None, "web") for i in range(10)] + [
+        (100 + i, "w w", "en", "web") for i in range(3)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+    kept = {r.doc_id for r in sampling.mixture_resample(d).collect()}
+    assert set(range(10)) <= kept
