@@ -1,7 +1,10 @@
 """LLM training-data curation pipeline: the north-star operators composed
 end-to-end (documents -> quality gate [+ optional Gopher hard rules] ->
 language gate -> exact dedup -> fuzzy dedup [+ optional SemDeDup over an
-embeddings frame] -> deterministic split -> curated zone).
+embeddings frame] -> [optional T=2 mixture resampling] -> deterministic
+split [optionally cluster-keyed over the related-document graph, so
+related-but-not-duplicate docs never straddle train/test] -> curated
+zone).
 
 This is the medallion pattern applied to corpus prep: raw documents are the
 bronze, the curated/split zone is the silver a trainer consumes. Order of
@@ -52,6 +55,18 @@ class CurationConfig:
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )
     split_seed: str = "curation-v1"
+    # opt-in mixture resampling stage between dedup and split: execute the
+    # T=2 temperature mix by deterministic hash acceptance (downweights the
+    # dominant (source, lang) slice); None = stage disabled
+    mixture_seed: str | None = None
+    # opt-in leakage-guard split: key the train/val/test hash on RELATED-
+    # document clusters at this Jaccard threshold instead of per-document.
+    # Set BELOW jaccard_threshold: duplicates above it are already collapsed
+    # to one survivor by dedup, so the residual leakage risk is the
+    # related-but-not-duplicate band (e.g. 0.5-0.8) — paraphrases and
+    # overlapping revisions that would contaminate eval if they straddled
+    # splits. None = plain per-document hash split.
+    leakage_threshold: float | None = None
 
 
 def curate(
@@ -141,7 +156,44 @@ def curate(
         )
         kept = kept.join(sem_losers, "doc_id", "left_anti")
 
-    # 5. deterministic split assignment
+    # 4c. optional mixture resampling: realize the T=2 temperature weights
+    # over the SURVIVING corpus (post-dedup, so duplicate mass can't skew
+    # the slice token counts the weights derive from)
+    if cfg.mixture_seed is not None:
+        chosen = sampling.mixture_resample(
+            kept, seed=cfg.mixture_seed, hash_fn=cfg.hash_fn
+        ).select("doc_id")
+        kept = kept.join(chosen, "doc_id", "left_semi")
+
+    # 5. deterministic split assignment — per-document hash, or cluster-
+    # keyed over the related-document graph when the leakage guard is on
+    if cfg.leakage_threshold is not None:
+        # banding re-derived for the LOWER threshold: the dedup-stage curve
+        # would miss much of the related band this stage exists to catch
+        rel_perm, rel_bands = (
+            dedup.choose_minhash_params(cfg.leakage_threshold)
+            if cfg.num_perm is None or cfg.bands is None
+            else (cfg.num_perm, cfg.bands)
+        )
+        rel_pairs = dedup.minhash_lsh_pairs(
+            kept,
+            "doc_id",
+            k=cfg.jaccard_k,
+            num_perm=rel_perm,
+            bands=rel_bands,
+            threshold=cfg.leakage_threshold,
+            hash_fn=cfg.hash_fn,
+        )
+        assigned = sampling.leakage_safe_split(
+            kept,
+            rel_pairs,
+            cfg.split_weights,
+            seed=cfg.split_seed,
+            hash_fn=cfg.hash_fn,
+        )
+        return kept.join(
+            assigned.select("doc_id", "split"), "doc_id"
+        )
     return sampling.hash_split(
         kept, "doc_id", cfg.split_weights, seed=cfg.split_seed, hash_fn=cfg.hash_fn
     )

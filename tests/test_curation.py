@@ -304,3 +304,36 @@ def test_cosine_zero_vector_yields_null_not_crash(spark):
     got = df.select(cosine(F.col("a"), F.col("b")).alias("sim")).collect()
     assert got[0].sim is None and abs(got[1].sim - 1.0) < 1e-12
     assert df.filter(cosine(F.col("a"), F.col("b")) >= 0.5).count() == 1
+
+
+def test_curate_with_mixture_and_leakage_guard_stages(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = curate(docs, CurationConfig(min_quality=0.5))
+    cfg = CurationConfig(
+        min_quality=0.5, mixture_seed="mix-v1", leakage_threshold=0.5
+    )
+    out = curate(docs, cfg)
+    rows = out.collect()
+    assert rows
+    # mixture resampling only removes docs (subset of the base survivors)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    out_ids = {r.doc_id for r in rows}
+    assert out_ids < base_ids
+    # schema carries the same columns as the plain chain
+    assert set(out.columns) == set(base.columns)
+    # leakage guard: any surviving pair related at >=0.5 shares a split
+    kept = out.select("doc_id", "text")
+    from aws_data_pipeline_spark.operators.dedup import choose_minhash_params
+
+    num_perm, bands = choose_minhash_params(0.5)
+    related = dedup.minhash_lsh_pairs(
+        kept, "doc_id", k=5, num_perm=num_perm, bands=bands, threshold=0.5
+    ).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    for p in related:
+        assert split_of[p.doc1] == split_of[p.doc2]
+    # deterministic under repartitioning
+    out2 = curate(docs.repartition(13), cfg)
+    assert sorted(out_ids) == sorted(
+        r.doc_id for r in out2.select("doc_id").collect()
+    )
