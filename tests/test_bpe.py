@@ -295,3 +295,36 @@ def test_mixture_resample_null_slice_is_sampled_not_dropped(spark):
     )
     kept = {r.doc_id for r in sampling.mixture_resample(d).collect()}
     assert set(range(10)) <= kept
+
+
+_TOKENS = st.lists(st.text(alphabet="abxy", min_size=1, max_size=3), min_size=1, max_size=40)
+
+
+@given(
+    toks=_TOKENS,
+    window=st.integers(min_value=2, max_value=10),
+    stride=st.integers(min_value=1, max_value=10),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_context_chunks_property_matches_python_slicing(
+    spark, toks, window, stride
+):
+    text = " ".join(toks)
+    d = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    got = {
+        r.chunk_start: (r.chunk_id, r.n_chunk_tokens)
+        for r in sampling.context_chunks(d, window=window, stride=stride).collect()
+    }
+    ref_toks = text.lower().split(" ")
+    want = {
+        s: (s // stride, len(ref_toks[s : s + window]))
+        for s in range(0, len(ref_toks), stride)
+    }
+    assert got == want
