@@ -1595,3 +1595,33 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     model = bpe.learn_bpe(d, n_merges=_BPE_N_MERGES)
     return bpe.bpe_token_counts(d, model)
+
+
+@register(
+    "stratified_sample_assignments_portable",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':sample-v1'), 1, 15))
+               ::UBIGINT % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE (lang IS NOT DISTINCT FROM 'en' AND bucket < 5000)
+       OR (lang IS DISTINCT FROM 'en' AND bucket < 1000)
+    """,
+)
+def stratified_sample_assignments_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engine-portable twin of the stratified sample (50% en, 10% default):
+    md5 bucket hash, per-document KEPT MEMBERSHIP value-hashed — the
+    auditable variant of the xxhash64 hot path (same pattern as the
+    portable split/minhash twins). The oracle replays the bucket carve
+    including the null-safe default-stratum branch."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    d = T(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d, "lang", {"en": 0.5}, "doc_id", default_fraction=0.1, hash_fn="md5"
+    ).select("doc_id", "lang")
