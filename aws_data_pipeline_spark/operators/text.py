@@ -452,3 +452,82 @@ def unigram_logprob(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    persist: bool = True,
+) -> DataFrame:
+    """Interpolated bigram LM fluency scoring — the n-gram step up from
+    :func:`unigram_logprob` (the CCNet family uses a 5-gram KenLM; the
+    estimator mechanics are identical at any order):
+
+        p(w2 | w1) = lam * c(w1,w2)/c_left(w1)
+                     + (1-lam) * (c(w2)+1)/(N+V)
+
+    ML bigram probability interpolated with the add-1 unigram — the
+    unigram floor keeps p > 0, and because the fit is corpus-self every
+    scored bigram is observed (c >= 1, c_left >= 1), so no unseen-event
+    branch exists to diverge on. Documents with < 2 tokens have no
+    transitions and are absent from the output.
+
+    Determinism: all counts are exact ints; the probability is two
+    correctly-rounded divisions combined with exact-constant multiplies
+    and one add — the identical expression tree on the oracle side — and
+    each transition's -ln(p) rounds to 9-dp integer units so the per-doc
+    sum is order-independent (the unigram_logprob posture).
+
+    Scale shape: one bigram explode feeds the bigram/left-count tables and
+    the per-doc fold; probability tables join back on (w1, w2) with no
+    broadcast hint (bigram vocab is data-dependent — AQE decides).
+    Shuffles carry (w1, w2, count) and (doc, unit-sum) rows only.
+    """
+    t = tokens(F.col(text_col))
+    pair = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(
+        F.col(id_col).alias("doc"), F.explode(pair).alias("b")
+    ).select("doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    if persist:
+        # feeds the two count tables AND the per-doc fold (same trade as
+        # unigram_logprob's token frame)
+        bg = bg.persist()
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    utot = ucnt.agg(F.sum("cu").alias("n_corpus"), F.count("*").alias("v_vocab"))
+    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    lcnt = bg.groupBy("w1").agg(F.count("*").alias("cl"))
+    p = F.lit(lam) * (F.col("c") / F.col("cl")) + F.lit(1.0 - lam) * (
+        (F.col("cu") + F.lit(1)) / (F.col("n_corpus") + F.col("v_vocab"))
+    )
+    lp = (
+        bcnt.join(lcnt, "w1")
+        .join(ucnt, F.col("w2") == F.col("tok"))
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "w1",
+            "w2",
+            F.round(-F.log(p) * F.lit(1e9)).cast("long").alias("u"),
+        )
+    )
+    return (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum("u").cast("double") / F.lit(1e9) / F.count("*")
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -1638,3 +1638,48 @@ def stratified_sample_assignments_portable(
     return sampling.stratified_sample(
         d, "lang", {"en": 0.5}, "doc_id", default_fraction=0.1, hash_fn="md5"
     ).select("doc_id", "lang")
+
+
+@register(
+    "bigram_logprob_scores",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS tok FROM toks
+    ), ucnt AS (
+      SELECT tok, count(*) AS cu FROM uni GROUP BY tok
+    ), utot AS (
+      SELECT sum(cu) AS n, count(*) AS v FROM ucnt
+    ), bg AS (
+      SELECT doc_id, t[g + 1] AS w1, t[g + 2] AS w2
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, greatest(len(t) - 1, 0))) AS g
+            FROM toks)
+    ), bcnt AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+    ), lcnt AS (
+      SELECT w1, count(*) AS cl FROM bg GROUP BY 1
+    ), lp AS (
+      SELECT b.w1, b.w2,
+             CAST(round(-ln(0.75 * (b.c / l.cl)
+                            + 0.25 * ((u.cu + 1) / (t.n + t.v)))
+                        * 1000000000) AS BIGINT) AS uu
+      FROM bcnt b JOIN lcnt l USING (w1)
+      JOIN ucnt u ON u.tok = b.w2
+      CROSS JOIN utot t
+    )
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           CAST(sum(l.uu) AS DOUBLE) / 1000000000.0 / count(*)
+             AS avg_neg_logprob
+    FROM bg g JOIN lp l USING (w1, w2)
+    GROUP BY g.doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM fluency scores (0.75·ML bigram + 0.25·add-1
+    unigram, corpus-self fit — every scored transition is observed, so no
+    unseen-event branch). 9-dp fixed-point transition sums, mirrored
+    final divisions — the whole score value-hashes against the oracle."""
+    d = T(spark, sf_dir, "documents")
+    return text.bigram_logprob(d)

@@ -328,3 +328,22 @@ def test_context_chunks_property_matches_python_slicing(
         for s in range(0, len(ref_toks), stride)
     }
     assert got == want
+
+
+def test_bigram_logprob_ranks_formulaic_below_rare(spark):
+    from aws_data_pipeline_spark.operators.text import bigram_logprob
+
+    # doc 1 repeats the corpus-dominant transition; doc 2 is one-off
+    rows = [(i, "the cat sat") for i in range(1, 9)] + [
+        (100, "the cat sat"),
+        (200, "zig quux vortex"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.avg_neg_logprob for r in bigram_logprob(d).collect()}
+    assert got[100] < got[200]
+    # every doc has exactly 2 transitions
+    n = {r.doc_id: r.n_bigrams for r in bigram_logprob(d).collect()}
+    assert set(n.values()) == {2}
+    # single-token docs are absent
+    d2 = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id LONG, text STRING")
+    assert {r.doc_id for r in bigram_logprob(d2).collect()} == {2}
