@@ -160,6 +160,7 @@ _PRIORITY = (
     "mixture_resample_docs",
     "stratified_sample_assignments_portable",
     "bigram_logprob_scores",
+    "split_leakage_audit",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

@@ -1683,3 +1683,90 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     final divisions — the whole score value-hashes against the oracle."""
     d = T(spark, sf_dir, "documents")
     return text.bigram_logprob(d)
+
+
+@register(
+    "split_leakage_audit",
+    sql="WITH "
+    + _NEARDUP_CC_CTES
+    + """, doc_split AS (
+      SELECT d.doc_id,
+             CASE WHEN b < 1000 THEN 'test'
+                  WHEN b < 9000 THEN 'train'
+                  ELSE 'val' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 15))
+                 ::UBIGINT % 10000 AS b
+        FROM documents
+      ) d
+    ), cluster_split AS (
+      SELECT a.doc_id,
+             CASE WHEN b < 1000 THEN 'test'
+                  WHEN b < 9000 THEN 'train'
+                  ELSE 'val' END AS split
+      FROM (
+        SELECT d.doc_id,
+               ('0x' || substr(md5(COALESCE(cc.label, d.doc_id)::VARCHAR
+                                   || ':split-v1'), 1, 15))::UBIGINT % 10000
+                 AS b
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+      ) a
+    )
+    SELECT 'per_document' AS policy,
+           CAST(count(*) AS BIGINT) AS n_related_pairs,
+           CAST(count(*) FILTER (WHERE s1.split <> s2.split) AS BIGINT)
+             AS n_leaking_pairs
+    FROM pairs p
+    JOIN doc_split s1 ON s1.doc_id = p.doc1
+    JOIN doc_split s2 ON s2.doc_id = p.doc2
+    UNION ALL
+    SELECT 'cluster_keyed',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE s1.split <> s2.split) AS BIGINT)
+    FROM pairs p
+    JOIN cluster_split s1 ON s1.doc_id = p.doc1
+    JOIN cluster_split s2 ON s2.doc_id = p.doc2
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination AUDIT for split assignments: over the near-dup
+    pair graph, count pairs whose endpoints land in different splits
+    under (a) plain per-document hashing and (b) cluster-keyed hashing.
+    Cluster-keyed is zero by construction (both endpoints share a
+    component, hence a hash key); per-document leaks whenever a pair's
+    ids straddle a bucket boundary — this query puts the number on the
+    risk leakage_safe_splits removes. Tiny output: two audit rows."""
+    d = T(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
+    pairs = pairs.localCheckpoint()  # feeds both policies' joins
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    doc_split = sampling.hash_split(
+        d.select("doc_id"), "doc_id", weights, hash_fn="md5"
+    )
+    cluster_split = sampling.leakage_safe_split(d, pairs, weights).select(
+        "doc_id", "split"
+    )
+
+    def audit(policy: str, assign: DataFrame) -> DataFrame:
+        s1 = assign.select(
+            F.col("doc_id").alias("doc1"), F.col("split").alias("s1")
+        )
+        s2 = assign.select(
+            F.col("doc_id").alias("doc2"), F.col("split").alias("s2")
+        )
+        return (
+            pairs.join(s1, "doc1")
+            .join(s2, "doc2")
+            .agg(
+                F.lit(policy).alias("policy"),
+                F.count("*").alias("n_related_pairs"),
+                F.count_if(F.col("s1") != F.col("s2")).alias(
+                    "n_leaking_pairs"
+                ),
+            )
+        )
+
+    return audit("per_document", doc_split).unionAll(
+        audit("cluster_keyed", cluster_split)
+    )
