@@ -610,3 +610,108 @@ def line_dedup(
         F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def _positional_window_hashes(toks: Column, k: int) -> Column:
+    """All length-k token-window hashes of a document IN POSITION ORDER
+    (unlike :func:`hashed_shingles`, no array_distinct — span detection
+    needs every occurrence and its position)."""
+    raw = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+    )
+    return F.when(F.size(toks) >= k, raw).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact duplicated-span detection — the suffix-array dedup family
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", public), re-expressed Spark-first as rolling k-gram window
+    hashing plus gaps-and-islands merging instead of a monolithic suffix
+    array (which needs the whole corpus in one address space).
+
+    A length-k token window is DUPLICATED iff its token sequence occurs
+    more than once in the corpus (another document, or another position in
+    the same one). Overlapping duplicated windows in a document merge into
+    maximal spans. Returns one row per span: (doc_id, span_start,
+    span_tokens), token positions 1-based.
+
+    APPROXIMATION, stated exactly: a merged span guarantees every length-k
+    window inside it is duplicated somewhere, NOT that the span occurs
+    elsewhere as one contiguous unit (adjacent windows may match different
+    partners — suffix arrays distinguish these, window-merging does not).
+    That is the standard trade for the distributable formulation, and for
+    the downstream use (cut or down-weight duplicated regions) it errs
+    toward flagging, never missing, k-gram-level duplication. Windows merge
+    only when they OVERLAP (positions ``<= k-1`` apart); exactly-adjacent
+    duplicated spans stay separate rows.
+
+    Scale shape: one explode to O(total tokens) rows of (doc, pos, 8-byte
+    hash) — the inherent cost of substring-level dedup and still a
+    fraction of a suffix array's O(tokens * pointer) memory, partitioned
+    freely instead of resident. Then ONE groupBy on the hash (partial
+    aggregation absorbs hot n-grams), one semi-join back (equi on the
+    hash, no pairwise expansion anywhere), and a per-document window for
+    the island merge — documents are bounded (a training corpus is chunked
+    to model context length), so per-doc sort state is small. Grouping is
+    on xxhash64 fingerprints: a 64-bit collision could mark a unique
+    window duplicated (never the reverse); at 100 TB (~1e13 windows) the
+    expected number of colliding PAIRS is ~1e26/2^65 — a few thousand
+    spurious windows corpus-wide, noise for a down-weighting gate.
+    """
+    toks = tokens(F.col(text_col))
+    wins = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_positional_window_hashes(toks, k)).alias("idx", "h"),
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+    dup = wins.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    hits = wins.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    grouped = hits.withColumn("brk", brk).withColumn(
+        "gid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grouped.groupBy("doc_id", "gid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_tokens")
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Per-document roll-up of :func:`duplicate_spans`: how much of each
+    document is corpus-duplicated at k-gram granularity. Returns
+    (doc_id, n_dup_spans, dup_tokens, n_tokens, dup_frac) for EVERY
+    document (zero rows for clean ones) — the gate a curation pipeline
+    thresholds on ("drop documents >X% duplicated", Lee et al. §4).
+    ``dup_frac`` divides exact longs, so values are engine-portable."""
+    spans = duplicate_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        "n_tokens",
+        F.try_divide(
+            F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens")
+        ).alias("dup_frac"),
+    )

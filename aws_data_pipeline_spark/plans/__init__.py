@@ -161,6 +161,8 @@ _PRIORITY = (
     "stratified_sample_assignments_portable",
     "bigram_logprob_scores",
     "split_leakage_audit",
+    "duplicate_spans",
+    "duplicate_span_stats",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

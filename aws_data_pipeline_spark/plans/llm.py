@@ -128,6 +128,84 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(d)
 
 
+def _dup_span_ctes(k: int) -> str:
+    """Shared CTE chain for the duplicate-span oracles: every positional
+    k-gram window (start positions capped at 4096, same stance as the
+    shingle oracles — irrelevant below ~4100 tokens), corpus-duplicated
+    windows by exact string equality (the engine groups 64-bit xxhash64
+    fingerprints — identical semantics absent a 64-bit collision, the same
+    accepted stance as ``ngram_jaccard_pairs``), then gaps-and-islands over
+    positions: overlapping duplicated windows (``<= k-1`` apart) merge into
+    maximal spans."""
+    return f"""toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, g.g AS pos,
+             array_to_string(list_slice(t, g.g, g.g + {k - 1}), ' ') AS w
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - {k - 1}
+    ), hits AS (
+      SELECT doc_id, pos FROM wins
+      QUALIFY count(*) OVER (PARTITION BY w) > 1
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {k - 1}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), grps AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS gid
+      FROM brks
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) - min(pos) + {k} AS span_tokens
+      FROM grps GROUP BY doc_id, gid
+    )"""
+
+
+@register(
+    "duplicate_spans",
+    sql=f"""
+    WITH {_dup_span_ctes(8)}
+    SELECT doc_id, CAST(span_start AS INTEGER) AS span_start,
+           CAST(span_tokens AS INTEGER) AS span_tokens
+    FROM spans
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (suffix-array dedup family, Lee et
+    al. 2021): maximal token spans whose every 8-gram window occurs more
+    than once in the corpus. One explode + one hash groupBy + one semi-join
+    — no suffix array, no pairwise expansion."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, "doc_id", k=8)
+
+
+@register(
+    "duplicate_span_stats",
+    sql=f"""
+    WITH {_dup_span_ctes(8)},
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_spans, sum(span_tokens) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(len(t.t) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.t) AS dup_frac
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token fraction at 8-gram granularity — the
+    curation gate that drops or down-weights documents whose content is
+    mostly corpus-duplicated (Lee et al. §4)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.duplicate_span_stats(d, "doc_id", k=8)
+
+
 _MINHASH_PARAMS_SQL = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup._HASH_PARAMS)
 )

@@ -54,6 +54,7 @@ HEADLINE = [
     "embedding_ann_ivf_indexed",  # persisted IVF index, partition-pruned probe
     "embedding_neardup_pairs",   # banded-LSH equi-join + exact verify
     "context_window_chunks",     # row-local sequence+explode chunking (no shuffle)
+    "duplicate_span_stats",      # positional k-gram explode + hash groupBy + islands
     "leakage_safe_splits",       # near-dup pairs -> components -> cluster-keyed split
     # bpe_merges deliberately NOT headline: 16 inherently-sequential training
     # rounds (~11 s at sf0.1) would dominate the suite total without being a

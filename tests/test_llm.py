@@ -603,3 +603,90 @@ def test_unigram_logprob_ranks_rare_token_docs_higher(spark):
         for r in unigram_logprob(df.repartition(5)).collect()
     }
     assert got == again
+
+
+def _py_duplicate_spans(docs: dict[int, str], k: int) -> set[tuple[int, int, int]]:
+    """Reference model for duplicate_spans: count every positional k-gram
+    across the corpus, mark windows whose gram occurs >1 times, merge
+    overlapping marked windows (positions <= k-1 apart) into maximal spans."""
+    from collections import Counter
+
+    toks = {d: t.lower().split(" ") for d, t in docs.items()}
+    counts = Counter(
+        tuple(t[i : i + k])
+        for t in toks.values()
+        for i in range(len(t) - k + 1)
+    )
+    spans = set()
+    for d, t in toks.items():
+        hit_pos = [
+            i + 1
+            for i in range(len(t) - k + 1)
+            if counts[tuple(t[i : i + k])] > 1
+        ]
+        run: list[int] = []
+        for p in hit_pos + [None]:
+            if run and (p is None or p - run[-1] > k - 1):
+                spans.add((d, run[0], run[-1] - run[0] + k))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+def test_duplicate_spans_matches_python_model(spark):
+    """Planted corpus: a shared 10-token phrase inside two docs, an
+    in-document repeat, and clean docs — Spark output must equal the
+    pure-Python window-merge model exactly, including span boundaries."""
+    from aws_data_pipeline_spark.operators.dedup import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy sleeping dog"
+    rep = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = {
+        0: f"intro words here {phrase} and some unique trailing tail",
+        1: f"{phrase} starts this one with different following content entirely",
+        2: f"{rep} middle filler goes right here {rep}",
+        3: "completely unique document with no repeated window content at all",
+        4: "another clean one whose tokens never form a duplicated eight gram",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_tokens)
+        for r in duplicate_spans(df, k=8).collect()
+    }
+    assert got == _py_duplicate_spans(docs, 8)
+
+    stats = {r.doc_id: r for r in duplicate_span_stats(df, k=8).collect()}
+    assert set(stats) == set(docs)  # every doc present, clean ones zeroed
+    assert stats[3].n_dup_spans == 0 and stats[3].dup_frac == 0.0
+    for d in (0, 1, 2):
+        assert stats[d].dup_tokens == sum(
+            n for dd, _, n in got if dd == d
+        )
+        assert stats[d].n_tokens == len(docs[d].split(" "))
+        assert stats[d].dup_frac == stats[d].dup_tokens / stats[d].n_tokens
+
+
+def test_duplicate_spans_random_property(spark):
+    """Randomized corpora from a tiny vocabulary (forces genuine k-gram
+    collisions) agree with the Python model across seeds."""
+    import random
+
+    from aws_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    for _ in range(3):
+        docs = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+            for d in range(12)
+        }
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_tokens)
+            for r in duplicate_spans(df, k=4).collect()
+        }
+        assert got == _py_duplicate_spans(docs, 4)
