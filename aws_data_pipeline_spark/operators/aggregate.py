@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.functions.exact import davg, dsum
@@ -184,3 +184,63 @@ def multi_grain_rollup(
         )
     """
     return df.sparkSession.sql(q)
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantile report — the distribution profile a corpus audit
+    runs on every source (length, quality, token counts).
+
+    Two physical paths with ONE logical contract:
+
+    - ``approx=False`` (exact, the oracle-checkable twin): nearest-rank
+      quantiles — the value at ``ceil(p * n)`` in ascending order, ranked
+      with ``row_number`` per group. The rank index is the ceiling of the
+      IEEE-double product, computed identically in any engine, so results
+      are deterministic and portable (ties in the value don't matter: any
+      permutation of equal values yields the same value at a given rank).
+      Cost is a per-group SORT — fine when groups fit a partition's sort
+      spill budget, the wrong shape for a 100 TB group.
+    - ``approx=True`` (the scale path): ``percentile_approx`` — Spark's
+      mergeable rank sketch: one pass, map-side partials, no sort, error
+      bounded by 1/accuracy of the rank. This is what you run at 100 TB;
+      the exact twin is how you audit the sketch on a sample
+      (tests/test_llm.py bounds the rank error on real data).
+
+    Output: ``group_cols`` + ``n_rows`` + one ``p{NN}`` column per
+    requested quantile, carrying the value column's own type.
+    """
+    names = [f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in ps]
+    if approx:
+        pa = F.percentile_approx(
+            F.col(value_col), F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+        )
+        return df.groupBy(*group_cols).agg(
+            F.count("*").alias("n_rows"),
+            *[pa.getItem(i).alias(nm) for i, nm in enumerate(names)],
+        )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(value_col)
+    wn = Window.partitionBy(*[F.col(c) for c in group_cols])
+    ranked = (
+        df.select(*group_cols, value_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wn))
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(F.lit(p) * F.col("__n")),
+                    F.col(value_col),
+                )
+            ).alias(nm)
+            for p, nm in zip(ps, names)
+        ],
+    )

@@ -163,6 +163,7 @@ _PRIORITY = (
     "split_leakage_audit",
     "duplicate_spans",
     "duplicate_span_stats",
+    "length_quantiles_by_source",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

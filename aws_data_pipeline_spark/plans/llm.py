@@ -206,6 +206,33 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_stats(d, "doc_id", k=8)
 
 
+@register(
+    "length_quantiles_by_source",
+    sql="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source, count(*) AS n_rows,
+           max(CASE WHEN rn = ceil(0.25 * n) THEN n_chars END) AS p25,
+           max(CASE WHEN rn = ceil(0.5  * n) THEN n_chars END) AS p50,
+           max(CASE WHEN rn = ceil(0.75 * n) THEN n_chars END) AS p75,
+           max(CASE WHEN rn = ceil(0.95 * n) THEN n_chars END) AS p95
+    FROM ranked GROUP BY source
+    """,
+)
+def length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution profile per source — exact nearest-rank
+    quantiles (the oracle-checkable twin of the percentile_approx sketch,
+    whose rank error tests/test_llm.py bounds against this on real data)."""
+    from aws_data_pipeline_spark.operators.aggregate import grouped_quantiles
+
+    d = T(spark, sf_dir, "documents")
+    return grouped_quantiles(d, ["source"], "n_chars")
+
+
 _MINHASH_PARAMS_SQL = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup._HASH_PARAMS)
 )

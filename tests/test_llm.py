@@ -690,3 +690,42 @@ def test_duplicate_spans_random_property(spark):
             for r in duplicate_spans(df, k=4).collect()
         }
         assert got == _py_duplicate_spans(docs, 4)
+
+
+def test_grouped_quantiles_exact_and_sketch(spark, sf_dir):
+    """Exact nearest-rank quantiles match a Python sort model on real data;
+    the percentile_approx scale path stays within its rank-error bound."""
+    from aws_data_pipeline_spark.operators.aggregate import grouped_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        r.source: r for r in grouped_quantiles(docs, ["source"], "n_chars").collect()
+    }
+    rows = docs.select("source", "n_chars").collect()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    import math
+
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        assert exact[src].n_rows == n
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+            assert getattr(exact[src], col) == vals[math.ceil(p * n) - 1]
+
+    approx = {
+        r.source: r
+        for r in grouped_quantiles(
+            docs, ["source"], "n_chars", approx=True, accuracy=10_000
+        ).collect()
+    }
+    # accuracy=10_000 on groups of ~a hundred docs: the sketch is exact up
+    # to rank granularity — allow one rank of slack either side
+    for src, vals in by_src.items():
+        n = len(vals)
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+            r = math.ceil(p * n) - 1
+            lo = vals[max(0, r - 1)]
+            hi = vals[min(n - 1, r + 1)]
+            assert lo <= getattr(approx[src], col) <= hi
