@@ -477,3 +477,54 @@ def dsir_log_weights(
             ),
         )
     )
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard-v1",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the last
+    step before a training run reads the corpus: examples must arrive in an
+    order uncorrelated with collection order (source, crawl date, URL
+    locality all imprint curriculum bias), split into N equal-ish shard
+    files a data loader can stream round-robin.
+
+    Assignment: ``shard = pmod(hash(id, seed), n_shards)``,
+    ``pos`` = 1-based rank of ``hash2(id, seed)`` within the shard (a
+    SECOND independent hash, so within-shard order doesn't correlate with
+    the shard router; ties broken by id, so duplicate-id inputs still get
+    distinct positions). Deterministic per (id, seed) — independent of row
+    order, partitioning, and cluster size; a new ``seed`` is a fresh
+    epoch-level reshuffle. ``hash_fn``: xxhash64 hot path / md5
+    engine-portable (see :func:`_hash_bucket`).
+
+    Scale shape: one hash-shuffle on ``shard`` + per-shard sort — exactly
+    the physical layout a shard WRITE wants:
+    ``out.repartition(n_shards, "shard").sortWithinPartitions("pos")``
+    then ``write.partitionBy("shard")`` streams each shard in final order
+    with no extra exchange. Per-shard sort state is corpus/n_shards —
+    pick n_shards so a shard fits an executor's spill budget, same rule
+    as any bounded sort.
+    """
+    if hash_fn == "xxhash64":
+        route = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+        order = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + "/pos"))
+    elif hash_fn == "md5":
+        route = md5_prefix_long(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+        )
+        order = md5_prefix_long(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed + "/pos"))
+        )
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    shard = F.pmod(route, F.lit(n_shards)).alias("shard")
+    w = Window.partitionBy("shard").orderBy("__ord", id_col)
+    return (
+        df.select(F.col(id_col), shard, order.alias("__ord"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__ord")
+    )

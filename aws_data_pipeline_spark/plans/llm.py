@@ -922,6 +922,37 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_shard_assignments",
+    # both hashes are 60-bit md5 prefixes, so the oracle recomputes the
+    # EXACT shard routing and within-shard order — the audited property is
+    # cross-engine reproducibility of the training data order itself
+    sql="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'shard-v1'),
+                             1, 15))::UBIGINT % 8 AS BIGINT) AS shard,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'shard-v1/pos'),
+                             1, 15))::UBIGINT AS ord
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+                AS INTEGER) AS pos
+    FROM h
+    """,
+)
+def training_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into 8 training shards: hash
+    routing + independent-hash within-shard order — examples arrive in an
+    order uncorrelated with collection order, reproducible bit-for-bit in
+    any engine (md5 variant registered; xxhash64 is the hot path)."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    d = T(spark, sf_dir, "documents")
+    return sampling.training_shards(d, "doc_id", n_shards=8, hash_fn="md5")
+
+
+@register(
     "dataset_split_assignments_portable",
     # bucket = pmod(int(md5(id || ':' || seed)[:15 hex], 16), 10000) — md5
     # is engine-universal, so the oracle recomputes the EXACT per-document

@@ -729,3 +729,31 @@ def test_grouped_quantiles_exact_and_sketch(spark, sf_dir):
             lo = vals[max(0, r - 1)]
             hi = vals[min(n - 1, r + 1)]
             assert lo <= getattr(approx[src], col) <= hi
+
+
+def test_training_shards_deterministic_balanced_uncorrelated(spark):
+    """Shard routing and within-shard order are deterministic under
+    repartitioning, shards are hash-balanced, every position 1..|shard| is
+    used exactly once, and the order is uncorrelated with doc_id order."""
+    from aws_data_pipeline_spark.operators.sampling import training_shards
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = training_shards(df, "doc_id", n_shards=8).collect()
+    again = training_shards(df.repartition(13), "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(8))
+    for shard, rows in by_shard.items():
+        assert 2000 / 8 * 0.7 < len(rows) < 2000 / 8 * 1.3  # hash balance
+        assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+        ids_in_order = [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+        assert ids_in_order != sorted(ids_in_order)  # actually shuffled
+    # a different seed is a fresh permutation
+    other = {
+        (r.doc_id, r.shard, r.pos)
+        for r in training_shards(df, "doc_id", n_shards=8, seed="shard-v2").collect()
+    }
+    assert other != {(r.doc_id, r.shard, r.pos) for r in out}
