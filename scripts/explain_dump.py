@@ -36,6 +36,8 @@ scale rules in README.md: filters in `PushedFilters`, pruned `ReadSchema`,
 EXTRA = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "length_quantiles_by_source",
+    "training_shard_assignments",
     "gopher_quality_flags",
     "semantic_dedup_flags",
     "dsir_importance_weights",
