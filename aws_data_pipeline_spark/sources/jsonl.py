@@ -11,7 +11,10 @@ nested batch-file layout the generator produces
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_CORRUPT_COL = "_corrupt_record"
 
 
 def read_jsonl(
@@ -26,6 +29,49 @@ def read_jsonl(
         .option("recursiveFileLookup", str(recursive).lower())
         .json(path)
     )
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    recursive: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan that QUARANTINES malformed lines instead of silently
+    nulling them: returns ``(good, bad)`` — ``good`` with exactly the
+    declared schema, ``bad`` carrying each unparseable line's raw text.
+
+    The plain ``read_jsonl`` runs PERMISSIVE without a corrupt column, so
+    a mangled line surfaces as an all-null row that the downstream
+    null-validation gate drops ANONYMOUSLY — indistinguishable from a
+    well-formed row with missing fields, and the raw bytes are gone. For
+    third-party feeds at 100 TB the quarantine split is the right
+    bronze-edge posture: route unparseable lines to a dead-letter sink
+    with their original text (re-parseable after a schema fix), count
+    them in QC, keep the job alive. Mirrors ``read_csv_quarantine``
+    (sources/delimited.py), including the SPARK-21610 guard: a scan may
+    not reference ONLY the corrupt column, so the bad frame keeps one
+    schema column referenced and coalesces it away.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT_COL, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("multiLine", "false")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+        .json(path)
+    )
+    good = raw.filter(raw[_CORRUPT_COL].isNull()).drop(_CORRUPT_COL)
+    first_field = schema.fieldNames()[0]
+    bad = raw.filter(raw[_CORRUPT_COL].isNotNull()).select(
+        F.coalesce(
+            F.col(_CORRUPT_COL), F.col(first_field).cast("string")
+        ).alias(_CORRUPT_COL)
+    )
+    return good, bad
 
 
 def write_jsonl(df: DataFrame, path: str, num_files: int | None = None) -> None:

@@ -134,3 +134,29 @@ def test_read_zone_merge_schema_reconciles_evolved_files(spark, tmp_path):
     assert rows[1].channel is None and rows[3].channel == "web"
     # default read still works (partition discovery unaffected)
     assert read_zone(spark, path).count() == 3
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    """read_jsonl_quarantine: unparseable lines land in the dead-letter
+    frame with their raw text (the plain PERMISSIVE read would null them
+    anonymously); good rows parse to exactly the declared schema."""
+    from aws_data_pipeline_spark.sources.jsonl import read_jsonl, read_jsonl_quarantine
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "x.jsonl").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "NaN-ish", "name": 3}\n'
+    )
+    s = StructType([StructField("id", LongType()), StructField("name", StringType())])
+    good, bad = read_jsonl_quarantine(spark, str(d), s)
+    assert sorted(map(tuple, good.collect())) == [(1, "ok"), (2, "also ok")]
+    assert good.columns == ["id", "name"]
+    bad_rows = sorted(r._corrupt_record for r in bad.collect())
+    assert bad_rows == ["this is not json at all", '{"id": "NaN-ish", "name": 3}']
+    # contrast: the plain read swallows both bad lines as null rows
+    plain = read_jsonl(spark, str(d), s)
+    assert plain.count() == 4
