@@ -303,6 +303,25 @@ def choose_minhash_params(
     return best[1] * best[2], best[2]
 
 
+def _banded_keys(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc, band, key): the LSH band slices of each signature — the equi-join
+    key that buckets candidates."""
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.slice(F.col("sig"), j * rows + 1, rows).alias("key"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -324,20 +343,7 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     sets = shingle_sets(df, id_col, text_col, k)
     sigs = _signatures_from_sets(sets, num_perm, hash_fn)
-    banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.slice(F.col("sig"), j * rows + 1, rows).alias("key"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded_keys(sigs, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -350,9 +356,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify candidates with exact jaccard over the SAME cached shingle sets
+    return _verify_pairs(cand, sets, sets, "doc1", "doc2", threshold)
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    left_sets: DataFrame,
+    right_sets: DataFrame,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the two sides'
+    shingle sets; emits pairs at or above ``threshold``."""
     verified = (
-        cand.join(sets.withColumnRenamed("doc", "doc1").withColumnRenamed("sh", "sh1"), "doc1")
-        .join(sets.withColumnRenamed("doc", "doc2").withColumnRenamed("sh", "sh2"), "doc2")
+        cand.join(
+            left_sets.withColumnRenamed("doc", left_id).withColumnRenamed("sh", "sh1"),
+            left_id,
+        )
+        .join(
+            right_sets.withColumnRenamed("doc", right_id).withColumnRenamed("sh", "sh2"),
+            right_id,
+        )
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
@@ -360,7 +385,112 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc1", "doc2", "jaccard")
+    return verified.select(left_id, right_id, "jaccard")
+
+
+def neardup_against_corpus(
+    new_df: DataFrame,
+    corpus_sets: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup: match a NEW batch against an EXISTING corpus's
+    LSH index — the corpus-maintenance shape. A curated 100 TB corpus is
+    not re-clustered when a crawl lands; the new batch's signatures join
+    the corpus's PERSISTED band keys (``build_lsh_text_index``), so
+    per-batch cost is O(batch + matched buckets) and history is touched
+    only through its index. Candidates are strictly NEW x CORPUS (never
+    corpus x corpus — that work happened when the corpus was curated);
+    each is verified with exact Jaccard, so precision is exact and recall
+    is the banding S-curve, identical to :func:`minhash_lsh_pairs`.
+
+    ``corpus_sets`` (doc, sh) and ``corpus_bands`` (doc, band, key) must
+    come from the SAME (k, num_perm, bands, hash_fn) — `
+    ``neardup_against_index`` enforces that from recorded metadata.
+    Returns (new_id, corpus_id, jaccard). Ids must not collide across the
+    two sides (incremental ingest assigns fresh ids by construction).
+    """
+    rows = num_perm // bands
+    new_sets = shingle_sets(new_df, id_col, text_col, k)
+    new_banded = _banded_keys(
+        _signatures_from_sets(new_sets, num_perm, hash_fn), bands, rows
+    )
+    cand = (
+        new_banded.alias("a")
+        .join(
+            corpus_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc").alias("new_id"), F.col("b.doc").alias("corpus_id")
+        )
+        .distinct()
+    )
+    return _verify_pairs(cand, new_sets, corpus_sets, "new_id", "corpus_id", threshold)
+
+
+def build_lsh_text_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist a corpus's MinHash-LSH index: ``path/sets`` (doc, shingle
+    set — the exact-verification side), ``path/bands`` (doc, band, key —
+    the candidate-join side), ``path/meta`` (the parameters, so a probe
+    with mismatched parameters fails loudly instead of silently finding
+    nothing). Build once per corpus version; every incremental batch then
+    probes it via :func:`neardup_against_index` without touching corpus
+    text. Signatures are computed from the MATERIALIZED sets read back
+    from disk — tokenization runs once, and the write doubles as the
+    cache `_signatures_from_sets` requires."""
+    spark = df.sparkSession
+    shingle_sets(df, id_col, text_col, k).write.mode("overwrite").parquet(
+        f"{path}/sets"
+    )
+    sets = spark.read.parquet(f"{path}/sets")
+    _banded_keys(
+        _signatures_from_sets(sets, num_perm, hash_fn), bands, num_perm // bands
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(k, num_perm, bands, hash_fn)], "k int, num_perm int, bands int, hash_fn string"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def neardup_against_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Probe a persisted LSH index (``build_lsh_text_index``) with a new
+    batch; parameters come from the index's own metadata. See
+    :func:`neardup_against_corpus` for semantics and the scale story."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return neardup_against_corpus(
+        new_df,
+        spark.read.parquet(f"{path}/sets"),
+        spark.read.parquet(f"{path}/bands"),
+        id_col=id_col,
+        text_col=text_col,
+        k=meta.k,
+        num_perm=meta.num_perm,
+        bands=meta.bands,
+        threshold=threshold,
+        hash_fn=meta.hash_fn,
+    )
 
 
 _SIMHASH_SCHEMA = T.StructType(

@@ -165,6 +165,7 @@ _PRIORITY = (
     "duplicate_span_stats",
     "length_quantiles_by_source",
     "training_shard_assignments",
+    "incremental_neardup_pairs",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

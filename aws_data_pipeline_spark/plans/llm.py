@@ -314,6 +314,43 @@ def minhash_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_neardup_pairs",
+    # the oracle replays the FULL portable MinHash chain over the whole
+    # corpus, then keeps exactly the pairs that cross the new/corpus
+    # boundary — provably the same set the incremental probe generates
+    # (band matches with exactly one new member), remapped to
+    # (new_id, corpus_id)
+    sql=f"""
+    WITH {_portable_minhash_ctes("documents")}
+    SELECT CASE WHEN v.doc1 % 10 = 7 THEN v.doc1 ELSE v.doc2 END AS new_id,
+           CASE WHEN v.doc1 % 10 = 7 THEN v.doc2 ELSE v.doc1 END AS corpus_id,
+           v.i / (za.n + zb.n - v.i) AS jaccard
+    FROM inter v
+    JOIN sizes za ON za.doc = v.doc1
+    JOIN sizes zb ON zb.doc = v.doc2
+    WHERE v.i / (za.n + zb.n - v.i) >= 0.8
+      AND ((v.doc1 % 10 = 7) != (v.doc2 % 10 = 7))
+    """,
+)
+def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a simulated NEW batch (doc_id % 10 = 7) probes
+    the EXISTING corpus's LSH bands — candidates are strictly new x corpus,
+    never corpus x corpus, which is what keeps per-batch dedup O(batch)
+    against a 100 TB curated corpus (the persisted-index twin is
+    build_lsh_text_index/neardup_against_index, pytest-covered)."""
+    d = T(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    corpus_sets = dedup.shingle_sets(corpus, "doc_id", "text", 5)
+    corpus_bands = dedup._banded_keys(
+        dedup._signatures_from_sets(corpus_sets, 16, "md5"), 4, 4
+    )
+    return dedup.neardup_against_corpus(
+        new, corpus_sets, corpus_bands, threshold=0.8, hash_fn="md5"
+    )
+
+
+@register(
     "simhash_hamming_pairs",
     # full value oracle: simhash is md5-based, and DuckDB ships md5 +
     # 64-bit integer ops, so the DEFINITIONAL simhash (per-occurrence ±1

@@ -757,3 +757,41 @@ def test_training_shards_deterministic_balanced_uncorrelated(spark):
         for r in training_shards(df, "doc_id", n_shards=8, seed="shard-v2").collect()
     }
     assert other != {(r.doc_id, r.shard, r.pos) for r in out}
+
+
+def test_incremental_neardup_matches_full_cross_pairs(spark, sf_dir):
+    """Probing the corpus index with a new batch finds exactly the
+    full-corpus LSH pairs that cross the boundary; the persisted index
+    returns the identical result and enforces its recorded parameters."""
+    from aws_data_pipeline_spark.operators.dedup import (
+        _banded_keys,
+        _signatures_from_sets,
+        build_lsh_text_index,
+        minhash_lsh_pairs,
+        neardup_against_corpus,
+        neardup_against_index,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+
+    full = minhash_lsh_pairs(docs, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8)
+    expected = {
+        (r.doc2, r.doc1) if r.doc2 % 10 == 7 else (r.doc1, r.doc2)
+        for r in full.collect()
+        if (r.doc1 % 10 == 7) != (r.doc2 % 10 == 7)
+    }
+
+    corpus_sets = shingle_sets(corpus, "doc_id", "text", 5)
+    corpus_bands = _banded_keys(_signatures_from_sets(corpus_sets, 16), 4, 4)
+    got = neardup_against_corpus(new, corpus_sets, corpus_bands, threshold=0.8)
+    assert {(r.new_id, r.corpus_id) for r in got.collect()} == expected
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        build_lsh_text_index(corpus, tmp)
+        via_index = neardup_against_index(spark, new, tmp)
+        assert {(r.new_id, r.corpus_id) for r in via_index.collect()} == expected
