@@ -697,6 +697,82 @@ def cluster_assignments(
     )
 
 
+def incremental_cluster_assignments(
+    new_df: DataFrame,
+    cross_pairs: DataFrame,
+    new_pairs: DataFrame,
+    corpus_assignments: DataFrame,
+    id_col: str = "doc_id",
+    id_offset: int = 1 << 40,
+) -> DataFrame:
+    """Assign a NEW batch to duplicate clusters without re-clustering the
+    corpus — the companion of :func:`neardup_against_corpus` that closes
+    the incremental-dedup loop. Components run over a BATCH-sized graph
+    only: ``new_pairs`` (new~new, from ``minhash_lsh_pairs`` on the batch)
+    plus ``cross_pairs`` (new~corpus, from the index probe) collapsed to
+    each matched corpus doc's existing canonical.
+
+    Canonical rule, in priority order (deterministic):
+    1. a new doc connected (transitively, through the batch) to any corpus
+       cluster adopts the MIN matched corpus canonical;
+    2. else the min new id of its batch component;
+    3. else (no matches at all) itself.
+
+    Corpus canonicals are FIXED: an increment never relabels history. The
+    consequence is the documented append-only divergence: a new doc
+    matching TWO corpus clusters bridges them logically, but both keep
+    their canonicals — the new doc adopts the smaller; a from-scratch
+    recluster would merge them. Recording bridges (pairs of canonicals in
+    one component) is the compaction trigger for an eventual offline
+    re-cluster, same trade as any LSM-style maintenance.
+
+    Mechanically, corpus-preference is encoded in the node ids fed to
+    :func:`connected_components`: corpus canonicals keep their id, new
+    docs get ``id + id_offset`` — min-label propagation then proves rule
+    1/2 as a plain min. ``id_offset`` must exceed every corpus id (the
+    default 2^40 covers any practical id space; ids at or above it must
+    pass a larger offset).
+
+    Returns (doc_id, canonical_doc_id, is_duplicate) for NEW docs only.
+    """
+    enc_cross = (
+        cross_pairs.join(
+            corpus_assignments.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col("canonical_doc_id").alias("canon"),
+            ),
+            "corpus_id",
+        )
+        .select(
+            (F.col("new_id") + id_offset).alias("doc1"),
+            F.col("canon").alias("doc2"),
+        )
+        .distinct()
+    )
+    enc_new = new_pairs.select(
+        (F.col("doc1") + id_offset).alias("doc1"),
+        (F.col("doc2") + id_offset).alias("doc2"),
+    )
+    labels = connected_components(enc_cross.unionByName(enc_new))
+    decoded = labels.filter(F.col("node") >= id_offset).select(
+        (F.col("node") - id_offset).alias(id_col),
+        F.when(F.col("label") >= id_offset, F.col("label") - id_offset)
+        .otherwise(F.col("label"))
+        .alias("canonical_doc_id"),
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(decoded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("canonical_doc_id", F.col(id_col)).alias("canonical_doc_id"),
+            (F.coalesce("canonical_doc_id", F.col(id_col)) != F.col(id_col)).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -166,6 +166,7 @@ _PRIORITY = (
     "length_quantiles_by_source",
     "training_shard_assignments",
     "incremental_neardup_pairs",
+    "incremental_cluster_assignments",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

@@ -350,6 +350,31 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_cluster_assignments", sql=None)
+def incremental_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster maintenance: the simulated new batch
+    (doc_id % 10 = 7) adopts existing corpus canonicals through the index
+    probe's cross pairs + batch-internal pairs — history is never
+    relabeled. Rows-only (iterative components inside); the canonical rule
+    is union-find-model-tested and the planted bridge case pinned in
+    tests/test_llm.py."""
+    d = T(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    corpus_sets = dedup.shingle_sets(corpus, "doc_id", "text", 5)
+    corpus_bands = dedup._banded_keys(
+        dedup._signatures_from_sets(corpus_sets, 16), 4, 4
+    )
+    corpus_assign = dedup.cluster_assignments(
+        corpus, dedup.minhash_lsh_pairs(corpus, "doc_id", threshold=0.8)
+    )
+    cross = dedup.neardup_against_corpus(new, corpus_sets, corpus_bands)
+    new_pairs = dedup.minhash_lsh_pairs(new, "doc_id", threshold=0.8)
+    return dedup.incremental_cluster_assignments(
+        new, cross, new_pairs, corpus_assign
+    )
+
+
 @register(
     "simhash_hamming_pairs",
     # full value oracle: simhash is md5-based, and DuckDB ships md5 +

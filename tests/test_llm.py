@@ -795,3 +795,112 @@ def test_incremental_neardup_matches_full_cross_pairs(spark, sf_dir):
         build_lsh_text_index(corpus, tmp)
         via_index = neardup_against_index(spark, new, tmp)
         assert {(r.new_id, r.corpus_id) for r in via_index.collect()} == expected
+
+
+def test_incremental_cluster_assignments_planted(spark):
+    """Planted scenario covering every canonical rule: adopt-min-corpus-
+    canonical (direct and transitive through a batch chain), the two-corpus
+    bridge (adopts the smaller, history untouched), batch-only components,
+    and unmatched singletons."""
+    from aws_data_pipeline_spark.operators.dedup import (
+        incremental_cluster_assignments,
+    )
+
+    new = spark.createDataFrame(
+        [(i,) for i in (101, 102, 103, 104, 105, 106)], "doc_id long"
+    )
+    cross = spark.createDataFrame(
+        [(101, 2), (103, 10), (103, 20)], "new_id long, corpus_id long"
+    )
+    new_pairs = spark.createDataFrame(
+        [(101, 102), (104, 105)], "doc1 long, doc2 long"
+    )
+    corpus_assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (20, 20)],
+        "doc_id long, canonical_doc_id long",
+    )
+    got = {
+        r.doc_id: (r.canonical_doc_id, r.is_duplicate)
+        for r in incremental_cluster_assignments(
+            new, cross, new_pairs, corpus_assign
+        ).collect()
+    }
+    assert got == {
+        101: (1, True),    # direct match -> corpus canonical
+        102: (1, True),    # transitive through 101
+        103: (10, True),   # bridges clusters 10 and 20 -> min canonical
+        104: (104, False), # batch-only component, min new id = self
+        105: (104, True),  # batch-only component member
+        106: (106, False), # unmatched singleton
+    }
+
+
+def test_incremental_cluster_assignments_matches_model(spark, sf_dir):
+    """On real data, incremental assignment equals a union-find model
+    applying the documented rule (min matched corpus canonical, else min
+    batch id, else self) to the same pair inputs."""
+    from aws_data_pipeline_spark.operators.dedup import (
+        _banded_keys,
+        _signatures_from_sets,
+        cluster_assignments,
+        incremental_cluster_assignments,
+        minhash_lsh_pairs,
+        neardup_against_corpus,
+        shingle_sets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    corpus_pairs = minhash_lsh_pairs(corpus, "doc_id", threshold=0.8)
+    corpus_assign = cluster_assignments(corpus, corpus_pairs)
+    corpus_sets = shingle_sets(corpus, "doc_id", "text", 5)
+    cross = neardup_against_corpus(
+        new, corpus_sets, _banded_keys(_signatures_from_sets(corpus_sets, 16), 4, 4)
+    )
+    new_pairs = minhash_lsh_pairs(new, "doc_id", threshold=0.8)
+    got = {
+        r.doc_id: (r.canonical_doc_id, r.is_duplicate)
+        for r in incremental_cluster_assignments(
+            new, cross, new_pairs, corpus_assign
+        ).collect()
+    }
+
+    canon = {r.doc_id: r.canonical_doc_id for r in corpus_assign.collect()}
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    new_ids = [r.doc_id for r in new.select("doc_id").collect()]
+    for i in new_ids:
+        find(i * 2 + 1)  # encode new ids as odd, corpus canonicals as even
+    for r in cross.collect():
+        union(r.new_id * 2 + 1, canon[r.corpus_id] * 2)  # canon as even
+    for r in new_pairs.collect():
+        union(r.doc1 * 2 + 1, r.doc2 * 2 + 1)
+    comp: dict[int, list[int]] = {}
+    for i in new_ids:
+        comp.setdefault(find(i * 2 + 1), []).append(i)
+    for r in cross.collect():
+        comp.setdefault(find(canon[r.corpus_id] * 2), [])
+    expected = {}
+    roots_canon: dict[int, list[int]] = {}
+    for r in cross.collect():
+        roots_canon.setdefault(find(canon[r.corpus_id] * 2), []).append(
+            canon[r.corpus_id]
+        )
+    for root, members in comp.items():
+        canons = roots_canon.get(root, [])
+        label = min(canons) if canons else min(members, default=None)
+        for m in members:
+            expected[m] = (label, label != m)
+    assert got == expected
