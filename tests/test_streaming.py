@@ -343,3 +343,54 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     run()
     got = {(r.click_id, r.purchase_id) for r in spark.read.parquet(out_path).collect()}
     assert (2, None) in got  # flushed with null right side
+
+
+def test_incremental_corpus_ingest_rejects_cross_batch_neardups(spark, tmp_path):
+    """End-to-end corpus maintenance: in-batch exact+fuzzy dedup, index
+    probe rejects cross-batch near-dups, the checkpoint is a bookmark, and
+    a checkpoint loss cannot double-append (id anti-join guard)."""
+    from aws_data_pipeline_spark.streaming.corpus import incremental_corpus_ingest
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"other{i}" for i in range(40))
+    batch1 = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": base, "lang": "en", "source": "a"},  # exact dup of 1
+        {"doc_id": 3, "text": base + " extra", "lang": "en", "source": "a"},  # near
+        {"doc_id": 4, "text": other, "lang": "en", "source": "b"},
+    ]
+    (inbox / "b1.jsonl").write_text("\n".join(json.dumps(d) for d in batch1))
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, ckpt)
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 4}
+    indexed = {r.doc for r in spark.read.parquet(f"{index}/sets").collect()}
+    assert indexed == {1, 4}
+
+    fresh = " ".join(f"new{i}" for i in range(60))
+    batch2 = [
+        {"doc_id": 11, "text": base + " more", "lang": "en", "source": "a"},  # x-batch
+        {"doc_id": 12, "text": fresh, "lang": "en", "source": "c"},
+        {"doc_id": 13, "text": fresh + " tail", "lang": "en", "source": "c"},  # in-b
+    ]
+    (inbox / "b2.jsonl").write_text("\n".join(json.dumps(d) for d in batch2))
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, ckpt)
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 4, 12}
+    indexed = {r.doc for r in spark.read.parquet(f"{index}/sets").collect()}
+    assert indexed == {1, 4, 12}
+
+    # same checkpoint: nothing new to process
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, ckpt)
+    assert spark.read.parquet(corpus).count() == 3
+    # lost checkpoint: files re-deliver, the id guard keeps the corpus flat
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "ckpt2")
+    )
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(f"{index}/sets").count() == 3
