@@ -773,6 +773,57 @@ def incremental_cluster_assignments(
     )
 
 
+def cluster_bridges(
+    cross_pairs: DataFrame,
+    new_pairs: DataFrame,
+    corpus_assignments: DataFrame,
+    id_col: str = "doc_id",
+    id_offset: int = 1 << 40,
+) -> DataFrame:
+    """The compaction trigger for :func:`incremental_cluster_assignments`:
+    pairs of DISTINCT corpus canonicals that a new batch connects into one
+    component. Incremental assignment deliberately does not merge them
+    (history is append-only); this report is what schedules the eventual
+    offline re-cluster, and its size is the drift metric — an empty result
+    means incremental state still equals a from-scratch clustering.
+
+    Returns (canonical_a, canonical_b) with a < b, one row per bridged
+    canonical pair per component (all pairs within a component, so the
+    offline pass can union them without re-deriving connectivity).
+    """
+    enc_cross = (
+        cross_pairs.join(
+            corpus_assignments.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col("canonical_doc_id").alias("canon"),
+            ),
+            "corpus_id",
+        )
+        .select(
+            (F.col("new_id") + id_offset).alias("doc1"),
+            F.col("canon").alias("doc2"),
+        )
+        .distinct()
+    )
+    enc_new = new_pairs.select(
+        (F.col("doc1") + id_offset).alias("doc1"),
+        (F.col("doc2") + id_offset).alias("doc2"),
+    )
+    labels = connected_components(enc_cross.unionByName(enc_new))
+    canons = labels.filter(F.col("node") < id_offset).select(
+        F.col("node").alias("canonical"), F.col("label").alias("component")
+    )
+    a, b = canons.alias("a"), canons.alias("b")
+    return a.join(
+        b,
+        (F.col("a.component") == F.col("b.component"))
+        & (F.col("a.canonical") < F.col("b.canonical")),
+    ).select(
+        F.col("a.canonical").alias("canonical_a"),
+        F.col("b.canonical").alias("canonical_b"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

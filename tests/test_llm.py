@@ -904,3 +904,41 @@ def test_incremental_cluster_assignments_matches_model(spark, sf_dir):
         for m in members:
             expected[m] = (label, label != m)
     assert got == expected
+
+
+def test_cluster_bridges_reports_connected_canonicals(spark):
+    """The bridge report lists exactly the distinct-canonical pairs a batch
+    connects — the planted scenario bridges clusters 10 and 20 through new
+    doc 103 and leaves cluster 1 unbridged."""
+    from aws_data_pipeline_spark.operators.dedup import cluster_bridges
+
+    cross = spark.createDataFrame(
+        [(101, 2), (103, 10), (103, 20)], "new_id long, corpus_id long"
+    )
+    new_pairs = spark.createDataFrame(
+        [(101, 102), (104, 105)], "doc1 long, doc2 long"
+    )
+    corpus_assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (20, 20)],
+        "doc_id long, canonical_doc_id long",
+    )
+    got = {
+        (r.canonical_a, r.canonical_b)
+        for r in cluster_bridges(cross, new_pairs, corpus_assign).collect()
+    }
+    assert got == {(10, 20)}
+    # a three-way bridge reports all pairs of its component
+    cross3 = spark.createDataFrame(
+        [(201, 1), (201, 10), (202, 20), (201, 30), (202, 30)],
+        "new_id long, corpus_id long",
+    )
+    corpus_assign3 = spark.createDataFrame(
+        [(1, 1), (10, 10), (20, 20), (30, 30)],
+        "doc_id long, canonical_doc_id long",
+    )
+    empty_pairs = spark.createDataFrame([], "doc1 long, doc2 long")
+    got3 = {
+        (r.canonical_a, r.canonical_b)
+        for r in cluster_bridges(cross3, empty_pairs, corpus_assign3).collect()
+    }
+    assert got3 == {(1, 10), (1, 20), (1, 30), (10, 20), (10, 30), (20, 30)}
