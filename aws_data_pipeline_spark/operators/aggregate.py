@@ -244,3 +244,41 @@ def grouped_quantiles(
             for p, nm in zip(ps, names)
         ],
     )
+
+
+def winsorized_scale(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group robust scaling for heuristic scores: clip ``value_col`` to
+    the group's [lo, hi] nearest-rank quantiles (winsorization — outliers
+    saturate instead of stretching the range), then min-max scale the
+    clipped value to [0, 1] within the group. This is how per-source
+    quality scores become COMPARABLE across sources with different score
+    distributions — the normalization step before a single corpus-wide
+    threshold or mixture weight makes sense.
+
+    Adds ``<value>_winsorized`` and ``<value>_scaled``; the scaled value
+    is NULL for a degenerate group (lo == hi quantile — no spread to
+    scale). The quantile frame is group-count-sized, so it broadcasts;
+    the only data-sized cost is the per-group sort inside
+    :func:`grouped_quantiles` (swap in approx=True sketch bounds at
+    100 TB group sizes — same contract).
+    """
+    qlo, qhi = (f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in (lo, hi))
+    q = grouped_quantiles(df, group_cols, value_col, ps=(lo, hi))
+    joined = df.join(
+        F.broadcast(q.select(*group_cols, qlo, qhi)), list(group_cols)
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col(qlo)), F.col(qhi))
+    return joined.withColumns(
+        {
+            f"{value_col}_winsorized": clipped,
+            f"{value_col}_scaled": F.try_divide(
+                clipped - F.col(qlo), F.col(qhi) - F.col(qlo)
+            ),
+        }
+    ).drop(qlo, qhi)

@@ -743,6 +743,56 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_winsorized_by_source",
+    # p05/p95 are the engine's nearest-rank quantiles (row_number + ceil of
+    # the IEEE product — same contract as length_quantiles_by_source), so
+    # clip and scale reproduce bit-for-bit
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
+                  AS INTEGER) AS sw,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             least(1.0, n / 100.0) * 0.4 + (sw / n) * 0.3
+               + least(1.0, (alpha / n) / 8.0) * 0.3 AS quality_score
+      FROM t
+    ), ranked AS (
+      SELECT doc_id, source, quality_score,
+             row_number() OVER (PARTITION BY source ORDER BY quality_score) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    ), q AS (
+      SELECT source,
+             max(CASE WHEN rn = ceil(0.05 * n) THEN quality_score END) AS p05,
+             max(CASE WHEN rn = ceil(0.95 * n) THEN quality_score END) AS p95
+      FROM ranked GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality_score,
+           least(greatest(s.quality_score, q.p05), q.p95)
+             AS quality_score_winsorized,
+           (least(greatest(s.quality_score, q.p05), q.p95) - q.p05)
+             / NULLIF(q.p95 - q.p05, 0) AS quality_score_scaled
+    FROM scored s JOIN q USING (source)
+    """,
+)
+def quality_winsorized_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust scaling of the heuristic quality score: clip to
+    the source's [p05, p95] nearest-rank quantiles, min-max scale the
+    clipped value — what makes scores COMPARABLE across sources with
+    different distributions before one corpus-wide threshold is applied."""
+    from aws_data_pipeline_spark.operators.aggregate import winsorized_scale
+
+    d = T(spark, sf_dir, "documents")
+    scored = text.quality_score(d).select("doc_id", "source", "quality_score")
+    return winsorized_scale(scored, ["source"], "quality_score")
+
+
+@register(
     "quality_median_filter",
     sql="""
     WITH t AS (

@@ -942,3 +942,24 @@ def test_cluster_bridges_reports_connected_canonicals(spark):
         for r in cluster_bridges(cross3, empty_pairs, corpus_assign3).collect()
     }
     assert got3 == {(1, 10), (1, 20), (1, 30), (10, 20), (10, 30), (20, 30)}
+
+
+def test_winsorized_scale_hand_computed(spark):
+    """Winsorization on a crafted group: the outlier saturates at p95, the
+    scaled values span [0, 1] on the clipped range, and a degenerate
+    single-value group scales to NULL."""
+    from aws_data_pipeline_spark.operators.aggregate import winsorized_scale
+
+    rows = [("a", float(v)) for v in range(1, 20)] + [("a", 1000.0)]
+    rows += [("b", 7.0), ("b", 7.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    got = {
+        (r.src, r.v): (r.v_winsorized, r.v_scaled)
+        for r in winsorized_scale(df, ["src"], "v").collect()
+    }
+    # group a: n=20 -> p05 = value at ceil(1.0)=rank 1 = 1.0; p95 = rank 19 = 19.0
+    assert got[("a", 1000.0)] == (19.0, 1.0)   # outlier clipped to p95
+    assert got[("a", 1.0)] == (1.0, 0.0)
+    assert got[("a", 10.0)] == (10.0, (10.0 - 1.0) / 18.0)
+    # group b: p05 == p95 == 7 -> degenerate, scaled NULL
+    assert got[("b", 7.0)] == (7.0, None)
