@@ -528,3 +528,31 @@ def training_shards(
         .withColumn("pos", F.row_number().over(w))
         .drop("__ord")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard-v1",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Materialize :func:`training_shards` as the on-disk layout a data
+    loader streams: ``path/shard=N/`` directories, rows inside each file
+    in final training order (``pos`` ascending). One hash-shuffle routes
+    every shard to a single task (so each shard is one ordered file) and
+    the within-partition sort fixes the row order parquet preserves —
+    no extra exchange beyond the one the shard routing requires. The
+    ``pos`` column is kept in the output: loaders can verify order, and
+    resuming mid-shard is an offset, not a re-shuffle.
+    """
+    assign = training_shards(df, id_col, n_shards, seed, hash_fn)
+    out = df.join(assign, id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

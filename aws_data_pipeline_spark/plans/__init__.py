@@ -83,7 +83,11 @@ _PLAN_MODULES = (
 # that sat out r4 (quality_median_filter, source_mixture_weights,
 # embedding_neardup_pairs, ngram_jaccard_pairs, sessionize_events,
 # stratified_sample_counts, session_window_counts), then r4's new/changed
-# cohort.
+# cohort — which now includes the mid-round-4 additions appended below
+# (duplicate_spans/stats, length_quantiles_by_source,
+# training_shard_assignments, incremental_neardup_pairs,
+# incremental_cluster_assignments, quality_winsorized_by_source): none of
+# them has ANY driver signal yet, so they outrank the r2-dated re-checks.
 _PRIORITY = (
     # driver signal last refreshed in round 1 (stale — head of the window)
     "q10_returned_items",

@@ -963,3 +963,33 @@ def test_winsorized_scale_hand_computed(spark):
     assert got[("a", 10.0)] == (10.0, (10.0 - 1.0) / 18.0)
     # group b: p05 == p95 == 7 -> degenerate, scaled NULL
     assert got[("b", 7.0)] == (7.0, None)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """The shard write produces one ordered file per shard=N directory:
+    rows appear in pos order (the training order), and the union of shards
+    is exactly the input."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_data_pipeline_spark.operators.sampling import write_training_shards
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("payload")
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=4)
+    seen = set()
+    for shard in range(4):
+        files = glob.glob(f"{path}/shard={shard}/*.parquet")
+        assert len(files) == 1  # one task per shard -> one ordered file
+        t = pq.read_table(files[0])
+        pos = t.column("pos").to_pylist()
+        assert pos == sorted(pos) and pos[0] == 1  # training order on disk
+        ids = t.column("doc_id").to_pylist()
+        assert ids != sorted(ids)  # shuffled relative to collection order
+        payload = t.column("payload").to_pylist()
+        assert all(p == i * 2 for i, p in zip(ids, payload))
+        seen.update(ids)
+    assert seen == set(range(500))
