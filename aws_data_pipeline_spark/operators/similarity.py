@@ -136,6 +136,48 @@ def choose_lsh_params(
     return r, b
 
 
+def _band_codes(
+    v: DataFrame, bands: int, rows_per_band: int, dim: int, seed: int
+) -> DataFrame:
+    """(id, band, code) sign-bit band codes of a normalized (id, v) frame —
+    all ``bands * rows_per_band`` bits from ONE numpy matmul per Arrow
+    batch (see neardup_pairs_lsh's scale-shape notes). Hyperplanes are
+    seeded and deterministic, so codes computed in different runs (index
+    build vs probe) are identical by construction."""
+    import numpy as np
+
+    planes = np.asarray(
+        _hyperplanes(bands * rows_per_band, dim, seed), dtype="float64"
+    )
+    id_type = v.schema["id"].dataType.simpleString()
+
+    def compute_codes(batches):
+        import numpy as np
+        import pandas as pd
+
+        proj = planes.T  # (dim, bands*rows_per_band)
+        weights = (1 << np.arange(rows_per_band)).astype("int64")
+        band_ids = np.arange(bands, dtype="int32")
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy())  # (n, dim)
+            # bit i of band j comes from plane j*rows_per_band+i — the same
+            # layout as the per-plane formulation, so codes are identical
+            bits = (mat @ proj) >= 0.0
+            codes = bits.reshape(n, bands, rows_per_band).astype("int64") @ weights
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), bands),
+                    "band": np.tile(band_ids, n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return v.mapInPandas(compute_codes, schema=f"id {id_type}, band int, code long")
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -213,37 +255,9 @@ def neardup_pairs_lsh(
     Both verify with the same exact JVM cosine, so outputs are identical
     (asserted in tests).
     """
-    import numpy as np
-
-    planes = np.asarray(_hyperplanes(bands * rows_per_band, dim, seed), dtype="float64")
     v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     id_type = v.schema["id"].dataType.simpleString()
-
-    def compute_codes(batches):
-        import numpy as np
-        import pandas as pd
-
-        proj = planes.T  # (dim, bands*rows_per_band)
-        weights = (1 << np.arange(rows_per_band)).astype("int64")
-        band_ids = np.arange(bands, dtype="int32")
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            mat = np.vstack(pdf["v"].to_numpy())  # (n, dim)
-            # bit i of band j comes from plane j*rows_per_band+i — the same
-            # layout as the per-plane formulation, so codes are identical
-            bits = (mat @ proj) >= 0.0
-            codes = bits.reshape(n, bands, rows_per_band).astype("int64") @ weights
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(pdf["id"].to_numpy(), bands),
-                    "band": np.tile(band_ids, n),
-                    "code": codes.reshape(-1),
-                }
-            )
-
-    banded = v.mapInPandas(compute_codes, schema=f"id {id_type}, band int, code long")
+    banded = _band_codes(v, bands, rows_per_band, dim, seed)
 
     # numpy sims differ from the sequential JVM fold only by summation-order
     # rounding (~1e-15 relative); the slack guarantees the prefilter is a
@@ -696,4 +710,78 @@ def ann_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def build_embedding_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 64,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Persist a corpus's hyperplane-LSH index — the embedding twin of
+    ``dedup.build_lsh_text_index``: ``path/vectors`` (id, v — the exact
+    cosine verification side), ``path/bands`` (id, band, code — the
+    candidate equi-join side), ``path/meta`` (parameters; a probe under
+    different parameters must fail loudly, not silently miss). The
+    hyperplanes are seeded, so a probe in ANY later session regenerates
+    bit-identical codes from the meta alone — nothing model-like is
+    stored. Build once per corpus version; per-batch semantic dedup then
+    never touches corpus embeddings except the matched candidates."""
+    spark = df.sparkSession
+    v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    v.write.mode("overwrite").parquet(f"{path}/vectors")
+    stored = spark.read.parquet(f"{path}/vectors")
+    _band_codes(stored, bands, rows_per_band, dim, seed).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(bands, rows_per_band, dim, seed)],
+        "bands int, rows_per_band int, dim int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def embedding_neardup_against_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Incremental semantic near-dup: a new batch probes a persisted
+    embedding index — candidates are strictly NEW x CORPUS from the
+    (band, code) equi-join (history's internal pairs were settled at
+    curation time), verified with the exact JVM cosine. Per-batch cost is
+    O(batch x bands + matched candidates); corpus vectors are read only
+    for candidate ids. Returns (new_id, corpus_id, sim) at or above
+    ``threshold``. The ``verify="pairs"`` shape is the right one here
+    regardless of threshold: cross-join candidate volume is bounded by
+    the BATCH side, so code-collision density cannot approach n² the way
+    a full self-join at a loose threshold does."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    nv = new_df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    new_banded = _band_codes(nv, meta.bands, meta.rows_per_band, meta.dim, meta.seed)
+    cand = (
+        new_banded.alias("a")
+        .join(
+            spark.read.parquet(f"{path}/bands").alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.code") == F.col("b.code")),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
+        .distinct()
+    )
+    corpus_v = spark.read.parquet(f"{path}/vectors").select(
+        F.col("id").alias("corpus_id"), F.col("v").alias("v2")
+    )
+    return (
+        cand.join(nv.select(F.col("id").alias("new_id"), F.col("v").alias("v1")), "new_id")
+        .join(corpus_v, "corpus_id")
+        .withColumn("sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("sim") >= threshold)
+        .select("new_id", "corpus_id", "sim")
     )

@@ -993,3 +993,30 @@ def test_write_training_shards_layout(spark, tmp_path):
         assert all(p == i * 2 for i, p in zip(ids, payload))
         seen.update(ids)
     assert seen == set(range(500))
+
+
+def test_embedding_index_probe_matches_full_cross_pairs(spark, sf_dir, tmp_path):
+    """The embedding index probe finds exactly the full-run LSH pairs that
+    cross the new/corpus boundary, with identical exact-cosine sims."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        build_embedding_lsh_index,
+        embedding_neardup_against_index,
+        neardup_pairs_lsh,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    new = e.filter(F.col("vec_id") % 10 == 3)
+    corpus = e.filter(F.col("vec_id") % 10 != 3)
+
+    full = neardup_pairs_lsh(e, threshold=0.45)
+    expected = {
+        (r.id2, r.id1) if r.id2 % 10 == 3 else (r.id1, r.id2)
+        for r in full.collect()
+        if (r.id1 % 10 == 3) != (r.id2 % 10 == 3)
+    }
+    idx = str(tmp_path / "eidx")
+    build_embedding_lsh_index(corpus, idx)
+    got = embedding_neardup_against_index(spark, new, idx, threshold=0.45)
+    assert {(r.new_id, r.corpus_id) for r in got.collect()} == expected
+    # sims are the exact JVM cosine, all at or above threshold
+    assert all(r.sim >= 0.45 for r in got.collect())
