@@ -172,6 +172,7 @@ _PRIORITY = (
     "incremental_neardup_pairs",
     "incremental_cluster_assignments",
     "quality_winsorized_by_source",
+    "bpe_fertility_by_lang",
     # rows-only entry evicted from the r4 window to fit regional_revenue's
     # plan-change recheck (staleness policy above: local pytest replicates
     # the rows-only signal every run)

@@ -1834,6 +1834,56 @@ _BPE_TOKEN_COUNTS_SQL = (
 )
 
 
+_BPE_FERTILITY_SQL = (
+    "WITH "
+    + _bpe_round_ctes(_BPE_N_MERGES)
+    + f""",
+    docw AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), fw AS (
+      SELECT doc_id, lang, word FROM docw WHERE regexp_matches(word, '^[a-z]+$')
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(r.symbols, ' '))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(sum(len(string_split(r.symbols, ' '))) AS DOUBLE) / count(*)
+             AS fertility
+    FROM fw JOIN r{_BPE_N_MERGES} r USING (word)
+    GROUP BY lang
+    """
+)
+
+
+@register("bpe_fertility_by_lang", sql=_BPE_FERTILITY_SQL)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE tokens per word) per language — the metric
+    that tells you which languages a tokenizer serves poorly (high
+    fertility = more tokens per word = less effective context and higher
+    training cost for that language). Composes the shared trained BPE
+    model; exact long totals divide to an engine-portable double."""
+    from aws_data_pipeline_spark.operators import bpe
+
+    d = T(spark, sf_dir, "documents")
+    per_doc = bpe.bpe_token_counts(d, _bpe_model(spark, sf_dir, _BPE_N_MERGES))
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.try_divide(F.col("n_bpe_tokens"), F.col("n_words")).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
 @register("bpe_merges", sql=_BPE_MERGES_SQL)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich 2016): 16 merges learned by
