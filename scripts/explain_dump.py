@@ -38,6 +38,9 @@ EXTRA = (
     "q18_large_volume_customers",
     "length_quantiles_by_source",
     "training_shard_assignments",
+    "incremental_neardup_pairs",
+    "quality_winsorized_by_source",
+    "bpe_fertility_by_lang",
     "gopher_quality_flags",
     "semantic_dedup_flags",
     "dsir_importance_weights",
