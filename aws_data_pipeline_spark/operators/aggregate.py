@@ -8,6 +8,8 @@ Reference sites: ``silver_to_gold.py:20-32`` (daily), ``:38-50`` (monthly),
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
+from operator import and_
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -186,6 +188,16 @@ def multi_grain_rollup(
     return df.sparkSession.sql(q)
 
 
+def _quantile_name(p: float) -> str:
+    """Column name for quantile ``p``: ``p25``/``p50``/``p975`` — the
+    decimal digits of p, zero-padded to two. ``p`` must lie strictly in
+    (0, 1): p=1.0 would produce a dotted name (``p1.0``) that breaks later
+    ``F.col`` references, and nearest-rank p=0/p=1 are just min/max."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"quantile p must be in (0, 1), got {p}")
+    return "p" + f"{p:g}"[2:].ljust(2, "0")
+
+
 def grouped_quantiles(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -215,20 +227,27 @@ def grouped_quantiles(
 
     Output: ``group_cols`` + ``n_rows`` + one ``p{NN}`` column per
     requested quantile, carrying the value column's own type.
+
+    NULL contract, identical on both paths: NULL values are excluded from
+    ranking (matching ``percentile_approx``, which skips them) and from
+    ``n_rows`` — ``n_rows`` is the population the quantiles describe.
+    Without the exact-path filter, NULLs would sort first and occupy the
+    lowest ranks, shifting every quantile.
     """
-    names = [f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in ps]
+    names = [_quantile_name(p) for p in ps]
     if approx:
         pa = F.percentile_approx(
             F.col(value_col), F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
         )
         return df.groupBy(*group_cols).agg(
-            F.count("*").alias("n_rows"),
+            F.count(value_col).alias("n_rows"),
             *[pa.getItem(i).alias(nm) for i, nm in enumerate(names)],
         )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(value_col)
     wn = Window.partitionBy(*[F.col(c) for c in group_cols])
     ranked = (
         df.select(*group_cols, value_col)
+        .filter(F.col(value_col).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count("*").over(wn))
     )
@@ -267,11 +286,22 @@ def winsorized_scale(
     the only data-sized cost is the per-group sort inside
     :func:`grouped_quantiles` (swap in approx=True sketch bounds at
     100 TB group sizes — same contract).
+
+    The join back to the rows is null-safe on the group keys, so rows in a
+    NULL-keyed group are winsorized against that group's own quantile row
+    rather than silently dropped by a plain equi-join.
     """
-    qlo, qhi = (f"p{str(p).replace('0.', '').ljust(2, '0')}" for p in (lo, hi))
+    qlo, qhi = (_quantile_name(p) for p in (lo, hi))
     q = grouped_quantiles(df, group_cols, value_col, ps=(lo, hi))
-    joined = df.join(
-        F.broadcast(q.select(*group_cols, qlo, qhi)), list(group_cols)
+    qd = q.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols], qlo, qhi
+    )
+    cond = reduce(
+        and_,
+        [df[c].eqNullSafe(qd[f"__g_{c}"]) for c in group_cols],
+    )
+    joined = df.join(F.broadcast(qd), cond).drop(
+        *[f"__g_{c}" for c in group_cols]
     )
     clipped = F.least(F.greatest(F.col(value_col), F.col(qlo)), F.col(qhi))
     return joined.withColumns(

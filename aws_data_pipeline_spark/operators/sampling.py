@@ -503,7 +503,7 @@ def training_shards(
 
     Scale shape: one hash-shuffle on ``shard`` + per-shard sort — exactly
     the physical layout a shard WRITE wants:
-    ``out.repartition(n_shards, "shard").sortWithinPartitions("pos")``
+    ``out.repartition(n_shards, "shard").sortWithinPartitions("shard", "pos")``
     then ``write.partitionBy("shard")`` streams each shard in final order
     with no extra exchange. Per-shard sort state is corpus/n_shards —
     pick n_shards so a shard fits an executor's spill budget, same rule
@@ -546,12 +546,22 @@ def write_training_shards(
     no extra exchange beyond the one the shard routing requires. The
     ``pos`` column is kept in the output: loaders can verify order, and
     resuming mid-shard is an offset, not a re-shuffle.
+
+    The within-partition sort is on ``(shard, pos)``, not ``pos`` alone:
+    hash collisions under ``repartition(n_shards, "shard")`` routinely put
+    two shards in one task, and the dynamic-partition writer requires its
+    input ordered by the partition column — sorting by ``pos`` alone would
+    make the writer insert its OWN sort on ``shard``, and the documented
+    in-file ``pos`` order would then hinge on that sort being stable, which
+    Spark does not guarantee once spill-merge kicks in. Sorting
+    ``(shard, pos)`` satisfies the writer's required ordering (no extra
+    sort inserted) and makes the in-file order explicit.
     """
     assign = training_shards(df, id_col, n_shards, seed, hash_fn)
     out = df.join(assign, id_col)
     (
         out.repartition(n_shards, "shard")
-        .sortWithinPartitions("pos")
+        .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

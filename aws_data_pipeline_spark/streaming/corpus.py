@@ -12,14 +12,17 @@ streaming/ingest.py): a crashed run re-processes only uncommitted files.
 
 Crash-consistency note, explicit because the sink performs THREE writes
 (corpus, index sets, index bands) that parquet cannot commit atomically
-together: the batch is written corpus-first, index-second, so a crash
-between them leaves accepted docs missing from the index — they would not
-reject a future duplicate of themselves (conservative direction: possible
-duplicate admission, never data loss). The recovery run re-processes the
-uncommitted batch: its docs now match the corpus... via the index, which
-lacks them — so the batch re-appends. That is why ``doc_id`` survivorship
-is deterministic and the corpus zone append is guarded by an id anti-join
-(cheap: ids only), making re-delivery idempotent even mid-crash.
+together: each write derives its append set INDEPENDENTLY, by anti-joining
+the batch's deterministic survivors against what THAT target already holds
+(ids only — cheap column-pruned scans). A crash between any two of the
+three writes therefore cannot desynchronize them permanently: the recovery
+run (the checkpoint re-delivers the uncommitted batch) recomputes the same
+survivors and each write backfills exactly its missing rows — docs that
+reached the corpus but not the index get their index entries on recovery,
+and vice versa; nothing is ever double-appended. The only window of weakness is
+DURING recovery itself (an index missing entries admits a near-duplicate
+arriving in that same window — conservative direction: possible duplicate
+admission, never data loss).
 """
 
 from __future__ import annotations
@@ -47,22 +50,42 @@ def append_to_lsh_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Append newly accepted documents to a persisted LSH index
+    """Idempotently append documents to a persisted LSH index
     (``dedup.build_lsh_text_index``) under the index's OWN recorded
-    parameters — a probe never sees mixed-parameter signatures."""
+    parameters — a probe never sees mixed-parameter signatures.
+
+    Each sub-table derives its own append set by anti-joining the batch's
+    ids against what that sub-table already holds (ids only — column-pruned
+    scans), so calling this again after a crash between the ``sets`` and
+    ``bands`` writes backfills exactly the missing rows: already-indexed
+    docs are skipped, docs whose sets landed but whose bands did not get
+    their bands computed from the materialized sets.
+    """
     spark = df.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    sets = dedup.shingle_sets(df, id_col, text_col, meta.k, persist=False)
-    sets.write.mode("append").parquet(f"{path}/sets")
-    # read the appended slice back so signatures see materialized sets
-    new_sets = spark.read.parquet(f"{path}/sets").join(
-        df.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    ids = df.select(F.col(id_col).alias("doc"))
+    missing_sets = df.join(
+        spark.read.parquet(f"{path}/sets").select(F.col("doc").alias(id_col)),
+        id_col,
+        "left_anti",
     )
-    dedup._banded_keys(
-        dedup._signatures_from_sets(new_sets, meta.num_perm, meta.hash_fn),
-        meta.bands,
-        meta.num_perm // meta.bands,
-    ).write.mode("append").parquet(f"{path}/bands")
+    if not missing_sets.isEmpty():
+        dedup.shingle_sets(
+            missing_sets, id_col, text_col, meta.k, persist=False
+        ).write.mode("append").parquet(f"{path}/sets")
+    # bands for any batch doc not yet banded, from the MATERIALIZED sets
+    # (tokenization runs once; covers a prior crash between the two writes)
+    pending = (
+        spark.read.parquet(f"{path}/sets")
+        .join(ids, "doc", "left_semi")
+        .join(spark.read.parquet(f"{path}/bands").select("doc"), "doc", "left_anti")
+    )
+    if not pending.isEmpty():
+        dedup._banded_keys(
+            dedup._signatures_from_sets(pending, meta.num_perm, meta.hash_fn),
+            meta.bands,
+            meta.num_perm // meta.bands,
+        ).write.mode("append").parquet(f"{path}/bands")
 
 
 def incremental_corpus_ingest(
@@ -118,14 +141,20 @@ def incremental_corpus_ingest(
                 sess, survivors, index_path, threshold=threshold
             ).select(F.col("new_id").alias("doc_id")).distinct()
             survivors = survivors.join(matched, "doc_id", "left_anti")
-        # 3. idempotent append: corpus first, index second (module docstring)
-        if zone_exists(sess, corpus_path):
-            existing = sess.read.parquet(corpus_path).select("doc_id")
-            survivors = survivors.join(existing, "doc_id", "left_anti")
-        survivors = survivors.localCheckpoint()  # one plan, three writes
+        # 3. idempotent append: corpus and index append sets are derived
+        #    INDEPENDENTLY (each anti-joined against its OWN target), so a
+        #    crash between any of the three writes is backfilled by the
+        #    recovery run instead of permanently desynchronizing them
+        #    (module docstring).
+        survivors = survivors.localCheckpoint()  # one plan, several probes
         if survivors.isEmpty():
             return
-        survivors.write.mode("append").parquet(corpus_path)
+        corpus_new = survivors
+        if zone_exists(sess, corpus_path):
+            existing = sess.read.parquet(corpus_path).select("doc_id")
+            corpus_new = survivors.join(existing, "doc_id", "left_anti")
+        if not corpus_new.isEmpty():
+            corpus_new.write.mode("append").parquet(corpus_path)
         if zone_exists(sess, f"{index_path}/meta"):
             append_to_lsh_text_index(survivors, index_path)
         else:

@@ -965,6 +965,39 @@ def test_winsorized_scale_hand_computed(spark):
     assert got[("b", 7.0)] == (7.0, None)
 
 
+def test_grouped_quantiles_null_contract(spark):
+    """NULL values are excluded from ranking AND from n_rows on BOTH paths
+    (matching percentile_approx, which skips NULLs); NULL group keys are
+    kept as their own group and winsorized_scale's null-safe join retains
+    their rows; p outside (0,1) is rejected (p1.0 would be a dotted name)."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators.aggregate import (
+        grouped_quantiles,
+        winsorized_scale,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("a", None)] * 5
+    rows += [(None, 3.0), (None, 5.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, "src string, v double")
+    exact = {r.src: r for r in grouped_quantiles(df, ["src"], "v").collect()}
+    approx = {
+        r.src: r
+        for r in grouped_quantiles(df, ["src"], "v", approx=True).collect()
+    }
+    # NULL values neither shift the quantiles nor inflate n_rows
+    assert exact["a"].n_rows == approx["a"].n_rows == 10
+    assert exact["a"].p50 == 5.0  # rank ceil(.5*10)=5 over non-null values
+    # NULL group key is a real group, identically on both paths
+    assert exact[None].n_rows == approx[None].n_rows == 3
+    assert exact[None].p50 == 5.0
+    # winsorized rows with NULL keys survive the null-safe join
+    w = winsorized_scale(df.filter(F.col("v").isNotNull()), ["src"], "v")
+    assert w.filter(F.col("src").isNull()).count() == 3
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, ["src"], "v", ps=(0.5, 1.0))
+
+
 def test_write_training_shards_layout(spark, tmp_path):
     """The shard write produces one ordered file per shard=N directory:
     rows appear in pos order (the training order), and the union of shards

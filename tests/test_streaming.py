@@ -394,3 +394,72 @@ def test_incremental_corpus_ingest_rejects_cross_batch_neardups(spark, tmp_path)
     )
     assert spark.read.parquet(corpus).count() == 3
     assert spark.read.parquet(f"{index}/sets").count() == 3
+
+
+def test_corpus_crash_recovery_backfills_index(spark, tmp_path):
+    """A crash between the corpus write and the index append must be healed
+    by the recovery run: the index append set is derived against the INDEX's
+    own contents, not the corpus, so docs that reached the corpus pre-crash
+    get their missing index entries backfilled (and a crash between the sets
+    and bands appends backfills bands without duplicating sets)."""
+    import shutil
+
+    from aws_data_pipeline_spark.operators import dedup
+    from aws_data_pipeline_spark.streaming.corpus import (
+        append_to_lsh_text_index,
+        incremental_corpus_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    fresh = " ".join(f"new{i}" for i in range(60))
+    (inbox / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": base, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, str(tmp_path / "c1"))
+
+    # simulate: batch 2's corpus write committed, then the run crashed
+    # BEFORE the index append — doc 2 is in the corpus but not the index
+    spark.createDataFrame(
+        [(2, fresh, "en", "a")], "doc_id long, text string, lang string, source string"
+    ).write.mode("append").parquet(corpus)
+    assert {r.doc for r in spark.read.parquet(f"{index}/sets").collect()} == {1}
+
+    # recovery: the checkpoint re-delivers batch 2 (fresh checkpoint here ≡
+    # uncommitted batch). Corpus must stay flat; the index must backfill.
+    (inbox / "b2.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": fresh, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, str(tmp_path / "c2"))
+    assert spark.read.parquet(corpus).count() == 2
+    assert {r.doc for r in spark.read.parquet(f"{index}/sets").collect()} == {1, 2}
+    assert {r.doc for r in spark.read.parquet(f"{index}/bands").collect()} == {1, 2}
+
+    # and the healed index actually rejects a near-dup of the healed doc
+    (inbox / "b3.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": fresh + " tail", "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, str(tmp_path / "c3"))
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    # crash between sets and bands: plant doc 9's sets only, then re-append —
+    # bands are computed from the materialized sets, sets are not duplicated
+    nine = spark.createDataFrame(
+        [(9, " ".join(f"x{i}" for i in range(40)), "en", "a")],
+        "doc_id long, text string, lang string, source string",
+    )
+    dedup.shingle_sets(nine, "doc_id", "text", 5, persist=False).write.mode(
+        "append"
+    ).parquet(f"{index}/sets")
+    append_to_lsh_text_index(nine, index)
+    sets_rows = spark.read.parquet(f"{index}/sets").filter(F.col("doc") == 9).count()
+    bands_rows = (
+        spark.read.parquet(f"{index}/bands").filter(F.col("doc") == 9).count()
+    )
+    assert sets_rows == 1
+    assert bands_rows == 4  # one row per band
+    shutil.rmtree(str(tmp_path / "inbox"))
