@@ -34,14 +34,29 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Queries DEMOTED from the driver surface (round 5 consolidation: the
+# oracled registry outgrew the driver's 2x50-query check window, VERDICT r4
+# item 2). A demoted query keeps its implementation AND its oracle — the
+# local pytest oracle-parity suite replays DEMOTED alongside REGISTRY on
+# every run, and bench.py can still time demoted hot paths — it just no
+# longer occupies a driver window slot. Each demotion names the registered
+# query that carries its capability's driver signal.
+DEMOTED: dict[str, Query] = {}
 
-def register(name: str, sql: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
-    """Decorator: register a Spark query with its oracle SQL twin."""
+
+def register(
+    name: str, sql: str | None = None, demoted: bool = False
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query with its oracle SQL twin.
+
+    ``demoted=True`` routes the query to :data:`DEMOTED` — full local
+    oracle coverage, no driver window slot (see DEMOTED's comment)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        if name in REGISTRY:
+        target = DEMOTED if demoted else REGISTRY
+        if name in REGISTRY or name in DEMOTED:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, spark_fn=fn, sql=sql, doc=fn.__doc__ or "")
+        target[name] = Query(name=name, spark_fn=fn, sql=sql, doc=fn.__doc__ or "")
         return fn
 
     return deco
@@ -58,125 +73,149 @@ _PLAN_MODULES = (
 
 # Registry iteration order = driver check order, and the driver's
 # CORRECTNESS gate covers a bounded prefix of it (50 entries per round).
-# The window ROTATES each round so no query's hard driver signal goes more
-# than one round stale (the local oracle replica tests/test_oracle_parity.py
-# asserts hash parity over the FULL registry on every pytest run besides).
-# STALENESS POLICY at >100 registered queries: the ≤1-round-stale guarantee
-# applies to ORACLED queries (92 — two 50-windows cover them with room);
-# rows-only entries get a weaker rows-ran driver signal that the local
-# pytest suite fully replicates every run, so they may cycle at lower
-# priority when the window is tight — prefer evicting a rows-only entry
-# over an oracled one.
-# Round-4 prefix = the 3 queries whose last driver row is round 1 (they fell
-# past round 3's window — VERDICT r3 item 4), then queries NEW this round
-# (first driver signal: persisted IVF, stream-stream attribution, portable
-# split/minhash), then queries whose plans changed this round (q17 threshold
-# slice, q18 hint drop, tfidf ordering, simhash oracle+distinct placement,
-# IVF index caching), then every query whose last driver row is round 2,
-# then every query whose last driver row is round 2. The 19 new/changed
-# entries squeezed the window: slots past the driver's 50-entry prefix
-# hold the three LOWEST-RISK r2-dated entries — the DQ invariants
-# (dq_profile_orders, dq_rule_violations_lineitem,
-# dq_duplicate_order_lines), whose oracle parity the local pytest suite
-# re-proves on every run — explicitly carried over. ROUND-5 HEAD must be:
-# those three DQ entries (2 rounds stale), then the r3-green queries
-# that sat out r4 (quality_median_filter, source_mixture_weights,
-# embedding_neardup_pairs, ngram_jaccard_pairs, sessionize_events,
-# stratified_sample_counts, session_window_counts), then r4's new/changed
-# cohort — which now includes the mid-round-4 additions appended below
-# (duplicate_spans/stats, length_quantiles_by_source,
-# training_shard_assignments, incremental_neardup_pairs,
-# incremental_cluster_assignments, quality_winsorized_by_source): none of
-# them has ANY driver signal yet, so they outrank the r2-dated re-checks.
+# The window ROTATES each round; with the round-5 consolidation the
+# ORACLED count is exactly 100 — two 50-windows cover every oracled query,
+# restoring the ≤1-round-stale guarantee the r4 verdict flagged as broken
+# (the local oracle replica tests/test_oracle_parity.py besides asserts
+# hash parity over REGISTRY + DEMOTED on every pytest run).
+# STALENESS POLICY: rows-only entries (9) get a weaker rows-ran driver
+# signal that the local pytest suite fully replicates every run, so they
+# cycle at lower priority — this round three of them sit in the window
+# (their FIRST-EVER driver signal outranks a refresh), which displaces
+# the window's last three oracled entries to positions 101-103.
+# ROUND-5 window (1-50): the three DQ entries (2 rounds stale), then the
+# 21 never-driver-checked r4 additions (VERDICT r4 item 1 — highest
+# oracle-risk first: the BPE training replay, the whole-chain curation
+# oracle, the Lee-et-al duplicate spans), then this round's new entries
+# (silver_projection, the incremental-gold twin, the persisted text-index
+# probe), then the r3-green queries that sat out r4, then r3-dated
+# re-checks oldest-first.
+# ROUND-6 HEAD must be: positions 101-103 (dedup_exact_text, token_counts,
+# doc_fingerprints — displaced by the three windowed rows-only firsts),
+# then positions 51-100 in order; the rows-only tail (104-109) cycles in
+# as slack allows.
 _PRIORITY = (
-    # driver signal last refreshed in round 1 (stale — head of the window)
+    # -- round-5 window, slots 1-50 ------------------------------------
+    # driver signal last refreshed round 2 (2 rounds stale)
+    "dq_profile_orders",
+    "dq_rule_violations_lineitem",
+    "dq_duplicate_order_lines",
+    # never driver-checked r4 additions — first signal, riskiest first
+    "bpe_merges",
+    "bpe_token_counts",
+    "curated_corpus_portable",
+    "duplicate_span_stats",
+    "dsir_importance_weights",
+    "embedding_decontamination",
+    "unigram_logprob_scores",
+    "bigram_logprob_scores",
+    "context_window_chunks",
+    "leakage_safe_splits",
+    "mixture_resample_docs",
+    "stratified_sample_assignments_portable",
+    "split_leakage_audit",
+    "length_quantiles_by_source",
+    "training_shard_assignments",
+    "incremental_neardup_pairs",
+    "quality_winsorized_by_source",
+    "bpe_fertility_by_lang",
+    # never driver-checked rows-only (first-ever signal)
+    "quality_classifier_scores",
+    "incremental_cluster_assignments",
+    # new in round 5 (first driver signal)
+    "silver_projection",
+    "customer_insights_incremental_twin",
+    "text_neardup_index_probe",
+    # r3-green queries that sat out round 4 (VERDICT r4 item 1 carry-over)
+    "quality_median_filter",
+    "source_mixture_weights",
+    "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "sessionize_events",
+    "session_window_counts",
+    # r3-dated re-checks (oldest remaining driver signal)
+    "multi_grain_rollup_hierarchical",
+    "filter_valid_transactions",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q21_suppliers_kept_waiting",
+    "left_join_order_counts",
+    "semi_join_active_customers",
+    "anti_join_dormant_customers",
+    "full_outer_nation_balance",
+    "topk_orders_per_customer",
+    "trailing_30d_customer_spend",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "events_within_10min",
+    # -- round-6 window, slots 51-100 ----------------------------------
+    # remaining r3-dated
+    "cube_priority_status",
+    "customer_spend_quartiles",
+    "global_table_stats",
+    "order_year_set_ops",
+    "pivot_event_values",
+    "price_percentiles_by_priority",
+    "salted_nation_order_stats",
+    "sql_surface_order_status",
+    "string_normalize_parts",
+    "unpivot_returnflag_measures",
+    # r4-dated (freshest hard signal)
     "q10_returned_items",
     "q14_promo_effect",
     "q15_top_supplier",
-    # new this round (first-ever driver signal)
-    "embedding_ann_ivf_indexed",
-    "click_purchase_attribution",
-    "dataset_split_assignments_portable",
-    "minhash_lsh_dedup_portable",
-    "dq_zscore_outlier_counts",
-    "order_sequence_windows",
-    "line_dedup_stats",
-    "token_budget_sample_docs",
-    "gopher_quality_flags",
-    "semantic_dedup_flags",
-    # changed this round
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "tfidf_top_terms",
-    "simhash_hamming_pairs",
-    "embedding_ann_ivf",
-    "neardup_clusters",
-    "regional_revenue",
-    # driver signal last refreshed in round 2
-    "dedup_by_key",
-    "daily_aggregations",
-    "customer_insights",
-    "multi_grain_rollup",
     "q1_pricing_summary",
+    "q12_priority_by_shipyear",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "customer_insights",
+    "daily_aggregations",
+    "dedup_by_key",
+    "regional_revenue",
     "json_props_stats",
     "asof_last_click_before_purchase",
     "daily_gapfill_nation_revenue",
     "funnel_view_click_purchase",
     "scd2_customer_segment_history",
-    "q12_priority_by_shipyear",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q13_customer_distribution",
+    "click_purchase_attribution",
+    "order_sequence_windows",
+    "dq_zscore_outlier_counts",
+    "dataset_split_assignments_portable",
+    "minhash_lsh_dedup_portable",
+    "simhash_hamming_pairs",
+    "neardup_clusters",
     "dedup_exact_text",
-    "minhash_lsh_dedup",
+    "line_dedup_stats",
     "embedding_cosine_topk",
-    "embedding_ann_lsh",
+    "tfidf_top_terms",
     "lang_id_stopwords",
     "text_quality_scores",
+    "text_repetition_stats",
+    "vocabulary_top_tokens",
+    "gopher_quality_flags",
+    "semantic_dedup_flags",
+    "benchmark_decontamination",
+    "pii_redaction_stats",
+    "multimodal_decode_features",
+    # -- slots 101-103: displaced oracled, MUST lead round 6 ------------
+    "token_budget_sample_docs",
+    "sequence_packing",
     "token_counts",
     "doc_fingerprints",
-    "multimodal_decode_features",
-    "vocabulary_top_tokens",
-    "curated_corpus_stats",
-    "pii_redaction_stats",
-    "benchmark_decontamination",
-    "text_repetition_stats",
+    # -- rows-only tail (weaker signal, local pytest replicates it) -----
+    "embedding_ann_ivf",
+    "embedding_ann_ivf_indexed",
+    "embedding_ann_lsh",
     "heavy_hitter_tokens_approx",
-    "sequence_packing",
-    # slots 51+ — outside the driver prefix this round, MUST lead round 5
-    # (lowest-risk carry-overs: DQ invariants re-proved by local pytest
-    # oracle parity on every run)
-    "dq_profile_orders",
-    "dq_rule_violations_lineitem",
-    "dq_duplicate_order_lines",
-    # new in r4 but registered AFTER the window filled — first driver
-    # signal must come in round 5 (local pytest oracle parity covers it
-    # until then)
-    "curated_corpus_portable",
-    "dsir_importance_weights",
-    "embedding_decontamination",
-    "quality_classifier_scores",
-    "unigram_logprob_scores",
-    "bpe_merges",
-    "bpe_token_counts",
-    "context_window_chunks",
-    "leakage_safe_splits",
-    "mixture_resample_docs",
-    "stratified_sample_assignments_portable",
-    "bigram_logprob_scores",
-    "split_leakage_audit",
-    "duplicate_spans",
-    "duplicate_span_stats",
-    "length_quantiles_by_source",
-    "training_shard_assignments",
-    "incremental_neardup_pairs",
-    "incremental_cluster_assignments",
-    "quality_winsorized_by_source",
-    "bpe_fertility_by_lang",
-    # rows-only entry evicted from the r4 window to fit regional_revenue's
-    # plan-change recheck (staleness policy above: local pytest replicates
-    # the rows-only signal every run)
-    "dataset_split_counts",
+    "approx_distinct_customers",
+    "price_percentiles_approx",
 )
 
 
@@ -188,6 +227,11 @@ def load_registry() -> dict[str, Query]:
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     if missing:
         raise ValueError(f"_PRIORITY names not registered: {missing}")
+    if len(set(_PRIORITY)) != len(_PRIORITY):
+        raise ValueError("_PRIORITY contains duplicates")
+    unlisted = [n for n in REGISTRY if n not in _PRIORITY]
+    if unlisted:
+        raise ValueError(f"registered but not in _PRIORITY: {unlisted}")
     ordered = {n: REGISTRY[n] for n in _PRIORITY}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()

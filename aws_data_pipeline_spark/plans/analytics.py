@@ -232,8 +232,12 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("o_custkey", "customer_id")
 
 
+# demoted r5 (window consolidation): the cumulative-frame capability keeps
+# driver signal via trailing_30d_customer_spend (explicit RANGE frame) and
+# order_sequence_windows (running ROWS frame first_value)
 @register(
     "running_customer_spend",
+    demoted=True,
     sql="""
     SELECT o_custkey AS customer_id, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
@@ -257,8 +261,11 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("o_totalprice").withColumnRenamed("o_custkey", "customer_id")
 
 
+# demoted r5 (window consolidation): lag/lead keep driver signal via
+# order_sequence_windows (lead) and scd2_customer_segment_history (lag)
 @register(
     "order_gap_days",
+    demoted=True,
     sql="""
     SELECT o_custkey AS customer_id, o_orderkey, o_orderdate,
            CAST(date_diff('day',
@@ -334,8 +341,11 @@ def order_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Sort / limit ----------------------------------------------------------
 
 
+# demoted r5 (sort/limit consolidation): global ordered-limit keeps driver
+# signal via q15_top_supplier and topk_orders_per_customer
 @register(
     "top_orders_global",
+    demoted=True,
     sql="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders

@@ -79,7 +79,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- MinHash-LSH (approximate candidates, exact verification) --------------
 
 
-@register("minhash_lsh_dedup", sql=None)
+# demoted r5: minhash_lsh_dedup_portable carries the driver signal for the
+# MinHash-LSH capability (hash-green r4, full SQL oracle); this xxhash64
+# hot path stays benched (bench.py HEADLINE) and recall-tested in pytest
+@register("minhash_lsh_dedup", sql=None, demoted=True)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 perms) + 4-band LSH candidates, verified with exact
     Jaccard >= 0.8. Exact precision / LSH recall — no SQL oracle by nature;
@@ -164,8 +167,12 @@ def _dup_span_ctes(k: int) -> str:
     )"""
 
 
+# demoted r5: duplicate_span_stats subsumes this per-doc (same CTE chain,
+# VERDICT r4 consolidation list); the span-level oracle stays replayed by
+# the local parity suite
 @register(
     "duplicate_spans",
+    demoted=True,
     sql=f"""
     WITH {_dup_span_ctes(8)}
     SELECT doc_id, CAST(span_start AS INTEGER) AS span_start,
@@ -348,6 +355,55 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_against_corpus(
         new, corpus_sets, corpus_bands, threshold=0.8, hash_fn="md5"
     )
+
+
+def _text_lsh_index_path(sf_dir: str) -> str:
+    import hashlib
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return str(
+        root / f"text_lsh_index_{pathlib.Path(sf_dir).name}_{tag}_k5_p16_b4_md5"
+    )
+
+
+def _ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted corpus MinHash-LSH index over the simulated
+    existing corpus (doc_id % 10 != 7), md5-portable params matching
+    incremental_neardup_pairs. Staleness contract mirrors
+    :func:`_ensure_ivf_index`: indexed doc count must equal the corpus
+    doc count or the index rebuilds; params live in the path."""
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+
+    idx = _text_lsh_index_path(sf_dir)
+    corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
+    fresh = False
+    if zone_exists(spark, f"{idx}/meta"):
+        fresh = (
+            spark.read.parquet(f"{idx}/sets").select("doc").distinct().count()
+            == corpus.count()
+        )
+    if not fresh:
+        dedup.build_lsh_text_index(
+            corpus, idx, k=5, num_perm=16, bands=4, hash_fn="md5"
+        )
+    return idx
+
+
+@register("text_neardup_index_probe", sql=None)
+def text_neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_neardup_pairs' PERSISTED-index twin — the on-disk 100 TB
+    shape: the corpus LSH index is written once (sets + bands + meta under
+    the gitignored warehouse dir) and every batch probe reads the index
+    files instead of re-deriving corpus signatures. Rows-only here;
+    row-identity with the oracled resident twin is asserted in
+    tests/test_llm.py, and bench.py times this probe with the build
+    excluded (build-once is the contract)."""
+    idx = _ensure_text_lsh_index(spark, sf_dir)
+    d = T(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    return dedup.neardup_against_index(spark, new, idx, threshold=0.8)
 
 
 @register("incremental_cluster_assignments", sql=None)
@@ -1018,7 +1074,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Dataset splitting / sampling / vocabulary -----------------------------
 
 
-@register("dataset_split_counts", sql=None)
+# demoted r5: dataset_split_assignments_portable carries the driver signal
+# (hash-green r4, row-level oracle strictly stronger than these counts)
+@register("dataset_split_counts", sql=None, demoted=True)
 def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split (98/1/1-style splits are
     the LLM norm; 80/10/10 here) — per-(split, lang) doc counts. Rows-only:
@@ -1101,7 +1159,9 @@ def dataset_split_assignments_portable(spark: SparkSession, sf_dir: str) -> Data
     return split.select("doc_id", "split")
 
 
-@register("stratified_sample_counts", sql=None)
+# demoted r5: stratified_sample_assignments_portable carries the driver
+# signal (row-level md5 oracle strictly stronger than these counts)
+@register("stratified_sample_counts", sql=None, demoted=True)
 def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free deterministic stratified sample (50% en, 10% others) —
     per-lang kept counts. Stable under repartitioning, unlike sampleBy; the
@@ -1136,7 +1196,9 @@ def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.vocabulary(T(spark, sf_dir, "documents"), top_k=50)
 
 
-@register("curated_corpus_stats", sql=None)
+# demoted r5: curated_corpus_portable carries the driver signal (the whole
+# chain replayed in SQL, vs rows-only counts here)
+@register("curated_corpus_stats", sql=None, demoted=True)
 def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline (quality gate -> exact dedup -> MinHash-LSH
     fuzzy dedup -> deterministic 98/1/1 split) reduced to per-(split, lang)

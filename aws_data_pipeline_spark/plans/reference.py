@@ -21,10 +21,16 @@ from aws_data_pipeline_spark.plans import register
 from aws_data_pipeline_spark.plans.common import T, davg_sql, dsum_sql
 
 # -- P1: type normalization projection ------------------------------------
+# P1/P4-P8 below are demoted r5 (VERDICT r4 consolidation): five
+# single-projection queries folded into the one composed silver_projection
+# query (end of this section), which replays transform_bronze's full
+# projection chain end-to-end and carries the driver signal for all of
+# them. Each stays oracled in the local parity suite via DEMOTED.
 
 
 @register(
     "normalize_types",
+    demoted=True,
     sql="""
     SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
            CAST(o_custkey AS VARCHAR) AS customer_id,
@@ -79,6 +85,7 @@ def filter_valid_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "audit_columns",
+    demoted=True,
     sql="""
     SELECT o_orderkey, CAST(1.0 AS DOUBLE) AS data_quality_score,
            TIMESTAMP '2026-01-01 00:00:00' AS processed_timestamp
@@ -100,6 +107,7 @@ def audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "derive_date_parts",
+    demoted=True,
     sql="""
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INTEGER) AS year,
@@ -123,6 +131,7 @@ def derive_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "amount_category",
+    demoted=True,
     sql="""
     SELECT o_orderkey, o_totalprice,
            CASE WHEN o_totalprice < 100000.0 THEN 'small'
@@ -145,6 +154,7 @@ def amount_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "whole_number_flag",
+    demoted=True,
     sql="""
     SELECT o_orderkey, o_totalprice,
            CASE WHEN trunc(o_totalprice) = o_totalprice THEN 'whole_number'
@@ -159,6 +169,68 @@ def whole_number_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive.add_type_derived(o, "o_totalprice").select(
         "o_orderkey", "o_totalprice", "transaction_type_derived"
     )
+
+
+# -- P1+P2+P3+P4+P5+P6+P7+P8: the composed silver projection ---------------
+
+
+@register(
+    "silver_projection",
+    sql="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+           CAST(o_custkey AS VARCHAR) AS customer_id,
+           CAST(o_totalprice AS DOUBLE) AS amount,
+           o_orderdate AS transaction_date,
+           o_orderstatus AS status,
+           CAST(1.0 AS DOUBLE) AS data_quality_score,
+           TIMESTAMP '2026-01-01 00:00:00' AS processed_timestamp,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           CAST(day(o_orderdate) AS INTEGER) AS day,
+           CAST(hour(o_orderdate) AS INTEGER) AS hour,
+           CASE WHEN o_totalprice < 100000.0 THEN 'small'
+                WHEN o_totalprice < 300000.0 THEN 'medium'
+                ELSE 'large' END AS amount_category,
+           CASE WHEN trunc(o_totalprice) = o_totalprice THEN 'whole_number'
+                ELSE 'decimal' END AS transaction_type_derived
+    FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+      AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      AND o_totalprice > 0
+    """,
+)
+def silver_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P8 composed end-to-end: the full bronze->silver projection chain
+    of ``pipeline.medallion.transform_bronze`` (reference
+    bronze_to_silver.py:26-69) minus the A1 dedup, which ``dedup_by_key``
+    carries separately. One query proves the normalize -> validate -> audit
+    -> date-part -> bucket -> type-flag composition value-exact, replacing
+    the five demoted single-projection queries (normalize_types,
+    audit_columns, derive_date_parts, amount_category, whole_number_flag)
+    in the driver window. The whole chain is a single narrow projection +
+    one pushed-down filter — no shuffle, no exchange, WholeStageCodegen
+    end to end."""
+    o = T(spark, sf_dir, "orders")
+    out = cleanse.normalize_types(o, casts={"o_totalprice": "double"})
+    out = out.select(
+        F.col("o_orderkey").cast("string").alias("transaction_id"),
+        F.col("o_custkey").cast("string").alias("customer_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("transaction_date"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    out = cleanse.require_non_null(
+        out, ["transaction_id", "customer_id", "amount", "transaction_date"]
+    )
+    out = cleanse.require_positive(out, "amount")
+    out = derive.add_audit_columns(
+        out, clock=F.lit("2026-01-01 00:00:00").cast("timestamp")
+    )
+    out = derive.add_date_parts(out, "transaction_date")
+    out = derive.add_amount_category(
+        out, "amount", small_max=100_000.0, medium_max=300_000.0
+    )
+    return derive.add_type_derived(out, "amount")
 
 
 # -- A1: deterministic dedup ----------------------------------------------
@@ -243,8 +315,11 @@ def daily_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("o_custkey", "customer_id")
 
 
+# demoted r5: the monthly grain keeps driver signal via daily_aggregations
+# (same 6-aggregate bundle, same operator) and the multi-grain rollup
 @register(
     "monthly_aggregations",
+    demoted=True,
     sql=_AGG_SQL.format(
         month_part="CAST(month(o_orderdate) AS INTEGER) AS month,",
         level="monthly",
@@ -303,12 +378,57 @@ def customer_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("o_custkey", "customer_id")
 
 
+@register("customer_insights_incremental_twin", sql=CUSTOMER_INSIGHTS_SQL)
+def customer_insights_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence proof for the incremental gold path
+    (streaming/gold.py): the orders history split into two "micro-batches"
+    (orderdate year <= 1995 / > 1995), each folded to the mergeable
+    per-customer state (additive counts, decimal sums, least/greatest
+    dates, HLL active-day sketch), merged with the SAME pure algebra the
+    streaming sink applies (gold.merge_states), then presented to the
+    customer_insights contract — and checked against customer_insights'
+    OWN oracle SQL, so the driver proves merged state ==
+    recompute-from-history. The HLL estimate is exact at the testdata's
+    per-customer active-day cardinalities (the sketch stays in exact
+    coupon mode, far below its HLL-array promotion threshold); at 100 TB
+    scale it is the documented ~2% estimate trade."""
+    from aws_data_pipeline_spark.streaming import gold
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("transaction_date"),
+    )
+    s1 = gold._batch_state(o.filter(F.year("transaction_date") <= 1995))
+    s2 = gold._batch_state(o.filter(F.year("transaction_date") > 1995))
+    st = gold.merge_states(s1, s2)
+    out = st.select(
+        "customer_id",
+        F.col("txn_count").alias("lifetime_transactions"),
+        # exact decimal sum -> one double cast == dsum; cast BEFORE the
+        # divide so avg is the same single IEEE division as davg
+        F.col("total_amount").cast("double").alias("lifetime_value"),
+        (F.col("total_amount").cast("double") / F.col("txn_count")).alias(
+            "avg_transaction_amount"
+        ),
+        "first_transaction_date",
+        "last_transaction_date",
+        F.hll_sketch_estimate("days_sketch").alias("active_days"),
+    )
+    return derive.add_tenure_and_segment(
+        out,
+        "first_transaction_date",
+        "last_transaction_date",
+        "lifetime_value",
+        high_min=4_000_000.0,
+        medium_min=2_000_000.0,
+    )
+
+
 # -- §4.2-2: single-pass multi-grain GROUPING SETS -------------------------
 
 
-@register(
-    "multi_grain_rollup",
-    sql=f"""
+MULTI_GRAIN_SQL = f"""
     SELECT o_custkey AS customer_id,
            CAST(year(o_orderdate) AS INTEGER) AS year,
            CAST(month(o_orderdate) AS INTEGER) AS month,
@@ -330,8 +450,14 @@ def customer_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
       (o_custkey, year(o_orderdate)),
       (o_custkey)
     )
-    """,
-)
+    """
+
+
+# demoted r5: multi_grain_rollup_hierarchical shares this EXACT oracle and
+# is the scale-superior formulation (no GROUPING SETS 4x row expand), so it
+# carries the capability's driver signal; this GROUPING SETS twin stays
+# oracled locally via DEMOTED
+@register("multi_grain_rollup", sql=MULTI_GRAIN_SQL, demoted=True)
 def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §4.2-2: daily+monthly+yearly+lifetime grains in ONE scan via
     GROUPING SETS, replacing the reference's three independent scans of
@@ -342,12 +468,9 @@ def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from aws_data_pipeline_spark.plans import REGISTRY as _REGISTRY  # noqa: E402
-
-
 @register(
     "multi_grain_rollup_hierarchical",
-    sql=_REGISTRY["multi_grain_rollup"].sql,  # SAME oracle: results identical
+    sql=MULTI_GRAIN_SQL,  # SAME oracle as multi_grain_rollup: results identical
 )
 def multi_grain_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-superior physical shape of multi_grain_rollup: aggregate the

@@ -131,6 +131,42 @@ def _batch_state(batch: DataFrame) -> DataFrame:
     )
 
 
+def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Pure pairwise merge of two per-customer state frames
+    (:func:`_batch_state` output) — the commutative, associative algebra
+    :func:`_merge_delta` applies against the persisted table, minus its
+    replay guard and bucket bookkeeping: counts and decimal sums add,
+    dates take least/greatest (both skip NULLs), day sketches union.
+    Used by the registered batch-equivalence twin
+    (``customer_insights_incremental_twin`` — the driver proves merged
+    state == recompute-from-history against customer_insights' own
+    oracle) and by property tests."""
+    d, e = a.alias("d"), b.alias("e")
+    return d.join(
+        e, F.col("d.customer_id") == F.col("e.customer_id"), "full"
+    ).select(
+        F.coalesce("d.customer_id", "e.customer_id").alias("customer_id"),
+        (
+            F.coalesce("d.txn_count", F.lit(0))
+            + F.coalesce("e.txn_count", F.lit(0))
+        ).alias("txn_count"),
+        (
+            F.coalesce("d.total_amount", F.lit(0).cast("decimal(38,2)"))
+            + F.coalesce("e.total_amount", F.lit(0).cast("decimal(38,2)"))
+        ).alias("total_amount"),
+        F.least("d.first_transaction_date", "e.first_transaction_date").alias(
+            "first_transaction_date"
+        ),
+        F.greatest("d.last_transaction_date", "e.last_transaction_date").alias(
+            "last_transaction_date"
+        ),
+        F.when(F.col("d.days_sketch").isNull(), F.col("e.days_sketch"))
+        .when(F.col("e.days_sketch").isNull(), F.col("d.days_sketch"))
+        .otherwise(F.hll_union("d.days_sketch", "e.days_sketch"))
+        .alias("days_sketch"),
+    )
+
+
 def merge_insights_batch(batch: DataFrame, table: str, batch_id: int) -> None:
     """Merge one micro-batch of silver rows into the bucketed insights
     table. IDEMPOTENT under foreachBatch's at-least-once replay: every row

@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from aws_data_pipeline_spark.plans import load_registry  # noqa: E402
+from aws_data_pipeline_spark.plans import DEMOTED, load_registry  # noqa: E402
 from aws_data_pipeline_spark.session import get_spark  # noqa: E402
 from bench import HEADLINE  # noqa: E402
 
@@ -57,7 +57,8 @@ EXTRA = (
 def main() -> None:
     spark = get_spark("explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    reg = load_registry()
+    reg = dict(load_registry())
+    reg.update(DEMOTED)  # demoted hot paths keep plan evidence
     sf = "/root/testdata/sf0.01"
     print(HEADER)
     for name in dict.fromkeys((*HEADLINE, *EXTRA)):

@@ -18,7 +18,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from aws_data_pipeline_spark.plans import load_registry  # noqa: E402
+from aws_data_pipeline_spark.plans import DEMOTED, load_registry  # noqa: E402
 from aws_data_pipeline_spark.session import get_spark  # noqa: E402
 from bench import HEADLINE  # noqa: E402
 from scripts.explain_dump import EXTRA  # noqa: E402
@@ -66,7 +66,8 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("shuffle-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    reg = load_registry()
+    reg = dict(load_registry())
+    reg.update(DEMOTED)  # demoted hot paths keep plan evidence
     print(f"{'query':40s} {'shuffle_MB':>10s} {'exch':>5s} {'bcast_MB':>9s} {'rows':>8s}")
     for name in dict.fromkeys((*HEADLINE, *EXTRA)):
         if name not in reg:

@@ -70,9 +70,9 @@ def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> None:
 
 
 def run_compare(spark, sf_dir: str, name: str) -> None:
-    from aws_data_pipeline_spark.plans import load_registry
+    from aws_data_pipeline_spark.plans import DEMOTED, load_registry
 
-    q = load_registry()[name]
+    q = load_registry().get(name) or DEMOTED[name]
     sdf = q.spark_fn(spark, sf_dir).toPandas()
     assert q.sql is not None, f"{name} has no oracle SQL"
     con = duck_con(sf_dir)

@@ -380,6 +380,25 @@ def test_registry_ivf_resident_equals_persisted(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_registry_text_index_probe_equals_resident(spark, sf_dir):
+    """The persisted corpus LSH index probe (text_neardup_index_probe) must
+    return exactly the rows of its resident, SQL-oracled twin
+    (incremental_neardup_pairs) — same md5-portable params, same new/corpus
+    split, index read from disk instead of re-derived."""
+    from aws_data_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    a = {
+        tuple(r)
+        for r in reg["incremental_neardup_pairs"].spark_fn(spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in reg["text_neardup_index_probe"].spark_fn(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_choose_lsh_params_rule():
     """choose_lsh_params: bucket bound holds, recall formula satisfied,
     deeper codes for bigger corpora."""

@@ -1,14 +1,17 @@
-"""Every SQL-expressible registered query must exactly match its DuckDB
-oracle twin at sf0.001 — the local replica of the driver's correctness gate."""
+"""Every SQL-expressible query — registered AND demoted — must exactly
+match its DuckDB oracle twin at sf0.001: the local replica of the driver's
+correctness gate, covering the demoted queries the driver window no longer
+sees (plans/__init__.py DEMOTED)."""
 
 from __future__ import annotations
 
 import pytest
 
-from aws_data_pipeline_spark.plans import load_registry
+from aws_data_pipeline_spark.plans import DEMOTED, load_registry
 from tests.oracle import run_compare
 
-REGISTRY = load_registry()
+REGISTRY = dict(load_registry())
+REGISTRY.update(DEMOTED)
 SQL_QUERIES = sorted(name for name, q in REGISTRY.items() if q.sql is not None)
 ROWS_ONLY = sorted(name for name, q in REGISTRY.items() if q.sql is None)
 
