@@ -883,7 +883,12 @@ def _positional_window_hashes(toks: Column, k: int) -> Column:
 
 
 def duplicate_spans(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hot_mod: int | None = 256,
+    hot_min: int = 4,
 ) -> DataFrame:
     """Exact duplicated-span detection — the suffix-array dedup family
     (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
@@ -914,8 +919,7 @@ def duplicate_spans(
     count-over-window on the hash, not a groupBy + semi-join: most windows
     are UNIQUE, so map-side partial aggregation would compress nothing and
     the join formulation just shuffles the window frame twice (measured
-    1.8x slower end-to-end); the window shuffles it once, with skew
-    bounded by the hottest n-gram's occurrence count either way. Then a
+    1.8x slower end-to-end); the window shuffles it once. Then a
     per-document window merges islands — documents are bounded (a
     training corpus is chunked to model context length), so per-doc sort
     state is small. Grouping is on xxhash64 fingerprints: a 64-bit
@@ -923,15 +927,59 @@ def duplicate_spans(
     at 100 TB (~1e13 windows) the expected number of colliding PAIRS is
     ~1e26/2^65 — a few thousand spurious windows corpus-wide, noise for a
     down-weighting gate.
+
+    HOT-HASH SKEW CAP (``hot_mod``/``hot_min``): the count-over-window
+    partitions by raw k-gram hash, so a boilerplate k-gram occurring
+    billions of times at 100 TB would put billions of rows into ONE window
+    partition. Guard: a deterministic 1/``hot_mod`` row sample (pmod of
+    xxhash64(doc, pos) — reproducible, no rand()) is counted per hash
+    (tiny groupBy, map-side combined); hashes with >= ``hot_min`` sampled
+    occurrences are flagged hot, their rows marked duplicated DIRECTLY
+    (exact, not approximate: ``hot_min`` >= 2 sampled rows proves >= 2
+    true occurrences) and EXCLUDED from the window, which then only ever
+    sorts non-hot hashes. Missing a moderately-hot hash costs only window
+    balance, never correctness — output is identical for every
+    (hot_mod, hot_min) setting, which the planted-hot-k-gram test pins.
+    The hot frame is duplicated-high-count hashes only (dim-sized; AQE
+    broadcasts the mark join). The trade is a second map-side tokenize+
+    explode for the sample pass — O(tokens) CPU, near-zero shuffle —
+    against an unbounded single-partition sort; ``hot_mod=None`` disables
+    the guard (the pre-cap formulation, kept as the equivalence twin).
     """
     toks = tokens(F.col(text_col))
     wins = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_positional_window_hashes(toks, k)).alias("idx", "h"),
     ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
-    hits = wins.withColumn(
-        "n", F.count("*").over(Window.partitionBy("h"))
-    ).filter(F.col("n") > 1)
+    if hot_mod is None:
+        hits = wins.withColumn(
+            "n", F.count("*").over(Window.partitionBy("h"))
+        ).filter(F.col("n") > 1)
+    else:
+        if hot_min < 2:
+            raise ValueError("hot_min must be >= 2 (2 sampled rows prove a dup)")
+        sampled = wins.filter(
+            F.pmod(
+                F.xxhash64("doc_id", "pos", F.lit("dup-span-hot")), F.lit(hot_mod)
+            )
+            == 0
+        )
+        hot = (
+            sampled.groupBy("h")
+            .agg(F.count("*").alias("sn"))
+            .filter(F.col("sn") >= hot_min)
+            .select("h", F.lit(True).alias("__hot"))
+        )
+        marked = wins.join(hot, "h", "left")
+        cold_hits = (
+            marked.filter(F.col("__hot").isNull())
+            .withColumn("n", F.count("*").over(Window.partitionBy("h")))
+            .filter(F.col("n") > 1)
+            .drop("n")
+        )
+        hits = cold_hits.unionByName(
+            marked.filter(F.col("__hot").isNotNull())
+        ).drop("__hot")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)

@@ -347,3 +347,27 @@ def test_bigram_logprob_ranks_formulaic_below_rare(spark):
     # single-token docs are absent
     d2 = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id LONG, text STRING")
     assert {r.doc_id for r in bigram_logprob(d2).collect()} == {2}
+
+
+def test_bpe_model_trains_once_across_registry_queries(spark, sf_dir, monkeypatch):
+    """The three BPE-family registry queries (bpe_merges, bpe_token_counts,
+    bpe_fertility_by_lang) must share ONE trained model per (corpus, params)
+    — the _BPE_MODELS cache contract. A refactor that silently retrains the
+    16-round sequential fold per query would triple the dominant cost, so
+    pin it: learn_bpe may be invoked at most once across all three."""
+    from aws_data_pipeline_spark.operators import bpe
+    from aws_data_pipeline_spark.plans import llm, load_registry
+
+    reg = load_registry()
+    llm._BPE_MODELS.clear()
+    calls = {"n": 0}
+    real = bpe.learn_bpe
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(bpe, "learn_bpe", counting)
+    for name in ("bpe_merges", "bpe_token_counts", "bpe_fertility_by_lang"):
+        assert reg[name].spark_fn(spark, sf_dir).count() > 0
+    assert calls["n"] == 1

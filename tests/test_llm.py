@@ -711,6 +711,40 @@ def test_duplicate_spans_random_property(spark):
         assert got == _py_duplicate_spans(docs, 4)
 
 
+def test_duplicate_spans_hot_hash_cap(spark):
+    """A pathological hot k-gram (the same boilerplate line planted across
+    hundreds of documents) must produce IDENTICAL output with the hot-hash
+    cap engaged at full-sample rate (hot_mod=1: the hot hash is provably
+    flagged and bypasses the count-over-window), at the default sampled
+    rate, and with the cap disabled (hot_mod=None) — the guard changes the
+    physical shape only, never the result. hot_min < 2 is rejected: one
+    sampled row cannot prove a duplicate."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    boiler = "all rights reserved contact us for terms of service today"
+    docs = {
+        d: f"doc {d} unique preamble token{d} {boiler} tail{d} closing words"
+        for d in range(300)
+    }
+    docs[900] = "a fully unique document with no duplicated window at all here"
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    runs = {
+        mode: {
+            (r.doc_id, r.span_start, r.span_tokens)
+            for r in duplicate_spans(df, k=8, hot_mod=mode).collect()
+        }
+        for mode in (None, 1, 256)
+    }
+    assert runs[None] == runs[1] == runs[256]
+    assert runs[None] == _py_duplicate_spans(docs, 8)
+    # the boilerplate really is hot: every planted doc carries a span
+    assert {d for d, _, _ in runs[None]} == set(range(300))
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=8, hot_mod=4, hot_min=1).collect()
+
+
 def test_grouped_quantiles_exact_and_sketch(spark, sf_dir):
     """Exact nearest-rank quantiles match a Python sort model on real data;
     the percentile_approx scale path stays within its rank-error bound."""
