@@ -173,3 +173,52 @@ def test_insights_merge_is_replay_safe(spark, tmp_path):
     merge_insights_batch(silver, table, batch_id=1)
     after = {r.customer_id: r.txn_count for r in spark.read.parquet(table).collect()}
     assert all(v == 2 * dict((c, n) for c, n, _ in once)[k] for k, v in after.items())
+
+
+def test_merge_states_is_order_insensitive_and_exact(spark, sf_dir):
+    """gold.merge_states is the mergeable-state algebra: folding three
+    disjoint batch states in two different association orders yields the
+    SAME presented values as aggregating the whole history in one pass —
+    counts, exact decimal sums, dates, and the HLL day estimate (sketch
+    BYTES may differ across merge orders; the estimate must not, and at
+    these cardinalities it is exact)."""
+    from aws_data_pipeline_spark.streaming import gold
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("transaction_date"),
+    )
+    parts = [
+        o.filter(
+            F.pmod(F.xxhash64(F.col("transaction_date").cast("string")), F.lit(3))
+            == i
+        )
+        for i in range(3)
+    ]
+    states = [gold._batch_state(p) for p in parts]
+
+    def present(st):
+        rows = st.select(
+            "customer_id",
+            "txn_count",
+            F.col("total_amount").cast("double").alias("total"),
+            "first_transaction_date",
+            "last_transaction_date",
+            F.hll_sketch_estimate("days_sketch").alias("days"),
+        ).collect()
+        return {
+            r.customer_id: (
+                r.txn_count,
+                r.total,
+                r.first_transaction_date,
+                r.last_transaction_date,
+                r.days,
+            )
+            for r in rows
+        }
+
+    ltr = gold.merge_states(gold.merge_states(states[0], states[1]), states[2])
+    rtl = gold.merge_states(states[0], gold.merge_states(states[2], states[1]))
+    direct = gold._batch_state(o)
+    assert present(ltr) == present(rtl) == present(direct)

@@ -33,3 +33,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_registry_capacity_contract():
+    """The driver checks a 50-query window per round, so the ORACLED
+    registered count must stay <= 100 for the documented two-round
+    staleness guarantee (plans/__init__.py). Adding an oracled query
+    beyond the ceiling requires demoting (not deleting — DEMOTED keeps the
+    oracle replayed here) a superseded one. Also pin that the two tiers
+    never overlap and every demotion kept its implementation callable."""
+    from aws_data_pipeline_spark.plans import DEMOTED
+    from aws_data_pipeline_spark.plans import load_registry as _load
+
+    reg = _load()
+    oracled = [n for n, q in reg.items() if q.sql is not None]
+    assert len(oracled) <= 100, (
+        f"{len(oracled)} oracled registered queries exceed the 2x50 driver "
+        "window ceiling — demote a superseded query (see DEMOTED)"
+    )
+    assert not (set(reg) & set(DEMOTED))
+    assert all(callable(q.spark_fn) for q in DEMOTED.values())
