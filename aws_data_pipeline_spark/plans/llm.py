@@ -380,10 +380,9 @@ def _ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
     fresh = False
     if zone_exists(spark, f"{idx}/meta"):
-        fresh = (
-            spark.read.parquet(f"{idx}/sets").select("doc").distinct().count()
-            == corpus.count()
-        )
+        # sets holds exactly one row per indexed doc (idempotent appends),
+        # so a plain count — parquet footer metadata, no shuffle — suffices
+        fresh = spark.read.parquet(f"{idx}/sets").count() == corpus.count()
     if not fresh:
         dedup.build_lsh_text_index(
             corpus, idx, k=5, num_perm=16, bands=4, hash_fn="md5"
