@@ -1001,6 +1001,14 @@ def duplicate_spans(
             .filter(F.col("__hot").isNotNull() | (F.col("n") > 1))
             .drop("__salt", "__hot")
         )
+    return _merge_islands(hits, k)
+
+
+def _merge_islands(hits: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) duplicated-window rows -> maximal spans: per-document
+    gaps-and-islands (windows <= k-1 apart overlap and merge). Shared by
+    the batch (:func:`duplicate_spans`) and incremental
+    (:func:`duplicate_spans_against_index`) paths."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)
@@ -1017,6 +1025,100 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_tokens")
     )
+
+
+def build_kgram_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> None:
+    """Persist the corpus's DISTINCT positional k-gram hash set — the
+    substring-level sibling of :func:`build_lsh_text_index`, extending
+    Lee-et-al span dedup to a growing corpus: once built, a new batch's
+    duplicated spans are found against ``path/hashes`` without ever
+    re-reading corpus text (:func:`duplicate_spans_against_index`).
+
+    Size posture, stated honestly: the index is O(distinct corpus
+    k-grams) at 8 bytes per hash — for near-unique text that approaches
+    one hash per token, i.e. ~1% of the raw text bytes. That is the
+    inherent fingerprint cost of substring-level dedup against history;
+    the alternative is re-scanning and re-exploding the full corpus every
+    batch. ``path/meta`` records k so a mismatched probe fails loudly."""
+    spark = df.sparkSession
+    (
+        df.select(
+            F.explode(
+                _positional_window_hashes(tokens(F.col(text_col)), k)
+            ).alias("h")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{path}/hashes")
+    )
+    spark.createDataFrame([(k,)], "k int").write.mode("overwrite").parquet(
+        f"{path}/meta"
+    )
+
+
+def append_to_kgram_index(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Idempotently append a batch's NOVEL k-gram hashes to a persisted
+    index: distinct batch hashes anti-joined against the index (so a
+    crashed-and-replayed append never duplicates), k from the index's own
+    metadata. Per-batch cost is O(batch tokens) + one anti-join against
+    the hash set — corpus text is never touched."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    new_h = (
+        df.select(
+            F.explode(
+                _positional_window_hashes(tokens(F.col(text_col)), meta.k)
+            ).alias("h")
+        )
+        .distinct()
+        .join(spark.read.parquet(f"{path}/hashes"), "h", "left_anti")
+    )
+    if not new_h.isEmpty():
+        new_h.write.mode("append").parquet(f"{path}/hashes")
+
+
+def duplicate_spans_against_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental duplicate spans: a NEW batch probes the persisted
+    corpus k-gram index. A batch window is duplicated iff its k-gram
+    exists in the corpus index OR occurs >= 2 times within the batch —
+    exactly the windows :func:`duplicate_spans` over corpus UNION batch
+    would flag for the batch docs (the equivalence a pytest pins), so the
+    batch's span report matches the full recompute while touching only
+    O(batch tokens + matched hashes): corpus text is never re-read, and
+    the batch-internal count-over-window sorts batch-bounded partitions
+    only. The index side of the mark join is one row per hash; AQE
+    handles a batch-hot hash by skew-splitting the join, and a
+    boilerplate-heavy BATCH can additionally pre-cap via the same
+    detector :func:`duplicate_spans` uses (probe batches are
+    ingest-sized, so the uncapped window is the right default here)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    k = meta.k
+    wins = new_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            _positional_window_hashes(tokens(F.col(text_col)), k)
+        ).alias("idx", "h"),
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+    idx = spark.read.parquet(f"{path}/hashes").withColumn("__in", F.lit(True))
+    marked = wins.join(idx, "h", "left")
+    hits = marked.withColumn(
+        "n", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("__in").isNotNull() | (F.col("n") > 1))
+    return _merge_islands(hits, k)
 
 
 def duplicate_span_stats(

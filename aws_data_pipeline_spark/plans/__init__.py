@@ -210,6 +210,7 @@ _PRIORITY = (
     "token_counts",
     "doc_fingerprints",
     # -- rows-only tail (weaker signal, local pytest replicates it) -----
+    "incremental_duplicate_spans",
     "embedding_ann_ivf",
     "embedding_ann_ivf_indexed",
     "embedding_ann_lsh",

@@ -357,6 +357,44 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kgram_index_path(sf_dir: str) -> str:
+    import hashlib
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return str(root / f"kgram_index_{pathlib.Path(sf_dir).name}_{tag}_k8")
+
+
+def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted corpus k-gram hash index over the simulated
+    existing corpus (doc_id % 10 != 7). Staleness: the hash-set row count
+    is content-derived, so the cheap contract here is presence + k match
+    (meta); a regenerated corpus under the same sf_dir is a new tag."""
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+
+    idx = _kgram_index_path(sf_dir)
+    if not zone_exists(spark, f"{idx}/meta"):
+        corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
+        dedup.build_kgram_index(corpus, idx, k=8)
+    return idx
+
+
+@register("incremental_duplicate_spans", sql=None)
+def incremental_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al span dedup made incremental: the simulated NEW batch
+    (doc_id % 10 = 7) probes the persisted corpus k-gram index — a batch
+    window is duplicated iff its 8-gram exists in the corpus or repeats
+    within the batch, provably the same spans the full corpus-union
+    recompute reports for the batch docs (equivalence pinned in
+    tests/test_llm.py). Per-batch cost is O(batch tokens + matched
+    hashes); corpus text is never re-read. Rows-only: the SQL-expressible
+    twin is the full recompute, already oracled via duplicate_span_stats."""
+    idx = _ensure_kgram_index(spark, sf_dir)
+    new = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 7)
+    return dedup.duplicate_spans_against_index(spark, new, idx)
+
+
 def _text_lsh_index_path(sf_dir: str) -> str:
     import hashlib
     import pathlib

@@ -711,6 +711,83 @@ def test_duplicate_spans_random_property(spark):
         assert got == _py_duplicate_spans(docs, 4)
 
 
+def test_duplicate_spans_against_index_equals_full_recompute(spark, tmp_path):
+    """The incremental span probe must report EXACTLY the spans the full
+    recompute over corpus UNION batch reports for the batch docs — on a
+    crafted fixture (cross-corpus phrase, batch-internal repeat, clean doc)
+    and on random tiny-vocabulary corpora; and the index append is
+    idempotent and makes later batches see earlier ones."""
+    import random
+
+    from aws_data_pipeline_spark.operators.dedup import (
+        append_to_kgram_index,
+        build_kgram_index,
+        duplicate_spans,
+        duplicate_spans_against_index,
+    )
+
+    def spans(df):
+        return {
+            (r.doc_id, r.span_start, r.span_tokens) for r in df.collect()
+        }
+
+    phrase = "the quick brown fox jumps over the lazy sleeping dog"
+    rep = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus_docs = [
+        (0, f"corpus opener {phrase} and unique corpus trailing content"),
+        (1, "a fully unique corpus document with no duplicated window"),
+    ]
+    batch_docs = [
+        (10, f"batch doc quoting {phrase} with novel surrounding text"),
+        (11, f"{rep} separated by some middle filler words {rep}"),
+        (12, "a clean batch document matching nothing anywhere at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_docs, "doc_id long, text string")
+    idx = str(tmp_path / "kgram_idx")
+    build_kgram_index(corpus, idx, k=8)
+    got = spans(duplicate_spans_against_index(spark, batch, idx))
+    full = spans(
+        duplicate_spans(corpus.unionByName(batch), k=8, hot_mod=None).filter(
+            F.col("doc_id") >= 10
+        )
+    )
+    assert got == full and got  # non-vacuous
+    assert 12 not in {d for d, _, _ in got}
+
+    # randomized equivalence: small vocab forces genuine k-gram collisions
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    for _ in range(2):
+        cd = [(d, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30))))
+              for d in range(8)]
+        bd = [(d, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30))))
+              for d in range(100, 106)]
+        c = spark.createDataFrame(cd, "doc_id long, text string")
+        b = spark.createDataFrame(bd, "doc_id long, text string")
+        p = str(tmp_path / f"ki{rng.random()}")
+        build_kgram_index(c, p, k=4)
+        got = spans(duplicate_spans_against_index(spark, b, p))
+        want = spans(
+            duplicate_spans(c.unionByName(b), k=4, hot_mod=None).filter(
+                F.col("doc_id") >= 100
+            )
+        )
+        assert got == want
+
+    # maintenance: append batch 1, then a near-copy in batch 2 is caught
+    append_to_kgram_index(batch, idx)
+    append_to_kgram_index(batch, idx)  # replayed append: no duplicates
+    hashes = spark.read.parquet(f"{idx}/hashes")
+    assert hashes.count() == hashes.distinct().count()
+    echo = spark.createDataFrame(
+        [(20, f"later arrival repeating {rep} from batch one")],
+        "doc_id long, text string",
+    )
+    got2 = spans(duplicate_spans_against_index(spark, echo, idx))
+    assert {d for d, _, _ in got2} == {20}
+
+
 def test_duplicate_spans_hot_hash_cap(spark):
     """A pathological hot k-gram (the same boilerplate line planted across
     hundreds of documents) must produce IDENTICAL output with the hot-hash
