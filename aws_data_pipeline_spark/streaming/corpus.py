@@ -98,6 +98,8 @@ def incremental_corpus_ingest(
     k: int = 5,
     num_perm: int = 16,
     bands: int = 4,
+    kgram_index_path: str | None = None,
+    kgram_k: int = 8,
 ) -> None:
     """One availableNow run: new document files -> in-batch dedup -> index
     probe -> idempotent append of novel docs to corpus + index.
@@ -111,6 +113,15 @@ def incremental_corpus_ingest(
     3. novel docs append to the corpus zone (id anti-join guard makes
        re-delivery idempotent) and to the index (see module docstring for
        the write-order contract). First batch bootstraps both.
+
+    ``kgram_index_path`` (optional) additionally maintains the corpus's
+    duplicate-SPAN fingerprint index (``dedup.build_kgram_index``):
+    accepted docs' distinct positional k-gram hashes append after the
+    corpus write, anti-joined against the hash set so replays are
+    idempotent by construction — downstream span audits
+    (``duplicate_spans_against_index``) then see every accepted doc
+    without re-reading corpus text. One ingest loop keeps ALL corpus
+    indexes current.
 
     doc_ids must be globally unique across batches (upstream contract,
     same as any append-only ingest).
@@ -147,24 +158,41 @@ def incremental_corpus_ingest(
         #    recovery run instead of permanently desynchronizing them
         #    (module docstring).
         survivors = survivors.localCheckpoint()  # one plan, several probes
-        if survivors.isEmpty():
-            return
-        corpus_new = survivors
-        if zone_exists(sess, corpus_path):
-            existing = sess.read.parquet(corpus_path).select("doc_id")
-            corpus_new = survivors.join(existing, "doc_id", "left_anti")
-        if not corpus_new.isEmpty():
-            corpus_new.write.mode("append").parquet(corpus_path)
-        if zone_exists(sess, f"{index_path}/meta"):
-            append_to_lsh_text_index(survivors, index_path)
-        else:
-            dedup.build_lsh_text_index(
-                survivors,
-                index_path,
-                k=k,
-                num_perm=num_perm,
-                bands=bands,
+        if not survivors.isEmpty():
+            corpus_new = survivors
+            if zone_exists(sess, corpus_path):
+                existing = sess.read.parquet(corpus_path).select("doc_id")
+                corpus_new = survivors.join(existing, "doc_id", "left_anti")
+            if not corpus_new.isEmpty():
+                corpus_new.write.mode("append").parquet(corpus_path)
+            if zone_exists(sess, f"{index_path}/meta"):
+                append_to_lsh_text_index(survivors, index_path)
+            else:
+                dedup.build_lsh_text_index(
+                    survivors,
+                    index_path,
+                    k=k,
+                    num_perm=num_perm,
+                    bands=bands,
+                )
+        # k-gram span index: append set = this batch's docs that are IN
+        # the corpus zone — NOT `survivors`: on crash recovery the LSH
+        # probe drops re-delivered docs as self-matches (survivors goes
+        # empty), but their span hashes may still be missing here. The
+        # batch-ids x corpus-ids semi-join re-derives them; the
+        # hash-level anti-join inside append_to_kgram_index makes
+        # re-appends no-ops, so this is both crash-backfilling and
+        # idempotent. Runs OUTSIDE the survivors guard for that reason.
+        if kgram_index_path is not None and zone_exists(sess, corpus_path):
+            accepted = uniq.join(
+                sess.read.parquet(corpus_path).select("doc_id"),
+                "doc_id",
+                "left_semi",
             )
+            if zone_exists(sess, f"{kgram_index_path}/meta"):
+                dedup.append_to_kgram_index(accepted, kgram_index_path)
+            elif not accepted.isEmpty():
+                dedup.build_kgram_index(accepted, kgram_index_path, k=kgram_k)
 
     (
         spark.readStream.schema(DOC_SCHEMA)

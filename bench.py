@@ -59,6 +59,7 @@ HEADLINE = [
     "incremental_neardup_pairs",  # batch x corpus-bands probe (resident sets)
     "text_neardup_index_probe",  # persisted corpus LSH index probe (build excluded:
                                  # the warm-up rep builds it once; timed reps read it)
+    "incremental_duplicate_spans",  # batch vs persisted k-gram index (same contract)
     # bpe_merges deliberately NOT headline: 16 inherently-sequential training
     # rounds (~11 s at sf0.1) would dominate the suite total without being a
     # per-query throughput signal; its cost profile is recorded in SHUFFLES.md

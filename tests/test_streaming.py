@@ -396,6 +396,87 @@ def test_incremental_corpus_ingest_rejects_cross_batch_neardups(spark, tmp_path)
     assert spark.read.parquet(f"{index}/sets").count() == 3
 
 
+def test_corpus_ingest_maintains_kgram_span_index(spark, tmp_path):
+    """With kgram_index_path set, the ingest loop also keeps the
+    duplicate-span fingerprint index current: accepted docs' 8-gram hashes
+    land (rejected near-dups' do not), later batches' span probes see
+    earlier accepted content, and a crash after the LSH append but before
+    the kgram append — where recovery's survivors set is EMPTY because the
+    LSH probe self-matches the re-delivered doc — still backfills the
+    missing hashes, because the kgram append set derives from
+    batch-ids x corpus-ids, not from survivors."""
+    from aws_data_pipeline_spark.operators.dedup import (
+        duplicate_spans_against_index,
+    )
+    from aws_data_pipeline_spark.streaming.corpus import incremental_corpus_ingest
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    kgram = str(tmp_path / "kgram")
+
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    (inbox / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": boiler, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c1"),
+        kgram_index_path=kgram,
+    )
+    n1 = spark.read.parquet(f"{kgram}/hashes").count()
+    assert n1 == 30 - 8 + 1  # one hash per positional 8-gram of doc 1
+
+    # batch 2: one near-dup of doc 1 (rejected — its novel tail must NOT
+    # enter the kgram index) and one novel doc (accepted)
+    fresh = " ".join(f"new{i}" for i in range(30))
+    (inbox / "b2.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 2, "text": boiler + " extra", "lang": "en", "source": "a"},
+                {"doc_id": 3, "text": fresh, "lang": "en", "source": "a"},
+            ]
+        )
+    )
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c1"),
+        kgram_index_path=kgram,
+    )
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3}
+    n2 = spark.read.parquet(f"{kgram}/hashes").count()
+    assert n2 == n1 + (30 - 8 + 1)  # doc 3 only; rejected doc 2 added nothing
+
+    # a later batch quoting doc 3 shows up in the span probe
+    probe = spark.createDataFrame(
+        [(9, f"prefix words here {fresh} suffix words")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans_against_index(spark, probe, kgram)
+    assert spans.count() == 1 and spans.collect()[0].span_tokens == 30
+
+    # crash between LSH append and kgram append: doc 4 reaches corpus AND
+    # LSH index, kgram misses it; recovery (re-delivery) must backfill
+    # even though the LSH probe rejects doc 4 as a self-match
+    other = " ".join(f"zz{i}" for i in range(30))
+    (inbox / "b3.jsonl").write_text(
+        json.dumps({"doc_id": 4, "text": other, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c1")
+    )  # no kgram arg == the crash left kgram behind
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 3, 4}
+    assert spark.read.parquet(f"{kgram}/hashes").count() == n2  # the gap
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c2"),
+        kgram_index_path=kgram,
+    )  # lost checkpoint: everything re-delivers; survivors == empty
+    assert spark.read.parquet(corpus).count() == 3  # corpus stays flat
+    assert (
+        spark.read.parquet(f"{kgram}/hashes").count() == n2 + (30 - 8 + 1)
+    )  # doc 4's hashes backfilled
+
+
 def test_corpus_crash_recovery_backfills_index(spark, tmp_path):
     """A crash between the corpus write and the index append must be healed
     by the recovery run: the index append set is derived against the INDEX's
