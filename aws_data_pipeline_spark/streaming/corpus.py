@@ -88,6 +88,47 @@ def append_to_lsh_text_index(
         ).write.mode("append").parquet(f"{path}/bands")
 
 
+def compact_corpus_indexes(
+    spark: SparkSession,
+    index_path: str,
+    kgram_index_path: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Periodic maintenance for the append-maintained corpus indexes:
+    every availableNow batch appends one small parquet file per index
+    sub-table, and after thousands of batches probe latency is dominated
+    by file open/seek, not data. Rewrites each sub-table into
+    ~target-size files via ``compact_zone``, clustering the probe-side
+    tables on their join keys (``bands`` on (band, key), ``hashes`` and
+    ``sets`` on their hash/doc columns) so parquet row-group min/max
+    ranges turn selective probes into row-group skips. Returns files
+    written per sub-table. Safe to run between ingest runs — compaction
+    replaces file sets atomically per directory and changes no rows, so
+    a concurrent crash leaves either the old or the new layout, and the
+    idempotent append guards are unaffected. Run it on the same cadence
+    as ``cluster_bridges``-triggered re-clustering, or whenever the
+    small-file count passes a few hundred."""
+    from aws_data_pipeline_spark.sources.parquet import compact_zone, zone_exists
+
+    written: dict[str, int] = {}
+    written["sets"] = compact_zone(
+        spark, f"{index_path}/sets", target_file_bytes=target_file_bytes,
+        sort_by=("doc",),
+    )
+    written["bands"] = compact_zone(
+        spark, f"{index_path}/bands", target_file_bytes=target_file_bytes,
+        sort_by=("band", "key"),
+    )
+    if kgram_index_path is not None and zone_exists(
+        spark, f"{kgram_index_path}/hashes"
+    ):
+        written["hashes"] = compact_zone(
+            spark, f"{kgram_index_path}/hashes",
+            target_file_bytes=target_file_bytes, sort_by=("h",),
+        )
+    return written
+
+
 def incremental_corpus_ingest(
     spark: SparkSession,
     docs_path: str,

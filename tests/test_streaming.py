@@ -477,6 +477,68 @@ def test_corpus_ingest_maintains_kgram_span_index(spark, tmp_path):
     )  # doc 4's hashes backfilled
 
 
+def test_compact_corpus_indexes_preserves_probes(spark, tmp_path):
+    """After several append batches fragment the index sub-tables,
+    compaction must shrink the file counts without changing a single row —
+    LSH and k-gram probes return identical results before and after."""
+    import glob
+
+    from aws_data_pipeline_spark.operators.dedup import (
+        duplicate_spans_against_index,
+        neardup_against_index,
+    )
+    from aws_data_pipeline_spark.streaming.corpus import (
+        compact_corpus_indexes,
+        incremental_corpus_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    kgram = str(tmp_path / "kgram")
+    for b in range(4):
+        (inbox / f"b{b}.jsonl").write_text(
+            json.dumps(
+                {
+                    "doc_id": b,
+                    "text": " ".join(f"w{b}x{i}" for i in range(20)),
+                    "lang": "en",
+                    "source": "a",
+                }
+            )
+        )
+        incremental_corpus_ingest(
+            spark, str(inbox), corpus, index, str(tmp_path / "ck"),
+            kgram_index_path=kgram,
+        )
+    probe = spark.createDataFrame(
+        [(99, " ".join(f"w2x{i}" for i in range(20)) + " tail")],
+        "doc_id long, text string",
+    )
+    before_lsh = {
+        tuple(r) for r in neardup_against_index(spark, probe, index).collect()
+    }
+    before_spans = {
+        tuple(r)
+        for r in duplicate_spans_against_index(spark, probe, kgram).collect()
+    }
+    files_before = len(glob.glob(f"{index}/bands/*.parquet"))
+    assert files_before >= 4  # one append file per batch — the fragmentation
+    written = compact_corpus_indexes(spark, index, kgram)
+    assert set(written) == {"sets", "bands", "hashes"}
+    assert len(glob.glob(f"{index}/bands/*.parquet")) == written["bands"] == 1
+    after_lsh = {
+        tuple(r) for r in neardup_against_index(spark, probe, index).collect()
+    }
+    after_spans = {
+        tuple(r)
+        for r in duplicate_spans_against_index(spark, probe, kgram).collect()
+    }
+    assert before_lsh == after_lsh and before_lsh
+    assert before_spans == after_spans and before_spans
+
+
 def test_corpus_crash_recovery_backfills_index(spark, tmp_path):
     """A crash between the corpus write and the index append must be healed
     by the recovery run: the index append set is derived against the INDEX's
