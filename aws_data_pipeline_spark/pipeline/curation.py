@@ -1,7 +1,8 @@
 """LLM training-data curation pipeline: the north-star operators composed
 end-to-end (documents -> quality gate [+ optional Gopher hard rules] ->
-language gate -> exact dedup -> fuzzy dedup [+ optional SemDeDup over an
-embeddings frame] -> [optional T=2 mixture resampling] -> deterministic
+language gate -> exact dedup -> fuzzy dedup [+ optional duplicated-span
+gate, + optional SemDeDup over an embeddings frame] -> [optional T=2
+mixture resampling] -> deterministic
 split [optionally cluster-keyed over the related-document graph, so
 related-but-not-duplicate docs never straddle train/test] -> curated
 zone).
@@ -59,6 +60,14 @@ class CurationConfig:
     # T=2 temperature mix by deterministic hash acceptance (downweights the
     # dominant (source, lang) slice); None = stage disabled
     mixture_seed: str | None = None
+    # opt-in duplicated-span gate (Lee et al. 2021 §4): after dedup, drop
+    # documents whose corpus-duplicated token fraction exceeds this cap.
+    # Near-dup dedup keeps ONE copy of each duplicate class; this stage
+    # is what removes a document that is MOSTLY assembled from k-grams
+    # duplicated across the corpus without being a near-dup of any single
+    # other document. None = stage disabled.
+    max_dup_span_frac: float | None = None
+    span_k: int = 8
     # opt-in leakage-guard split: key the train/val/test hash on RELATED-
     # document clusters at this Jaccard threshold instead of per-document.
     # Set BELOW jaccard_threshold: duplicates above it are already collapsed
@@ -128,6 +137,18 @@ def curate(
     # no broadcast hint: the loser set is O(near-duplicates in the corpus),
     # unbounded at 100 TB — AQE picks broadcast only while it actually fits
     kept = kept.join(losers, "doc_id", "left_anti")
+
+    # 4a. optional duplicated-span gate over the post-dedup survivors:
+    # per-doc corpus-duplicated token fraction via duplicate_span_stats,
+    # docs above the cap dropped. Runs AFTER fuzzy dedup so surviving
+    # canonical copies define "duplicated" — a unique doc quoting them
+    # heavily is the thing this gate exists to catch.
+    if cfg.max_dup_span_frac is not None:
+        stats = dedup.duplicate_span_stats(kept, "doc_id", k=cfg.span_k)
+        heavy = stats.filter(
+            F.col("dup_frac") > cfg.max_dup_span_frac
+        ).select("doc_id")
+        kept = kept.join(heavy, "doc_id", "left_anti")
 
     # 4b. optional SemDeDup stage: greedy lowest-id semantic-duplicate marks
     # over the embedding space of the SURVIVORS ONLY — the semi-join prune

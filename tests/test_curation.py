@@ -337,3 +337,36 @@ def test_curate_with_mixture_and_leakage_guard_stages(spark, sf_dir):
     assert sorted(out_ids) == sorted(
         r.doc_id for r in out2.select("doc_id").collect()
     )
+
+
+def test_curate_span_gate_drops_boilerplate_assemblage(spark):
+    """The opt-in duplicated-span gate (Lee et al. §4): a document mostly
+    ASSEMBLED from two other documents' phrases — a near-dup of neither,
+    so fuzzy dedup keeps all three — is dropped once its corpus-duplicated
+    token fraction exceeds the cap; without the flag the chain is
+    unchanged."""
+    from aws_data_pipeline_spark.pipeline.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    a = " ".join(f"alpha{i}" for i in range(24))
+    b = " ".join(f"beta{i}" for i in range(24))
+    mixed = a + " " + b  # 100% covered by spans duplicated from docs 1, 2
+    unique = " ".join(f"solo{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, a + " " + unique, "en", "s"),
+            (2, b + " " + unique[:0] + " ".join(f"tail{i}" for i in range(40)), "en", "s"),
+            (3, mixed, "en", "s"),
+            (4, " ".join(f"clean{i}" for i in range(40)), "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    cfg_off = CurationConfig(min_quality=0.0)
+    kept_off = {r.doc_id for r in curate(docs, cfg_off).collect()}
+    assert kept_off == {1, 2, 3, 4}  # no near-dups: everything survives
+
+    cfg_on = CurationConfig(min_quality=0.0, max_dup_span_frac=0.8)
+    kept_on = {r.doc_id for r in curate(docs, cfg_on).collect()}
+    assert kept_on == {1, 2, 4}  # the assemblage is gone, sources stay
