@@ -192,10 +192,13 @@ def _quantile_name(p: float) -> str:
     """Column name for quantile ``p``: ``p25``/``p50``/``p975`` — the
     decimal digits of p, zero-padded to two. ``p`` must lie strictly in
     (0, 1): p=1.0 would produce a dotted name (``p1.0``) that breaks later
-    ``F.col`` references, and nearest-rank p=0/p=1 are just min/max."""
+    ``F.col`` references, and nearest-rank p=0/p=1 are just min/max.
+    Fixed-point formatting, not %g: %g would emit scientific notation for
+    small p ('1e-05' -> junk name 'p-05') and silently collapse distinct
+    p values past 6 significant digits."""
     if not 0.0 < p < 1.0:
         raise ValueError(f"quantile p must be in (0, 1), got {p}")
-    return "p" + f"{p:g}"[2:].ljust(2, "0")
+    return "p" + format(p, ".12f").rstrip("0")[2:].ljust(2, "0")
 
 
 def grouped_quantiles(
@@ -230,18 +233,26 @@ def grouped_quantiles(
 
     NULL contract, identical on both paths: NULL values are excluded from
     ranking (matching ``percentile_approx``, which skips them) and from
-    ``n_rows`` — ``n_rows`` is the population the quantiles describe.
-    Without the exact-path filter, NULLs would sort first and occupy the
-    lowest ranks, shifting every quantile.
+    ``n_rows`` — ``n_rows`` is the population the quantiles describe —
+    and a group with ZERO non-null values is absent from the output on
+    both paths (both filter before grouping; without the shared filter
+    the paths would diverge on such groups, and on the exact path NULLs
+    would sort first and shift every quantile).
     """
     names = [_quantile_name(p) for p in ps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile ps {list(ps)} collide on names {names}")
     if approx:
         pa = F.percentile_approx(
             F.col(value_col), F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
         )
-        return df.groupBy(*group_cols).agg(
-            F.count(value_col).alias("n_rows"),
-            *[pa.getItem(i).alias(nm) for i, nm in enumerate(names)],
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(*group_cols)
+            .agg(
+                F.count(value_col).alias("n_rows"),
+                *[pa.getItem(i).alias(nm) for i, nm in enumerate(names)],
+            )
         )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(value_col)
     wn = Window.partitionBy(*[F.col(c) for c in group_cols])
@@ -289,7 +300,12 @@ def winsorized_scale(
 
     The join back to the rows is null-safe on the group keys, so rows in a
     NULL-keyed group are winsorized against that group's own quantile row
-    rather than silently dropped by a plain equi-join.
+    rather than silently dropped by a plain equi-join — and it is a LEFT
+    join, so rows whose group has no quantile row at all (every value in
+    the group is NULL, so grouped_quantiles emits nothing for it) survive
+    with NULL clip bounds: their value passes through unclipped
+    (least/greatest skip NULLs) and ``_scaled`` is NULL. A normalization
+    operator must never make rows disappear.
     """
     qlo, qhi = (_quantile_name(p) for p in (lo, hi))
     q = grouped_quantiles(df, group_cols, value_col, ps=(lo, hi))
@@ -300,7 +316,7 @@ def winsorized_scale(
         and_,
         [df[c].eqNullSafe(qd[f"__g_{c}"]) for c in group_cols],
     )
-    joined = df.join(F.broadcast(qd), cond).drop(
+    joined = df.join(F.broadcast(qd), cond, "left").drop(
         *[f"__g_{c}" for c in group_cols]
     )
     clipped = F.least(F.greatest(F.col(value_col), F.col(qlo)), F.col(qhi))

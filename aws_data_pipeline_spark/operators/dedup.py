@@ -1030,7 +1030,6 @@ def _merge_islands(hits: DataFrame, k: int) -> DataFrame:
 def build_kgram_index(
     df: DataFrame,
     path: str,
-    id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
 ) -> None:
@@ -1045,8 +1044,13 @@ def build_kgram_index(
     one hash per token, i.e. ~1% of the raw text bytes. That is the
     inherent fingerprint cost of substring-level dedup against history;
     the alternative is re-scanning and re-exploding the full corpus every
-    batch. ``path/meta`` records k so a mismatched probe fails loudly."""
+    batch. ``path/meta`` records k (a mismatched probe fails loudly) and
+    the BUILD-TIME corpus doc count — build-once callers use it as a
+    staleness probe (a regenerated corpus under the same path must not be
+    served hashes of the old one); append-maintained indexes grow past it
+    by design and never consult it."""
     spark = df.sparkSession
+    n_docs = df.count()
     (
         df.select(
             F.explode(
@@ -1057,13 +1061,13 @@ def build_kgram_index(
         .write.mode("overwrite")
         .parquet(f"{path}/hashes")
     )
-    spark.createDataFrame([(k,)], "k int").write.mode("overwrite").parquet(
-        f"{path}/meta"
-    )
+    spark.createDataFrame(
+        [(k, n_docs)], "k int, built_n_docs long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def append_to_kgram_index(
-    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, path: str, text_col: str = "text"
 ) -> None:
     """Idempotently append a batch's NOVEL k-gram hashes to a persisted
     index: distinct batch hashes anti-joined against the index (so a

@@ -78,22 +78,22 @@ _PLAN_MODULES = (
 # restoring the ≤1-round-stale guarantee the r4 verdict flagged as broken
 # (the local oracle replica tests/test_oracle_parity.py besides asserts
 # hash parity over REGISTRY + DEMOTED on every pytest run).
-# STALENESS POLICY: rows-only entries (9) get a weaker rows-ran driver
+# STALENESS POLICY: rows-only entries (10) get a weaker rows-ran driver
 # signal that the local pytest suite fully replicates every run, so they
 # cycle at lower priority — this round three of them sit in the window
 # (their FIRST-EVER driver signal outranks a refresh), which displaces
-# the window's last three oracled entries to positions 101-103.
-# ROUND-5 window (1-50): the three DQ entries (2 rounds stale), then the
-# 21 never-driver-checked r4 additions (VERDICT r4 item 1 — highest
-# oracle-risk first: the BPE training replay, the whole-chain curation
-# oracle, the Lee-et-al duplicate spans), then this round's new entries
-# (silver_projection, the incremental-gold twin, the persisted text-index
-# probe), then the r3-green queries that sat out r4, then r3-dated
-# re-checks oldest-first.
-# ROUND-6 HEAD must be: positions 101-103 (dedup_exact_text, token_counts,
-# doc_fingerprints — displaced by the three windowed rows-only firsts),
-# then positions 51-100 in order; the rows-only tail (104-109) cycles in
-# as slack allows.
+# the window's last three oracled entries past slot 100.
+# ROUND-5 window (slots 1-50, ending at events_within_10min): the three
+# DQ entries (2 rounds stale), then the 21 never-driver-checked r4
+# additions (VERDICT r4 item 1 — highest oracle-risk first: the BPE
+# training replay, the whole-chain curation oracle, the Lee-et-al
+# duplicate spans), then this round's new entries (silver_projection,
+# the incremental-gold twin, the persisted text-index probe), then the
+# r3-green queries that sat out r4, then r3-dated re-checks oldest-first.
+# ROUND-6 HEAD must be: the three displaced ORACLED entries at slots
+# 101-103 (sequence_packing, token_counts, doc_fingerprints), then slots
+# 51-100 in order (cube_priority_status .. token_budget_sample_docs);
+# the rows-only tail (slots 104-110) cycles in as slack allows.
 _PRIORITY = (
     # -- round-5 window, slots 1-50 ------------------------------------
     # driver signal last refreshed round 2 (2 rounds stale)
@@ -204,8 +204,9 @@ _PRIORITY = (
     "benchmark_decontamination",
     "pii_redaction_stats",
     "multimodal_decode_features",
-    # -- slots 101-103: displaced oracled, MUST lead round 6 ------------
+    # (slot 100 — last of the round-6 window)
     "token_budget_sample_docs",
+    # -- slots 101-103: displaced oracled, MUST lead round 6 ------------
     "sequence_packing",
     "token_counts",
     "doc_fingerprints",
@@ -234,7 +235,6 @@ def load_registry() -> dict[str, Query]:
     if unlisted:
         raise ValueError(f"registered but not in _PRIORITY: {unlisted}")
     ordered = {n: REGISTRY[n] for n in _PRIORITY}
-    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY

@@ -357,25 +357,40 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kgram_index_path(sf_dir: str) -> str:
+def _warehouse_index_path(sf_dir: str, name: str) -> str:
+    """Deterministic location for a build-once index under the gitignored
+    warehouse dir. The tag digests the FULL sf_dir path, not its basename:
+    two sf_dirs sharing a basename must never collide on one index. Put
+    every index parameter into ``name`` so differently-parameterized
+    indexes coexist and can never serve each other."""
     import hashlib
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return str(root / f"kgram_index_{pathlib.Path(sf_dir).name}_{tag}_k8")
+    return str(root / f"{name}_{pathlib.Path(sf_dir).name}_{tag}")
+
+
+def _kgram_index_path(sf_dir: str) -> str:
+    return _warehouse_index_path(sf_dir, "kgram_index_k8")
 
 
 def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once persisted corpus k-gram hash index over the simulated
-    existing corpus (doc_id % 10 != 7). Staleness: the hash-set row count
-    is content-derived, so the cheap contract here is presence + k match
-    (meta); a regenerated corpus under the same sf_dir is a new tag."""
+    existing corpus (doc_id % 10 != 7). Staleness contract mirrors
+    :func:`_ensure_ivf_index`: the build-time corpus doc count recorded in
+    the index meta must equal the current corpus doc count (footer-cheap),
+    so a regenerated corpus under the same sf_dir triggers a rebuild
+    instead of silently serving the old corpus's hashes."""
     from aws_data_pipeline_spark.sources.parquet import zone_exists
 
     idx = _kgram_index_path(sf_dir)
-    if not zone_exists(spark, f"{idx}/meta"):
-        corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
+    corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
+    fresh = False
+    if zone_exists(spark, f"{idx}/meta"):
+        meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+        fresh = getattr(meta, "built_n_docs", None) == corpus.count()
+    if not fresh:
         dedup.build_kgram_index(corpus, idx, k=8)
     return idx
 
@@ -396,14 +411,7 @@ def incremental_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_lsh_index_path(sf_dir: str) -> str:
-    import hashlib
-    import pathlib
-
-    root = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return str(
-        root / f"text_lsh_index_{pathlib.Path(sf_dir).name}_{tag}_k5_p16_b4_md5"
-    )
+    return _warehouse_index_path(sf_dir, "text_lsh_index_k5_p16_b4_md5")
 
 
 def _ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
@@ -649,17 +657,7 @@ _IVF_INDEX: dict[tuple, tuple[list[list[float]], DataFrame]] = {}
 
 
 def _ivf_index_path(sf_dir: str, n_cells: int, seed: int) -> str:
-    import hashlib
-    import pathlib
-
-    root = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
-    # full-path digest, not basename: two sf_dirs sharing a basename must
-    # not collide on one index; params in the name so an 8-cell index can
-    # never be served to a 16-cell caller
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return str(
-        root / f"ivf_index_{pathlib.Path(sf_dir).name}_{tag}_c{n_cells}_s{seed}"
-    )
+    return _warehouse_index_path(sf_dir, f"ivf_index_c{n_cells}_s{seed}")
 
 
 def _ensure_ivf_index(

@@ -113,8 +113,11 @@ def compact_zone(
     small files; at 100 TB the resulting open/seek overhead dominates scan
     time. Compaction = read -> repartition to ceil(bytes/target) -> dynamic
     partition overwrite of the same path (only rewritten partitions are
-    replaced, and readers never see a partial state because parquet commits
-    are atomic per partition directory).
+    replaced; for PARTITIONED zones readers never see a partial state
+    because parquet commits are atomic per partition directory — an
+    UNPARTITIONED zone is truncated before the new files commit, so crash
+    recovery there is "re-run the compaction", acceptable for derived
+    data and maintenance windows, not for a sole copy under live readers).
 
     ``sort_by``: cluster rows within each output file on these columns
     (range-partition across files + sortWithinPartitions inside them).

@@ -102,11 +102,17 @@ def compact_corpus_indexes(
     tables on their join keys (``bands`` on (band, key), ``hashes`` and
     ``sets`` on their hash/doc columns) so parquet row-group min/max
     ranges turn selective probes into row-group skips. Returns files
-    written per sub-table. Safe to run between ingest runs — compaction
-    replaces file sets atomically per directory and changes no rows, so
-    a concurrent crash leaves either the old or the new layout, and the
-    idempotent append guards are unaffected. Run it on the same cadence
-    as ``cluster_bridges``-triggered re-clustering, or whenever the
+    written per sub-table.
+
+    Run it BETWEEN ingest runs, and treat it as maintenance-window work:
+    Spark's unpartitioned overwrite truncates the directory before the
+    new files commit, so a crash MID-COMPACTION leaves that sub-table
+    partial. That is recoverable — the index is derived data, rebuildable
+    from the corpus zone (``build_lsh_text_index`` / ``build_kgram_index``)
+    or by re-running this compaction from the surviving sub-tables — but
+    it is not the old-or-new atomicity the ingest appends have; do not
+    schedule it concurrently with ingest. Same cadence as
+    ``cluster_bridges``-triggered re-clustering, or whenever the
     small-file count passes a few hundred."""
     from aws_data_pipeline_spark.sources.parquet import compact_zone, zone_exists
 

@@ -87,10 +87,14 @@ def main() -> None:
 
     for name in ADAPTIVE:
         df = reg[name].spark_fn(spark, sf)
-        df.write.format("noop").mode("overwrite").save()
+        # execute df's OWN QueryExecution: a noop write would execute a
+        # separate one, leaving this plan at isFinalPlan=false (the static
+        # choice) — exactly the thing this section exists not to show
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, f"{name}: plan not finalized"
         joins = [ln.strip() for ln in plan.splitlines() if "Join" in ln]
-        print(f"\n## {name} — EXECUTED adaptive plan (join strategies)\n")
+        print(f"\n## {name} — EXECUTED adaptive plan (join strategies, isFinalPlan=true)\n")
         print("```")
         for j in dict.fromkeys(joins):
             print(j[:160])

@@ -1126,6 +1126,24 @@ def test_grouped_quantiles_null_contract(spark):
     assert w.filter(F.col("src").isNull()).count() == 3
     with pytest.raises(ValueError):
         grouped_quantiles(df, ["src"], "v", ps=(0.5, 1.0))
+    # a group whose EVERY value is NULL is absent on BOTH paths...
+    allnull = df.unionByName(
+        spark.createDataFrame([("z", None)] * 3, "src string, v double")
+    )
+    for ap in (False, True):
+        got = {r.src for r in grouped_quantiles(allnull, ["src"], "v", approx=ap).collect()}
+        assert got == {"a", None}
+    # ...but its rows still COME BACK from winsorized_scale (left join):
+    # value passes through unclipped, scaled is NULL
+    wz = winsorized_scale(allnull, ["src"], "v").filter(F.col("src") == "z")
+    assert wz.count() == 3
+    assert all(r.v_scaled is None for r in wz.collect())
+    # small p stays fixed-point (no 'p-05' scientific-notation junk), and
+    # name collisions are rejected instead of silently duplicated
+    tiny = grouped_quantiles(df, ["src"], "v", ps=(0.00001, 0.5))
+    assert "p00001" in tiny.columns and "p50" in tiny.columns
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, ["src"], "v", ps=(0.5, 0.50))
 
 
 def test_write_training_shards_layout(spark, tmp_path):

@@ -229,7 +229,10 @@ def test_q18_adaptive_plan_broadcasts_without_hint(spark, sf_dir):
     from aws_data_pipeline_spark.plans import load_registry
 
     df = load_registry()["q18_large_volume_customers"].spark_fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
+    # execute df's OWN QueryExecution (a noop write would run a separate
+    # one and leave this plan un-finalized at isFinalPlan=false)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan  # we are reading the AQE result
     assert plan.count("BroadcastHashJoin") >= 3  # semi + orders + customer
     assert "SortMergeJoin" not in plan
