@@ -56,7 +56,11 @@ def hash_split(
     assignment. Weights must sum to ~1. ``hash_fn``: see
     :func:`_hash_bucket` (xxhash64 hot path / md5 engine-portable).
     """
-    assert abs(sum(weights.values()) - 1.0) < 1e-9
+    # ValueError, not assert: an assert vanishes under python -O, and the
+    # rounding guard below would then silently dump the unassigned bucket
+    # space into the alphabetically-last split
+    if abs(sum(weights.values()) - 1.0) >= 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
     bucket = _hash_bucket(id_col, seed, hash_fn)
     expr = None
     lo = 0.0
@@ -485,6 +489,7 @@ def training_shards(
     n_shards: int,
     seed: str = "shard-v1",
     hash_fn: str = "xxhash64",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Deterministic global corpus shuffle into training shards — the last
     step before a training run reads the corpus: examples must arrive in an
@@ -523,11 +528,16 @@ def training_shards(
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     shard = F.pmod(route, F.lit(n_shards)).alias("shard")
     w = Window.partitionBy("shard").orderBy("__ord", id_col)
-    return (
-        df.select(F.col(id_col), shard, order.alias("__ord"))
-        .withColumn("pos", F.row_number().over(w))
-        .drop("__ord")
+    # keep_cols=True carries the payload through instead of returning the
+    # bare assignment — write_training_shards uses it so it never joins
+    # the assignment back on id_col, which under duplicate-id inputs
+    # would fan out quadratically (2 payload rows x 2 assignment rows)
+    base = (
+        df.select("*", shard, order.alias("__ord"))
+        if keep_cols
+        else df.select(F.col(id_col), shard, order.alias("__ord"))
     )
+    return base.withColumn("pos", F.row_number().over(w)).drop("__ord")
 
 
 def write_training_shards(
@@ -557,12 +567,17 @@ def write_training_shards(
     ``(shard, pos)`` satisfies the writer's required ordering (no extra
     sort inserted) and makes the in-file order explicit.
     """
-    assign = training_shards(df, id_col, n_shards, seed, hash_fn)
-    out = df.join(assign, id_col)
+    out = training_shards(df, id_col, n_shards, seed, hash_fn, keep_cols=True)
     (
         out.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
+        # STATIC overwrite, overriding the session's dynamic default: a
+        # re-materialization (new seed/epoch, fewer shards, smaller
+        # corpus) must replace the WHOLE tree — dynamic mode would keep
+        # any shard= directory the new run didn't write, and the loader
+        # would stream a mix of old and new corpus
+        .option("partitionOverwriteMode", "static")
         .partitionBy("shard")
         .parquet(path)
     )

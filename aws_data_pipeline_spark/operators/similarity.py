@@ -45,6 +45,22 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def _topk_by_sim(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k cut over a (query_id, neighbor_id, sim) frame:
+    row_number over (sim desc, neighbor_id asc — the deterministic
+    tie-break every search path must share, or their recall comparisons
+    in tests would diverge on ties). ONE definition for all four search
+    paths (brute force, IVF resident, IVF persisted, hyperplane LSH)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -71,14 +87,7 @@ def brute_force_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
 def neardup_pairs(
@@ -143,7 +152,13 @@ def _band_codes(
     all ``bands * rows_per_band`` bits from ONE numpy matmul per Arrow
     batch (see neardup_pairs_lsh's scale-shape notes). Hyperplanes are
     seeded and deterministic, so codes computed in different runs (index
-    build vs probe) are identical by construction."""
+    build vs probe) are identical by construction.
+
+    Degenerate vectors (NULL, empty, wrong length — common in real
+    corpora) are SKIPPED, not crashed on: they cannot be banded, exact
+    verification would NULL their cosine anyway, and one bad row must not
+    kill a 100 TB curation run. Mirrors the brute-force baseline's
+    NULL-cosine tolerance, so the two paths stay comparison-equal."""
     import numpy as np
 
     planes = np.asarray(
@@ -159,10 +174,19 @@ def _band_codes(
         weights = (1 << np.arange(rows_per_band)).astype("int64")
         band_ids = np.arange(bands, dtype="int32")
         for pdf in batches:
+            vals = pdf["v"].to_numpy()
+            valid = np.fromiter(
+                (x is not None and len(x) == proj.shape[0] for x in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            if not valid.all():
+                pdf = pdf[valid]
+                vals = vals[valid]
             n = len(pdf)
             if n == 0:
                 continue
-            mat = np.vstack(pdf["v"].to_numpy())  # (n, dim)
+            mat = np.vstack(vals)  # (n, dim)
             # bit i of band j comes from plane j*rows_per_band+i — the same
             # layout as the per-plane formulation, so codes are identical
             bits = (mat @ proj) >= 0.0
@@ -436,6 +460,13 @@ def lsh_bucket(
     2^n_planes buckets; cosine-similar vectors collide with probability
     (1 - theta/pi)^n_planes. Bucketing is a map-side projection — the corpus
     is bucketed in one scan and can be written partitioned by bucket.
+
+    ``dim`` must match the actual embedding length and is RUNTIME-ASSERTED
+    per row: zip_with pads a mismatched plane with NULLs, every dot product
+    goes NULL, every sign bit reads 0, and the whole corpus silently
+    collapses into bucket 0 — turning the equi-join pre-filter into the
+    full cross product this function exists to avoid. Failing loudly is
+    the only acceptable behavior for that misconfiguration.
     """
     planes = _hyperplanes(n_planes, dim, seed)
     v = as_double(F.col(vec_col))
@@ -444,7 +475,22 @@ def lsh_bucket(
         plane = F.array(*[F.lit(x) for x in p])
         bit = F.when(dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         bucket = bucket + bit * F.lit(1 << i)
-    return df.withColumn(out_col, bucket)
+    # NULL embedding -> NULL bucket (the row joins nothing downstream,
+    # mirroring cosine's NULL tolerance); a present-but-wrong-length one
+    # raises instead of silently collapsing into bucket 0
+    guarded = (
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("long"))
+        .when(F.size(F.col(vec_col)) == dim, bucket)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_bucket: dim={dim} but embedding has length "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        )
+    )
+    return df.withColumn(out_col, guarded)
 
 
 def train_ivf_centroids(
@@ -566,14 +612,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
 def build_ivf_index(
@@ -600,7 +639,14 @@ def build_ivf_index(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     assigned = c.withColumn("cell", nearest_cell(F.col("cv"), centroids))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    # STATIC overwrite, overriding the session's dynamic default: a
+    # rebuild must replace the WHOLE corpus tree — under dynamic mode a
+    # cell that receives no rows this build (shrunk corpus, fewer cells)
+    # would keep the previous build's directory, and probes would return
+    # neighbors that no longer exist
+    assigned.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell").parquet(f"{path}/corpus")
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
         list(enumerate(centroids)), "cell int, centroid array<double>"
@@ -649,14 +695,7 @@ def ivf_topk_indexed(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
 def ann_topk_lsh(
@@ -703,14 +742,7 @@ def ann_topk_lsh(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(as_double(F.col("qv")), as_double(F.col("cv"))))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_by_sim(scored, k)
 
 
 def build_embedding_lsh_index(

@@ -57,45 +57,52 @@ def incremental_silver_to_gold(
         if not touched:
             return
         src = batch.sparkSession
-        # partition-pruned re-read of ONLY the touched (year, month) dirs
-        cond = F.lit(False)
-        for y, m in touched:
-            cond = cond | ((F.col("year") == y) & (F.col("month") == m))
-        silver = read_zone(src, silver_path).filter(cond)
-        daily = agg_ops.aggregate_transactions(
-            silver,
-            ["year", "month", "day", "customer_id"],
-            "amount",
-            "transaction_id",
-            level="daily",
-        )
-        # dynamic partitionOverwriteMode (session default): replaces only
-        # the partitions present in `daily`, i.e. exactly the touched ones
-        write_zone(
-            daily,
-            f"{gold_path}/daily_aggregations",
-            partition_by=("year", "month"),
-            mode="overwrite",
-        )
-        # monthly is partitioned by year only, so its rebuild unit is the
-        # YEAR: re-read the touched years (pruned), re-aggregate, replace
-        # just those year dirs — months of the year outside this batch are
-        # recomputed from silver, so the partition swap is self-consistent
+        # ONE partition-pruned silver read serves both tables: monthly's
+        # rebuild unit is the YEAR (it is partitioned by year), and the
+        # touched-year slice is a superset of the touched (year, month)
+        # slice daily needs — so read the years once, cache, and derive
+        # daily by filtering the cached slice instead of a second scan
+        # (halves the per-batch silver I/O at 100 TB/day).
         years = sorted({y for y, _ in touched})
-        silver_y = read_zone(src, silver_path).filter(F.col("year").isin(years))
-        monthly = agg_ops.aggregate_transactions(
-            silver_y,
-            ["year", "month", "customer_id"],
-            "amount",
-            "transaction_id",
-            level="monthly",
-        )
-        write_zone(
-            monthly,
-            f"{gold_path}/monthly_aggregations",
-            partition_by=("year",),
-            mode="overwrite",
-        )
+        silver_y = read_zone(src, silver_path).filter(
+            F.col("year").isin(years)
+        ).persist()
+        try:
+            cond = F.lit(False)
+            for y, m in touched:
+                cond = cond | ((F.col("year") == y) & (F.col("month") == m))
+            daily = agg_ops.aggregate_transactions(
+                silver_y.filter(cond),
+                ["year", "month", "day", "customer_id"],
+                "amount",
+                "transaction_id",
+                level="daily",
+            )
+            # dynamic partitionOverwriteMode (session default): replaces
+            # only the partitions present in `daily` — the touched ones
+            write_zone(
+                daily,
+                f"{gold_path}/daily_aggregations",
+                partition_by=("year", "month"),
+                mode="overwrite",
+            )
+            # months of a touched year outside this batch are recomputed
+            # from the same slice, so the year-dir swap is self-consistent
+            monthly = agg_ops.aggregate_transactions(
+                silver_y,
+                ["year", "month", "customer_id"],
+                "amount",
+                "transaction_id",
+                level="monthly",
+            )
+            write_zone(
+                monthly,
+                f"{gold_path}/monthly_aggregations",
+                partition_by=("year",),
+                mode="overwrite",
+            )
+        finally:
+            silver_y.unpersist()
 
     (
         stream.writeStream.foreachBatch(rebuild)
@@ -194,43 +201,40 @@ def _merge_delta(src, delta: DataFrame, table: str, batch_id: int) -> None:
         return
     if zone_exists(src, table):
         existing = read_zone(src, table).filter(F.col("bucket").isin(buckets))
-        d, e = delta.alias("d"), existing.alias("e")
-        # replay guard: this batch's delta is already folded into e
+        # ONE merge algebra: the same merge_states the batch-equivalence
+        # twin proves against customer_insights' oracle — _merge_delta
+        # only layers the replay guard on top, so the production merge
+        # can never drift from the proven algebra
+        m = merge_states(
+            delta.drop("bucket"),
+            existing.drop("applied_batch_id", "bucket"),
+        ).alias("m")
+        e = existing.alias("e")
+        # replay guard: this batch's delta is already folded into e —
+        # NULL (no existing row) falls through to the merged state
         replayed = F.col("e.applied_batch_id") == F.lit(batch_id)
-
-        def pick(merged_col, existing_col):
-            return F.when(replayed, existing_col).otherwise(merged_col)
-
-        merged = d.join(
-            e, F.col("d.customer_id") == F.col("e.customer_id"), "full"
-        ).select(
-            F.coalesce("d.customer_id", "e.customer_id").alias("customer_id"),
-            pick(
-                F.coalesce("d.txn_count", F.lit(0))
-                + F.coalesce("e.txn_count", F.lit(0)),
-                F.col("e.txn_count"),
-            ).alias("txn_count"),
-            pick(
-                F.coalesce("d.total_amount", F.lit(0).cast("decimal(38,2)"))
-                + F.coalesce("e.total_amount", F.lit(0).cast("decimal(38,2)")),
-                F.col("e.total_amount"),
-            ).alias("total_amount"),
-            pick(
-                F.least("d.first_transaction_date", "e.first_transaction_date"),
-                F.col("e.first_transaction_date"),
-            ).alias("first_transaction_date"),
-            pick(
-                F.greatest("d.last_transaction_date", "e.last_transaction_date"),
-                F.col("e.last_transaction_date"),
-            ).alias("last_transaction_date"),
-            pick(
-                F.when(F.col("d.days_sketch").isNull(), F.col("e.days_sketch"))
-                .when(F.col("e.days_sketch").isNull(), F.col("d.days_sketch"))
-                .otherwise(F.hll_union("d.days_sketch", "e.days_sketch")),
-                F.col("e.days_sketch"),
-            ).alias("days_sketch"),
-            F.lit(batch_id).alias("applied_batch_id"),
-            F.coalesce("d.bucket", "e.bucket").alias("bucket"),
+        state_cols = (
+            "txn_count",
+            "total_amount",
+            "first_transaction_date",
+            "last_transaction_date",
+            "days_sketch",
+        )
+        merged = (
+            m.join(e, F.col("m.customer_id") == F.col("e.customer_id"), "left")
+            .select(
+                F.col("m.customer_id").alias("customer_id"),
+                *[
+                    F.when(replayed, F.col(f"e.{c}"))
+                    .otherwise(F.col(f"m.{c}"))
+                    .alias(c)
+                    for c in state_cols
+                ],
+                F.lit(batch_id).alias("applied_batch_id"),
+            )
+            # customer -> bucket is a pure function; recompute rather than
+            # thread it through the merge
+            .withColumn("bucket", _bucket("customer_id"))
         )
     else:
         merged = delta.withColumn("applied_batch_id", F.lit(batch_id))

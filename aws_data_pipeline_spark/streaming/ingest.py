@@ -71,12 +71,25 @@ def incremental_bronze_to_silver(
       keyed by transaction_id with ``watermark_delay`` of event-time
       slack. State (one key per id inside the watermark window) lives in
       the checkpointed state store, so the guard survives across
-      availableNow runs with ZERO reads of silver — the cheaper shape
-      when re-delivery is bounded in event time. The trade is the bound
-      itself: a record re-delivered (or genuinely arriving) with an event
-      time older than ``max_event_time - delay`` is dropped as late data,
-      so the delay must cover both the re-delivery horizon AND honest
-      event-time lag.
+      availableNow runs with ZERO reads of silver on the happy path —
+      the cheaper shape when re-delivery is bounded in event time. The
+      trade is the bound itself: a record re-delivered (or genuinely
+      arriving) with an event time older than ``max_event_time - delay``
+      is dropped as late data, so the delay must cover both the
+      re-delivery horizon AND honest event-time lag.
+
+      CRASH WINDOW: the state-store delta commits with the CHECKPOINT,
+      not with the parquet append, so a crash after the append but
+      before the checkpoint commit replays the batch with pre-batch
+      state — the in-stream dedup alone would re-append it. The sink
+      therefore keeps a per-batch INTENT marker (an empty file in a
+      sibling directory of the silver zone, written BEFORE the append):
+      a batch that finds its own marker already present is a suspected
+      replay and runs the partition-pruned anti-join for THAT batch
+      only. Normal batches pay one empty-file create and zero silver
+      reads; markers for batches older than the current one are
+      checkpoint-committed by definition and are deleted as they are
+      passed.
 
     SCOPE (both modes): the guard is for RE-DELIVERY — the same record,
     same content, delivered again. For true re-delivery the two modes
@@ -89,6 +102,8 @@ def incremental_bronze_to_silver(
     ``pipeline.medallion.dedup_against_silver``).
     """
     stream = read_bronze_stream(spark, bronze_path)
+    if dedup_mode not in ("anti_join", "watermark"):
+        raise ValueError(f"unknown dedup_mode: {dedup_mode!r}")
     if dedup_mode == "watermark":
         stream = (
             stream.withColumn(
@@ -107,29 +122,9 @@ def incremental_bronze_to_silver(
             .dropDuplicatesWithinWatermark(["transaction_id"])
             .drop("__event_ts")
         )
-    elif dedup_mode != "anti_join":
-        raise ValueError(f"unknown dedup_mode: {dedup_mode!r}")
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        silver = transform_bronze(batch, clock=clock)
-        # explicit existence probe: only a genuinely missing zone (first
-        # batch) skips the anti-join; other read errors propagate instead of
-        # silently disabling cross-run dedup
-        persisted = None
-        if dedup_mode == "anti_join" and zone_exists(
-            batch.sparkSession, silver_path
-        ):
-            # persist: the transformed micro-batch is consumed twice
-            # (touched-key collect + write) — avoid re-running the transform
-            persisted = silver.persist()
-            silver = dedup_against_silver(persisted, silver_path)
-        try:
-            write_zone(
-                silver, silver_path, partition_by=PARTITION_KEYS, mode="append"
-            )
-        finally:
-            if persisted is not None:
-                persisted.unpersist()
+        ingest_sink(batch, batch_id, silver_path, clock, dedup_mode)
 
     (
         stream.writeStream.foreachBatch(sink)
@@ -138,3 +133,70 @@ def incremental_bronze_to_silver(
         .start()
         .awaitTermination()
     )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.FileSystem.get(
+        jvm.java.net.URI.create(path), spark._jsc.hadoopConfiguration()
+    )
+
+
+def _intents_dir(silver_path: str) -> str:
+    # a SIBLING of the zone, not inside it: a marker inside silver_path
+    # would make zone_exists() true before any data lands, sending the
+    # first batch's guard into a parquet read of an empty zone
+    return silver_path.rstrip("/") + ".__ingest_intents"
+
+
+def _mark_intent(spark: SparkSession, silver_path: str, batch_id: int) -> bool:
+    """Record that batch ``batch_id`` is ABOUT to append; returns True if a
+    marker was already present (suspected replay — the previous attempt may
+    have appended before crashing short of the checkpoint commit). Markers
+    for older batches are checkpoint-committed by definition (Spark never
+    replays a committed batch id) and are swept here."""
+    jvm = spark._jvm
+    fs = _hadoop_fs(spark, silver_path)
+    d = jvm.org.apache.hadoop.fs.Path(_intents_dir(silver_path))
+    mine = jvm.org.apache.hadoop.fs.Path(f"{_intents_dir(silver_path)}/{batch_id}")
+    replay = fs.exists(mine)
+    if fs.exists(d):
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.isdigit() and int(name) < batch_id:
+                fs.delete(st.getPath(), False)
+    if not replay:
+        fs.create(mine, True).close()
+    return replay
+
+
+def ingest_sink(
+    batch: DataFrame,
+    batch_id: int,
+    silver_path: str,
+    clock: Column | None,
+    dedup_mode: str,
+) -> None:
+    """The foreachBatch body, module-level so tests can drive the replay
+    protocol directly. See ``incremental_bronze_to_silver`` for the two
+    dedup modes and the intent-marker crash contract."""
+    sess = batch.sparkSession
+    replay_suspect = _mark_intent(sess, silver_path, batch_id)
+    silver = transform_bronze(batch, clock=clock)
+    # explicit existence probe: only a genuinely missing zone (first
+    # batch) skips the anti-join; other read errors propagate instead of
+    # silently disabling cross-run dedup
+    need_guard = dedup_mode == "anti_join" or replay_suspect
+    persisted = None
+    if need_guard and zone_exists(sess, silver_path):
+        # persist: the transformed micro-batch is consumed twice
+        # (touched-key collect + write) — avoid re-running the transform
+        persisted = silver.persist()
+        silver = dedup_against_silver(persisted, silver_path)
+    try:
+        write_zone(
+            silver, silver_path, partition_by=PARTITION_KEYS, mode="append"
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()

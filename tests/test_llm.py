@@ -1176,6 +1176,37 @@ def test_write_training_shards_layout(spark, tmp_path):
     assert seen == set(range(500))
 
 
+def test_write_training_shards_rematerialize_and_duplicate_ids(spark, tmp_path):
+    """Re-materializing to the same path with fewer shards must leave NO
+    stale shard= directories (the write is a static overwrite, overriding
+    the session's dynamic default), and duplicate-id inputs land exactly
+    once per input row — no join fan-out — at distinct positions."""
+    import glob
+
+    from aws_data_pipeline_spark.operators.sampling import write_training_shards
+
+    path = str(tmp_path / "shards")
+    df8 = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("payload")
+    )
+    write_training_shards(df8, path, "doc_id", n_shards=8)
+    assert len(glob.glob(f"{path}/shard=*")) == 8
+    write_training_shards(df8, path, "doc_id", n_shards=2)
+    assert len(glob.glob(f"{path}/shard=*")) == 2  # no stale epoch-1 dirs
+    assert spark.read.parquet(path).count() == 200
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "doc_id long, payload string"
+    )
+    write_training_shards(dup, str(tmp_path / "dup"), "doc_id", n_shards=2)
+    back = spark.read.parquet(str(tmp_path / "dup"))
+    assert back.count() == 3  # one output row per input row, not 2x2+1
+    one = back.filter(F.col("doc_id") == 1)
+    assert one.count() == 2
+    # distinct positions even for identical ids
+    assert one.select("shard", "pos").distinct().count() == 2
+
+
 def test_embedding_index_probe_matches_full_cross_pairs(spark, sf_dir, tmp_path):
     """The embedding index probe finds exactly the full-run LSH pairs that
     cross the new/corpus boundary, with identical exact-cosine sims."""

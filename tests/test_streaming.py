@@ -263,6 +263,46 @@ def test_watermark_dedup_mode_survives_runs(spark, tmp_path):
     assert dups.isEmpty()
 
 
+def test_watermark_mode_replay_does_not_duplicate(spark, tmp_path):
+    """The crash window dropDuplicatesWithinWatermark cannot cover: the
+    parquet append lands, the process dies BEFORE the checkpoint commit,
+    and the batch replays with pre-batch state. The intent-marker protocol
+    must detect the replay (marker already present) and run the
+    partition-pruned anti-join for that batch only, so the re-driven sink
+    appends nothing. Simulated by calling the sink body twice with the
+    same batch_id, exactly what a foreachBatch replay does."""
+    from aws_data_pipeline_spark.catalog import TXN_SCHEMA
+    from aws_data_pipeline_spark.streaming.ingest import (
+        _intents_dir,
+        ingest_sink,
+    )
+
+    silver = str(tmp_path / "silver")
+    clock = F.lit("2026-01-01 00:00:00").cast("timestamp")
+    bronze_dir = tmp_path / "b"
+    bronze_dir.mkdir()
+    _write_batch(bronze_dir, 0, 25)
+    batch = spark.read.schema(TXN_SCHEMA).json(str(bronze_dir))
+
+    ingest_sink(batch, 7, silver, clock, "watermark")  # the crashed attempt
+    assert spark.read.parquet(silver).count() == 25
+    import os
+
+    assert os.path.exists(f"{_intents_dir(silver)}/7")  # intent persisted
+    ingest_sink(batch, 7, silver, clock, "watermark")  # the replay
+    assert spark.read.parquet(silver).count() == 25  # no duplicates
+
+    # next committed batch sweeps the old marker and appends normally
+    bronze2 = tmp_path / "b2"
+    bronze2.mkdir()
+    _write_batch(bronze2, 100, 10)
+    batch2 = spark.read.schema(TXN_SCHEMA).json(str(bronze2))
+    ingest_sink(batch2, 8, silver, clock, "watermark")
+    assert spark.read.parquet(silver).count() == 35
+    assert not os.path.exists(f"{_intents_dir(silver)}/7")
+    assert os.path.exists(f"{_intents_dir(silver)}/8")
+
+
 def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     spark, tmp_path
 ):
