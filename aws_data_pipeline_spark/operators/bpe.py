@@ -153,6 +153,12 @@ def learn_bpe(
                 .limit(1)
                 .collect()
             )
+            # the collect above MATERIALIZED the current vocab, so every
+            # predecessor frame is now dead state — release it instead of
+            # holding ~n_merges cached copies of the word-type table until
+            # the finally block (only the newest frame stays live)
+            while len(to_unpersist) > 1:
+                to_unpersist.pop(0).unpersist()
             if not top:
                 break
             left, right, count = (
@@ -214,7 +220,8 @@ def bpe_token_counts(
     """Per-document BPE token counts under the learned merges: explode the
     document's spec-words, join the merged word-type table (merges are
     applied once per word TYPE — the join is the scale move; Spark
-    broadcasts the vocab when small), sum symbol counts. Words absent
+    broadcasts the vocab when it fits — unhinted, so a huge vocab
+    shuffles instead of OOMing the driver), sum symbol counts. Words absent
     from the training vocab (encoding a DIFFERENT corpus than the one
     trained on) are encoded for real — their distinct types run the same
     merge-fold rounds the trainer uses — not silently dropped. Documents
@@ -224,8 +231,12 @@ def bpe_token_counts(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
     ).filter(F.col("word").rlike(WORD_RE))
     n_sym = F.size(F.split(F.col("symbols"), " "))
+    # no forced broadcast: the word-TYPE table is vocabulary-sized —
+    # small for this corpus, but tens of GB for a 100 TB one, where a
+    # F.broadcast hint would bypass the threshold and OOM the driver;
+    # AQE broadcasts exactly when it actually fits
     hits = words.join(
-        F.broadcast(model.vocab.select("word", n_sym.alias("__n_sym"))),
+        model.vocab.select("word", n_sym.alias("__n_sym")),
         "word",
         "left",
     )
@@ -233,7 +244,8 @@ def bpe_token_counts(
     oov_enc = encode_word_types(oov, model.merges).select(
         "word", n_sym.alias("__n_sym_oov")
     )
-    enc = hits.join(F.broadcast(oov_enc), "word", "left").withColumn(
+    # same reasoning: the OOV type set is unbounded on a foreign corpus
+    enc = hits.join(oov_enc, "word", "left").withColumn(
         "__n_sym", F.coalesce(F.col("__n_sym"), F.col("__n_sym_oov"))
     )
     return enc.groupBy(id_col).agg(

@@ -84,10 +84,20 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = tokens(F.col(text_col))
     n_chars = F.length(F.col(text_col))
     n_toks = F.size(t)
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    # lowercase BEFORE stripping non-alpha (the tokens()/stopword side
+    # already lowercases): without it, upper/mixed-case documents counted
+    # zero alpha chars and scored as symbol soup
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    )
     sw = stopword_count(t)
-    # try_divide: an empty document (0 chars / 0 tokens) yields null ratios
-    # instead of a whole-job DIVIDE_BY_ZERO under Spark 4 ANSI mode
+    # try_divide guards NULL text (size(NULL)=NULL under ANSI) against a
+    # whole-job DIVIDE_BY_ZERO. NOTE the empty-STRING document is NOT the
+    # null path: split('', ' ') yields [''], so text='' counts as one
+    # empty token (n_tokens=1, ratios 0.0, near-zero score) — scored as
+    # worthless rather than excluded, which every quality gate treats the
+    # same way; stated here because the single-space split is the pinned
+    # cross-engine tokenization spec
     mean_tok_len = F.try_divide(alpha_chars, n_toks)
     return df.withColumns(
         {
@@ -235,15 +245,20 @@ def quality_median_filter(
     absolute cutoffs can't express (half of ANY corpus survives, regardless
     of its score distribution).
 
-    Shape: score in one scan, reduce to a single median row, broadcast it
-    back as the filter threshold — the corpus itself never shuffles.
-    ``approx=True`` swaps the exact ``percentile`` aggregate for
-    ``approx_percentile`` (t-digest): exact percentile buffers per-group
-    values and is the documented small-SF / oracle-parity path, the sketch
-    is the 100 TB path. Per-doc output rows (no float aggregation), so
-    results are order-independent.
+    Shape: the scored frame is consumed TWICE (the median aggregate's
+    action plus the filter pass), so it is persisted for the duration —
+    without the cache both passes would rescan the source and re-derive
+    every score expression. The single median row broadcasts back as the
+    filter threshold — the corpus itself never shuffles. ``approx=True``
+    swaps the exact ``percentile`` aggregate for ``approx_percentile``
+    (t-digest): exact percentile buffers per-group values and is the
+    documented small-SF / oracle-parity path, the sketch is the 100 TB
+    path. Per-doc output rows (no float aggregation), so results are
+    order-independent. (The persist is deliberately not unpersisted here:
+    the returned frame still reads it; Spark evicts LRU — same trade as
+    unigram_logprob's token frame.)
     """
-    scored = quality_score(df, text_col)
+    scored = quality_score(df, text_col).persist()
     fn = "approx_percentile" if approx else "percentile"
     med = scored.agg(F.expr(f"{fn}(quality_score, 0.5)").alias("med_score"))
     return (
@@ -485,7 +500,11 @@ def bigram_logprob(
     broadcast hint (bigram vocab is data-dependent — AQE decides).
     Shuffles carry (w1, w2, count) and (doc, unit-sum) rows only.
     """
-    t = tokens(F.col(text_col))
+    # materialize the token array in its OWN projection before the
+    # transform lambda references it: a closure-captured tokens() would
+    # re-split the full text per sequence element (O(L^2) per row — the
+    # hazard this file documents at repetition_stats/decontaminate)
+    t = F.col("__t")
     pair = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -496,9 +515,13 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = df.select(
-        F.col(id_col).alias("doc"), F.explode(pair).alias("b")
-    ).select("doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bg = (
+        df.select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__t")
+        )
+        .select("doc", F.explode(pair).alias("b"))
+        .select("doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
     uni = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     if persist:
         # feeds the two count tables AND the per-doc fold (same trade as

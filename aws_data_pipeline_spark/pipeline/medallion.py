@@ -213,14 +213,20 @@ def silver_to_gold(spark: SparkSession, cfg: PipelineConfig) -> dict[str, int]:
 
 def _retry(fn: Callable[[], dict], cfg: PipelineConfig, stage: str) -> dict:
     """O2: retry-with-backoff per stage (reference
-    ``pipeline_definition.json:15-22``: 1 retry, backoff rate 2.0)."""
+    ``pipeline_definition.json:15-22``: 1 retry, backoff rate 2.0). A
+    final failure re-raises annotated with the STAGE name, so the O3
+    failure notification says which stage died, not just what the
+    exception was (the Step Functions Catch carries the state name for
+    the same reason)."""
     delay = cfg.backoff_seconds
     for attempt in range(1, cfg.max_attempts + 1):
         try:
             return fn()
-        except Exception:
+        except Exception as exc:
             if attempt == cfg.max_attempts:
-                raise
+                raise RuntimeError(
+                    f"stage {stage!r} failed after {attempt} attempts: {exc}"
+                ) from exc
             time.sleep(delay)
             delay *= cfg.backoff_rate
     raise AssertionError("unreachable")

@@ -806,7 +806,7 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_filter(string_split(lower(text), ' '),
                   x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
                   AS INTEGER) AS sw,
-             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha
       FROM documents
     )
     SELECT doc_id,
@@ -845,7 +845,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_filter(string_split(lower(text), ' '),
                   x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
                   AS INTEGER) AS sw,
-             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha
       FROM documents
     ), scored AS (
       SELECT doc_id, source,
@@ -892,7 +892,7 @@ def quality_winsorized_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_filter(string_split(lower(text), ' '),
                   x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
                   AS INTEGER) AS sw,
-             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha
       FROM documents
     ), scored AS (
       SELECT doc_id,
@@ -1269,7 +1269,7 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_filter(string_split(lower(text), ' '),
                     x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
                     AS INTEGER) AS sw,
-               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+               CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha
         FROM documents
       )
     ), kept0 AS (
@@ -1581,7 +1581,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_filter(string_split(lower(text), ' '),
                   x -> list_contains(['the','a','and','of','to','is','fast','slow'], x)))
                   AS INTEGER) AS sw,
-             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS alpha
       FROM documents
     ), q AS (
       SELECT source, doc_id, n AS n_tokens,

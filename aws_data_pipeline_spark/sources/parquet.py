@@ -27,13 +27,23 @@ def write_zone(
     partition_by: Sequence[str] = (),
     mode: str = "append",
     compression: str = "snappy",
+    partition_overwrite: str | None = None,
 ) -> None:
     """Partitioned parquet sink (S4-S7): silver appends partitioned by
     year/month/day (``bronze_to_silver.py:138-143``); gold overwrites at
-    its grain (``silver_to_gold.py:141-149``)."""
+    its grain (``silver_to_gold.py:141-149``).
+
+    ``partition_overwrite``: pin ``"dynamic"`` or ``"static"`` on THIS
+    writer when the call's correctness depends on it, instead of trusting
+    the session default — a caller whose overwrite must replace only the
+    partitions present in ``df`` (incremental gold, copy-on-write
+    amendments) would wipe the whole zone under Spark's stock ``static``
+    default."""
     if partition_by:
         df = require_non_null(df, partition_by)
     writer = df.write.mode(mode).option("compression", compression)
+    if partition_overwrite is not None:
+        writer = writer.option("partitionOverwriteMode", partition_overwrite)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -85,8 +95,17 @@ def read_partition_slice(
 
 
 def zone_exists(spark: SparkSession, path: str) -> bool:
-    """True iff the zone path exists on its filesystem (Hadoop FS probe —
-    works for local paths, S3A, HDFS alike).
+    """True iff the zone holds at least one COMMITTED data file (Hadoop FS
+    probe — works for local paths, S3A, HDFS alike; stops at the first
+    non-hidden file, so the listing cost is one leaf even at 100 TB).
+
+    Data-aware, not a bare path-existence check: a run that crashed
+    mid-first-write leaves the directory existing with only ``_temporary``
+    droppings, and a path probe would then send every later run's
+    idempotency anti-join into an unreadable parquet scan — a permanent
+    wedge until someone deletes the directory by hand. Files under any
+    ``_``/``.``-prefixed component are uncommitted or metadata and don't
+    count.
 
     Callers that tolerate a missing zone (first-run idempotency anti-joins)
     must use THIS probe, not ``try: read_zone(...) except: pass`` — a bare
@@ -97,7 +116,17 @@ def zone_exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    if not fs.exists(jpath):
+        return False
+    base = jpath.toUri().getPath().rstrip("/")
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        rel = it.next().getPath().toUri().getPath()[len(base):]
+        if not any(
+            part.startswith(("_", ".")) for part in rel.split("/") if part
+        ):
+            return True
+    return False
 
 
 def compact_zone(
@@ -107,7 +136,9 @@ def compact_zone(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Sequence[str] = (),
 ) -> int:
-    """Rewrite a zone into ~target-size files; returns the file count written.
+    """Rewrite a zone into ~target-size files; returns the rewrite's task
+    count (= file count for unpartitioned/sorted zones; a hive-partitioned
+    zone writes one file per task per partition it holds rows for).
 
     Streaming ingest (one file per micro-batch per partition) accumulates
     small files; at 100 TB the resulting open/seek overhead dominates scan
@@ -139,7 +170,19 @@ def compact_zone(
         # the within-file sort tightens every row group's min/max
         out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     elif partition_by:
-        out = df.repartition(n_files, *partition_by)
+        # salt alongside the partition columns: hashing by them ALONE
+        # would collapse every hive partition into ONE task writing ONE
+        # file regardless of size (a 500 GB day -> one 500 GB file and a
+        # straggler task). ~n_files/n_partitions salt values spread big
+        # partitions across tasks while keeping small ones in few files;
+        # the salt only shapes physical layout, so rand() is fine.
+        n_parts = max(1, df.select(*partition_by).distinct().count())
+        n_salts = max(1, -(-n_files // n_parts))
+        out = (
+            df.withColumn("__salt", (F.rand(42) * n_salts).cast("int"))
+            .repartition(n_files, *partition_by, F.col("__salt"))
+            .drop("__salt")
+        )
     else:
         out = df.repartition(n_files)
     writer = out.write.mode("overwrite")
@@ -207,7 +250,13 @@ def merge_into_zone(
     # materialize survivors before overwriting the files they came from
     survivors = current.join(keys, on, "left_anti").localCheckpoint(eager=True)
     merged = survivors.unionByName(updates.select(*survivors.columns))
-    write_zone(merged, path, partition_by=tuple(partition_cols), mode="overwrite")
+    write_zone(
+        merged,
+        path,
+        partition_by=tuple(partition_cols),
+        mode="overwrite",
+        partition_overwrite="dynamic",  # replace ONLY touched partitions
+    )
     return len(touched)
 
 
@@ -245,7 +294,11 @@ def delete_from_zone(
     }
     if surv_parts:
         write_zone(
-            survivors, path, partition_by=tuple(partition_cols), mode="overwrite"
+            survivors,
+            path,
+            partition_by=tuple(partition_cols),
+            mode="overwrite",
+            partition_overwrite="dynamic",  # replace ONLY touched partitions
         )
     jvm = spark._jvm
     # Spark's own partition-path escaping: string values with ':', '%',

@@ -85,6 +85,7 @@ def incremental_silver_to_gold(
                 f"{gold_path}/daily_aggregations",
                 partition_by=("year", "month"),
                 mode="overwrite",
+                partition_overwrite="dynamic",  # only the touched months
             )
             # months of a touched year outside this batch are recomputed
             # from the same slice, so the year-dir swap is self-consistent
@@ -100,6 +101,7 @@ def incremental_silver_to_gold(
                 f"{gold_path}/monthly_aggregations",
                 partition_by=("year",),
                 mode="overwrite",
+                partition_overwrite="dynamic",  # only the touched years
             )
         finally:
             silver_y.unpersist()
@@ -243,7 +245,13 @@ def _merge_delta(src, delta: DataFrame, table: str, batch_id: int) -> None:
     # guard as compact_zone)
     merged = merged.localCheckpoint(eager=True)
     # dynamic partition overwrite: only the touched bucket= dirs rewrite
-    write_zone(merged, table, partition_by=("bucket",), mode="overwrite")
+    write_zone(
+        merged,
+        table,
+        partition_by=("bucket",),
+        mode="overwrite",
+        partition_overwrite="dynamic",  # replace ONLY touched buckets
+    )
 
 
 def incremental_customer_insights(

@@ -160,3 +160,24 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     # contrast: the plain read swallows both bad lines as null rows
     plain = read_jsonl(spark, str(d), s)
     assert plain.count() == 4
+
+
+def test_zone_exists_ignores_uncommitted_droppings(spark, tmp_path):
+    """A run that crashes mid-first-write leaves the zone directory with
+    only _temporary/_SUCCESS-style droppings; the probe must report NO
+    zone (a bare path check would wedge every later run's idempotency
+    anti-join into an unreadable parquet scan), then flip true once a
+    committed data file exists."""
+    import os
+
+    from aws_data_pipeline_spark.sources.parquet import write_zone, zone_exists
+
+    zone = tmp_path / "silver"
+    assert not zone_exists(spark, str(zone))  # absent
+    os.makedirs(zone / "_temporary" / "attempt_x")
+    (zone / "_temporary" / "attempt_x" / "part-000").write_text("junk")
+    (zone / "_SUCCESS").write_text("")
+    assert not zone_exists(spark, str(zone))  # exists, but no data
+    df = spark.range(3).select(F.col("id").alias("x"))
+    write_zone(df, str(zone))
+    assert zone_exists(spark, str(zone))
