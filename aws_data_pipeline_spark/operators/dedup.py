@@ -22,17 +22,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_data_pipeline_spark.functions.portable import md5_prefix_long
-from aws_data_pipeline_spark.operators.text import shingles, tokens
+from aws_data_pipeline_spark.operators.text import hashed_shingles, shingles, tokens
 
 # Fixed universal-hash parameters: h_i(s) = (a_i * x + b_i) mod M, where
 # x = pmod(xxhash64(s), 2^31-1). a_i < 2^31 keeps a_i * x < 2^62 — inside
 # signed-64 range, so ANSI mode never overflows.
 _MERSENNE = 2305843009213693951  # 2^61 - 1
-_HASH_PARAMS: list[tuple[int, int]] = [
-    (1100087778366101931, 979787241461561041),  # seeds drawn once, fixed
-]
 # deterministic param table: (a_i, b_i) for 16 permutations
-_HASH_PARAMS = [
+_HASH_PARAMS: list[tuple[int, int]] = [
     ((2654435761 * (i + 1) + 40503) % 2147483629 + 1, (40503 * (i + 1) + 2654435761) % _MERSENNE)
     for i in range(16)
 ]
@@ -46,10 +43,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     """
     hashed = df.withColumn("text_hash", F.md5(F.col(text_col)))
     w = Window.partitionBy("text_hash")
-    return (
-        hashed.withColumn("canonical_doc_id", F.min(id_col).over(w))
-        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_doc_id"))
-    )
+    # NULL text hashes to NULL, and the window groups NULLs together — two
+    # contentless documents are NOT duplicates of each other (they were
+    # never compared), so NULL-hash rows stay their own canonical
+    return hashed.withColumn(
+        "canonical_doc_id",
+        F.when(F.col("text_hash").isNull(), F.col(id_col)).otherwise(
+            F.min(id_col).over(w)
+        ),
+    ).withColumn("is_duplicate", F.col(id_col) != F.col("canonical_doc_id"))
 
 
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -256,7 +258,13 @@ def _signatures_from_sets(
         )
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    hashed = sets.select("doc", base.alias("hs"))
+    # a doc shorter than k tokens has NO shingles: array_min over the
+    # empty array is NULL, every signature position would be NULL, and
+    # [NULL,...] == [NULL,...] under Spark's array equality — ALL short
+    # docs would become mutual LSH candidates (O(m^2) blowup) and the
+    # 0/0 Jaccard verify would abort the job under ANSI. No shingles =>
+    # cannot be a near-dup at this k => excluded here.
+    hashed = sets.filter(F.size("sh") > 0).select("doc", base.alias("hs"))
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("hs"), _perm_hash(a, b)))
@@ -380,8 +388,15 @@ def _verify_pairs(
         )
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
+            # try_divide: two empty sets would be 0/0 — NULL, which the
+            # threshold filter drops (the signature-side filter already
+            # excludes shingle-less docs; this keeps the verify total
+            # rather than ANSI-aborting if a caller feeds its own sets)
             "jaccard",
-            F.col("inter") / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+            F.try_divide(
+                F.col("inter"),
+                F.size("sh1") + F.size("sh2") - F.col("inter"),
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -455,9 +470,11 @@ def build_lsh_text_index(
     from disk — tokenization runs once, and the write doubles as the
     cache `_signatures_from_sets` requires."""
     spark = df.sparkSession
-    shingle_sets(df, id_col, text_col, k).write.mode("overwrite").parquet(
-        f"{path}/sets"
-    )
+    # persist=False: the only consumer is this write — the read-back
+    # below is the materialization signatures use
+    shingle_sets(df, id_col, text_col, k, persist=False).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sets")
     sets = spark.read.parquet(f"{path}/sets")
     _banded_keys(
         _signatures_from_sets(sets, num_perm, hash_fn), bands, num_perm // bands
@@ -675,6 +692,18 @@ def connected_components(
         )
         if changed == 0:
             break
+    else:
+        # fail LOUDLY: exhausting the budget without convergence means
+        # some component's labels are still propagating — returning them
+        # would silently split one duplicate cluster into several and keep
+        # extra "canonicals". A graph deeper than 2*max_iter hops wants
+        # the alternating large-star/small-star algorithm (or a raised
+        # max_iter), not a wrong answer.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— graph diameter exceeds the budget; raise max_iter or use "
+            "an alternating-algorithm variant for deep chains"
+        )
     return labels
 
 
@@ -843,10 +872,17 @@ def line_dedup(
     window first-occurrence filter, then a per-doc reassembly aggregate —
     no pairwise comparison anywhere, so cost is O(total lines), and a
     hot boilerplate line is one window group (skew-bounded by its count).
+
+    ``sep`` is a LITERAL separator on both the split and the reassembly
+    side (``F.split`` takes a regex, so the split pattern is
+    ``\\Q...\\E``-quoted): sentence-level dedup with ``sep='.'`` splits on
+    the dot, not on every character.
     """
     lines = df.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     )
     w = Window.partitionBy("line").orderBy("doc", "pos")
     kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -1084,6 +1120,10 @@ def append_to_kgram_index(
         )
         .distinct()
         .join(spark.read.parquet(f"{path}/hashes"), "h", "left_anti")
+        # materialize ONCE: an isEmpty probe plus the write would run the
+        # whole tokenize+explode+anti-join twice, and the write must not
+        # re-list the hashes dir it is appending to mid-job anyway
+        .localCheckpoint(eager=True)
     )
     if not new_h.isEmpty():
         new_h.write.mode("append").parquet(f"{path}/hashes")

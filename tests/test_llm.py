@@ -1232,3 +1232,61 @@ def test_embedding_index_probe_matches_full_cross_pairs(spark, sf_dir, tmp_path)
     assert {(r.new_id, r.corpus_id) for r in got.collect()} == expected
     # sims are the exact JVM cosine, all at or above threshold
     assert all(r.sim >= 0.45 for r in got.collect())
+
+
+def test_source_overlap_smoke_and_values(spark):
+    """source_overlap went untested (an unimported helper made every call a
+    NameError); pin it: two sources sharing one 8-gram-rich phrase report
+    exactly its gram count as shared, containment = shared / smaller."""
+    from aws_data_pipeline_spark.operators.dedup import source_overlap
+
+    phrase = " ".join(f"w{i}" for i in range(12))  # 5 distinct 8-grams
+    docs = [
+        (1, "a", phrase + " " + " ".join(f"a{i}" for i in range(20))),
+        (2, "b", phrase + " " + " ".join(f"b{i}" for i in range(30))),
+        (3, "c", " ".join(f"c{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = {(r.source_a, r.source_b): r for r in source_overlap(df, k=8).collect()}
+    ab = rows[("a", "b")]
+    assert ab.n_shared == 5  # the 12-token phrase's 8-grams only
+    # source a: 32 tokens -> 25 distinct 8-grams (the smaller side)
+    assert abs(ab.containment - 5 / 25) < 1e-12
+    assert ("a", "c") not in rows and ("b", "c") not in rows  # nothing shared
+
+
+def test_minhash_short_docs_no_blowup(spark):
+    """Documents shorter than k tokens have NO shingles — they must be
+    EXCLUDED from signatures (all-NULL signatures would make every short
+    doc a candidate of every other and 0/0-abort the verify under ANSI),
+    and exact_dedup must not cluster NULL-text docs together."""
+    from aws_data_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "another short"),
+            (3, "also wee"),
+            (10, base),
+            (11, base + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc1, r.doc2)
+        for r in minhash_lsh_pairs(df, "doc_id", k=5, threshold=0.8).collect()
+    }
+    assert pairs == {(10, 11)}  # short docs pair with nothing, no crash
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real"), (4, "real")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.canonical_doc_id, r.is_duplicate)
+           for r in exact_dedup(nulls, "doc_id").collect()}
+    assert got[1] == (1, False) and got[2] == (2, False)  # no NULL cluster
+    assert got[3] == (3, False) and got[4] == (3, True)
