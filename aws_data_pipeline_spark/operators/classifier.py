@@ -38,9 +38,13 @@ def bucket_count_features(
 ) -> DataFrame:
     """(id, features: ml Vector) — per-doc hashed token-count vectors.
 
-    Rows with NULL text produce no tokens and are ABSENT from the output
-    (and therefore from every score) — callers must left-join scores and
-    decide a policy for unscored documents.
+    Rows with NULL text — and rows whose text yields only EMPTY tokens
+    (``''``, the artifact the single-space split produces for empty
+    strings and consecutive spaces) — are ABSENT from the output (and
+    therefore from every score): an empty token is not evidence, and
+    counting it would systematically inflate one pseudo-random bucket in
+    both training and scoring. Callers must left-join scores and decide a
+    policy for unscored documents.
 
     All JVM: the (bucket -> count) map scatters into a dense fixed-width
     array with ``transform(sequence(...))``, so the only shuffle is the
@@ -53,6 +57,7 @@ def bucket_count_features(
     bucket = F.pmod(md5_prefix_long(F.col("tok")), F.lit(n_buckets))
     counts = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
         .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("c"))

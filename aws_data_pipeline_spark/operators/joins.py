@@ -75,7 +75,11 @@ def asof_join(
     range join would be O(n*m) per key).
     """
     rstruct = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
-    r = right.select(
+    # a right row with NULL ts can never satisfy ts <= l.ts — but ascending
+    # sort puts NULLs FIRST, where last(ignorenulls) would carry it forward
+    # into every left row that precedes the first valid right row; drop
+    # them up front
+    r = right.filter(F.col(ts).isNotNull()).select(
         F.col(key).alias(key), F.col(ts).alias(ts), rstruct, F.lit(0).alias("__side")
     )
     l = left.withColumn("__side", F.lit(1)).withColumn(
@@ -122,6 +126,14 @@ def salted_join(
     Dim-side cost: ``salt_buckets``x replication — keep the dim projected
     narrow.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # an unmatched DIM row exists once per salt replica: right/full
+        # outer joins would emit it salt_buckets times, silently breaking
+        # the equals-the-unsalted-join guarantee — fail instead
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics (unmatched dim "
+            "rows are replicated per salt); use a plain join for outer-on-dim"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
     )
@@ -139,6 +151,7 @@ def range_join_bucketed(
     left_ts: str,
     right_ts: str,
     window_seconds: int,
+    right_prefix: str = "r_",
 ) -> DataFrame:
     """Pairs (l, r) with same key and ``l.ts < r.ts <= l.ts + window``.
 
@@ -147,6 +160,12 @@ def range_join_bucketed(
     equi-join on (key, bucket) over two bucket-shifted copies of the left,
     with the exact range predicate as a residual filter. Shuffle-partitioned
     by (key, bucket) — no cross product, skew bounded by bucket width.
+
+    Output hygiene (matching the other operators here): left columns come
+    out under their own names, right columns under ``right_prefix`` (one
+    shared key column, no internal ``__b`` helpers) — every column is
+    bare-referenceable, including after a SELF-join, instead of forcing
+    callers through l./r. aliases and AMBIGUOUS_REFERENCE errors.
     """
     lb = left.withColumn("__b", (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("long"))
     rb = right.withColumn("__b", (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast("long"))
@@ -162,4 +181,10 @@ def range_join_bucketed(
             <= F.col(f"l.{left_ts}") + F.make_interval(secs=F.lit(window_seconds))
         )
     )
-    return lboth.alias("l").join(rb.alias("r"), cond, "inner")
+    joined = lboth.alias("l").join(rb.alias("r"), cond, "inner")
+    left_cols = [c for c in left.columns if c != "__b"]
+    right_cols = [c for c in right.columns if c not in ("__b", key)]
+    return joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in left_cols],
+        *[F.col(f"r.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
+    )

@@ -83,6 +83,11 @@ def decode_features(df: DataFrame) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_meta"]
             ):
+                if payload is None:
+                    # a NULL payload (nullable per MEDIA_SCHEMA) must not
+                    # TypeError the whole Arrow batch — skip the object,
+                    # keep the other 10k rows (the module's stated policy)
+                    continue
                 raw = bytes(payload)
                 rows.append(
                     {
@@ -125,6 +130,8 @@ def resize_images(df: DataFrame, width: int = 4, height: int = 2) -> DataFrame:
                 continue  # column-less empty frame breaks Arrow re-serialization
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: skip the object, not the batch
                 raw = bytes(payload)
                 if raw:
                     resized = bytes(
@@ -167,6 +174,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload: skip the object, not the batch
                 raw = bytes(payload)
                 n_frames = len(raw) // frame_bytes
                 for i in range(0, n_frames, every_nth):

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 # that over-matches destroys training text; under-matching is recoverable by
 # adding patterns.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("url", r"(https?://[^\s]+)", "<URL>"),
+    # the last URL char must not be closing/sentence punctuation: a bare
+    # [^\s]+ chews the ')' of '(https://a.com)' and the ',' after it,
+    # unbalancing every markdown link and parenthesized citation in the
+    # training text. [^\s]* then one non-punct char backtracks to the
+    # real end; RE2-safe (no lookaround), so the DuckDB twin matches.
+    ("url", r"""(https?://[^\s]*[^\s).,;:!?'"\]>])""", "<URL>"),
     ("email", r"([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})", "<EMAIL>"),
     ("ssn", r"(\b\d{3}-\d{2}-\d{4}\b)", "<SSN>"),
     ("phone", r"(\b\d{3}[-.]\d{3}[-.]\d{4}\b)", "<PHONE>"),

@@ -85,9 +85,16 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(*order)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    # gap in FRACTIONAL seconds (timestamp -> double keeps microseconds):
+    # unix_timestamp truncates to whole seconds, which mis-decides
+    # boundaries by up to ~1s on sub-second data and diverges from both
+    # the streaming session_window twin and the DuckDB oracle's epoch()
     is_new = (
         prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_seconds)
+        | (
+            F.col(ts_col).cast("double") - prev_ts.cast("double")
+            > gap_seconds
+        )
     ).cast("long")
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(wrun)

@@ -544,7 +544,7 @@ def events_within_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = joins.range_join_bucketed(
         e, e, key="user_id", left_ts="ts", right_ts="ts", window_seconds=600
     )
-    cnt = pairs.groupBy(F.col("l.event_id").alias("event_id")).agg(
+    cnt = pairs.groupBy(F.col("event_id")).agg(
         F.count("*").alias("followers_10min")
     )
     # left join back so zero-follower events keep a 0 count

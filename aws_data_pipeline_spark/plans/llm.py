@@ -1335,7 +1335,8 @@ def _pii_count_sql() -> str:
     from aws_data_pipeline_spark.operators.scrub import PII_PATTERNS
 
     return " + ".join(
-        f"len(regexp_extract_all(text, '{pat}', 1))" for _, pat, _ in PII_PATTERNS
+        "len(regexp_extract_all(text, '{}', 1))".format(pat.replace("'", "''"))
+        for _, pat, _ in PII_PATTERNS
     )
 
 
@@ -1344,7 +1345,8 @@ def _pii_scrub_sql() -> str:
 
     expr = "text"
     for _, pat, repl in PII_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        esc = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '{repl}', 'g')"
     return expr
 
 

@@ -56,12 +56,21 @@ def read_csv_quarantine(
     right when any corruption means the export is broken and must be
     re-delivered; at 100 TB of third-party feeds, one mangled line must not
     kill a multi-hour job — route it to a quarantine sink, count it in QC,
-    keep going. The two frames are independent scans over the same files —
-    nothing is cached or pinned (an earlier draft cached the raw scan for
-    the whole session; two parse passes are strictly cheaper than holding
-    100 TB of parsed CSV in executor storage). Spark refuses plans whose
-    scan references ONLY the corrupt column (SPARK-21610), so the bad
-    frame carries one schema column through the filter and drops it after.
+    keep going.
+
+    Spark contract fine print, stated rather than hidden:
+
+    - CSV corruption detection is per-PARSED-column, so consume ``good``
+      FULL-WIDTH (write it to a zone, or select every column): a
+      column-pruned read parses only the referenced columns and cannot
+      notice corruption in the pruned ones. ``good.count()`` fails LOUDLY
+      (SPARK-21610's corrupt-only-reference rule) rather than returning a
+      silently wrong number — count after materializing.
+    - The BAD frame is materialized eagerly (localCheckpoint) at call
+      time: the same rule would otherwise reject innocent consumers like
+      ``bad.count()``. Only the corrupt rows are pinned (the exception,
+      not the corpus), and its projection references EVERY schema column,
+      forcing the full parse so a row malformed in ANY column is captured.
     """
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -76,14 +85,23 @@ def read_csv_quarantine(
         .csv(path)
     )
     good = raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
-    # the coalesce keeps one schema column referenced in the scan (plain
-    # select-then-drop gets pruned back to corrupt-only and rejected);
-    # values are unchanged — corrupt is always non-null under this filter
-    first_field = schema.fieldNames()[0]
-    bad = raw.filter(raw[CORRUPT_COL].isNotNull()).select(
-        F.coalesce(
-            F.col(CORRUPT_COL), F.col(first_field).cast("string")
-        ).alias(CORRUPT_COL)
+    # the coalesce references EVERY schema column, for two reasons: Spark
+    # refuses a scan over only the corrupt column (SPARK-21610), and —
+    # decisive — CSV corruption detection is per-PARSED-column: a pruned
+    # scan reading just one field never notices a row malformed in the
+    # others, so that row's corrupt marker stays NULL here while the good
+    # frame's full parse flags it — lost from BOTH outputs. Referencing
+    # all fields forces the full parse; the coalesce value itself is
+    # unchanged (corrupt is always non-null under this filter).
+    all_fields = [F.col(f).cast("string") for f in schema.fieldNames()]
+    bad = (
+        raw.filter(raw[CORRUPT_COL].isNotNull())
+        .select(
+            F.coalesce(
+                F.col(CORRUPT_COL), F.concat_ws(delimiter, *all_fields)
+            ).alias(CORRUPT_COL)
+        )
+        .localCheckpoint(eager=True)
     )
     return good, bad
 

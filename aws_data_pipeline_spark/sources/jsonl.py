@@ -49,9 +49,12 @@ def read_jsonl_quarantine(
     bronze-edge posture: route unparseable lines to a dead-letter sink
     with their original text (re-parseable after a schema fix), count
     them in QC, keep the job alive. Mirrors ``read_csv_quarantine``
-    (sources/delimited.py), including the SPARK-21610 guard: a scan may
-    not reference ONLY the corrupt column, so the bad frame keeps one
-    schema column referenced and coalesces it away.
+    (sources/delimited.py) including its fine print: consume ``good``
+    full-width (corruption detection is per-parsed-column — a pruned read
+    cannot flag a type mismatch in a pruned field), ``good.count()``
+    fails loudly (SPARK-21610), and the bad frame references EVERY schema
+    column (full parse, so a line malformed in any field is captured) and
+    is materialized eagerly so downstream counts work.
     """
     full = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT_COL, T.StringType())]
@@ -65,11 +68,15 @@ def read_jsonl_quarantine(
         .json(path)
     )
     good = raw.filter(raw[_CORRUPT_COL].isNull()).drop(_CORRUPT_COL)
-    first_field = schema.fieldNames()[0]
-    bad = raw.filter(raw[_CORRUPT_COL].isNotNull()).select(
-        F.coalesce(
-            F.col(_CORRUPT_COL), F.col(first_field).cast("string")
-        ).alias(_CORRUPT_COL)
+    all_fields = [F.col(f).cast("string") for f in schema.fieldNames()]
+    bad = (
+        raw.filter(raw[_CORRUPT_COL].isNotNull())
+        .select(
+            F.coalesce(
+                F.col(_CORRUPT_COL), F.concat_ws(",", *all_fields)
+            ).alias(_CORRUPT_COL)
+        )
+        .localCheckpoint(eager=True)
     )
     return good, bad
 

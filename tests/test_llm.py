@@ -129,6 +129,7 @@ def test_pii_scrub_patterns(spark):
         (1, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.255 done"),
         (2, "no pii here at all"),
         (3, "double email a@b.io c@d.org and 1.2.3.4"),
+        (4, "see (https://a.com), then [x](https://b.org/p) next"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
@@ -139,6 +140,9 @@ def test_pii_scrub_patterns(spark):
     assert got[1] == ("ssn <SSN> phone <PHONE> ip <IP> done", 3)
     assert got[2] == ("no pii here at all", 0)
     assert got[3] == ("double email <EMAIL> <EMAIL> and <IP>", 3)
+    # trailing punctuation survives the URL scrub (parens stay balanced,
+    # the markdown link keeps its closing bracket)
+    assert got[4] == ("see (<URL>), then [x](<URL>) next", 2)
 
     con = duckdb.connect()
     try:

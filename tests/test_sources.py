@@ -99,15 +99,28 @@ def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
 
     bad_dir = tmp_path / "mixed"
     bad_dir.mkdir()
-    (bad_dir / "x.csv").write_text("a,b\n1,2\nnot_a_number,3\n4,5\n")
+    # corruption planted in DIFFERENT columns: the quarantine scan must
+    # parse every column, or rows malformed past the first one vanish
+    # from BOTH frames (CSV flags corruption only in parsed columns)
+    (bad_dir / "x.csv").write_text(
+        "a,b,c\n1,2,3\nnot_a_number,3,9\n4,notanint,6\n7,8\n4,5,6\n"
+    )
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    s = StructType([StructField("a", IntegerType()), StructField("b", IntegerType())])
+    s = StructType(
+        [
+            StructField("a", IntegerType()),
+            StructField("b", IntegerType()),
+            StructField("c", IntegerType()),
+        ]
+    )
     good, bad = read_csv_quarantine(spark, str(bad_dir), s)
-    assert sorted(map(tuple, good.collect())) == [(1, 2), (4, 5)]
-    assert good.columns == ["a", "b"]
-    bad_rows = [r._corrupt_record for r in bad.collect()]
-    assert bad_rows == ["not_a_number,3"]
+    good_rows = sorted(map(tuple, good.collect()))
+    assert good_rows == [(1, 2, 3), (4, 5, 6)]
+    assert good.columns == ["a", "b", "c"]
+    bad_rows = sorted(r._corrupt_record for r in bad.collect())
+    assert bad_rows == ["4,notanint,6", "7,8", "not_a_number,3,9"]
+    assert len(good_rows) + bad.count() == 5  # nothing lost (full-width read)
 
 
 def test_read_zone_merge_schema_reconciles_evolved_files(spark, tmp_path):
