@@ -20,9 +20,13 @@ Overflow posture: longs hold ±9.2e18. Sums of 2-dp money (1e-2 units) are
 safe to ±$9.2e16 per group; degree-2 product sums (revenue, 1e-4 units) to
 ±$9.2e14; degree-3 (charge, 1e-6 units) to ±$9.2e12 per group. Spark 4 runs
 ANSI mode by default, so an overflow is a loud error, never silent
-corruption; groups beyond those bounds should use the decimal fallbacks
-(``dsum_dec``) — at 100 TB that is only conceivable for a global
-(single-group) sum of a degree-3 expression.
+corruption. Groups that can breach those bounds — NEAR-GLOBAL grouping
+keys over degree>=2 expressions (q1's four groups, q6's single group, any
+corpus-wide total) reach them within the 100 TB design target — must sum
+through ``usum_big`` (decimal-summed exact units, same value wherever
+both paths are defined) or the decimal fallbacks (``dsum_dec``); the long
+fast path is for high-cardinality keys whose per-group magnitude stays
+bounded.
 
 (The reference keeps money as raw double and re-sums it,
 ``silver_to_gold.py:22-27`` — drift it can't detect.)
@@ -61,6 +65,25 @@ def usum(units_expr: Column, dp: int) -> Column:
     """
     return (
         F.sum(units_expr).cast("decimal(38,0)") / F.lit(10**dp)
+    ).cast("double")
+
+
+def usum_big(units_expr: Column, dp: int) -> Column:
+    """:func:`usum` for groups whose UNIT sum can exceed the long range:
+    per-row units stay exact longs (cheap to compute), but the SUM runs in
+    DECIMAL(38,0) — headroom to 1e38 — and the re-scale + single double
+    cast match usum bit-for-bit wherever both are defined. Use it for
+    degree>=2 money sums over near-global groups (q1's four
+    returnflag/linestatus groups, q6's single global revenue group): a
+    degree-3 charge sum in 1e-6 units crosses ±9.2e18 at roughly SF 2e4
+    per q1 group — squarely inside the 100 TB target — where the long
+    path would ARITHMETIC_OVERFLOW under ANSI. The trade is decimal
+    aggregation on that one column; keep the long path for high-
+    cardinality grouping keys, where per-group magnitudes stay bounded.
+    """
+    return (
+        F.sum(units_expr.cast("decimal(38,0)")).cast("decimal(38,0)")
+        / F.lit(10**dp)
     ).cast("double")
 
 

@@ -63,6 +63,7 @@ def asof_join(
     ts: str,
     right_cols: Sequence[str],
     prefix: str = "matched_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` and the same key.
@@ -73,13 +74,22 @@ def asof_join(
     unbounded-preceding frame. One shuffle on ``key``; no range join, no
     state explosion — this is the 100 TB-safe shape (a broadcast-nested-loop
     range join would be O(n*m) per key).
+
+    Pass ``right_tiebreak`` (a unique right column, e.g. event_id) when
+    right rows can SHARE (key, ts): without it the tied rows' order — and
+    therefore which one wins the match — is partitioning-dependent. With
+    it, the row with the GREATEST tiebreak value wins, deterministically.
+    NULL-key right rows are dropped (equality-on-key semantics: they can
+    match nothing), as are NULL-ts right rows (ascending sort would put
+    them FIRST, where the carry-forward would hand them to every left row
+    preceding the first valid right row).
     """
     rstruct = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
     # a right row with NULL ts can never satisfy ts <= l.ts — but ascending
     # sort puts NULLs FIRST, where last(ignorenulls) would carry it forward
     # into every left row that precedes the first valid right row; drop
     # them up front
-    r = right.filter(F.col(ts).isNotNull()).select(
+    r = right.filter(F.col(ts).isNotNull() & F.col(key).isNotNull()).select(
         F.col(key).alias(key), F.col(ts).alias(ts), rstruct, F.lit(0).alias("__side")
     )
     l = left.withColumn("__side", F.lit(1)).withColumn(
@@ -94,9 +104,14 @@ def asof_join(
 
     from pyspark.sql import Window
 
+    order = [F.col(ts).asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        # left rows have __r NULL -> NULL tiebreak, sorted first among
+        # themselves, which is irrelevant (they are not carried forward)
+        order.append(F.col("__r").getField(right_tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l.unionByName(r)

@@ -18,12 +18,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_names(names: Sequence[str], what: str) -> None:
+    """Caller-supplied names are interpolated into selectExpr/stack strings
+    and used as aggregate aliases: anything but a plain identifier would
+    produce a confusing AnalysisException deep in the plan (or, for a name
+    like __rows, silently shadow an internal column) — reject up front."""
+    for n in names:
+        if not n.isidentifier() or n.startswith("__"):
+            raise ValueError(
+                f"{what} name {n!r} must be a plain identifier not starting "
+                "with '__' (it is interpolated into SQL and used as an alias)"
+            )
+
+
 def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Single-pass column profile: rows, nulls, distinct, min/max per column.
 
     One wide aggregate -> one scan -> one row; unpivoted to a row per column
     (stack is a projection, not a shuffle).
     """
+    _check_names(cols, "column")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
@@ -54,6 +68,7 @@ def rule_violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     ``rules`` maps rule name -> a Column that is True when the row VIOLATES
     the rule. Output: (rule_name, violation_count, violation_fraction).
     """
+    _check_names(list(rules), "rule")
     aggs = [F.count(F.lit(1)).alias("__rows")] + [
         F.sum(cond.cast("long")).alias(name) for name, cond in rules.items()
     ]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_data_pipeline_spark.functions.exact import davg, dsum, units, usum
+from aws_data_pipeline_spark.functions.exact import davg, dsum, units, usum, usum_big
 from aws_data_pipeline_spark.operators import joins, windows
 from aws_data_pipeline_spark.plans import register
 from aws_data_pipeline_spark.plans.common import T, davg_sql, dsum_sql
@@ -32,8 +32,10 @@ def _rev_spark():
 
 def _sum_rev():
     """SUM of _rev_spark units -> exact re-scale -> double (oracle twin:
-    CAST(SUM(<_REV_SQL>) AS DOUBLE))."""
-    return usum(_rev_spark(), 4)
+    CAST(SUM(<_REV_SQL>) AS DOUBLE)). usum_big, not usum: revenue sums
+    feed near-global groups (q1, q6's single group), where the long-unit
+    path's ±9.2e14-dollar bound is reachable at 100 TB."""
+    return usum_big(_rev_spark(), 4)
 
 
 def _charge_spark():
@@ -42,7 +44,8 @@ def _charge_spark():
 
 
 def _sum_charge():
-    return usum(_charge_spark(), 6)
+    # degree-3 units overflow the long path at ~SF 2e4 per q1 group
+    return usum_big(_charge_spark(), 6)
 
 
 _REV_SQL = (
@@ -312,8 +315,6 @@ def order_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     function; frames are EXPLICIT in Spark and oracle alike (default
     frames for first_value/last_value differ subtly across engines —
     running vs full — so relying on defaults is a portability bug)."""
-    from pyspark.sql import Window
-
     o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
     order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
     w = (
@@ -488,12 +489,28 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_click_before_purchase",
+    # window-over-union oracle rather than DuckDB's ASOF JOIN: ASOF picks
+    # an ARBITRARY survivor among right rows tied on (user, ts), so the
+    # value-hash could flake; this formulation pins the same max-event_id
+    # tie rule the Spark side uses
     sql="""
-    SELECT p.event_id, p.user_id, p.ts,
-           c.event_id AS matched_event_id, c.ts AS matched_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    WITH u AS (
+      SELECT user_id, ts, NULL::BIGINT AS pid,
+             event_id AS cid, ts AS cts, 0 AS side
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+      UNION ALL
+      SELECT user_id, ts, event_id, NULL, NULL, 1
+      FROM events WHERE event_type = 'purchase'
+    ), filled AS (
+      SELECT *,
+             last_value(cid IGNORE NULLS) OVER w AS matched_event_id,
+             last_value(cts IGNORE NULLS) OVER w AS matched_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, cid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT pid AS event_id, user_id, ts, matched_event_id, matched_ts
+    FROM filled WHERE side = 1
     """,
 )
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +525,12 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id", "ts", "event_id"
     )
     out = joins.asof_join(
-        purchases, clicks, key="user_id", ts="ts", right_cols=["event_id", "ts"]
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        right_cols=["event_id", "ts"],
+        right_tiebreak="event_id",  # deterministic under (user, ts) ties
     )
     return out.select(
         "event_id",
@@ -999,7 +1021,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partitioning (Catalyst reuses the exchange — no re-shuffle per
     stage), then a single global rollup; the oracle needs three
     self-join+reaggregate passes to say the same thing."""
-    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # NULL user_id excluded: the window would treat NULL as a real funnel
+    # "user" while the oracle's equality joins never match NULL — and an
+    # anonymous event stream is not a conversion funnel participant anyway
+    e = (
+        T(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("user_id").isNotNull())
+    )
     w = Window.partitionBy("user_id")
     vt = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     staged = e.withColumn("vt", vt)

@@ -75,14 +75,25 @@ def main() -> None:
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in registry]
 
+    if not names:
+        raise SystemExit(
+            "bench: no valid query names (check BENCH_QUERIES / HEADLINE "
+            f"against the registry; got {os.environ.get('BENCH_QUERIES')!r})"
+        )
+    if extra:
+        unknown = [n.strip() for n in extra.split(",") if n.strip() not in registry]
+        if unknown:
+            raise SystemExit(f"bench: unknown BENCH_QUERIES names: {unknown}")
+
     spark = get_spark("adps-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session bootstrap.
-    registry[names[0]].spark_fn(spark, sf_dir).count()
-
     cold = os.environ.get("BENCH_COLD") == "1"
+    if not cold:
+        # Warm the JVM + parquet footers once so per-query numbers measure
+        # the queries, not session bootstrap. Skipped under BENCH_COLD —
+        # executing names[0] here would make its 'cold' number warm.
+        registry[names[0]].spark_fn(spark, sf_dir).count()
     reps = 1 if cold else max(1, int(os.environ.get("BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in names:

@@ -236,3 +236,42 @@ def test_q18_adaptive_plan_broadcasts_without_hint(spark, sf_dir):
     assert "isFinalPlan=true" in plan  # we are reading the AQE result
     assert plan.count("BroadcastHashJoin") >= 3  # semi + orders + customer
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_deterministic_under_ties_and_nulls(spark):
+    """Two right rows sharing (key, ts): the greatest right_tiebreak value
+    must win, under ANY partitioning; NULL-ts and NULL-key right rows can
+    never be matched; NULL-key left rows come back unmatched (left-join
+    semantics)."""
+    from aws_data_pipeline_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, "2024-05-01 10:00:00", 101),
+            (1, "2024-05-01 10:00:00", 105),  # tied ts — 105 must win
+            (1, None, 999),                   # NULL ts: never matched
+            (None, "2024-05-01 09:00:00", 404),  # NULL key: never matched
+        ],
+        "user_id int, ts string, event_id int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    left = spark.createDataFrame(
+        [
+            (1, "2024-05-01 09:30:00", 1),  # before all clicks: no match
+            (1, "2024-05-01 11:00:00", 2),  # after the tie: 105 wins
+            (None, "2024-05-01 12:00:00", 3),  # NULL key: unmatched
+        ],
+        "user_id int, ts string, pid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for parts in (1, 7):
+        got = {
+            r.pid: r.matched_event_id
+            for r in asof_join(
+                left.repartition(parts),
+                right.repartition(parts),
+                key="user_id",
+                ts="ts",
+                right_cols=["event_id"],
+                right_tiebreak="event_id",
+            ).collect()
+        }
+        assert got == {1: None, 2: 105, 3: None}
