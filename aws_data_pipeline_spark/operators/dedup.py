@@ -403,6 +403,29 @@ def _verify_pairs(
     return verified.select(left_id, right_id, "jaccard")
 
 
+def corpus_sets_and_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The RESIDENT twin of :func:`build_lsh_text_index`: derive the
+    (shingle sets, banded keys) pair an incremental probe
+    (:func:`neardup_against_corpus`) joins against, in memory instead of
+    on disk. One public entry point so callers never hand-assemble the
+    signature/banding internals (two call sites had already drifted on
+    parameters before this existed)."""
+    sets = shingle_sets(df, id_col, text_col, k, persist=persist)
+    banded = _banded_keys(
+        _signatures_from_sets(sets, num_perm, hash_fn), bands, num_perm // bands
+    )
+    return sets, banded
+
+
 def neardup_against_corpus(
     new_df: DataFrame,
     corpus_sets: DataFrame,

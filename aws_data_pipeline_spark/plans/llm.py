@@ -24,8 +24,12 @@ from aws_data_pipeline_spark.plans.common import T
     "dedup_exact_text",
     sql="""
     SELECT doc_id, md5(text) AS text_hash,
-           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
-           doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+           CASE WHEN text IS NULL THEN doc_id
+                ELSE MIN(doc_id) OVER (PARTITION BY md5(text)) END
+             AS canonical_doc_id,
+           CASE WHEN text IS NULL THEN FALSE
+                ELSE doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) END
+             AS is_duplicate
     FROM documents
     """,
 )
@@ -220,7 +224,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, n_chars,
              row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
              count(*) OVER (PARTITION BY source) AS n
-      FROM documents
+      FROM documents WHERE n_chars IS NOT NULL
     )
     SELECT source, count(*) AS n_rows,
            max(CASE WHEN rn = ceil(0.25 * n) THEN n_chars END) AS p25,
@@ -348,9 +352,8 @@ def incremental_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 10 == 7)
     corpus = d.filter(F.col("doc_id") % 10 != 7)
-    corpus_sets = dedup.shingle_sets(corpus, "doc_id", "text", 5)
-    corpus_bands = dedup._banded_keys(
-        dedup._signatures_from_sets(corpus_sets, 16, "md5"), 4, 4
+    corpus_sets, corpus_bands = dedup.corpus_sets_and_bands(
+        corpus, hash_fn="md5"
     )
     return dedup.neardup_against_corpus(
         new, corpus_sets, corpus_bands, threshold=0.8, hash_fn="md5"
@@ -375,23 +378,38 @@ def _kgram_index_path(sf_dir: str) -> str:
     return _warehouse_index_path(sf_dir, "kgram_index_k8")
 
 
-def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once persisted corpus k-gram hash index over the simulated
-    existing corpus (doc_id % 10 != 7). Staleness contract mirrors
-    :func:`_ensure_ivf_index`: the build-time corpus doc count recorded in
-    the index meta must equal the current corpus doc count (footer-cheap),
-    so a regenerated corpus under the same sf_dir triggers a rebuild
-    instead of silently serving the old corpus's hashes."""
+def _src_marker_fresh(spark: SparkSession, idx: str, total: int) -> bool:
+    """Freshness probe for a build-once index over a slice of ``documents``:
+    compare the FULL table's row count (parquet footer metadata — no
+    predicate, no column scan) against the count recorded at build time.
+    The slice predicate is deterministic, so an unchanged table implies an
+    unchanged slice; counting the filtered slice directly would scan the
+    doc_id column of the whole table on EVERY probe."""
     from aws_data_pipeline_spark.sources.parquet import zone_exists
 
+    if not zone_exists(spark, f"{idx}/src_meta"):
+        return False
+    return spark.read.parquet(f"{idx}/src_meta").collect()[0].src_total == total
+
+
+def _write_src_marker(spark: SparkSession, idx: str, total: int) -> None:
+    spark.createDataFrame([(total,)], "src_total long").write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/src_meta")
+
+
+def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted corpus k-gram hash index over the simulated
+    existing corpus (doc_id % 10 != 7). Staleness via the footer-cheap
+    full-table marker (:func:`_src_marker_fresh`): a regenerated corpus
+    under the same sf_dir rebuilds instead of silently serving the old
+    corpus's hashes."""
     idx = _kgram_index_path(sf_dir)
-    corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
-    fresh = False
-    if zone_exists(spark, f"{idx}/meta"):
-        meta = spark.read.parquet(f"{idx}/meta").collect()[0]
-        fresh = getattr(meta, "built_n_docs", None) == corpus.count()
-    if not fresh:
+    total = T(spark, sf_dir, "documents").count()  # footer metadata
+    if not _src_marker_fresh(spark, idx, total):
+        corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
         dedup.build_kgram_index(corpus, idx, k=8)
+        _write_src_marker(spark, idx, total)
     return idx
 
 
@@ -417,22 +435,16 @@ def _text_lsh_index_path(sf_dir: str) -> str:
 def _ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once persisted corpus MinHash-LSH index over the simulated
     existing corpus (doc_id % 10 != 7), md5-portable params matching
-    incremental_neardup_pairs. Staleness contract mirrors
-    :func:`_ensure_ivf_index`: indexed doc count must equal the corpus
-    doc count or the index rebuilds; params live in the path."""
-    from aws_data_pipeline_spark.sources.parquet import zone_exists
-
+    incremental_neardup_pairs. Staleness via the footer-cheap full-table
+    marker (:func:`_src_marker_fresh`); params live in the path."""
     idx = _text_lsh_index_path(sf_dir)
-    corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
-    fresh = False
-    if zone_exists(spark, f"{idx}/meta"):
-        # sets holds exactly one row per indexed doc (idempotent appends),
-        # so a plain count — parquet footer metadata, no shuffle — suffices
-        fresh = spark.read.parquet(f"{idx}/sets").count() == corpus.count()
-    if not fresh:
+    total = T(spark, sf_dir, "documents").count()  # footer metadata
+    if not _src_marker_fresh(spark, idx, total):
+        corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
         dedup.build_lsh_text_index(
             corpus, idx, k=5, num_perm=16, bands=4, hash_fn="md5"
         )
+        _write_src_marker(spark, idx, total)
     return idx
 
 
@@ -462,10 +474,7 @@ def incremental_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFra
     d = T(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 10 == 7)
     corpus = d.filter(F.col("doc_id") % 10 != 7)
-    corpus_sets = dedup.shingle_sets(corpus, "doc_id", "text", 5)
-    corpus_bands = dedup._banded_keys(
-        dedup._signatures_from_sets(corpus_sets, 16), 4, 4
-    )
+    corpus_sets, corpus_bands = dedup.corpus_sets_and_bands(corpus)
     corpus_assign = dedup.cluster_assignments(
         corpus, dedup.minhash_lsh_pairs(corpus, "doc_id", threshold=0.8)
     )
@@ -689,7 +698,13 @@ def _ensure_ivf_index(
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
-    key = (spark.sparkContext.applicationId, sf_dir, n_cells, seed)
+    # the corpus row count is part of the cache KEY (a parquet-footer read
+    # on the unfiltered table — cheap): a regenerated corpus under the
+    # same sf_dir must invalidate the resident copy too, or the resident
+    # and persisted paths would diverge within one application after
+    # _ensure_ivf_index rebuilds the disk index
+    n = T(spark, sf_dir, "embeddings").count()
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells, seed, n)
     if key not in _IVF_INDEX:
         idx = _ensure_ivf_index(spark, sf_dir, n_cells, seed)
         cents = [
@@ -699,16 +714,13 @@ def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
                 key=lambda r: r.cell,
             )
         ]
-        e = T(spark, sf_dir, "embeddings")
-        assigned = (
-            e.select(
-                F.col("vec_id").alias("neighbor_id"),
-                similarity.as_double(F.col("embedding")).alias("cv"),
-            )
-            .withColumn("cell", similarity.nearest_cell(F.col("cv"), cents))
-            .persist()
-        )
-        assigned.count()  # materialize the inverted file eagerly
+        # the inverted file is READ from the persisted index, not
+        # recomputed: build_ivf_index already wrote exactly this
+        # (neighbor_id, cv, cell) frame, so a plain scan is strictly
+        # cheaper than a whole-corpus nearest_cell projection and makes
+        # the resident path identical to the indexed one by construction
+        assigned = spark.read.parquet(f"{idx}/corpus").persist()
+        assigned.count()  # materialize the resident copy eagerly
         _IVF_INDEX[key] = (cents, assigned)
     return _IVF_INDEX[key]
 
@@ -782,7 +794,8 @@ _LANG_SCORES = ",\n      ".join(
     )
     SELECT doc_id, lang,
            greatest(s_de, s_en, s_es, s_fr) AS lang_score,
-           CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) IS NULL THEN NULL
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                 ELSE 'fr' END AS predicted_lang
@@ -856,7 +869,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, quality_score,
              row_number() OVER (PARTITION BY source ORDER BY quality_score) AS rn,
              count(*) OVER (PARTITION BY source) AS n
-      FROM scored
+      FROM scored WHERE quality_score IS NOT NULL
     ), q AS (
       SELECT source,
              max(CASE WHEN rn = ceil(0.05 * n) THEN quality_score END) AS p05,
@@ -1085,6 +1098,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bytes AS (
       SELECT doc_id, ('0x' || substr(md5(text), 2 * i.i - 1, 2))::INT AS b
       FROM documents CROSS JOIN generate_series(1, 16) i(i)
+      WHERE text IS NOT NULL  -- NULL text => NULL payload, skipped by the decoder
     )
     SELECT doc_id,
            'fake/raw' AS format,
