@@ -148,8 +148,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read schema actually surfacing a long.
     """
     if name == "events":
+        # scoped, not session-permanent: leaving the legacy conf on would
+        # make every LATER parquet read silently surface TIMESTAMP(NANOS)
+        # columns as longs instead of failing loudly — a confusing type
+        # error far from its cause. The relation captures its schema at
+        # read time, so restoring immediately is safe for this df.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         from pyspark.sql import functions as F
 
         if isinstance(df.schema["ts"].dataType, T.LongType):

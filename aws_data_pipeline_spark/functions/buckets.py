@@ -39,6 +39,10 @@ def customer_segment(
 
 
 def whole_number_flag(amount: Column) -> Column:
+    # try_cast, not cast: under Spark 4 ANSI a double outside long range
+    # (or NaN/Inf) would CAST_OVERFLOW and kill the whole job; try_cast
+    # yields NULL there, the equality goes NULL, and the row classifies
+    # as 'decimal' — degenerate values are not whole dollar amounts
     return F.when(
-        amount == amount.cast("long").cast("double"), F.lit("whole_number")
+        amount == amount.try_cast("long").cast("double"), F.lit("whole_number")
     ).otherwise(F.lit("decimal"))

@@ -97,6 +97,11 @@ def multi_grain_rollup_hierarchical(
     aggs_up = [
         F.sum("transaction_count").alias("transaction_count"),
         F.sum("_sum").alias("_sum"),
+        # the avg divisor is COUNT(amount) — non-null amounts — carried
+        # separately from COUNT(*): the shared oracle divides by
+        # COUNT(o_totalprice), so one NULL amount would otherwise shift
+        # every average off the twin
+        F.sum("_n_amt").alias("_n_amt"),
         F.min("min_amount").alias("min_amount"),
         F.max("max_amount").alias("max_amount"),
         F.sum("unique_transactions").alias("unique_transactions"),
@@ -104,6 +109,7 @@ def multi_grain_rollup_hierarchical(
     daily = df.groupBy(customer_col, year_col, month_col, day_col).agg(
         F.count("*").alias("transaction_count"),
         F.sum(F.col(amount_col).cast("decimal(30,2)")).alias("_sum"),
+        F.count(amount_col).alias("_n_amt"),
         F.min(amount_col).alias("min_amount"),
         F.max(amount_col).alias("max_amount"),
         F.countDistinct(txn_id_col).alias("unique_transactions"),
@@ -114,10 +120,10 @@ def multi_grain_rollup_hierarchical(
 
     null_i = F.lit(None).cast("int")
     levels = [
-        (daily, "daily", [F.col(year_col), F.col(month_col), F.col(day_col)]),
-        (monthly, "monthly", [F.col(year_col), F.col(month_col), null_i]),
-        (yearly, "yearly", [F.col(year_col), null_i, null_i]),
-        (lifetime, "lifetime", [null_i, null_i, null_i]),
+        (daily, [F.col(year_col), F.col(month_col), F.col(day_col)]),
+        (monthly, [F.col(year_col), F.col(month_col), null_i]),
+        (yearly, [F.col(year_col), null_i, null_i]),
+        (lifetime, [null_i, null_i, null_i]),
     ]
     parts = [
         d.select(
@@ -125,17 +131,25 @@ def multi_grain_rollup_hierarchical(
             y.alias("year"),
             m.alias("month"),
             dd.alias("day"),
-            F.lit(level).alias("aggregation_level"),
+            # label INFERRED from which keys are non-null (the oracle's
+            # CASE), not hard-coded per part: a NULL-date row surfaces in
+            # the daily part with NULL keys and must read 'lifetime'
+            # exactly as the GROUPING SETS twin labels it
+            F.when(dd.isNotNull(), "daily")
+            .when(m.isNotNull(), "monthly")
+            .when(y.isNotNull(), "yearly")
+            .otherwise("lifetime")
+            .alias("aggregation_level"),
             "transaction_count",
             F.col("_sum").cast("double").alias("total_amount"),
-            (F.col("_sum").cast("double") / F.col("transaction_count")).alias(
+            F.try_divide(F.col("_sum").cast("double"), F.col("_n_amt")).alias(
                 "avg_amount"
             ),
             "min_amount",
             "max_amount",
             "unique_transactions",
         )
-        for d, level, (y, m, dd) in levels
+        for d, (y, m, dd) in levels
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -117,7 +117,14 @@ def curate(
     # keep only each cluster's canonical (component-min doc_id). Transitive:
     # pairs (1,5),(2,5) collapse 1~2~5 into ONE survivor — the
     # drop-every-doc2 policy would wrongly keep both 1 and 2.
-    if cfg.num_perm is None or cfg.bands is None:
+    if (cfg.num_perm is None) != (cfg.bands is None):
+        # a half-specified banding would silently discard the half the
+        # caller DID set (the derivation ignores it) — fail loudly
+        raise ValueError(
+            "num_perm and bands must be set together (or both left None "
+            "to derive them from jaccard_threshold)"
+        )
+    if cfg.num_perm is None:
         num_perm, bands = dedup.choose_minhash_params(cfg.jaccard_threshold)
     else:
         num_perm, bands = cfg.num_perm, cfg.bands
@@ -189,13 +196,11 @@ def curate(
     # 5. deterministic split assignment — per-document hash, or cluster-
     # keyed over the related-document graph when the leakage guard is on
     if cfg.leakage_threshold is not None:
-        # banding re-derived for the LOWER threshold: the dedup-stage curve
-        # would miss much of the related band this stage exists to catch
-        rel_perm, rel_bands = (
-            dedup.choose_minhash_params(cfg.leakage_threshold)
-            if cfg.num_perm is None or cfg.bands is None
-            else (cfg.num_perm, cfg.bands)
-        )
+        # banding ALWAYS re-derived for the LOWER threshold — explicit
+        # num_perm/bands configure the dedup stage only: reusing a 0.8-
+        # threshold curve at 0.5 would catch the related band this stage
+        # exists for with ~20% recall, silently
+        rel_perm, rel_bands = dedup.choose_minhash_params(cfg.leakage_threshold)
         rel_pairs = dedup.minhash_lsh_pairs(
             kept,
             "doc_id",
@@ -222,5 +227,15 @@ def curate(
 
 def write_curated(df: DataFrame, path: str) -> None:
     """Curated zone layout: partitioned by split so trainers read
-    ``.../split=train/`` with partition pruning and nothing else."""
-    df.write.mode("overwrite").partitionBy("split").parquet(path)
+    ``.../split=train/`` with partition pruning and nothing else.
+
+    STATIC overwrite, overriding the session's dynamic default: a re-run
+    must replace the WHOLE curated tree — under dynamic mode a run whose
+    corpus hash-lands nothing in some split (an empty test split is
+    likely at 0.98/0.01/0.01 on a small corpus) would leave the PREVIOUS
+    corpus's directory for that split in place, and trainers would read a
+    train set from one corpus version against a test set from another —
+    silent train/test contamination."""
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("split").parquet(path)

@@ -16,6 +16,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def quarantine_split(
+    raw: DataFrame, schema: T.StructType, corrupt_col: str, sep: str = ","
+) -> tuple[DataFrame, DataFrame]:
+    """Shared good/bad split for PERMISSIVE+corrupt-column scans (CSV and
+    JSONL quarantines): ``good`` = rows whose corrupt marker is NULL, with
+    the marker dropped; ``bad`` = the raw text of every corrupt row. The
+    bad projection references EVERY schema column (corruption detection is
+    per-PARSED-column — a pruned scan cannot flag a row malformed in a
+    pruned field) and is materialized eagerly, because Spark rejects any
+    query over a raw scan that prunes back to the corrupt column alone
+    (SPARK-21610) — ``bad.count()`` would otherwise die. These invariants
+    live HERE, once, for both formats."""
+    good = raw.filter(raw[corrupt_col].isNull()).drop(corrupt_col)
+    all_fields = [F.col(f).cast("string") for f in schema.fieldNames()]
+    bad = (
+        raw.filter(raw[corrupt_col].isNotNull())
+        .select(
+            F.coalesce(
+                F.col(corrupt_col), F.concat_ws(sep, *all_fields)
+            ).alias(corrupt_col)
+        )
+        .localCheckpoint(eager=True)
+    )
+    return good, bad
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -84,26 +110,7 @@ def read_csv_quarantine(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
     )
-    good = raw.filter(raw[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
-    # the coalesce references EVERY schema column, for two reasons: Spark
-    # refuses a scan over only the corrupt column (SPARK-21610), and —
-    # decisive — CSV corruption detection is per-PARSED-column: a pruned
-    # scan reading just one field never notices a row malformed in the
-    # others, so that row's corrupt marker stays NULL here while the good
-    # frame's full parse flags it — lost from BOTH outputs. Referencing
-    # all fields forces the full parse; the coalesce value itself is
-    # unchanged (corrupt is always non-null under this filter).
-    all_fields = [F.col(f).cast("string") for f in schema.fieldNames()]
-    bad = (
-        raw.filter(raw[CORRUPT_COL].isNotNull())
-        .select(
-            F.coalesce(
-                F.col(CORRUPT_COL), F.concat_ws(delimiter, *all_fields)
-            ).alias(CORRUPT_COL)
-        )
-        .localCheckpoint(eager=True)
-    )
-    return good, bad
+    return quarantine_split(raw, schema, CORRUPT_COL, sep=delimiter)
 
 
 def write_csv(

@@ -67,18 +67,9 @@ def read_jsonl_quarantine(
         .option("columnNameOfCorruptRecord", _CORRUPT_COL)
         .json(path)
     )
-    good = raw.filter(raw[_CORRUPT_COL].isNull()).drop(_CORRUPT_COL)
-    all_fields = [F.col(f).cast("string") for f in schema.fieldNames()]
-    bad = (
-        raw.filter(raw[_CORRUPT_COL].isNotNull())
-        .select(
-            F.coalesce(
-                F.col(_CORRUPT_COL), F.concat_ws(",", *all_fields)
-            ).alias(_CORRUPT_COL)
-        )
-        .localCheckpoint(eager=True)
-    )
-    return good, bad
+    from aws_data_pipeline_spark.sources.delimited import quarantine_split
+
+    return quarantine_split(raw, schema, _CORRUPT_COL)
 
 
 def write_jsonl(df: DataFrame, path: str, num_files: int | None = None) -> None:

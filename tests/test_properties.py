@@ -393,3 +393,42 @@ def test_merge_delete_zone_matches_dict_model(spark, tmp_path_factory, ops):
         rows = []  # fully-emptied zone: no parquet files left to infer from
     got = {r.k: (r.k, r.amount, r.year, r.month, r.day) for r in rows}
     assert got == model
+
+
+def test_rollup_twins_agree_with_planted_nulls(spark):
+    """The GROUPING SETS and hierarchical rollups share one oracle, so they
+    must stay value-identical even on the inputs the testdata never has:
+    NULL amounts (the avg divisor is COUNT(amount), not COUNT(*)) and a
+    NULL date (labeled by null-inference, colliding with the lifetime
+    grain identically in both formulations)."""
+    from aws_data_pipeline_spark.operators.aggregate import (
+        multi_grain_rollup,
+        multi_grain_rollup_hierarchical,
+    )
+
+    rows = [
+        (1, 2024, 1, 3, 100.0, "t1"),
+        (1, 2024, 1, 3, None, "t2"),   # NULL amount
+        (1, 2024, 2, 9, 50.0, "t3"),
+        (2, None, None, None, 70.0, "t4"),  # NULL date parts
+        (2, 2023, 5, 1, 30.0, "t5"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cust long, year int, month int, day int, amount double, txn string",
+    )
+    def canon(out):
+        rows_out = [
+            (
+                r.customer_id, r.year, r.month, r.day, r.aggregation_level,
+                r.transaction_count, r.total_amount, r.avg_amount,
+                r.min_amount, r.max_amount, r.unique_transactions,
+            )
+            for r in out.collect()
+        ]
+        return sorted(
+            rows_out, key=lambda t: tuple((v is None, v) for v in t)
+        )
+    a = canon(multi_grain_rollup(df, "cust", "amount", "txn"))
+    b = canon(multi_grain_rollup_hierarchical(df, "cust", "amount", "txn"))
+    assert a == b and a
