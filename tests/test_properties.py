@@ -432,3 +432,59 @@ def test_rollup_twins_agree_with_planted_nulls(spark):
     a = canon(multi_grain_rollup(df, "cust", "amount", "txn"))
     b = canon(multi_grain_rollup_hierarchical(df, "cust", "amount", "txn"))
     assert a == b and a
+
+
+def test_asof_join_matches_python_model_random(spark):
+    """Randomized as-of semantics check against a direct Python model:
+    for each left row, the matched right row is the one with the greatest
+    (ts, tiebreak) among right rows with the same key and ts <= left.ts;
+    NULL-ts/NULL-key right rows never match; every left row survives."""
+    import random
+    from datetime import datetime, timedelta
+
+    from aws_data_pipeline_spark.operators.joins import asof_join
+
+    rng = random.Random(23)
+    base = datetime(2024, 5, 1)
+
+    for trial in range(3):
+        rights = [
+            (
+                rng.choice([1, 2, 3, None]),
+                None
+                if rng.random() < 0.1
+                else base + timedelta(minutes=rng.randint(0, 120)),
+                rid,
+            )
+            for rid in range(40)
+        ]
+        lefts = [
+            (
+                rng.choice([1, 2, 3, None]),
+                base + timedelta(minutes=rng.randint(0, 120)),
+                100 + lid,
+            )
+            for lid in range(25)
+        ]
+        rdf = spark.createDataFrame(rights, "k int, ts timestamp, rid int")
+        ldf = spark.createDataFrame(lefts, "k int, ts timestamp, lid int")
+        got = {
+            r.lid: r.matched_rid
+            for r in asof_join(
+                ldf, rdf, key="k", ts="ts", right_cols=["rid"],
+                right_tiebreak="rid",
+            ).collect()
+        }
+
+        def model(lk, lts):
+            cands = [
+                (rts, rid)
+                for rk, rts, rid in rights
+                if rk is not None and rts is not None and rk == lk and rts <= lts
+            ]
+            return max(cands)[1] if cands else None
+
+        want = {lid: (model(lk, lts) if lk is not None else None)
+                for lk, lts, lid in lefts}
+        assert got == want, f"trial {trial}"
+        assert len(got) == len(lefts)  # left join: every left row survives
