@@ -488,3 +488,56 @@ def test_asof_join_matches_python_model_random(spark):
                 for lk, lts, lid in lefts}
         assert got == want, f"trial {trial}"
         assert len(got) == len(lefts)  # left join: every left row survives
+
+
+def test_sessionize_subsecond_gap_boundaries(spark):
+    """The gap computation keeps fractional seconds: events 1.9s apart with
+    a 1s gap SPLIT (whole-second truncation used to merge them), events
+    0.9s apart stay merged, and the result matches a Python model on
+    random microsecond-grained streams."""
+    import random
+    from datetime import datetime, timedelta
+
+    from aws_data_pipeline_spark.operators.windows import sessionize
+
+    rows = [
+        (1, datetime(2024, 5, 1, 0, 0, 0, 50_000), 1),
+        (1, datetime(2024, 5, 1, 0, 0, 1, 950_000), 2),  # 1.9s gap: split
+        (2, datetime(2024, 5, 1, 0, 0, 0, 100_000), 3),
+        (2, datetime(2024, 5, 1, 0, 0, 1, 0), 4),        # 0.9s gap: merged
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, eid int")
+    got = {
+        r.eid: r.session_id
+        for r in sessionize(df, "u", "ts", gap_seconds=1, tiebreak="eid").collect()
+    }
+    assert got[1] == 1 and got[2] == 2  # split
+    assert got[3] == 1 and got[4] == 1  # merged
+
+    rng = random.Random(5)
+    base = datetime(2024, 5, 1)
+    stream = sorted(
+        (rng.randint(1, 3), base + timedelta(milliseconds=rng.randint(0, 20_000)), i)
+        for i in range(60)
+    )
+    sdf = spark.createDataFrame(stream, "u int, ts timestamp, eid int")
+    got = {
+        r.eid: (r.u, r.session_id)
+        for r in sessionize(sdf, "u", "ts", gap_seconds=2, tiebreak="eid").collect()
+    }
+    # Python model: sort per user by (ts, eid), split on gap > 2s exactly
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, ts, eid in stream:
+        per_user[u].append((ts, eid))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or (ts - prev).total_seconds() > 2:
+                sid += 1
+            want[eid] = (u, sid)
+            prev = ts
+    assert got == want
