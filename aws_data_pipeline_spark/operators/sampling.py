@@ -514,6 +514,16 @@ def training_shards(
     pick n_shards so a shard fits an executor's spill budget, same rule
     as any bounded sort.
     """
+    reserved = {"shard", "pos", "__ord"}
+    clash = reserved & (set(df.columns) if keep_cols else {id_col})
+    if clash:
+        # select('*', shard, ...) would silently create duplicate-named
+        # columns and the shard repartition / pos window would then fail
+        # ambiguous or misroute rows — refuse up front instead
+        raise ValueError(
+            f"training_shards reserves column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)} first"
+        )
     if hash_fn == "xxhash64":
         route = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
         order = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + "/pos"))

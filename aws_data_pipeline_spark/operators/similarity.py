@@ -652,6 +652,17 @@ def build_ivf_index(
         list(enumerate(centroids)), "cell int, centroid array<double>"
     )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-time per-cell histogram — the baseline ivf_index_drift compares
+    # the append-maintained corpus against to signal quantizer retrain.
+    # Counted from the WRITTEN corpus (partition column only, no data
+    # columns), so the stats match the files exactly.
+    (
+        spark.read.parquet(f"{path}/corpus")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("built_n"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/build_stats")
+    )
 
 
 def ivf_topk_indexed(
@@ -817,3 +828,193 @@ def embedding_neardup_against_index(
         .filter(F.col("sim") >= threshold)
         .select("new_id", "corpus_id", "sim")
     )
+
+
+def append_to_embedding_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Idempotently append vectors to a persisted embedding-LSH index
+    (:func:`build_embedding_lsh_index`) under the index's OWN recorded
+    parameters — the embedding twin of the text side's
+    ``streaming.corpus.append_to_lsh_text_index``, closing the
+    maintenance asymmetry where a growing corpus forced periodic full
+    rebuilds of the embedding index while the text indexes appended.
+
+    Each sub-table derives its own append set by anti-joining the batch's
+    ids against what THAT sub-table already holds (ids only —
+    column-pruned scans), so a crash between the ``vectors`` and
+    ``bands`` writes is backfilled by the re-run: already-indexed vectors
+    are skipped, vectors whose exact-verify row landed but whose band
+    codes did not get their codes recomputed from the MATERIALIZED
+    vectors (the seeded hyperplanes make re-derived codes bit-identical
+    by construction). Per-batch cost is O(batch × bands) plus the two
+    id anti-joins; corpus vectors are never re-banded."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    nv = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    missing_vecs = nv.join(
+        spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
+    ).localCheckpoint(eager=True)  # write target is also an anti-join input
+    if not missing_vecs.isEmpty():
+        missing_vecs.write.mode("append").parquet(f"{path}/vectors")
+    pending = (
+        spark.read.parquet(f"{path}/vectors")
+        .join(nv.select("id"), "id", "left_semi")
+        .join(spark.read.parquet(f"{path}/bands").select("id"), "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if not pending.isEmpty():
+        _band_codes(
+            pending, meta.bands, meta.rows_per_band, meta.dim, meta.seed
+        ).write.mode("append").parquet(f"{path}/bands")
+
+
+def append_to_ivf_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a batch to a persisted IVF index by assigning its vectors to
+    the EXISTING centroids — no retrain, so every previously returned
+    neighbor keeps its cell and probe identity is preserved. Returns the
+    number of novel vectors appended.
+
+    Scale shape: the idempotency anti-join reads ONLY the cell partitions
+    this batch lands in (literal ``cell IN (...)`` → partition pruning),
+    so a batch touching 4 of 1024 cells scans 4/1024 of the corpus ids,
+    not the corpus. The quantizer degrades as the data distribution
+    drifts from the one it was trained on — :func:`ivf_index_drift`
+    reports per-cell growth against the build-time histogram so the
+    owner can schedule a retrain (which IS a full rebuild, by design:
+    moving centroids re-cells every vector)."""
+    cents = [
+        [float(x) for x in r.centroid]
+        for r in sorted(
+            spark.read.parquet(f"{path}/centroids").collect(),
+            key=lambda r: r.cell,
+        )
+    ]
+    nv = df.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    assigned = nv.withColumn("cell", nearest_cell(F.col("cv"), cents))
+    assigned = assigned.localCheckpoint(eager=True)  # assign once, probe twice
+    cells = sorted(
+        {r.cell for r in assigned.select("cell").distinct().collect()}
+    )
+    existing = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell").isin(cells))
+        .select("neighbor_id")
+    )
+    novel = assigned.join(existing, "neighbor_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n = novel.count()
+    if n:
+        novel.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+    return n
+
+
+def ivf_index_drift(spark, path: str) -> DataFrame:
+    """Per-cell growth of a persisted IVF index since its last (re)build:
+    ``(cell, built_n, current_n, appended_n, growth)`` — the retrain
+    signal for the append path. Reads only the partition column of the
+    corpus (column-pruned count) plus the tiny build_stats table; cells
+    created empty at build time report built_n = 0 and growth = NULL."""
+    built = spark.read.parquet(f"{path}/build_stats")
+    cur = (
+        spark.read.parquet(f"{path}/corpus")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("current_n"))
+    )
+    return (
+        built.join(cur, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("built_n", F.lit(0)).alias("built_n"),
+            F.coalesce("current_n", F.lit(0)).alias("current_n"),
+            (F.coalesce("current_n", F.lit(0)) - F.coalesce("built_n", F.lit(0))).alias(
+                "appended_n"
+            ),
+            (
+                F.coalesce("current_n", F.lit(0)).cast("double")
+                / F.when(F.col("built_n") > 0, F.col("built_n"))
+            ).alias("growth"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_retrain_due(
+    spark,
+    path: str,
+    max_total_growth: float = 1.5,
+    max_cell_growth: float = 3.0,
+) -> bool:
+    """True when the appended volume warrants retraining the quantizer:
+    the whole index grew past ``max_total_growth``× its built size, or
+    any single cell past ``max_cell_growth``× (a ballooning cell means
+    the centroid no longer summarizes its region — probes of that cell
+    degrade toward a linear scan). Driver-side cost: n_cells rows."""
+    rows = ivf_index_drift(spark, path).collect()
+    built = sum(r.built_n for r in rows)
+    cur = sum(r.current_n for r in rows)
+    if built == 0:
+        return cur > 0
+    if cur / built > max_total_growth:
+        return True
+    return any(
+        r.growth is not None and r.growth > max_cell_growth for r in rows
+    )
+
+
+def compact_embedding_indexes(
+    spark,
+    lsh_index_path: str | None = None,
+    ivf_index_path: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Periodic maintenance for the append-maintained embedding indexes —
+    the embedding twin of ``streaming.corpus.compact_corpus_indexes``:
+    every appended batch adds one small parquet file per sub-table, and
+    probe latency eventually drowns in file open/seek. Clusters each
+    sub-table on its probe key (``bands`` on (band, code) — the candidate
+    equi-join; ``vectors`` on id — the verification lookup; the IVF
+    corpus keeps its ``cell=`` partitioning, salted-compacted within) so
+    row-group min/max ranges turn selective probes into skips. Probe
+    identity is guaranteed: compaction rewrites rows, never drops or
+    re-codes them (pinned in tests/test_llm.py). Same maintenance-window
+    caveat as the text side: Spark's unpartitioned overwrite truncates
+    before committing, so don't run concurrently with ingest."""
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    written: dict[str, int] = {}
+    if lsh_index_path is not None:
+        written["vectors"] = compact_zone(
+            spark,
+            f"{lsh_index_path}/vectors",
+            target_file_bytes=target_file_bytes,
+            sort_by=("id",),
+        )
+        written["bands"] = compact_zone(
+            spark,
+            f"{lsh_index_path}/bands",
+            target_file_bytes=target_file_bytes,
+            sort_by=("band", "code"),
+        )
+    if ivf_index_path is not None:
+        written["ivf_corpus"] = compact_zone(
+            spark,
+            f"{ivf_index_path}/corpus",
+            target_file_bytes=target_file_bytes,
+            partition_by=("cell",),
+        )
+    return written

@@ -80,80 +80,37 @@ _PLAN_MODULES = (
 # hash parity over REGISTRY + DEMOTED on every pytest run).
 # STALENESS POLICY: rows-only entries (10) get a weaker rows-ran driver
 # signal that the local pytest suite fully replicates every run, so they
-# cycle at lower priority — this round three of them sit in the window
-# (their FIRST-EVER driver signal outranks a refresh), which displaces
-# the window's last three oracled entries past slot 100.
-# ROUND-5 window (slots 1-50, ending at events_within_10min): the three
-# DQ entries (2 rounds stale), then the 21 never-driver-checked r4
-# additions (VERDICT r4 item 1 — highest oracle-risk first: the BPE
-# training replay, the whole-chain curation oracle, the Lee-et-al
-# duplicate spans), then this round's new entries (silver_projection,
-# the incremental-gold twin, the persisted text-index probe), then the
-# r3-green queries that sat out r4, then r3-dated re-checks oldest-first.
-# ROUND-6 HEAD must be: the three displaced ORACLED entries at slots
-# 101-103 (sequence_packing, token_counts, doc_fingerprints), then slots
-# 51-100 in order (cube_priority_status .. token_budget_sample_docs);
-# the rows-only tail (slots 104-110) cycles in as slack allows.
+# cycle at lower priority; a first-ever driver signal outranks a refresh.
+# Each rows-only entry seated in a window displaces one oracled entry
+# past slot 100 — the displaced oracled entries lead the NEXT round's
+# window (bounded, documented staleness: never more than one extra
+# round, and the local oracle replica covers the gap every pytest run).
+# ROUND-6 window (slots 1-50, ending at vocabulary_top_tokens), per the
+# r5 verdict's pre-wiring: the three oracled entries round 5 displaced
+# (last green r4), then three rows-only seats — incremental_duplicate_
+# spans (FIRST driver signal ever, r5 verdict item 4) and the two r4-
+# dated ANN entries, embedding_ann_ivf_indexed now probing the APPEND-
+# maintained IVF index (r5 verdict item 3) — then the written slots
+# 51-100 order (r3-dated first, then r4-dated). The three seats push
+# the window's last six oracled entries (all r4-green) to round 7.
+# ROUND-7 HEAD must be: gopher_quality_flags, semantic_dedup_flags,
+# benchmark_decontamination, pii_redaction_stats,
+# multimodal_decode_features, token_budget_sample_docs (displaced
+# oracled, 2 rounds stale by then), then the r3-dated rows-only pair
+# (approx_distinct_customers, price_percentiles_approx), then the
+# round-5 window entries oldest-first (dq_profile_orders ..
+# events_within_10min).
 _PRIORITY = (
-    # -- round-5 window, slots 1-50 ------------------------------------
-    # driver signal last refreshed round 2 (2 rounds stale)
-    "dq_profile_orders",
-    "dq_rule_violations_lineitem",
-    "dq_duplicate_order_lines",
-    # never driver-checked r4 additions — first signal, riskiest first
-    "bpe_merges",
-    "bpe_token_counts",
-    "curated_corpus_portable",
-    "duplicate_span_stats",
-    "dsir_importance_weights",
-    "embedding_decontamination",
-    "unigram_logprob_scores",
-    "bigram_logprob_scores",
-    "context_window_chunks",
-    "leakage_safe_splits",
-    "mixture_resample_docs",
-    "stratified_sample_assignments_portable",
-    "split_leakage_audit",
-    "length_quantiles_by_source",
-    "training_shard_assignments",
-    "incremental_neardup_pairs",
-    "quality_winsorized_by_source",
-    "bpe_fertility_by_lang",
-    # never driver-checked rows-only (first-ever signal)
-    "quality_classifier_scores",
-    "incremental_cluster_assignments",
-    # new in round 5 (first driver signal)
-    "silver_projection",
-    "customer_insights_incremental_twin",
-    "text_neardup_index_probe",
-    # r3-green queries that sat out round 4 (VERDICT r4 item 1 carry-over)
-    "quality_median_filter",
-    "source_mixture_weights",
-    "embedding_neardup_pairs",
-    "ngram_jaccard_pairs",
-    "sessionize_events",
-    "session_window_counts",
-    # r3-dated re-checks (oldest remaining driver signal)
-    "multi_grain_rollup_hierarchical",
-    "filter_valid_transactions",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q21_suppliers_kept_waiting",
-    "left_join_order_counts",
-    "semi_join_active_customers",
-    "anti_join_dormant_customers",
-    "full_outer_nation_balance",
-    "topk_orders_per_customer",
-    "trailing_30d_customer_spend",
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "events_within_10min",
-    # -- round-6 window, slots 51-100 ----------------------------------
-    # remaining r3-dated
+    # -- round-6 window, slots 1-50 ------------------------------------
+    # oracled entries displaced by round 5's window (last green r4)
+    "sequence_packing",
+    "token_counts",
+    "doc_fingerprints",
+    # rows-only seats: first-ever signal, then the r4-dated ANN entries
+    "incremental_duplicate_spans",
+    "embedding_ann_ivf_indexed",
+    "embedding_ann_lsh",
+    # written order, r3-dated first
     "cube_priority_status",
     "customer_spend_quartiles",
     "global_table_stats",
@@ -198,26 +155,73 @@ _PRIORITY = (
     "lang_id_stopwords",
     "text_quality_scores",
     "text_repetition_stats",
+    # (slot 50 — last of the round-6 window)
     "vocabulary_top_tokens",
+    # -- slots 51-56: displaced oracled, MUST lead round 7 --------------
     "gopher_quality_flags",
     "semantic_dedup_flags",
     "benchmark_decontamination",
     "pii_redaction_stats",
     "multimodal_decode_features",
-    # (slot 100 — last of the round-6 window)
     "token_budget_sample_docs",
-    # -- slots 101-103: displaced oracled, MUST lead round 6 ------------
-    "sequence_packing",
-    "token_counts",
-    "doc_fingerprints",
+    # -- round-5 window (freshest oracled signal), oldest-dated first ---
+    "dq_profile_orders",
+    "dq_rule_violations_lineitem",
+    "dq_duplicate_order_lines",
+    "bpe_merges",
+    "bpe_token_counts",
+    "curated_corpus_portable",
+    "duplicate_span_stats",
+    "dsir_importance_weights",
+    "embedding_decontamination",
+    "unigram_logprob_scores",
+    "bigram_logprob_scores",
+    "context_window_chunks",
+    "leakage_safe_splits",
+    "mixture_resample_docs",
+    "stratified_sample_assignments_portable",
+    "split_leakage_audit",
+    "length_quantiles_by_source",
+    "training_shard_assignments",
+    "incremental_neardup_pairs",
+    "quality_winsorized_by_source",
+    "bpe_fertility_by_lang",
+    "silver_projection",
+    "customer_insights_incremental_twin",
+    "quality_median_filter",
+    "source_mixture_weights",
+    "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "sessionize_events",
+    "session_window_counts",
+    "multi_grain_rollup_hierarchical",
+    "filter_valid_transactions",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q21_suppliers_kept_waiting",
+    "left_join_order_counts",
+    "semi_join_active_customers",
+    "anti_join_dormant_customers",
+    "full_outer_nation_balance",
+    "topk_orders_per_customer",
+    "trailing_30d_customer_spend",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "events_within_10min",
     # -- rows-only tail (weaker signal, local pytest replicates it) -----
-    "incremental_duplicate_spans",
-    "embedding_ann_ivf",
-    "embedding_ann_ivf_indexed",
-    "embedding_ann_lsh",
-    "heavy_hitter_tokens_approx",
+    # r3-dated pair: next rows-only seats, round 7
     "approx_distinct_customers",
     "price_percentiles_approx",
+    # r4/r5-dated
+    "heavy_hitter_tokens_approx",
+    "embedding_ann_ivf",
+    "quality_classifier_scores",
+    "incremental_cluster_assignments",
+    "text_neardup_index_probe",
 )
 
 

@@ -378,24 +378,50 @@ def _kgram_index_path(sf_dir: str) -> str:
     return _warehouse_index_path(sf_dir, "kgram_index_k8")
 
 
-def _src_marker_fresh(spark: SparkSession, idx: str, total: int) -> bool:
-    """Freshness probe for a build-once index over a slice of ``documents``:
-    compare the FULL table's row count (parquet footer metadata — no
-    predicate, no column scan) against the count recorded at build time.
-    The slice predicate is deterministic, so an unchanged table implies an
-    unchanged slice; counting the filtered slice directly would scan the
-    doc_id column of the whole table on EVERY probe."""
+def _src_state(
+    spark: SparkSession, sf_dir: str, table: str
+) -> tuple[int, int, int]:
+    """(row count, file count, total bytes) of a source table — the state a
+    build-once index's staleness marker records. Row count is parquet
+    footer metadata; file count + bytes come from one FS listing
+    (:func:`zone_fingerprint`). The fingerprint is what catches a
+    REGENERATED source at the same scale factor: identical row count,
+    different file bytes — a count-only marker would silently serve the
+    old source's index data."""
+    from aws_data_pipeline_spark.sources.parquet import zone_fingerprint
+
+    total = T(spark, sf_dir, table).count()  # footer metadata
+    n_files, n_bytes = zone_fingerprint(spark, f"{sf_dir}/{table}.parquet")
+    return (total, n_files, n_bytes)
+
+
+def _src_marker_fresh(
+    spark: SparkSession, idx: str, state: tuple[int, int, int]
+) -> bool:
+    """Freshness probe for a build-once index over a slice of a source
+    table: compare the FULL table's (row count, file count, byte size)
+    against the state recorded at build time. The slice predicate is
+    deterministic, so an unchanged table implies an unchanged slice;
+    scanning the filtered slice directly would read the doc_id column of
+    the whole table on EVERY probe. A pre-fingerprint marker (older
+    schema) reads as stale and triggers one rebuild."""
     from aws_data_pipeline_spark.sources.parquet import zone_exists
 
     if not zone_exists(spark, f"{idx}/src_meta"):
         return False
-    return spark.read.parquet(f"{idx}/src_meta").collect()[0].src_total == total
+    meta = spark.read.parquet(f"{idx}/src_meta")
+    if not {"src_total", "src_files", "src_bytes"} <= set(meta.columns):
+        return False
+    r = meta.collect()[0]
+    return (r.src_total, r.src_files, r.src_bytes) == state
 
 
-def _write_src_marker(spark: SparkSession, idx: str, total: int) -> None:
-    spark.createDataFrame([(total,)], "src_total long").write.mode(
-        "overwrite"
-    ).parquet(f"{idx}/src_meta")
+def _write_src_marker(
+    spark: SparkSession, idx: str, state: tuple[int, int, int]
+) -> None:
+    spark.createDataFrame(
+        [state], "src_total long, src_files long, src_bytes long"
+    ).write.mode("overwrite").parquet(f"{idx}/src_meta")
 
 
 def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
@@ -405,11 +431,11 @@ def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
     under the same sf_dir rebuilds instead of silently serving the old
     corpus's hashes."""
     idx = _kgram_index_path(sf_dir)
-    total = T(spark, sf_dir, "documents").count()  # footer metadata
-    if not _src_marker_fresh(spark, idx, total):
+    state = _src_state(spark, sf_dir, "documents")
+    if not _src_marker_fresh(spark, idx, state):
         corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
         dedup.build_kgram_index(corpus, idx, k=8)
-        _write_src_marker(spark, idx, total)
+        _write_src_marker(spark, idx, state)
     return idx
 
 
@@ -438,13 +464,13 @@ def _ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     incremental_neardup_pairs. Staleness via the footer-cheap full-table
     marker (:func:`_src_marker_fresh`); params live in the path."""
     idx = _text_lsh_index_path(sf_dir)
-    total = T(spark, sf_dir, "documents").count()  # footer metadata
-    if not _src_marker_fresh(spark, idx, total):
+    state = _src_state(spark, sf_dir, "documents")
+    if not _src_marker_fresh(spark, idx, state):
         corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
         dedup.build_lsh_text_index(
             corpus, idx, k=5, num_perm=16, bands=4, hash_fn="md5"
         )
-        _write_src_marker(spark, idx, total)
+        _write_src_marker(spark, idx, state)
     return idx
 
 
@@ -672,39 +698,57 @@ def _ivf_index_path(sf_dir: str, n_cells: int, seed: int) -> str:
 def _ensure_ivf_index(
     spark: SparkSession, sf_dir: str, n_cells: int = 8, seed: int = 42
 ) -> str:
-    """Build the on-disk IVF index (train + cell-partitioned corpus write)
-    iff absent OR stale; returns its path. Quantizer trained on a 10%
-    sample (centroid quality needs only a representative sample; at 100 TB
-    full-corpus KMeans is prohibitive — the sample IS the scale recipe).
+    """Materialize the on-disk IVF index the way a 100 TB corpus actually
+    reaches steady state: BUILD (train + cell-partitioned write) from the
+    simulated existing corpus (vec_id % 10 != 7), then APPEND the
+    simulated new batch (vec_id % 10 = 7) to the existing centroids via
+    :func:`similarity.append_to_ivf_index` — so every probe of this index
+    exercises the append-maintained shape, not a fresh full build.
+    Quantizer trained on a 10% sample of the build slice (centroid
+    quality needs only a representative sample; at 100 TB full-corpus
+    KMeans is prohibitive — the sample IS the scale recipe).
 
-    Staleness: the indexed corpus row count must equal the source corpus
-    row count (a parquet-footer metadata read, cheap at any scale); a
-    regenerated corpus under the same path triggers a rebuild instead of
-    silently serving neighbors from the old data. Params are part of the
-    index path, so differently-parameterized indexes coexist.
-    """
+    Staleness: the shared source-state marker (:func:`_src_marker_fresh`
+    — row count from footer metadata PLUS file-count/byte fingerprint
+    from one FS listing); a regenerated corpus under the same path —
+    even at identical row count — triggers a rebuild instead of silently
+    serving neighbors from the old data. Params are part of the index
+    path, so differently-parameterized indexes coexist. Build and append
+    complete before the marker write, so a crash mid-way reads as stale
+    and the re-run redoes both (the append itself is idempotent)."""
     from aws_data_pipeline_spark.sources.parquet import zone_exists
 
     idx = _ivf_index_path(sf_dir, n_cells, seed)
     e = T(spark, sf_dir, "embeddings")
-    fresh = False
-    if zone_exists(spark, f"{idx}/corpus") and zone_exists(spark, f"{idx}/centroids"):
-        fresh = spark.read.parquet(f"{idx}/corpus").count() == e.count()
+    state = _src_state(spark, sf_dir, "embeddings")
+    fresh = (
+        zone_exists(spark, f"{idx}/corpus")
+        and zone_exists(spark, f"{idx}/centroids")
+        and _src_marker_fresh(spark, idx, state)
+    )
     if not fresh:
         similarity.build_ivf_index(
-            e, idx, n_cells=n_cells, seed=seed, train_fraction=0.1
+            e.filter(F.col("vec_id") % 10 != 7),
+            idx,
+            n_cells=n_cells,
+            seed=seed,
+            train_fraction=0.1,
         )
+        similarity.append_to_ivf_index(
+            spark, e.filter(F.col("vec_id") % 10 == 7), idx
+        )
+        _write_src_marker(spark, idx, state)
     return idx
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
-    # the corpus row count is part of the cache KEY (a parquet-footer read
-    # on the unfiltered table — cheap): a regenerated corpus under the
-    # same sf_dir must invalidate the resident copy too, or the resident
-    # and persisted paths would diverge within one application after
-    # _ensure_ivf_index rebuilds the disk index
-    n = T(spark, sf_dir, "embeddings").count()
-    key = (spark.sparkContext.applicationId, sf_dir, n_cells, seed, n)
+    # the source STATE (row count + file fingerprint, same probe the disk
+    # marker uses) is part of the cache KEY: a regenerated corpus under
+    # the same sf_dir must invalidate the resident copy too, or the
+    # resident and persisted paths would diverge within one application
+    # after _ensure_ivf_index rebuilds the disk index
+    state = _src_state(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells, seed, state)
     if key not in _IVF_INDEX:
         idx = _ensure_ivf_index(spark, sf_dir, n_cells, seed)
         cents = [
@@ -747,12 +791,14 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_ann_ivf_indexed", sql=None)
 def embedding_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the PERSISTED IVF index — the on-disk 100 TB shape: the
-    corpus is written once partitioned by ``cell=`` (build_ivf_index, first
-    call per corpus builds it under the gitignored warehouse dir), and every
-    search reads ONLY the probed cell directories via partition pruning.
-    Shares the trained quantizer with embedding_ann_ivf (the disk index is
-    the single source of truth — see _ivf_index), so the resident and
-    persisted paths return identical rows."""
+    corpus is written partitioned by ``cell=`` (first call per corpus
+    BUILDS from the simulated existing corpus then APPENDS the new batch
+    to the fixed centroids — the probe exercises the append-maintained
+    index, see _ensure_ivf_index), and every search reads ONLY the probed
+    cell directories via partition pruning. Shares the trained quantizer
+    with embedding_ann_ivf (the disk index is the single source of truth
+    — see _ivf_index), so the resident and persisted paths return
+    identical rows."""
     idx = _ensure_ivf_index(spark, sf_dir, n_cells=8)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)

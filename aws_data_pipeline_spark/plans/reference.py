@@ -157,7 +157,15 @@ def amount_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     demoted=True,
     sql="""
     SELECT o_orderkey, o_totalprice,
-           CASE WHEN trunc(o_totalprice) = o_totalprice THEN 'whole_number'
+           -- long-castability bounds mirror the engine's try_cast('long'):
+           -- whole doubles outside [-2^63, 2^63) and NaN/Inf classify as
+           -- 'decimal' on BOTH sides (DuckDB's trunc(x)=x alone would call
+           -- them whole_number, and DuckDB NaN=NaN is true)
+           CASE WHEN trunc(o_totalprice) = o_totalprice
+                 AND isfinite(o_totalprice)
+                 AND o_totalprice >= -9223372036854775808.0
+                 AND o_totalprice <  9223372036854775808.0
+                THEN 'whole_number'
                 ELSE 'decimal' END AS transaction_type_derived
     FROM orders
     """,
@@ -191,7 +199,11 @@ def whole_number_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice < 100000.0 THEN 'small'
                 WHEN o_totalprice < 300000.0 THEN 'medium'
                 ELSE 'large' END AS amount_category,
-           CASE WHEN trunc(o_totalprice) = o_totalprice THEN 'whole_number'
+           CASE WHEN trunc(o_totalprice) = o_totalprice
+                 AND isfinite(o_totalprice)
+                 AND o_totalprice >= -9223372036854775808.0
+                 AND o_totalprice <  9223372036854775808.0
+                THEN 'whole_number'
                 ELSE 'decimal' END AS transaction_type_derived
     FROM orders
     WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL

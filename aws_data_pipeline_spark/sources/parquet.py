@@ -118,8 +118,13 @@ def zone_exists(spark: SparkSession, path: str) -> bool:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return False
-    base = jpath.toUri().getPath().rstrip("/")
-    it = fs.listFiles(jpath, True)
+    # Qualify BEFORE computing the prefix base: listFiles statuses come
+    # back fully qualified, so for a relative zone path an unqualified
+    # base would slice mid-path and a directory holding only _temporary
+    # droppings could probe true — the exact wedge this probe prevents.
+    qpath = fs.makeQualified(jpath)
+    base = qpath.toUri().getPath().rstrip("/")
+    it = fs.listFiles(qpath, True)
     while it.hasNext():
         rel = it.next().getPath().toUri().getPath()[len(base):]
         if not any(
@@ -127,6 +132,36 @@ def zone_exists(spark: SparkSession, path: str) -> bool:
         ):
             return True
     return False
+
+
+def zone_fingerprint(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(committed file count, total committed bytes) of a zone via one
+    recursive FS listing — footer-cheap content fingerprint for build-once
+    index staleness markers: a REGENERATED source at the same scale factor
+    has the same row count but (with overwhelming probability) different
+    file sizes, so count-only freshness checks would silently serve stale
+    index data. Hidden/uncommitted components (``_``/``.`` prefixed) are
+    excluded, same rule as :func:`zone_exists`. Returns (0, 0) for a
+    missing or data-free zone."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return (0, 0)
+    qpath = fs.makeQualified(jpath)
+    base = qpath.toUri().getPath().rstrip("/")
+    n_files = 0
+    n_bytes = 0
+    it = fs.listFiles(qpath, True)
+    while it.hasNext():
+        st = it.next()
+        rel = st.getPath().toUri().getPath()[len(base):]
+        if not any(
+            part.startswith(("_", ".")) for part in rel.split("/") if part
+        ):
+            n_files += 1
+            n_bytes += st.getLen()
+    return (n_files, n_bytes)
 
 
 def compact_zone(

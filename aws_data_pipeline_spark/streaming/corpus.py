@@ -238,8 +238,18 @@ def incremental_corpus_ingest(
             )
             if zone_exists(sess, f"{kgram_index_path}/meta"):
                 dedup.append_to_kgram_index(accepted, kgram_index_path)
-            elif not accepted.isEmpty():
-                dedup.build_kgram_index(accepted, kgram_index_path, k=kgram_k)
+            else:
+                # Bootstrap from the FULL corpus zone, not `accepted`:
+                # when the k-gram option is first enabled on an
+                # already-populated corpus, `accepted` is only batch ∩
+                # corpus — an index built from it would silently miss
+                # every previously ingested doc's span hashes and
+                # under-report duplicated spans while claiming to be the
+                # corpus index. The corpus zone is the source of truth;
+                # on a fresh corpus the two are identical anyway.
+                full = sess.read.parquet(corpus_path)
+                if not full.isEmpty():
+                    dedup.build_kgram_index(full, kgram_index_path, k=kgram_k)
 
     (
         spark.readStream.schema(DOC_SCHEMA)

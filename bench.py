@@ -11,10 +11,19 @@ collect). Per query: one untimed warm-up execution, then the timed run —
 this measures steady-state throughput (codegen compiled, file footers and
 any operator-level caches hot), which is the regime a long-running engine
 operates in; at test SF a cold run mostly measures JVM codegen latency,
-which amortizes to zero at 100 TB. The timed run repeats BENCH_REPS times
-(default 3) and reports the per-query MEDIAN, so one GC pause or scheduler
-hiccup in a 22-query suite can't masquerade as a plan regression. Set
-BENCH_COLD=1 to time first executions instead (single rep).
+which amortizes to zero at 100 TB.
+
+Reps and dispersion: the timed run repeats per query and reports the
+per-query MEDIAN, so one GC pause or scheduler hiccup in a 30-query suite
+can't masquerade as a plan regression. Rep count is ADAPTIVE (r5 verdict:
+sub-second queries moved 1.8x between rounds with byte-identical code —
+median-of-3 can't separate plan regressions from shared-sandbox scheduler
+noise): queries whose first sample lands under 1 s get 7 reps, others 3;
+BENCH_REPS forces a fixed count. The JSON carries a per-query
+``dispersion`` block (min/median/max/reps) so a reader can tell a stable
+median from a noisy one before crying regression — compare min-vs-min
+across rounds for the least-noise view. Set BENCH_COLD=1 to time first
+executions instead (single rep).
 """
 
 from __future__ import annotations
@@ -94,21 +103,42 @@ def main() -> None:
         # the queries, not session bootstrap. Skipped under BENCH_COLD —
         # executing names[0] here would make its 'cold' number warm.
         registry[names[0]].spark_fn(spark, sf_dir).count()
-    reps = 1 if cold else max(1, int(os.environ.get("BENCH_REPS", "3")))
+    forced = os.environ.get("BENCH_REPS")
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     for name in names:
         if not cold:
             registry[name].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         samples = []
-        for _ in range(reps):
+        t0 = time.perf_counter()
+        registry[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples.append(time.perf_counter() - t0)
+        if cold:
+            reps = 1
+        elif forced:
+            reps = max(1, int(forced))
+        else:
+            # adaptive: sub-second queries are where sandbox scheduler
+            # noise rivals the signal — buy them more reps
+            reps = 7 if samples[0] < 1.0 else 3
+        for _ in range(reps - 1):
             t0 = time.perf_counter()
             df = registry[name].spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
+        med = round(samples[len(samples) // 2], 4)
+        timings[name] = med
+        dispersion[name] = {
+            "min": round(samples[0], 4),
+            "median": med,
+            "max": round(samples[-1], 4),
+            "reps": reps,
+        }
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -119,6 +149,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "dispersion": dispersion,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

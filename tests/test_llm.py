@@ -1294,3 +1294,24 @@ def test_minhash_short_docs_no_blowup(spark):
            for r in exact_dedup(nulls, "doc_id").collect()}
     assert got[1] == (1, False) and got[2] == (2, False)  # no NULL cluster
     assert got[3] == (3, False) and got[4] == (3, True)
+
+
+def test_training_shards_rejects_reserved_column_names(spark):
+    """Reserved id-frame names must fail loudly: select('*', shard, ...)
+    over an input that already has 'shard'/'pos'/'__ord' would silently
+    duplicate the column and misroute or crash downstream."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators.sampling import training_shards
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 1)], "doc_id long, shard int"
+    )
+    with pytest.raises(ValueError, match="reserve"):
+        training_shards(df, "doc_id", 4, keep_cols=True)
+    # keep_cols=False only carries the id column — a clashing PAYLOAD
+    # column is dropped by the select and is fine...
+    assert training_shards(df, "doc_id", 4).count() == 2
+    # ...but an id column named like a reserved output is not
+    with pytest.raises(ValueError, match="reserve"):
+        training_shards(df.select("shard"), "shard", 4)

@@ -194,3 +194,52 @@ def test_zone_exists_ignores_uncommitted_droppings(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("x"))
     write_zone(df, str(zone))
     assert zone_exists(spark, str(zone))
+
+
+def test_zone_exists_relative_path_droppings(spark, tmp_path):
+    """Same contract for a RELATIVE zone path: FS listing statuses come
+    back fully qualified, so the hidden-component check must qualify the
+    base first or the prefix slice lands mid-path and _temporary
+    droppings probe true. Relative paths resolve against the JVM's
+    working directory, so the test derives the relative spelling from
+    java user.dir (chdir-ing the Python process wouldn't move Hadoop)."""
+    import os
+
+    from aws_data_pipeline_spark.sources.parquet import write_zone, zone_exists
+
+    jvm_cwd = spark._jvm.java.lang.System.getProperty("user.dir")
+    zone_abs = tmp_path / "relzone"
+    zone = os.path.relpath(str(zone_abs), jvm_cwd)  # e.g. ../../tmp/.../relzone
+    assert not zone_exists(spark, zone)
+    os.makedirs(zone_abs / "_temporary" / "attempt_x")
+    (zone_abs / "_temporary" / "attempt_x" / "part-0").write_text("junk")
+    (zone_abs / "_SUCCESS").write_text("")
+    assert not zone_exists(spark, zone)  # droppings only — still no zone
+    write_zone(spark.range(3).select(F.col("id").alias("x")), str(zone_abs))
+    assert zone_exists(spark, zone)  # committed data flips it true
+
+
+def test_zone_fingerprint_counts_committed_bytes(spark, tmp_path):
+    """(files, bytes) over committed data only: hidden/_temporary
+    components don't count, and rewriting the same rows into different
+    files changes the fingerprint — the property index staleness markers
+    rely on to catch a regenerated source at identical row count."""
+    import os
+
+    from aws_data_pipeline_spark.sources.parquet import (
+        write_zone,
+        zone_fingerprint,
+    )
+
+    zone = tmp_path / "z"
+    assert zone_fingerprint(spark, str(zone)) == (0, 0)
+    df = spark.range(100).select(F.col("id").alias("x"))
+    write_zone(df.coalesce(1), str(zone))
+    os.makedirs(zone / "_temporary")
+    (zone / "_temporary" / "junk").write_text("x" * 1000)
+    n_files, n_bytes = zone_fingerprint(spark, str(zone))
+    assert n_files == 1 and n_bytes > 0
+    # same rows, different layout => different fingerprint
+    df.repartition(4).write.mode("overwrite").parquet(str(zone))
+    nf2, nb2 = zone_fingerprint(spark, str(zone))
+    assert nf2 > 1 and (nf2, nb2) != (n_files, n_bytes)

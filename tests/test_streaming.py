@@ -646,3 +646,52 @@ def test_corpus_crash_recovery_backfills_index(spark, tmp_path):
     assert sets_rows == 1
     assert bands_rows == 4  # one row per band
     shutil.rmtree(str(tmp_path / "inbox"))
+
+
+def test_kgram_index_bootstrap_covers_preexisting_corpus(spark, tmp_path):
+    """Enabling kgram_index_path on an ALREADY-POPULATED corpus must
+    bootstrap the index from the FULL corpus zone, not from the current
+    batch: an index built from batch ∩ corpus alone would silently miss
+    every previously ingested doc's span hashes and under-report
+    duplicated spans while claiming to be the corpus index."""
+    from aws_data_pipeline_spark.operators.dedup import (
+        duplicate_spans_against_index,
+    )
+    from aws_data_pipeline_spark.streaming.corpus import incremental_corpus_ingest
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    kgram = str(tmp_path / "kgram")
+
+    early = " ".join(f"old{i}" for i in range(30))
+    other = " ".join(f"mid{i}" for i in range(30))
+    # two batches ingested BEFORE the k-gram option exists
+    (inbox / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": early, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, str(tmp_path / "c"))
+    (inbox / "b2.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": other, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, str(tmp_path / "c"))
+
+    # first batch WITH the option: bootstrap must cover docs 1 and 2 too
+    late = " ".join(f"new{i}" for i in range(30))
+    (inbox / "b3.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": late, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        kgram_index_path=kgram,
+    )
+    per_doc = 30 - 8 + 1
+    assert spark.read.parquet(f"{kgram}/hashes").count() == 3 * per_doc
+
+    # a probe quoting the PRE-OPTION doc sees its spans
+    probe = spark.createDataFrame(
+        [(9, f"lead tokens {early} tail tokens")], "doc_id long, text string"
+    )
+    spans = duplicate_spans_against_index(spark, probe, kgram)
+    assert spans.count() == 1 and spans.collect()[0].span_tokens == 30
