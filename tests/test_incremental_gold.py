@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from aws_data_pipeline_spark.operators import aggregate as agg_ops
 from aws_data_pipeline_spark.pipeline.medallion import transform_bronze
 from aws_data_pipeline_spark.sources.parquet import write_zone
+from aws_data_pipeline_spark.streaming import gold
 from aws_data_pipeline_spark.streaming.gold import incremental_silver_to_gold
 
 def CLOCK():
@@ -222,3 +223,70 @@ def test_merge_states_is_order_insensitive_and_exact(spark, sf_dir):
     rtl = gold.merge_states(states[0], gold.merge_states(states[2], states[1]))
     direct = gold._batch_state(o)
     assert present(ltr) == present(rtl) == present(direct)
+
+
+def test_hll_error_bound_past_dense_promotion(spark):
+    """The active-days HLL twin is driver-proven at coupon-mode
+    cardinalities (hundreds of distinct days, where the Datasketches
+    sketch is still in exact sparse/set mode). Push synthetic customers
+    far past the dense-HLL-array promotion threshold (lgConfigK=12
+    default → exact to a few hundred, dense array beyond) and pin the
+    measured error there — the 100 TB claim ("sketch state stays KB-sized
+    per customer regardless of history") with numbers behind it.
+
+    Statistics, stated honestly: lgK=12 gives RSE ≈ 1.04/√4096 ≈ 1.6%,
+    so ANY single customer's error is a draw whose ±3σ envelope is ~5%;
+    asserting 2% on one draw would be a coin-flip test. Eight customers
+    with disjoint day universes are eight independent draws: assert the
+    MEAN |error| ≤ 2% (E|error| = σ·√(2/π) ≈ 1.3%, mean-of-8 is tight)
+    and every single draw ≤ 5% — for BOTH the one-shot sketch and the
+    cross-batch hll_union path (the merge algebra gold.py relies on; at
+    dense scale the union gadget may round differently than one-shot
+    aggregation, so the contract is the error bound, not bit equality)."""
+    import datetime
+
+    n_days = 20_000  # far past sparse→dense promotion for lgK=12
+    n_customers = 8
+    base = datetime.date(1000, 1, 1)
+    rows = [
+        (
+            c,
+            (
+                base + datetime.timedelta(days=c * n_days + i)
+            ).isoformat()
+            + " 12:00:00",
+        )
+        for c in range(n_customers)
+        for i in range(n_days)
+    ]
+    df = spark.createDataFrame(
+        rows, "customer_id long, transaction_date string"
+    ).select(
+        "customer_id",
+        F.col("transaction_date").cast("timestamp").alias("transaction_date"),
+        F.lit(1.0).alias("amount"),
+    )
+    # split into two micro-batches on odd/even days: union of the two
+    # dense sketches must estimate like the one-shot sketch
+    d = F.dayofyear("transaction_date")  # deterministic splitter
+    b1 = df.filter(F.pmod(d, F.lit(2)) == 0)
+    b2 = df.filter(F.pmod(d, F.lit(2)) == 1)
+    merged = gold.merge_states(gold._batch_state(b1), gold._batch_state(b2))
+    est_m = {
+        r.customer_id: r.e
+        for r in merged.select(
+            "customer_id", F.hll_sketch_estimate("days_sketch").alias("e")
+        ).collect()
+    }
+    est_d = {
+        r.customer_id: r.e
+        for r in gold._batch_state(df)
+        .select("customer_id", F.hll_sketch_estimate("days_sketch").alias("e"))
+        .collect()
+    }
+    for est in (est_m, est_d):
+        errs = [abs(est[c] - n_days) / n_days for c in range(n_customers)]
+        assert max(errs) <= 0.05, errs
+        assert sum(errs) / len(errs) <= 0.02, errs
+    # exact fields are untouched by sketch mode
+    assert all(r.txn_count == n_days for r in merged.collect())

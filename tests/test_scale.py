@@ -275,3 +275,73 @@ def test_asof_join_deterministic_under_ties_and_nulls(spark):
             ).collect()
         }
         assert got == {1: None, 2: 105, 3: None}
+
+
+def test_hot_hash_cap_near_linear_on_boilerplate_corpus(spark):
+    """The hot-hash cap at adversarial volume (r5 verdict item 5): a
+    10x-sf0.1-sized corpus (50k docs, ~2.9M token windows) where ONE
+    8-gram sits in 60% of documents must cost about the same as a clean
+    corpus of identical size — shuffle bytes and wall-time near-linear,
+    because the flagged-hot rows bypass the count-over-window's sort
+    instead of piling 30k occurrences into one window partition. Measured
+    with the shuffle_audit plumbing over the executed adaptive plan; the
+    planted-toy equivalence test (test_llm.py) pins correctness, this
+    pins the SCALE claim with numbers."""
+    import sys
+    import time
+
+    sys.path.insert(0, ".")
+    from scripts.shuffle_audit import audit
+
+    from aws_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    n = 50_000
+    tail = (
+        "array_join(transform(sequence(1, 50), "
+        "i -> concat('u', id, 'x', i)), ' ')"
+    )
+    boiler = " ".join(f"boiler{i}" for i in range(8))
+    adversarial = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"case when id % 5 < 3 then concat('{boiler} ', {tail}) "
+        f"else {tail} end as text",
+    )
+    # "clean" = realistic baseline: same size, a sprinkle of PAIRWISE
+    # duplicated 8-grams (2 occurrences each — far under the hot
+    # threshold), zero hot hashes. Non-degenerate on purpose: a corpus
+    # with NO duplicated window at all lets AQE's empty-stage propagation
+    # collapse the executed plan to EmptyRelation, which would erase the
+    # very shuffle metrics this test compares.
+    pair = (
+        "array_join(transform(sequence(1, 8), "
+        "i -> concat('p', cast(id div 1000 as string), 'q', i)), ' ')"
+    )
+    clean = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"case when id % 1000 < 2 then concat({pair}, ' ', {tail}) "
+        f"else {tail} end as text",
+    )
+
+    def measure(df):
+        spans = duplicate_spans(df)  # default cap: hot_mod=256, hot_min=4
+        t0 = time.perf_counter()
+        rows = len(spans.collect())
+        wall = time.perf_counter() - t0
+        return rows, wall, audit(spans)["shuffle_bytes"]
+
+    measure(clean)  # warm-up: codegen + broadcast machinery off the clock
+    rows_c, wall_c, shuf_c = measure(clean)
+    rows_a, wall_a, shuf_a = measure(adversarial)
+
+    # correctness at volume: every boilerplate carrier reports exactly its
+    # one 8-token span; the clean corpus reports exactly its planted pairs
+    assert rows_c == sum(1 for i in range(n) if i % 1000 < 2)
+    assert rows_a == sum(1 for i in range(n) if i % 5 < 3)
+    # near-linearity: the 30k-occurrence hash may not blow up the plan.
+    # Bytes: both corpora shuffle the same O(windows) frame into the
+    # count-over-window; the adversarial side adds only its flagged rows
+    # and 30k span rows. Time: generous 3x bound — far below the
+    # super-linear cliff a single 30k-row sort partition would show at
+    # real volume, and stable against sandbox scheduler noise.
+    assert shuf_a <= 2.0 * shuf_c, (shuf_a, shuf_c)
+    assert wall_a <= 3.0 * wall_c, (wall_a, wall_c)
