@@ -1,0 +1,151 @@
+"""Incremental embedding-corpus curation: streaming vector ingest with
+cross-batch semantic near-dup rejection against the persisted embedding-LSH
+index — the embedding twin of :mod:`aws_data_pipeline_spark.streaming.corpus`.
+
+One availableNow loop keeps the WHOLE embedding side current, the way the
+text loop keeps the MinHash-LSH and k-gram indexes current: each micro-batch
+is semantically deduplicated within itself (banded hyperplane-LSH pairs →
+min-id survivors), probed against the index of everything already accepted,
+and only novel vectors append to the corpus zone, the LSH index, and — when
+enabled — the IVF ANN index (new vectors assigned to the FIXED build
+centroids; :func:`operators.similarity.ivf_retrain_due` tells the owner when
+drift warrants a quantizer rebuild). Per-batch cost is O(batch × bands +
+matched candidates); accepted vectors are never re-banded or re-paired.
+
+Crash-consistency contract is the text loop's, verbatim: every append set is
+derived INDEPENDENTLY by anti-joining the batch against what THAT target
+already holds (``append_to_embedding_lsh_index`` and ``append_to_ivf_index``
+carry their own id anti-joins), so a crash between the corpus, LSH, and IVF
+writes is backfilled — not double-appended — by the checkpoint's re-delivery.
+The IVF append set derives from batch-ids × corpus-ids (not survivors), so a
+re-delivered batch whose LSH probe self-matches (survivors empty) still
+backfills a missing IVF assignment. Bootstraps build from the FULL corpus
+zone, never from the current batch, so enabling an index on an
+already-populated corpus indexes history too (same rule the k-gram bootstrap
+follows, and for the same silent-under-reporting reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_data_pipeline_spark.operators import dedup, similarity
+from aws_data_pipeline_spark.sources.parquet import zone_exists
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def incremental_embedding_ingest(
+    spark: SparkSession,
+    vecs_path: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.9,
+    ivf_index_path: str | None = None,
+    ivf_cells: int = 16,
+) -> None:
+    """One availableNow run: new embedding files → in-batch semantic dedup
+    → index probe → idempotent append of novel vectors to corpus + LSH
+    index (+ IVF index when ``ivf_index_path`` is set).
+
+    Per micro-batch:
+    1. in-batch dedup: exact id dedup, then banded-LSH cosine pairs at
+       ``threshold`` → connected components → deterministic min-id
+       survivor per cluster (re-runs pick the same survivors);
+    2. cross-batch: survivors probe the persisted embedding index
+       (``embedding_neardup_against_index``); any vector with a verified
+       cosine ≥ ``threshold`` against the accepted corpus is dropped;
+    3. novel vectors append to the corpus zone (id anti-join guard makes
+       re-delivery idempotent) and to the LSH index; first batch
+       bootstraps both. The optional IVF index appends from batch ∩
+       corpus OUTSIDE the survivors guard (crash backfill — see module
+       docstring) and bootstraps from the full corpus zone.
+
+    vec_ids must be globally unique across batches (upstream contract,
+    same as the text loop's doc_ids).
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        batch = batch.localCheckpoint()
+        # 1. in-batch dedup: exact id, then semantic components
+        uniq = batch.dropDuplicates(["vec_id"])
+        pairs = similarity.neardup_pairs_lsh(uniq, threshold=threshold).select(
+            F.col("id1").alias("doc1"), F.col("id2").alias("doc2")
+        )
+        assign = dedup.cluster_assignments(uniq, pairs, "vec_id")
+        survivors = uniq.join(
+            assign.filter(~F.col("is_duplicate")).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        ).localCheckpoint()
+        # 2. cross-batch: probe the index of everything accepted so far
+        if zone_exists(sess, f"{index_path}/meta"):
+            matched = (
+                similarity.embedding_neardup_against_index(
+                    sess, survivors, index_path, threshold=threshold
+                )
+                .select(F.col("new_id").alias("vec_id"))
+                .distinct()
+            )
+            survivors = survivors.join(matched, "vec_id", "left_anti")
+        # 3. idempotent appends (independent anti-joins per target)
+        survivors = survivors.localCheckpoint()
+        if not survivors.isEmpty():
+            corpus_new = survivors
+            if zone_exists(sess, corpus_path):
+                existing = sess.read.parquet(corpus_path).select("vec_id")
+                corpus_new = survivors.join(existing, "vec_id", "left_anti")
+            if not corpus_new.isEmpty():
+                corpus_new.write.mode("append").parquet(corpus_path)
+            if zone_exists(sess, f"{index_path}/meta"):
+                similarity.append_to_embedding_lsh_index(survivors, index_path)
+            else:
+                # bootstrap from the FULL corpus zone (module docstring)
+                similarity.build_embedding_lsh_index(
+                    sess.read.parquet(corpus_path), index_path
+                )
+        # IVF upkeep: append set = this batch's vectors that ARE in the
+        # corpus zone — NOT `survivors` (on crash recovery the LSH probe
+        # self-matches re-delivered vectors and survivors goes empty, but
+        # their IVF assignment may still be missing); append_to_ivf_index's
+        # own anti-join makes re-appends no-ops.
+        if ivf_index_path is not None and zone_exists(sess, corpus_path):
+            accepted = batch.dropDuplicates(["vec_id"]).join(
+                sess.read.parquet(corpus_path).select("vec_id"),
+                "vec_id",
+                "left_semi",
+            )
+            if zone_exists(sess, f"{ivf_index_path}/centroids"):
+                similarity.append_to_ivf_index(sess, accepted, ivf_index_path)
+            else:
+                full = sess.read.parquet(corpus_path)
+                if not full.isEmpty():
+                    similarity.build_ivf_index(
+                        full,
+                        ivf_index_path,
+                        n_cells=ivf_cells,
+                        train_fraction=0.5,
+                    )
+
+    (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "64")
+        .parquet(vecs_path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

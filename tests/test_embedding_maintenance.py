@@ -199,3 +199,127 @@ def test_compact_embedding_indexes_preserves_probe_results(
     # drift stats survive compaction (counts unchanged, files rewritten)
     rows = ivf_index_drift(spark, ivf).collect()
     assert sum(r.current_n for r in rows) == corpus0.count() + batch.count()
+
+
+def _vec(i: int, dim: int = 64) -> list[float]:
+    v = [0.0] * dim
+    v[i % dim] = 1.0
+    return v
+
+
+def _mix(i: int, j: int, w: float, dim: int = 64) -> list[float]:
+    import math
+
+    v = [0.0] * dim
+    v[i % dim] = w
+    v[j % dim] = math.sqrt(1.0 - w * w)
+    return v
+
+
+def test_incremental_embedding_ingest_rejects_cross_batch_neardups(
+    spark, tmp_path
+):
+    """The embedding ingest loop (streaming twin of the text corpus loop):
+    batch 1 bootstraps corpus + LSH index; batch 2's near-duplicate of an
+    ACCEPTED vector is rejected while its novel vector appends; a lost
+    checkpoint re-delivers everything and the corpus stays flat
+    (idempotency via the per-target anti-joins)."""
+    from aws_data_pipeline_spark.streaming.embeddings import (
+        incremental_embedding_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+
+    schema = "vec_id long, embedding array<float>"
+    b1 = spark.createDataFrame(
+        [(1, _vec(0)), (2, _vec(1))], schema
+    )
+    b1.write.parquet(str(inbox / "b1"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c1")
+    )
+    assert {r.vec_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    # batch 2: vec 3 ~ vec 1 (cosine ≈ 0.995 — cross-batch near-dup,
+    # rejected), vec 4 orthogonal to everything (accepted), and vec 5 ~
+    # vec 4 (IN-batch near-dup of an accepted vector — min-id survivor
+    # keeps 4, drops 5)
+    b2 = spark.createDataFrame(
+        [(3, _mix(0, 7, 0.995)), (4, _vec(2)), (5, _mix(2, 9, 0.995))],
+        schema,
+    )
+    b2.write.parquet(str(inbox / "b2"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c1")
+    )
+    assert {r.vec_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 4}
+    # index holds exactly the accepted vectors
+    assert {
+        r.id for r in spark.read.parquet(f"{index}/vectors").collect()
+    } == {1, 2, 4}
+
+    # lost checkpoint: everything re-delivers; survivors self-match the
+    # index and the corpus anti-join keeps the zone flat
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c2")
+    )
+    assert spark.read.parquet(corpus).count() == 3
+    assert spark.read.parquet(f"{index}/vectors").count() == 3
+
+
+def test_incremental_embedding_ingest_maintains_ivf(spark, tmp_path):
+    """IVF upkeep inside the ingest loop: enabling ivf_index_path on an
+    already-populated corpus bootstraps from the FULL corpus zone (not
+    the batch), later batches append to the fixed centroids, and the IVF
+    corpus always holds exactly the accepted vector set."""
+    from aws_data_pipeline_spark.streaming.embeddings import (
+        incremental_embedding_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+
+    schema = "vec_id long, embedding array<float>"
+    # batches 1+2 ingested BEFORE IVF exists
+    spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)], schema
+    ).write.parquet(str(inbox / "b1"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c")
+    )
+    # first run WITH ivf enabled: bootstrap covers vectors 0-7 too
+    spark.createDataFrame(
+        [(10, _vec(10)), (11, _vec(11))], schema
+    ).write.parquet(str(inbox / "b2"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf, ivf_cells=4,
+    )
+    got = {
+        r.neighbor_id for r in spark.read.parquet(f"{ivf}/corpus").collect()
+    }
+    assert got == set(range(8)) | {10, 11}
+
+    # a further batch appends to the existing centroids
+    spark.createDataFrame([(20, _vec(20))], schema).write.parquet(
+        str(inbox / "b3")
+    )
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf, ivf_cells=4,
+    )
+    got = {
+        r.neighbor_id for r in spark.read.parquet(f"{ivf}/corpus").collect()
+    }
+    assert got == set(range(8)) | {10, 11, 20}
+    from aws_data_pipeline_spark.operators.similarity import ivf_index_drift
+
+    rows = ivf_index_drift(spark, ivf).collect()
+    assert sum(r.current_n for r in rows) == 11
+    assert sum(r.appended_n for r in rows) == 1  # only vec 20 post-build
