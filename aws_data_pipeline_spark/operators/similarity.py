@@ -519,7 +519,19 @@ def train_ivf_centroids(
         "features", array_to_vector("cv")
     )
     train = c if train_fraction is None else c.sample(train_fraction, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    # Spark 4's block KMeans hard-crashes (AIOOBE in the aggregator) when k
+    # exceeds the training row count OR the distinct-vector count — both
+    # reachable only in the tiny regime (a Bernoulli sample of a small
+    # corpus under-delivers; at real scale the sample is ~1M vectors and
+    # these branches are dead, so their extra counts cost nothing).
+    k = n_cells
+    n_train = train.count()
+    if train_fraction is not None and n_train < 4 * n_cells:
+        train = c
+        n_train = train.count()
+    if n_train < 4 * n_cells:
+        k = max(1, min(k, train.select("cv").distinct().count()))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
     return [[float(x) for x in ctr] for ctr in model.clusterCenters()]
 
 
@@ -1018,3 +1030,55 @@ def compact_embedding_indexes(
             partition_by=("cell",),
         )
     return written
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> dict[str, int]:
+    """Retrain a persisted IVF index's quantizer and rebuild it in place —
+    the endpoint of the append lifecycle: ``build_ivf_index`` →
+    ``append_to_ivf_index``×N → ``ivf_retrain_due`` fires → retrain.
+
+    Trains on the index's OWN materialized vectors (``path/corpus`` holds
+    them), so at 100 TB the retrain never rescans the source corpus — its
+    cost is one corpus-vector materialization, one k-means over a
+    ``train_fraction`` sample, and one reassignment write. ``n_cells``
+    defaults to scaling the built cell count proportionally with realized
+    corpus growth (cells ∝ corpus size keeps per-cell probe cost constant
+    as the index grows); pass it explicitly to override. The rebuild
+    rewrites ``corpus``/``centroids``/``build_stats``, resetting the drift
+    baseline, so ``ivf_retrain_due`` is False immediately after.
+
+    Contract honesty: retrain deliberately does NOT preserve probe
+    identity — moving centroids re-cells vectors (that is the point; see
+    ``append_to_ivf_index``). Exactness is unchanged: a full probe
+    (nprobe = n_cells) equals brute force before and after. Same
+    maintenance-window caveat as ``compact_embedding_indexes``: the
+    static overwrite truncates before committing, so don't serve probes
+    from the index mid-retrain; crash recovery is "re-run the retrain"
+    (the vectors are checkpointed off the files being replaced).
+    """
+    drift = ivf_index_drift(spark, path).collect()
+    built = sum(r.built_n for r in drift)
+    current = sum(r.current_n for r in drift)
+    if n_cells is None:
+        built_cells = len(drift)
+        grown = built_cells if built == 0 else -(-built_cells * current // built)
+        n_cells = max(built_cells, int(grown))
+    # materialize off the files the rebuild overwrites (lineage through the
+    # input files would otherwise race the truncate — compact_zone pattern)
+    vecs = (
+        spark.read.parquet(f"{path}/corpus")
+        .select(
+            F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("embedding")
+        )
+        .localCheckpoint(eager=True)
+    )
+    build_ivf_index(
+        vecs, path, n_cells=n_cells, seed=seed, train_fraction=train_fraction
+    )
+    return {"n_vectors": current, "n_cells": n_cells}

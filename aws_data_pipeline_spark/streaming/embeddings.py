@@ -51,6 +51,7 @@ def incremental_embedding_ingest(
     threshold: float = 0.9,
     ivf_index_path: str | None = None,
     ivf_cells: int = 16,
+    ivf_retrain: bool = False,
 ) -> None:
     """One availableNow run: new embedding files → in-batch semantic dedup
     → index probe → idempotent append of novel vectors to corpus + LSH
@@ -71,6 +72,15 @@ def incremental_embedding_ingest(
 
     vec_ids must be globally unique across batches (upstream contract,
     same as the text loop's doc_ids).
+
+    ``ivf_retrain=True`` adds post-run quantizer maintenance: after the
+    availableNow run drains (this loop is the index's only writer, so
+    post-run IS the maintenance window ``retrain_ivf_index`` requires),
+    ``ivf_retrain_due`` is consulted and, when drift warrants it, the
+    quantizer is rebuilt from the index's own vectors at default
+    thresholds — the embedding twin of the text loop's compaction
+    trigger. Off by default: owners serving probes from the index during
+    ingest runs schedule retrains themselves.
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -149,3 +159,10 @@ def incremental_embedding_ingest(
         .start()
         .awaitTermination()
     )
+    if (
+        ivf_retrain
+        and ivf_index_path is not None
+        and zone_exists(spark, f"{ivf_index_path}/centroids")
+        and similarity.ivf_retrain_due(spark, ivf_index_path)
+    ):
+        similarity.retrain_ivf_index(spark, ivf_index_path, train_fraction=0.5)

@@ -323,3 +323,142 @@ def test_incremental_embedding_ingest_maintains_ivf(spark, tmp_path):
     rows = ivf_index_drift(spark, ivf).collect()
     assert sum(r.current_n for r in rows) == 11
     assert sum(r.appended_n for r in rows) == 1  # only vec 20 post-build
+
+
+def test_ivf_train_tiny_regime_never_crashes(spark):
+    """Spark 4's block KMeans hard-crashes (AIOOBE) when k exceeds the
+    training row count or the distinct-vector count — exactly what a
+    Bernoulli sample of a small corpus can deliver to the IVF bootstrap
+    (the ingest loop trains at train_fraction=0.5 on whatever the corpus
+    holds). train_ivf_centroids must clamp instead: fall back to the full
+    corpus when the sample under-delivers, cap k at the distinct count."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    # 3 distinct vectors, k=4: a 50% sample can land at 0-3 rows
+    tiny = spark.createDataFrame([(i, _vec(i)) for i in range(3)], schema)
+    cents = train_ivf_centroids(tiny, n_cells=4, train_fraction=0.5)
+    assert 1 <= len(cents) <= 3
+    # 6 rows but only 2 distinct vectors, k=4 on the full input
+    dup = spark.createDataFrame(
+        [(i, _vec(i % 2)) for i in range(6)], schema
+    )
+    cents = train_ivf_centroids(dup, n_cells=4)
+    assert 1 <= len(cents) <= 2
+    # healthy regime unaffected: enough distinct vectors keeps k as asked
+    ok = spark.createDataFrame([(i, _vec(i)) for i in range(20)], schema)
+    assert len(train_ivf_centroids(ok, n_cells=4)) == 4
+
+
+def test_ivf_retrain_resets_drift_and_keeps_exactness(spark, sf_dir, tmp_path):
+    """Retraining rebuilds the quantizer from the index's own vectors:
+    every indexed vector survives, the drift baseline resets (retrain_due
+    goes False again), the cell count scales with realized growth, and a
+    full probe (nprobe = n_cells) stays exactly equal to brute force —
+    the invariant centroid placement cannot break."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        retrain_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus0 = e.filter(F.col("vec_id") % 3 != 0)
+    batch = e.filter(F.col("vec_id") % 3 == 0)  # ~50% growth
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus0, idx, n_cells=4, seed=42, train_fraction=0.5)
+    append_to_ivf_index(spark, batch, idx)
+    assert ivf_retrain_due(spark, idx, max_total_growth=1.2)
+
+    ids_before = {
+        r.neighbor_id
+        for r in spark.read.parquet(f"{idx}/corpus").select("neighbor_id").collect()
+    }
+    stats = retrain_ivf_index(spark, idx, train_fraction=0.5)
+    assert stats["n_vectors"] == len(ids_before)
+    # default n_cells scales with realized growth: ceil(4 * current/built)
+    assert stats["n_cells"] == -(-4 * len(ids_before) // corpus0.count())
+    assert spark.read.parquet(f"{idx}/centroids").count() == stats["n_cells"]
+
+    # every vector survives the rebuild, none invented
+    ids_after = {
+        r.neighbor_id
+        for r in spark.read.parquet(f"{idx}/corpus").select("neighbor_id").collect()
+    }
+    assert ids_after == ids_before
+
+    # drift baseline reset: the rebuild IS the new build
+    rows = ivf_index_drift(spark, idx).collect()
+    assert all(r.built_n == r.current_n and r.appended_n == 0 for r in rows)
+    assert not ivf_retrain_due(spark, idx, max_total_growth=1.01)
+
+    # full probe == exact search, independent of where the centroids moved
+    queries = e.filter(F.col("vec_id") % 97 == 1)
+    full_corpus = spark.read.parquet(f"{idx}/corpus").select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk_indexed(
+            spark, queries, idx, k=3, nprobe=stats["n_cells"]
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(queries, full_corpus, k=3).collect()
+    }
+    assert got == want
+
+
+def test_ingest_post_run_ivf_retrain_trigger(spark, tmp_path):
+    """ivf_retrain=True makes the ingest loop consult ivf_retrain_due
+    after the availableNow run drains and rebuild the quantizer when
+    growth warrants it — default thresholds, so a small append leaves the
+    index alone and a >1.5x growth run retrains (drift baseline resets,
+    every accepted vector survives the rebuild)."""
+    from aws_data_pipeline_spark.streaming.embeddings import (
+        incremental_embedding_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+    schema = "vec_id long, embedding array<float>"
+
+    spark.createDataFrame(
+        [(i, _vec(i)) for i in range(10)], schema
+    ).write.parquet(str(inbox / "b1"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf, ivf_cells=4, ivf_retrain=True,
+    )
+
+    # small append (+1 vector, 1.1x): retrain_due is False — untouched
+    spark.createDataFrame([(20, _vec(20))], schema).write.parquet(
+        str(inbox / "b2")
+    )
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf, ivf_cells=4, ivf_retrain=True,
+    )
+    rows = ivf_index_drift(spark, ivf).collect()
+    assert sum(r.appended_n for r in rows) == 1
+
+    # big append (+12 vectors, >1.5x total growth): post-run retrain fires
+    spark.createDataFrame(
+        [(30 + i, _vec(30 + i)) for i in range(12)], schema
+    ).write.parquet(str(inbox / "b3"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf, ivf_cells=4, ivf_retrain=True,
+    )
+    rows = ivf_index_drift(spark, ivf).collect()
+    assert all(r.built_n == r.current_n and r.appended_n == 0 for r in rows)
+    assert sum(r.current_n for r in rows) == 23
+    got = {
+        r.neighbor_id for r in spark.read.parquet(f"{ivf}/corpus").collect()
+    }
+    assert got == set(range(10)) | {20} | {30 + i for i in range(12)}
