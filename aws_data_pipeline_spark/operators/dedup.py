@@ -595,9 +595,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
             )
             yield pd.DataFrame({"doc": pdf[id_col].to_numpy(), "simhash": vals})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        batches, schema=_SIMHASH_SCHEMA
+    from aws_data_pipeline_spark.operators import widen_narrow_input
+
+    src = widen_narrow_input(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col))
     )
+    return src.mapInPandas(batches, schema=_SIMHASH_SCHEMA)
 
 
 def simhash_pairs(

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from aws_data_pipeline_spark.operators import widen_narrow_input
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -101,7 +103,7 @@ def decode_features(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return widen_narrow_input(df).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -149,7 +151,7 @@ def resize_images(df: DataFrame, width: int = 4, height: int = 2) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return widen_narrow_input(df).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 FRAMES_SCHEMA = T.StructType(
@@ -184,7 +186,7 @@ def sample_frames(
                     frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+    return widen_narrow_input(df).mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
 # import-probed at module load: decode_real lights up automatically in an
@@ -250,4 +252,4 @@ def decode_real(df: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+    return widen_narrow_input(df).mapInPandas(run, schema=DECODED_SCHEMA)

@@ -145,6 +145,27 @@ def choose_lsh_params(
     return r, b
 
 
+def choose_ivf_train_fraction(
+    n_vectors: int,
+    n_cells: int,
+    target_per_cell: int = 256,
+    cap: int = 1_000_000,
+) -> float:
+    """Training-sample rule for the IVF coarse quantizer — the docstring
+    advice of :func:`train_ivf_centroids` ("at 100 TB you train on ~1M
+    sampled vectors, never the full corpus") as code. KMeans centroid
+    quality saturates around a few hundred training vectors per cell, so
+    the target set is ``n_cells * target_per_cell`` capped at ``cap``;
+    the returned fraction delivers that in expectation from an
+    ``n_vectors`` corpus. Small corpora get 1.0 (train on everything —
+    also sidesteps Bernoulli under-sampling, see train_ivf_centroids'
+    tiny-regime clamp)."""
+    if n_vectors <= 0:
+        raise ValueError("n_vectors must be positive")
+    want = min(max(n_cells * target_per_cell, 1), cap)
+    return 1.0 if n_vectors <= want else want / n_vectors
+
+
 def _band_codes(
     v: DataFrame, bands: int, rows_per_band: int, dim: int, seed: int
 ) -> DataFrame:
@@ -199,7 +220,11 @@ def _band_codes(
                 }
             )
 
-    return v.mapInPandas(compute_codes, schema=f"id {id_type}, band int, code long")
+    from aws_data_pipeline_spark.operators import widen_narrow_input
+
+    return widen_narrow_input(v).mapInPandas(
+        compute_codes, schema=f"id {id_type}, band int, code long"
+    )
 
 
 def neardup_pairs_lsh(
@@ -1049,7 +1074,10 @@ def retrain_ivf_index(
     ``train_fraction`` sample, and one reassignment write. ``n_cells``
     defaults to scaling the built cell count proportionally with realized
     corpus growth (cells ∝ corpus size keeps per-cell probe cost constant
-    as the index grows); pass it explicitly to override. The rebuild
+    as the index grows); ``train_fraction`` defaults to
+    :func:`choose_ivf_train_fraction` over the index's own vector count
+    (~256·k training vectors, capped at 1M — never a full-corpus fit at
+    scale); pass either explicitly to override. The rebuild
     rewrites ``corpus``/``centroids``/``build_stats``, resetting the drift
     baseline, so ``ivf_retrain_due`` is False immediately after.
 
@@ -1065,10 +1093,16 @@ def retrain_ivf_index(
     drift = ivf_index_drift(spark, path).collect()
     built = sum(r.built_n for r in drift)
     current = sum(r.current_n for r in drift)
+    if current == 0:
+        raise ValueError(f"retrain_ivf_index: no vectors in index at {path}")
     if n_cells is None:
         built_cells = len(drift)
         grown = built_cells if built == 0 else -(-built_cells * current // built)
         n_cells = max(built_cells, int(grown))
+    if train_fraction is None:
+        # the drift rows already told us the corpus size — derive the
+        # scale-honest sample instead of defaulting to a full-corpus fit
+        train_fraction = choose_ivf_train_fraction(current, n_cells)
     # materialize off the files the rebuild overwrites (lineage through the
     # input files would otherwise race the truncate — compact_zone pattern)
     vecs = (

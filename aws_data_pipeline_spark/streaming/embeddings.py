@@ -140,12 +140,15 @@ def incremental_embedding_ingest(
                 similarity.append_to_ivf_index(sess, accepted, ivf_index_path)
             else:
                 full = sess.read.parquet(corpus_path)
-                if not full.isEmpty():
+                n_full = full.count()  # metadata-only on parquet
+                if n_full > 0:
                     similarity.build_ivf_index(
                         full,
                         ivf_index_path,
                         n_cells=ivf_cells,
-                        train_fraction=0.5,
+                        train_fraction=similarity.choose_ivf_train_fraction(
+                            n_full, ivf_cells
+                        ),
                     )
 
     (
@@ -165,4 +168,4 @@ def incremental_embedding_ingest(
         and zone_exists(spark, f"{ivf_index_path}/centroids")
         and similarity.ivf_retrain_due(spark, ivf_index_path)
     ):
-        similarity.retrain_ivf_index(spark, ivf_index_path, train_fraction=0.5)
+        similarity.retrain_ivf_index(spark, ivf_index_path)

@@ -352,6 +352,28 @@ def test_ivf_train_tiny_regime_never_crashes(spark):
     assert len(train_ivf_centroids(ok, n_cells=4)) == 4
 
 
+def test_choose_ivf_train_fraction_scale_rule():
+    """~256 training vectors per cell, capped at 1M, full corpus when
+    small — the quantizer-training twin of choose_lsh_params: the scale
+    rule as code. At 100 TB (billions of vectors) the fraction must land
+    the sample at the cap, never a full-corpus KMeans fit."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        choose_ivf_train_fraction,
+    )
+
+    assert choose_ivf_train_fraction(100, 16) == 1.0  # tiny: everything
+    # 10M vectors, 1024 cells: want 256*1024 = 262144 of 10M
+    f = choose_ivf_train_fraction(10_000_000, 1024)
+    assert abs(f * 10_000_000 - 262_144) < 1
+    # 2B vectors, 65536 cells: the 1M cap binds
+    f = choose_ivf_train_fraction(2_000_000_000, 65_536)
+    assert abs(f * 2_000_000_000 - 1_000_000) < 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_ivf_train_fraction(0, 16)
+
+
 def test_ivf_retrain_resets_drift_and_keeps_exactness(spark, sf_dir, tmp_path):
     """Retraining rebuilds the quantizer from the index's own vectors:
     every indexed vector survives, the drift baseline resets (retrain_due
