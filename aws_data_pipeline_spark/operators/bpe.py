@@ -40,6 +40,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aws_data_pipeline_spark.operators import widen_narrow_input
+
 WORD_RE = "^[a-z]+$"
 END_MARK = "</w>"
 
@@ -49,7 +51,7 @@ _CHECKPOINT_EVERY = 4
 
 def _corpus_words(df: DataFrame, text_col: str) -> DataFrame:
     toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
-    return df.select(toks).filter(F.col("word").rlike(WORD_RE))
+    return widen_narrow_input(df).select(toks).filter(F.col("word").rlike(WORD_RE))
 
 
 def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -226,7 +228,7 @@ def bpe_token_counts(
     trained on) are encoded for real — their distinct types run the same
     merge-fold rounds the trainer uses — not silently dropped. Documents
     with zero spec-words are absent (nothing to encode)."""
-    words = df.select(
+    words = widen_narrow_input(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
     ).filter(F.col("word").rlike(WORD_RE))

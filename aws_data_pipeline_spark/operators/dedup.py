@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_data_pipeline_spark.functions.portable import md5_prefix_long
+from aws_data_pipeline_spark.operators import widen_narrow_input
 from aws_data_pipeline_spark.operators.text import hashed_shingles, shingles, tokens
 
 # Fixed universal-hash parameters: h_i(s) = (a_i * x + b_i) mod M, where
@@ -59,7 +60,7 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     # materialize the token array in its own projection first: referencing
     # split() from inside the shingle HOF lambda re-evaluates it per element
     # (O(L^2) per doc; measured 4x on sf0.1)
-    return df.withColumn("__t", tokens(F.col(text_col))).select(
+    return widen_narrow_input(df).withColumn("__t", tokens(F.col(text_col))).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(F.col("__t"), k)).alias("shingle"),
     )
@@ -78,7 +79,7 @@ def shingle_sets(
     passes, and it wins whenever the pipeline reuses the sets (measured 2x
     end-to-end on minhash_lsh_pairs at sf0.1).
     """
-    sets = df.withColumn("__t", tokens(F.col(text_col))).select(
+    sets = widen_narrow_input(df).withColumn("__t", tokens(F.col(text_col))).select(
         F.col(id_col).alias("doc"), shingles(F.col("__t"), k).alias("sh")
     )
     return sets.cache() if persist else sets
@@ -194,7 +195,8 @@ def source_overlap(
     order-independent.
     """
     grams = (
-        df.withColumn("__t", tokens(F.col(text_col)))
+        widen_narrow_input(df)
+        .withColumn("__t", tokens(F.col(text_col)))
         .select(
             F.col(source_col).alias("source"),
             F.explode(hashed_shingles(F.col("__t"), k)).alias("g"),
@@ -595,8 +597,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
             )
             yield pd.DataFrame({"doc": pdf[id_col].to_numpy(), "simhash": vals})
 
-    from aws_data_pipeline_spark.operators import widen_narrow_input
-
     src = widen_narrow_input(
         df.select(F.col(id_col).alias(id_col), F.col(text_col))
     )
@@ -904,7 +904,7 @@ def line_dedup(
     ``\\Q...\\E``-quoted): sentence-level dedup with ``sep='.'`` splits on
     the dot, not on every character.
     """
-    lines = df.select(
+    lines = widen_narrow_input(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(
             F.split(F.col(text_col), "\\Q" + sep + "\\E")
@@ -1014,6 +1014,10 @@ def duplicate_spans(
     parallel, against an un-capped formulation whose worst case is a
     single partition sorting the hottest hash's entire occurrence list.
     """
+    # widen BEFORE the tokenize+explode: a single-file scan would run the
+    # whole rolling-hash stage (the dominant per-row cost) on one core
+    # until the window exchange — measured 2.4x end-to-end at sf0.1
+    df = widen_narrow_input(df)
     toks = tokens(F.col(text_col))
     wins = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1114,7 +1118,8 @@ def build_kgram_index(
     spark = df.sparkSession
     n_docs = df.count()
     (
-        df.select(
+        widen_narrow_input(df)
+        .select(
             F.explode(
                 _positional_window_hashes(tokens(F.col(text_col)), k)
             ).alias("h")
@@ -1139,7 +1144,8 @@ def append_to_kgram_index(
     spark = df.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     new_h = (
-        df.select(
+        widen_narrow_input(df)
+        .select(
             F.explode(
                 _positional_window_hashes(tokens(F.col(text_col)), meta.k)
             ).alias("h")
@@ -1177,7 +1183,7 @@ def duplicate_spans_against_index(
     ingest-sized, so the uncapped window is the right default here)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     k = meta.k
-    wins = new_df.select(
+    wins = widen_narrow_input(new_df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             _positional_window_hashes(tokens(F.col(text_col)), k)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aws_data_pipeline_spark.operators import widen_narrow_input
+
 # Small per-language stopword profiles for the language-ID heuristic.
 # (Real profiles would be larger; the mechanism — per-language token-match
 # scoring + argmax — is what the operator demonstrates.)
@@ -210,7 +212,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    toks = widen_narrow_input(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -334,7 +336,8 @@ def decontaminate(
     # referenced inside the HOF lambda re-evaluates per element (O(L^2)).
     t = F.col("__t")
     train_grams = (
-        train.withColumn("__t", tokens(F.col(text_col)))
+        widen_narrow_input(train)
+        .withColumn("__t", tokens(F.col(text_col)))
         .select(F.col(id_col), F.explode_outer(hashed_shingles(t, n)).alias("ng"))
     )
     bench_grams = (
@@ -435,7 +438,7 @@ def unigram_logprob(
     broadcasts while it fits, shuffle-joins beyond), the tfidf df-table
     rule. Shuffles carry (token, count) and (doc, unit-sum) rows only.
     """
-    toks = df.select(
+    toks = widen_narrow_input(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     if persist:
@@ -515,14 +518,15 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    wide = widen_narrow_input(df)
     bg = (
-        df.select(
+        wide.select(
             F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__t")
         )
         .select("doc", F.explode(pair).alias("b"))
         .select("doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    uni = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni = wide.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     if persist:
         # feeds the two count tables AND the per-doc fold (same trade as
         # unigram_logprob's token frame)
