@@ -27,6 +27,15 @@ The JSON carries a per-query
 median from a noisy one before crying regression — compare min-vs-min
 across rounds for the least-noise view. Set BENCH_COLD=1 to time first
 executions instead (single rep).
+
+Terminal-action note (measured): the noop V2 write carries ~0.3-0.4 s
+per-execution overhead at this SF vs a ``count()`` — but ``count()`` lets
+Catalyst PRUNE computed output columns (a q1 count skips the eight decimal
+aggregates entirely), so it under-times any query whose cost lives in its
+projection. The noop write materializes every output column and is the
+action every prior round used — honest and round-over-round comparable;
+ad-hoc count() timings will read faster than these numbers for that
+reason, not because the plan changed.
 """
 
 from __future__ import annotations
