@@ -251,7 +251,10 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running lifetime value per customer — cumulative decimal-exact sum."""
+    """Running lifetime value per customer — cumulative decimal-exact sum.
+
+    Demoted (r5 consolidation): driver signal carried by trailing_30d_customer_spend (window frames incl. running sums).
+    """
     o = T(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
@@ -280,7 +283,10 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() delta: days since the customer's previous order (null first)."""
+    """lag() delta: days since the customer's previous order (null first).
+
+    Demoted (r5 consolidation): driver signal carried by order_sequence_windows (lag/lead over the same ordering).
+    """
     o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
     out = windows.lag_delta_days(
         o,
@@ -356,7 +362,10 @@ def order_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ordered limit — Spark plans TakeOrderedAndProject (per-partition
-    top-N + driver merge of N), never a full sort at scale."""
+    top-N + driver merge of N), never a full sort at scale.
+
+    Demoted (r5 consolidation): driver signal carried by topk_orders_per_customer (sort/limit/top-k family).
+    """
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(10)
 

@@ -90,7 +90,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 perms) + 4-band LSH candidates, verified with exact
     Jaccard >= 0.8. Exact precision / LSH recall — no SQL oracle by nature;
-    tests/test_llm.py checks it finds exactly the exact-Jaccard pairs here."""
+    tests/test_llm.py checks it finds exactly the exact-Jaccard pairs here.
+
+    Demoted (r5 consolidation): driver signal carried by minhash_lsh_dedup_portable (md5 twin, full SQL-replayed signatures).
+    """
     d = T(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, "doc_id", k=5, num_perm=16, bands=4, threshold=0.8)
 
@@ -188,7 +191,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection (suffix-array dedup family, Lee et
     al. 2021): maximal token spans whose every 8-gram window occurs more
     than once in the corpus. One explode + one hash groupBy + one semi-join
-    — no suffix array, no pairwise expansion."""
+    — no suffix array, no pairwise expansion.
+
+    Demoted (r5 consolidation): driver signal carried by duplicate_span_stats (per-doc rollup of the same spans).
+    """
     d = T(spark, sf_dir, "documents")
     return dedup.duplicate_spans(d, "doc_id", k=8)
 
@@ -1176,7 +1182,10 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split (98/1/1-style splits are
     the LLM norm; 80/10/10 here) — per-(split, lang) doc counts. Rows-only:
     the xxhash64 bucketing has no DuckDB twin; pytest asserts determinism,
-    disjoint coverage, and fraction tolerance."""
+    disjoint coverage, and fraction tolerance.
+
+    Demoted (r5 consolidation): driver signal carried by dataset_split_assignments_portable (per-doc membership, md5 twin).
+    """
     from aws_data_pipeline_spark.operators import sampling
 
     d = T(spark, sf_dir, "documents")
@@ -1261,7 +1270,10 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free deterministic stratified sample (50% en, 10% others) —
     per-lang kept counts. Stable under repartitioning, unlike sampleBy; the
     default fraction covers unlisted strata as a row-local expression, so no
-    driver-side lang enumeration happens in the query path."""
+    driver-side lang enumeration happens in the query path.
+
+    Demoted (r5 consolidation): driver signal carried by stratified_sample_assignments_portable (per-doc membership, md5 twin).
+    """
     from aws_data_pipeline_spark.operators import sampling
 
     d = T(spark, sf_dir, "documents")
@@ -1298,7 +1310,10 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pipeline (quality gate -> exact dedup -> MinHash-LSH
     fuzzy dedup -> deterministic 98/1/1 split) reduced to per-(split, lang)
     counts. Rows-only (LSH inside); end-to-end invariants in
-    tests/test_curation.py."""
+    tests/test_curation.py.
+
+    Demoted (r5 consolidation): driver signal carried by curated_corpus_portable (whole-chain md5 twin).
+    """
     from aws_data_pipeline_spark.pipeline.curation import CurationConfig, curate
 
     d = T(spark, sf_dir, "documents")

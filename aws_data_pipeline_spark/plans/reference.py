@@ -42,7 +42,10 @@ from aws_data_pipeline_spark.plans.common import T, davg_sql, dsum_sql
 )
 def normalize_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 (reference bronze_to_silver.py:123-126): cast-normalize to the
-    silver transaction shape."""
+    silver transaction shape.
+
+    Demoted (r5 consolidation): driver signal carried by silver_projection (the composed P1-P8 chain).
+    """
     o = T(spark, sf_dir, "orders")
     out = cleanse.normalize_types(o, casts={"o_totalprice": "double"})
     return out.select(
@@ -95,7 +98,10 @@ def filter_valid_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4+P5 (reference bronze_to_silver.py:44-45): lit quality score +
     processing timestamp; the clock is injectable so the plan stays
-    deterministic (the pipeline uses current_timestamp())."""
+    deterministic (the pipeline uses current_timestamp()).
+
+    Demoted (r5 consolidation): driver signal carried by silver_projection (the composed P1-P8 chain).
+    """
     o = T(spark, sf_dir, "orders").select("o_orderkey")
     return derive.add_audit_columns(
         o, clock=F.lit("2026-01-01 00:00:00").cast("timestamp")
@@ -119,7 +125,10 @@ def audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def derive_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (reference bronze_to_silver.py:57-60): year/month/day/hour parts —
-    also the silver partition keys."""
+    also the silver partition keys.
+
+    Demoted (r5 consolidation): driver signal carried by silver_projection (the composed P1-P8 chain).
+    """
     o = T(spark, sf_dir, "orders")
     return derive.add_date_parts(o, "o_orderdate").select(
         "o_orderkey", "year", "month", "day", "hour"
@@ -142,7 +151,10 @@ def derive_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def amount_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 (reference bronze_to_silver.py:62-65): strict-< bucket thresholds,
-    scaled to the o_totalprice domain."""
+    scaled to the o_totalprice domain.
+
+    Demoted (r5 consolidation): driver signal carried by silver_projection (the composed P1-P8 chain).
+    """
     o = T(spark, sf_dir, "orders")
     return derive.add_amount_category(
         o, "o_totalprice", small_max=100_000.0, medium_max=300_000.0
@@ -172,7 +184,10 @@ def amount_category(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def whole_number_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 (reference bronze_to_silver.py:67-69): whole_number iff the double
-    equals its long truncation (positive domain, so trunc == cast-to-long)."""
+    equals its long truncation (positive domain, so trunc == cast-to-long).
+
+    Demoted (r5 consolidation): driver signal carried by silver_projection (the composed P1-P8 chain).
+    """
     o = T(spark, sf_dir, "orders")
     return derive.add_type_derived(o, "o_totalprice").select(
         "o_orderkey", "o_totalprice", "transaction_type_derived"
@@ -339,7 +354,10 @@ def daily_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def monthly_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (reference silver_to_gold.py:38-50): same bundle at month grain."""
+    """A4 (reference silver_to_gold.py:38-50): same bundle at month grain.
+
+    Demoted (r5 consolidation): driver signal carried by multi_grain_rollup_hierarchical (month grain included).
+    """
     o = derive.add_date_parts(T(spark, sf_dir, "orders"), "o_orderdate")
     out = agg_ops.aggregate_transactions(
         o,
@@ -473,7 +491,10 @@ MULTI_GRAIN_SQL = f"""
 def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §4.2-2: daily+monthly+yearly+lifetime grains in ONE scan via
     GROUPING SETS, replacing the reference's three independent scans of
-    silver (silver_to_gold.py:126-128)."""
+    silver (silver_to_gold.py:126-128).
+
+    Demoted (r5 consolidation): driver signal carried by multi_grain_rollup_hierarchical (same grains, fewer shuffles).
+    """
     o = derive.add_date_parts(T(spark, sf_dir, "orders"), "o_orderdate")
     return agg_ops.multi_grain_rollup(
         o, "o_custkey", "o_totalprice", "o_orderkey"
