@@ -28,6 +28,12 @@ def widen_narrow_input(df: DataFrame) -> DataFrame:
     per-bucket deterministic values, so output VALUES are independent of
     the partitioning (pinned by scripts/partition_sweep.py).
     """
+    if df.isStreaming:
+        # partition inspection (.rdd) is undefined on a streaming frame;
+        # micro-batch parallelism is the source's trigger sizing anyway.
+        # Operators applied inside foreachBatch see plain batch frames
+        # and widen normally.
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

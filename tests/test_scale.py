@@ -64,6 +64,13 @@ def test_widen_narrow_input_parallelizes_arrow_stages(spark, sf_dir):
     got = {(r.doc, r.simhash) for r in simhash(one, "doc_id").collect()}
     want = {(r.doc, r.simhash) for r in simhash(docs, "doc_id").collect()}
     assert got == want
+    # a streaming frame has no .rdd to inspect — widen must pass it
+    # through untouched instead of raising mid-operator
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(f"{sf_dir}/documents.parquet")
+    )
+    assert widen_narrow_input(stream) is stream
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
