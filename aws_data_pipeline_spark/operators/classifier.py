@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.functions.portable import md5_prefix_long
+from aws_data_pipeline_spark.operators import widen_narrow_input
 from aws_data_pipeline_spark.operators.text import tokens
 
 
@@ -56,7 +57,8 @@ def bucket_count_features(
 
     bucket = F.pmod(md5_prefix_long(F.col("tok")), F.lit(n_buckets))
     counts = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        widen_narrow_input(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
         .select(id_col, bucket.alias("bucket"))
         .groupBy(id_col, "bucket")

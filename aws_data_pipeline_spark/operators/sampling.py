@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.functions.portable import md5_prefix_long
+from aws_data_pipeline_spark.operators import widen_narrow_input
 
 
 def _hash_bucket(id_col: str, seed: str, hash_fn: str) -> Column:
@@ -156,7 +157,7 @@ def vocabulary(
     """Corpus vocabulary with counts: explode lowercased whitespace tokens,
     one partial-aggregated shuffle on token. ``top_k`` ranks by (count desc,
     token) for a deterministic cut."""
-    toks = df.select(
+    toks = widen_narrow_input(df).select(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("token_count"))
@@ -181,7 +182,7 @@ def heavy_hitters(
     partition instead of shuffling the full token-count table (which at
     100 TB has billions of distinct entries). Error is bounded by
     ``max_items_tracked``; tests bound it against the exact counts."""
-    toks = df.select(
+    toks = widen_narrow_input(df).select(
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
     ).filter(F.col("token") != "")
     sk = toks.agg(
@@ -427,7 +428,7 @@ def dsir_log_weights(
     from aws_data_pipeline_spark.operators.text import tokens
 
     bucket = F.pmod(md5_prefix_long(F.col("tok")), F.lit(n_buckets))
-    bk = df.select(
+    bk = widen_narrow_input(df).select(
         F.col(id_col).alias("doc"),
         is_target.alias("__t"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
