@@ -1,0 +1,112 @@
+"""Audit the driver-signal staleness promise against the window plan.
+
+The registry order IS the driver's check order, and the driver grades the
+first 50 entries each round. The standing promise (r5 consolidation): every
+ORACLED query's latest driver signal is at most one round old — two
+50-slot windows cover the 100 oracled entries, so each must appear in
+every OTHER round's window. Rows-only entries cycle at lower priority but
+must never be signal-less forever.
+
+This script replays the recorded history (CORRECTNESS_r*.json) plus the
+CURRENT registry order and reports, assuming the next round grades slots
+1-50 as planned:
+
+- any oracled query whose latest signal would then be 2+ rounds old
+  (promise breach — it needed a seat in the upcoming window);
+- any registered query with NO driver signal in any round (must be seated
+  per the first-signal-outranks-refresh rule);
+- the seat arithmetic for the round after next (how many displaced
+  oracled entries the following window must lead with).
+
+Usage: python scripts/staleness_audit.py   (exit 1 on a promise breach)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+def main() -> int:
+    os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+    sys.path.insert(0, ".")
+    from aws_data_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    order = list(reg)
+
+    latest: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        rounds.append(rnd)
+        for name, res in json.load(open(path)).items():
+            hard_fail = res.get("err") not in (None, "no_oracle")
+            if not hard_fail:
+                latest[name] = max(latest.get(name, 0), rnd)
+    if not rounds:
+        print("no CORRECTNESS_r*.json history; nothing to audit")
+        return 0
+    last_round = max(rounds)
+    next_round = last_round + 1
+    window = set(order[:50])
+
+    breaches = []
+    displaced_ok = []
+    never = []
+    for name, q in reg.items():
+        seen = latest.get(name)
+        if seen is None:
+            never.append(name)
+            continue
+        if q.sql is None:
+            continue  # rows-only: weaker cadence by documented policy
+        # after the next round runs: in-window entries refresh to
+        # next_round; everything else keeps its current signal
+        signal = next_round if name in window else seen
+        if next_round - signal < 2:
+            continue
+        # the documented bounded exception: an entry displaced past slot
+        # 50 by a rows-only seat may go exactly 2 rounds stale IFF it is
+        # pre-wired to LEAD the following round's window (sits directly
+        # after slot 50, before any fresher entry)
+        idx = order.index(name)
+        if next_round - signal == 2 and 50 <= idx < 60:
+            displaced_ok.append((name, seen, idx + 1))
+        else:
+            breaches.append((name, seen))
+
+    print(
+        f"history: rounds {min(rounds)}-{last_round}; simulating round "
+        f"{next_round} over the current 50-slot window"
+    )
+    if never:
+        oracled = [n for n in never if reg[n].sql is not None]
+        rows_only = [n for n in never if reg[n].sql is None]
+        seated = [n for n in never if n in window]
+        print(
+            f"no-signal-yet: {len(never)} "
+            f"(oracled {oracled or '[]'}, rows-only {rows_only or '[]'}; "
+            f"seated in the upcoming window: {seated or '[]'})"
+        )
+    if displaced_ok:
+        print(
+            f"bounded displacement (documented exception — these sit at "
+            f"slots 51-60 and MUST lead round {next_round + 1}'s window):"
+        )
+        for name, seen, slot in displaced_ok:
+            print(f"  slot {slot:3d}  {name:42s} latest signal r{seen}")
+    if breaches:
+        print(f"PROMISE BREACH after round {next_round}:")
+        for name, seen in sorted(breaches, key=lambda x: x[1]):
+            print(f"  {name:42s} latest signal r{seen}")
+        return 1
+    print("staleness promise holds for the planned window")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
