@@ -3,7 +3,8 @@
 Runs (in order, cheapest first):
 1. registry invariants — 110 registered, exactly 100 oracled (the driver
    window math), every DEMOTED entry carrying a named driver-signal
-   carrier note, no row-at-a-time ``F.udf`` anywhere in the package;
+   carrier note, no row-at-a-time ``F.udf`` anywhere in the package, and
+   the window-staleness promise (scripts/staleness_audit.py);
 2. the driver's next CORRECTNESS window (scripts/window_check.py) at
    sf0.01 — default the 50-slot window, ``--full`` for all 110;
 3. the bench (bench.py at $SPARK_GRAFT_SF_DIR) compared against the
@@ -63,6 +64,16 @@ def check_no_row_udf() -> None:
     print("udf ok: zero row-at-a-time F.udf sites")
 
 
+def run_staleness() -> None:
+    r = subprocess.run(
+        [sys.executable, "scripts/staleness_audit.py"],
+        stderr=subprocess.DEVNULL,
+    )
+    if r.returncode != 0:
+        fail("staleness promise breach (see scripts/staleness_audit.py)")
+    print("staleness ok: window plan keeps every oracled signal <=1 round old")
+
+
 def run_window(full: bool) -> None:
     n = "110" if full else "50"
     r = subprocess.run(
@@ -101,6 +112,7 @@ def main() -> int:
     full = "--full" in sys.argv
     check_registry()
     check_no_row_udf()
+    run_staleness()
     run_window(full)
     if "--skip-bench" not in sys.argv:
         run_bench_compare()
