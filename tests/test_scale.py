@@ -376,3 +376,71 @@ def test_hot_hash_cap_near_linear_on_boilerplate_corpus(spark):
     # real volume, and stable against sandbox scheduler noise.
     assert shuf_a <= 2.0 * shuf_c, (shuf_a, shuf_c)
     assert wall_a <= 3.0 * wall_c, (wall_a, wall_c)
+
+
+def test_jaccard_hot_shingle_cap_near_linear_on_boilerplate_corpus(spark):
+    """The max_bucket guard at adversarial volume — the jaccard sibling of
+    the duplicate-spans hot-hash test above: 20k docs where ONE 5-gram
+    sits in 60% of documents. Uncapped, that shingle's bucket would
+    materialize a 12k-doc array row and an O(12k^2) pair expansion on one
+    task; capped, it drops like a stopword (with the kept-universe
+    intersection/union adjustment, so planted identical pairs still score
+    1.0) and cost stays a bounded constant factor over a clean corpus of
+    identical size instead of exploding with the bucket. The toy
+    cap-semantics tests pin correctness; this pins the SCALE claim."""
+    import sys
+    import time
+
+    sys.path.insert(0, ".")
+    from scripts.shuffle_audit import audit
+
+    from aws_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    n = 20_000
+    # paired docs (id % 1000 < 2) share their WHOLE tail via id div 2;
+    # boilerplate carriers (id % 5 < 3) prepend the same hot 5-gram —
+    # every planted pair has matching carrier status, so the pair's texts
+    # are byte-identical and kept-universe jaccard is exactly 1.0
+    tail = (
+        "array_join(transform(sequence(1, 50), "
+        "i -> concat(case when id % 1000 < 2 "
+        "then concat('p', cast(id div 2 as string)) "
+        "else concat('u', cast(id as string)) end, 'x', i)), ' ')"
+    )
+    boiler = " ".join(f"boiler{i}" for i in range(5))
+    adversarial = spark.range(n).selectExpr(
+        "id as doc_id",
+        f"case when id % 5 < 3 then concat('{boiler} ', {tail}) "
+        f"else {tail} end as text",
+    )
+    clean = spark.range(n).selectExpr("id as doc_id", f"{tail} as text")
+    expected = {
+        (i, i + 1) for i in range(0, n, 1000)
+    }
+
+    def measure(df):
+        pairs = jaccard_pairs(df, "doc_id", threshold=0.8, max_bucket=1000)
+        t0 = time.perf_counter()
+        rows = {(r.doc1, r.doc2) for r in pairs.collect()}
+        wall = time.perf_counter() - t0
+        return rows, wall, audit(pairs)["shuffle_bytes"]
+
+    measure(clean)  # warm-up off the clock
+    rows_c, wall_c, shuf_c = measure(clean)
+    rows_a, wall_a, shuf_a = measure(adversarial)
+
+    assert rows_c == expected
+    assert rows_a == expected
+    # the uncapped formulation would expand the hot bucket into
+    # C(12k, 2) ≈ 72M ordered pairs (~GBs through one task); capped, the
+    # adversarial side adds only the hot-adjustment joins — assert an
+    # absolute ceiling three orders of magnitude under the blowup rather
+    # than a ratio (the cached bucket frame makes the clean baseline's
+    # measured shuffle a few KB, so ratios degenerate)
+    assert shuf_a <= 16 * 1024 * 1024, shuf_a
+    # wall: the adversarial premium is the hot-count + kept-universe
+    # adjustment joins — measured ~3.2x over the (very fast, all-cached)
+    # clean baseline and CONSTANT-factor in corpus size, vs the
+    # O(bucket^2) cliff uncapped. Floor guards sub-second baselines
+    # against sandbox scheduler noise.
+    assert wall_a <= max(6.0 * wall_c, 5.0), (wall_a, wall_c)
