@@ -541,3 +541,42 @@ def test_sessionize_subsecond_gap_boundaries(spark):
             want[eid] = (u, sid)
             prev = ts
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # source
+            st.integers(min_value=1, max_value=12),  # token count
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    max_tokens=st.integers(min_value=4, max_value=20),
+)
+@_SETTINGS
+def test_pack_sequences_matches_python_model(spark, docs, max_tokens):
+    """pack_sequences (training-pack assignment by cumulative start offset)
+    against a direct Python fold: per source, docs concatenated in id
+    order, a doc belongs to the pack containing its START token — for any
+    corpus shape and budget, not just the oracle fixture."""
+    from aws_data_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (i, f"s{src}", " ".join(f"t{i}w{j}" for j in range(n)))
+        for i, (src, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    model = {}
+    cum = {}
+    for i, (src, n) in enumerate(docs):  # ids ascend with i
+        start = cum.get(src, 0)
+        model[i] = (f"s{src}", n, start // max_tokens)
+        cum[src] = start + n
+
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.pack_id)
+        for r in pack_sequences(df, max_tokens=max_tokens).collect()
+    }
+    assert got == model
