@@ -580,3 +580,45 @@ def test_pack_sequences_matches_python_model(spark, docs, max_tokens):
         for r in pack_sequences(df, max_tokens=max_tokens).collect()
     }
     assert got == model
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_connected_components_random_graphs_match_union_find(spark, edges):
+    """Min-label propagation == union-find on ARBITRARY small graphs —
+    chains, cycles, self-loops, parallel edges — not just the star-heavy
+    shapes real near-dup pairs produce (those are covered on real data in
+    test_llm). Every node in the pair graph must label to its component
+    minimum."""
+    from aws_data_pipeline_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u), parent.setdefault(v, v)
+        parent[find(u)] = find(v)
+    want = {}
+    for n in parent:
+        comp = find(n)
+        want.setdefault(comp, []).append(n)
+    expect = {n: min(ns) for comp, ns in want.items() for n in ns}
+
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == expect
