@@ -558,3 +558,105 @@ def bigram_logprob(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term query (Robertson/
+    Sparck Jones; the retrieval scorer behind quality-by-retrieval curation
+    and contamination triage — the reference pipeline has no text ops at
+    all). Returns one row per document containing at least one query term:
+    ``(id, n_matched_terms, bm25_score)``.
+
+    Scale shape — the whole scorer is MAP-SIDE over the corpus scan: the
+    query is a handful of literal terms, so per-term ``tf`` is
+    ``size(filter(tokens, t = term))`` on the token array (no explode, no
+    per-token shuffle, stays in whole-stage codegen), ``dl`` is
+    ``size(tokens)``, and the only aggregation is ONE one-row corpus-stats
+    frame (N, Σdl, per-term df) that rides back in as a broadcast
+    cross-join. Two corpus scans total (stats, then score); at 100 TB the
+    stats frame is the thing to cache — it is query-independent except for
+    the df columns, which are per-term scalars.
+
+    Determinism (driver value-hash contract): ``tf``/``dl``/``df``/``N``
+    are exact ints; the one ``ln`` (not correctly rounded across libm
+    implementations) is snapped to 9-dp integer units before use; every
+    remaining step is a correctly-rounded IEEE basic op mirrored in the
+    oracle SQL in the same associativity, and the final per-term score is
+    snapped to 6-dp units so the row value is an exact (bigint/1e6)
+    rational on both engines.
+    """
+    if not query_terms or len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be non-empty and distinct")
+    d = (
+        widen_narrow_input(df)
+        .where(F.col(text_col).isNotNull())
+        .withColumn("__t", tokens(F.col(text_col)))
+    )
+    d = d.withColumn("__dl", F.size("__t"))
+
+    def _tf(term: str) -> Column:
+        # closure via function arg, and a SINGLE-arg lambda: pyspark
+        # dispatches HOF lambdas on arity, so a default-arg closure
+        # (lambda x, t=term: ...) silently becomes the (element, index)
+        # two-arg form and `t` binds to the bigint index
+        return F.size(F.filter(F.col("__t"), lambda x: x == F.lit(term)))
+
+    for i, term in enumerate(query_terms):
+        d = d.withColumn(f"__tf{i}", _tf(term))
+    stats = d.agg(
+        F.count("*").alias("__nd"),
+        F.sum("__dl").alias("__tot"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    s = d.crossJoin(F.broadcast(stats))
+    nd = F.col("__nd").cast("double")
+    avgdl = F.col("__tot").cast("double") / nd
+    dl = F.col("__dl").cast("double")
+    units = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        dfi = F.col(f"__df{i}").cast("double")
+        # idf snapped to 9-dp units: ln is the one non-correctly-rounded op
+        idf_u = F.round(
+            F.log((nd - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)) + F.lit(1.0))
+            * F.lit(1e9)
+        ).cast("long")
+        idf = idf_u.cast("double") / F.lit(1e9)
+        score = (
+            (idf * (tf * F.lit(k1 + 1.0)))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dl / avgdl))
+            )
+        ) * F.lit(1e6)
+        units.append(
+            F.when(F.col(f"__tf{i}") > 0, F.round(score).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"__su{i}")
+        )
+    matched = None
+    for i in range(len(query_terms)):
+        m = (F.col(f"__tf{i}") > 0).cast("long")
+        matched = m if matched is None else matched + m
+    total_u = None
+    for u in units:
+        total_u = u if total_u is None else total_u + u
+    return (
+        s.where(matched > 0)
+        .select(
+            F.col(id_col),
+            matched.alias("n_matched_terms"),
+            (total_u.cast("double") / F.lit(1e6)).alias("bm25_score"),
+        )
+    )

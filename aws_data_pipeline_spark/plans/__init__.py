@@ -93,13 +93,23 @@ _PLAN_MODULES = (
 # maintained IVF index (r5 verdict item 3) — then the written slots
 # 51-100 order (r3-dated first, then r4-dated). The three seats push
 # the window's last six oracled entries (all r4-green) to round 7.
-# ROUND-7 HEAD must be: gopher_quality_flags, semantic_dedup_flags,
+# ROUND-6 NEVER RAN: the driver produced no CORRECTNESS_r06 / BENCH_r06
+# (round 7 opened with round-5 artifacts still the freshest), so this
+# window is STILL the stalest 50 and stays at the head for round 7's
+# driver run — rotating to the planned "round-7 head" now would skip
+# these entries' first check entirely. The planned rotation (displaced
+# oracled six first: gopher_quality_flags, semantic_dedup_flags,
 # benchmark_decontamination, pii_redaction_stats,
-# multimodal_decode_features, token_budget_sample_docs (displaced
-# oracled, 2 rounds stale by then), then the r3-dated rows-only pair
-# (approx_distinct_customers, price_percentiles_approx), then the
-# round-5 window entries oldest-first (dq_profile_orders ..
-# events_within_10min).
+# multimodal_decode_features, token_budget_sample_docs; then the
+# r3-dated rows-only pair approx_distinct_customers /
+# price_percentiles_approx; then the round-5 window oldest-first)
+# shifts one round later: apply it at the NEXT round start, after this
+# window finally gets its driver signal. scripts/rotate_window.py
+# regenerates the order mechanically.
+# ONE in-window swap this round (capability entry, cap held at 100):
+# bm25_scores takes price_percentiles_by_priority's slot — the demoted
+# query's exact per-group quantile_cont capability is carried by
+# length_quantiles_by_source (round-5 window, hash-green r5).
 _PRIORITY = (
     # -- round-6 window, slots 1-50 ------------------------------------
     # oracled entries displaced by round 5's window (last green r4)
@@ -116,7 +126,9 @@ _PRIORITY = (
     "global_table_stats",
     "order_year_set_ops",
     "pivot_event_values",
-    "price_percentiles_by_priority",
+    # round-7 capability entry in price_percentiles_by_priority's slot
+    # (demoted; carrier length_quantiles_by_source)
+    "bm25_scores",
     "salted_nation_order_stats",
     "sql_surface_order_status",
     "string_normalize_parts",

@@ -739,6 +739,7 @@ def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "price_percentiles_by_priority",
+    demoted=True,
     sql="""
     SELECT o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS p50,
@@ -751,7 +752,11 @@ def price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both linear interpolation). The scale variant is
     `approx_percentile` (t-digest sketch, mergeable map-side) — exact
-    percentile needs the full group sorted."""
+    percentile needs the full group sorted.
+
+    Demoted (round 7, slot ceded to bm25_scores): driver signal carried by
+    length_quantiles_by_source (same exact per-group quantile_cont
+    capability, hash-green r5)."""
     o = T(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),

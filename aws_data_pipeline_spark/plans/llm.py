@@ -1100,6 +1100,77 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_scores",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), dd AS (
+      SELECT doc_id, len(t) AS dl,
+             len(list_filter(t, x -> x = 'dup'))   AS tf0,
+             len(list_filter(t, x -> x = 'spark')) AS tf1,
+             len(list_filter(t, x -> x = 'sort'))  AS tf2
+      FROM d
+    ), st AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS tot,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM dd
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_matched_terms,
+           CAST(
+             CASE WHEN tf0 > 0 THEN CAST(round(
+               CAST(CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5)
+                                  / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+                               * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0
+               * (CAST(tf0 AS DOUBLE) * 2.2)
+               / (CAST(tf0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                          / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+               * 1000000.0) AS BIGINT) ELSE 0 END
+           + CASE WHEN tf1 > 0 THEN CAST(round(
+               CAST(CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                                  / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                               * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0
+               * (CAST(tf1 AS DOUBLE) * 2.2)
+               / (CAST(tf1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                          / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+               * 1000000.0) AS BIGINT) ELSE 0 END
+           + CASE WHEN tf2 > 0 THEN CAST(round(
+               CAST(CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                                  / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                               * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0
+               * (CAST(tf2 AS DOUBLE) * 2.2)
+               / (CAST(tf2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                          / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+               * 1000000.0) AS BIGINT) ELSE 0 END
+           AS DOUBLE) / 1000000.0 AS bm25_score
+    FROM dd CROSS JOIN st
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    """,
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance (k1=1.2, b=0.75) of every document to the fixed
+    3-term query (dup, spark, sort) — one rare term, two common — the
+    retrieval scorer behind quality-by-retrieval curation. Entirely
+    map-side per doc (tf/dl from the token array, no explode) with one
+    broadcast one-row corpus-stats frame; the idf ln snaps to 9-dp units
+    and the per-term score to 6-dp units so the value hashes cross-engine
+    (operators/text.py::bm25_scores). Entered round 7 in
+    price_percentiles_by_priority's slot (demoted, carrier
+    length_quantiles_by_source)."""
+    d = T(spark, sf_dir, "documents")
+    return text.bm25_scores(d, ("dup", "spark", "sort"))
+
+
+@register(
     "token_counts",
     sql="""
     SELECT doc_id,

@@ -1315,3 +1315,46 @@ def test_training_shards_rejects_reserved_column_names(spark):
     # ...but an id column named like a reserved output is not
     with pytest.raises(ValueError, match="reserve"):
         training_shards(df.select("shard"), "shard", 4)
+
+
+def test_bm25_scores_ranking_properties(spark):
+    """BM25 invariants on planted docs: more occurrences of a term score
+    higher at equal length; longer docs score lower at equal tf (b>0 length
+    normalization); a rare term outweighs a ubiquitous one; docs with no
+    query term are absent."""
+    from aws_data_pipeline_spark.operators.text import bm25_scores
+
+    docs = [
+        # corpus term "common" everywhere -> low idf; "rare" once
+        (0, "rare pad pad pad"),
+        (1, "common pad pad pad"),
+        (2, "common common pad pad"),  # same dl as 1, higher tf
+        (3, "common pad pad pad pad pad pad pad"),  # same tf as 1, longer
+        (4, "pad pad pad pad"),  # no query terms
+        (5, "common filler filler filler"),
+        (6, "common filler filler filler"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_scores(df, ("rare", "common"))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in got and set(got) == {0, 1, 2, 3, 5, 6}
+    # tf monotonicity at equal dl
+    assert got[2]["bm25_score"] > got[1]["bm25_score"]
+    # length normalization at equal tf
+    assert got[1]["bm25_score"] > got[3]["bm25_score"]
+    # rare term beats common term at identical tf/dl
+    assert got[0]["bm25_score"] > got[1]["bm25_score"]
+    assert got[0]["n_matched_terms"] == 1
+    assert got[2]["n_matched_terms"] == 1
+
+
+def test_bm25_rejects_bad_query_terms(spark):
+    import pytest as _pytest
+
+    from aws_data_pipeline_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_scores(df, ())
+    with _pytest.raises(ValueError):
+        bm25_scores(df, ("a", "a"))
