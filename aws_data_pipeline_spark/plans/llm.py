@@ -821,6 +821,44 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(queries, e, k=5, n_planes=4)
 
 
+_PQ_CACHE: dict = {}
+
+
+def _pq_corpus(spark: SparkSession, sf_dir: str, m: int = 8, ks: int = 16):
+    """Resident PQ artifacts per (app, sf_dir, params, source state):
+    train-once codebooks + persisted corpus codes — the encode is the
+    expensive pass, the search reads only 8-byte code rows. Source state
+    in the key invalidates on corpus regeneration (the _ivf_index rule)."""
+    state = _src_state(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, m, ks, state)
+    if key not in _PQ_CACHE:
+        e = T(spark, sf_dir, "embeddings")
+        books = similarity.train_pq_codebooks(e, m=m, ks=ks, seed=42)
+        codes = similarity.pq_encode(e, books).persist()
+        codes.count()  # materialize eagerly
+        _PQ_CACHE[key] = (books, codes)
+    return _PQ_CACHE[key]
+
+
+@register("embedding_ann_pq", sql=None, demoted=True)
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization + ADC with exact re-rank
+    of the top-40 (the FAISS IVF-PQ compression stage re-expressed on
+    DataFrames): corpus vectors live as 8×4-bit subspace codes (32× scan
+    payload reduction — the piece that makes a 100 TB embedding corpus
+    scannable), queries score them JVM-side through an m×ks inner-product
+    LUT, and only the candidate sliver touches full vectors. Recall and
+    codebook/encode determinism pinned in tests/test_llm.py (test_pq_*).
+
+    Demoted tier (rows-only tail is at its 10-entry cap): driver ANN
+    signal carried by embedding_ann_ivf / embedding_ann_lsh; this entry
+    exists so bench.py can time the PQ path."""
+    books, codes = _pq_corpus(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(queries, e, books, k=5, corpus_codes=codes, rerank=40)
+
+
 # -- Text analysis ---------------------------------------------------------
 
 _PROFILE_SQL = {
