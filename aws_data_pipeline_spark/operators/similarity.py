@@ -1129,12 +1129,15 @@ def train_pq_codebooks(
     seed: int = 42,
     max_train: int = 16384,
     iters: int = 20,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split the vector into ``m`` contiguous subspaces
     and fit ``ks`` centroids per subspace (Jegou et al. 2011) — the
     compression stage of IVF-PQ, the standard 100 TB embedding-search
     layout. Returns ``m × ks × (dim/m)`` floats — a driver-sized artifact
     (8·16·8 doubles here) callers persist alongside the corpus codes.
+    ``normalize`` must match :func:`pq_encode`'s (both default True):
+    codebooks fitted in raw space quantize unit-normalized vectors badly.
 
     Training is a bounded-sample driver-side Lloyd's with k-means++ init
     under a seeded RNG: codebook fitting is inherently sample-based (FAISS
@@ -1164,6 +1167,11 @@ def train_pq_codebooks(
             < F.lit(thresh)
         )
     mat = np.array(vecs.toPandas()["cv"].tolist(), dtype="float64")
+    if normalize:
+        nrm = np.linalg.norm(mat, axis=1)
+        mat = mat[nrm > 0.0] / nrm[nrm > 0.0, None]
+        if len(mat) == 0:
+            raise ValueError("train_pq_codebooks: all vectors zero-norm")
     dim = mat.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1393,3 +1401,152 @@ def pq_topk(
         "sim", cosine(F.col("qv"), F.col("cv"))
     )
     return _topk_by_sim(exact.drop("qv", "cv"), k)
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    max_train: int = 16384,
+) -> None:
+    """Persist a PQ index: ``path/vectors`` (id, v — the exact re-rank
+    side), ``path/codes`` (id, codes — the 8-byte ADC scan side),
+    ``path/codebooks`` (j, c, centroid), ``path/meta`` (params +
+    build-time corpus count for retrain-due accounting). Unlike the LSH
+    hyperplanes (seeded, re-derivable from meta alone), PQ codebooks are
+    DATA-FITTED — they must be stored, and append-time encoding must use
+    the stored books or codes would be incomparable across batches. Meta
+    is written LAST, so a crash mid-build reads as missing-meta and the
+    re-run rebuilds."""
+    spark = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    v.write.mode("overwrite").parquet(f"{path}/vectors")
+    stored = spark.read.parquet(f"{path}/vectors")
+    books = train_pq_codebooks(
+        stored, vec_col="v", m=m, ks=ks, seed=seed, max_train=max_train
+    )
+    pq_encode(stored, books, id_col="id", vec_col="v").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [
+            (j, c, books[j][c])
+            for j in range(m)
+            for c in range(ks)
+        ],
+        "j int, c int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    n_built = stored.count()
+    spark.createDataFrame(
+        [(m, ks, seed, n_built)], "m int, ks int, seed int, n_built long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """The stored codebooks as the nested-list driver artifact every PQ
+    entry point takes — one small read (m·ks rows)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    books: list[list[list[float]]] = [
+        [None] * meta.ks for _ in range(meta.m)  # type: ignore[list-item]
+    ]
+    for r in rows:
+        books[r.j][r.c] = [float(x) for x in r.centroid]
+    if any(c is None for b in books for c in b):
+        raise ValueError(f"pq index at {path}: incomplete codebooks table")
+    return books
+
+
+def append_to_pq_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Idempotently append vectors to a persisted PQ index under its
+    STORED codebooks (fixed on append, like IVF centroids — drift is
+    retrained away, not absorbed): each sub-table anti-joins the batch's
+    ids against what it already holds, so a crash between the two writes
+    is backfilled on re-run and re-appends are no-ops. Per-batch cost is
+    one encode of the missing rows + two id anti-joins."""
+    spark = df.sparkSession
+    books = read_pq_codebooks(spark, path)
+    nv = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    missing_vecs = nv.join(
+        spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
+    ).localCheckpoint(eager=True)  # write target is also an anti-join input
+    if not missing_vecs.isEmpty():
+        missing_vecs.write.mode("append").parquet(f"{path}/vectors")
+    pending = (
+        spark.read.parquet(f"{path}/vectors")
+        .join(nv.select("id"), "id", "left_semi")
+        .join(spark.read.parquet(f"{path}/codes").select("id"), "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if not pending.isEmpty():
+        pq_encode(pending, books, id_col="id", vec_col="v").write.mode(
+            "append"
+        ).parquet(f"{path}/codes")
+
+
+def pq_retrain_due(spark, path: str, growth_factor: float = 2.0) -> bool:
+    """True when the index has grown past ``growth_factor`` × its
+    build-time size — codebooks fitted on the old distribution quantize
+    the grown corpus increasingly badly (the PQ analogue of IVF cell
+    drift; PQ has no per-cell counts, so realized growth is the signal).
+    Cost: one footer-metadata count + the meta row."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    current = spark.read.parquet(f"{path}/codes").count()
+    return meta.n_built > 0 and current >= growth_factor * meta.n_built
+
+
+def retrain_pq_index(spark, path: str, max_train: int = 16384) -> dict[str, int]:
+    """Retrain the codebooks on the index's OWN vectors and re-encode in
+    place — the append lifecycle's endpoint (build → append×N →
+    pq_retrain_due fires → retrain), never rescanning the source corpus.
+    Deliberately NOT code-preserving (new books re-quantize everything —
+    that is the point); exact re-rank results are unchanged since
+    ``vectors`` is untouched. Same maintenance-window caveat as
+    ``compact_embedding_indexes``: don't serve probes mid-retrain."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    vecs = (
+        spark.read.parquet(f"{path}/vectors")
+        .select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+        .localCheckpoint(eager=True)  # lineage off the files being replaced
+    )
+    build_pq_index(
+        vecs, path, m=meta.m, ks=meta.ks, seed=meta.seed, max_train=max_train
+    )
+    return {"n_vectors": vecs.count(), "m": meta.m, "ks": meta.ks}
+
+
+def pq_topk_indexed(
+    spark,
+    queries: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int | None = 40,
+) -> DataFrame:
+    """Top-k via the PERSISTED PQ index — the on-disk 100 TB shape: the
+    ADC scan reads ONLY ``path/codes`` (8 bytes/vector); ``path/vectors``
+    is touched just for the re-rank candidates. Identical rows to the
+    resident :func:`pq_topk` under the same codebooks by construction."""
+    books = read_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    corpus = spark.read.parquet(f"{path}/vectors").select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    return pq_topk(
+        queries.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+        corpus,
+        books,
+        k=k,
+        corpus_codes=codes,
+        rerank=rerank,
+    )

@@ -484,3 +484,81 @@ def test_ingest_post_run_ivf_retrain_trigger(spark, tmp_path):
         r.neighbor_id for r in spark.read.parquet(f"{ivf}/corpus").collect()
     }
     assert got == set(range(10)) | {20} | {30 + i for i in range(12)}
+
+
+def test_pq_index_build_probe_append_retrain(spark, sf_dir, tmp_path):
+    """Full PQ index lifecycle: persisted probe == resident pq_topk under
+    the same codebooks; append is idempotent and makes new vectors
+    findable; retrain-due fires on growth and retrain resets it."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    extra = e.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "pq_idx")
+    S.build_pq_index(base, idx, m=8, ks=16, seed=42)
+
+    q = e.filter(F.col("vec_id") < 10)
+    books = S.read_pq_codebooks(spark, idx)
+    resident = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk(q, base, books, k=5, rerank=40).collect()
+    }
+    indexed = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk_indexed(spark, q, idx, k=5, rerank=40).collect()
+    }
+    assert indexed == resident  # persisted == resident by construction
+
+    # append: idempotent, and appended vectors become findable
+    S.append_to_pq_index(extra, idx)
+    n_codes = spark.read.parquet(f"{idx}/codes").count()
+    S.append_to_pq_index(extra, idx)  # re-delivery is a no-op
+    assert spark.read.parquet(f"{idx}/codes").count() == n_codes
+    assert n_codes == e.count()
+    ids = {r.id for r in spark.read.parquet(f"{idx}/vectors").select("id").collect()}
+    assert {r.vec_id for r in extra.select("vec_id").collect()} <= ids
+
+    # post-append probe can return appended vectors (and stays well-formed)
+    post = S.pq_topk_indexed(spark, q, idx, k=5, rerank=40).collect()
+    assert all(1 <= r.rank <= 5 for r in post)
+
+    # retrain-due: 400 built, 500 now -> not due at 2.0, due at 1.2
+    assert not S.pq_retrain_due(spark, idx, growth_factor=2.0)
+    assert S.pq_retrain_due(spark, idx, growth_factor=1.2)
+    out = S.retrain_pq_index(spark, idx)
+    assert out["n_vectors"] == e.count()
+    assert not S.pq_retrain_due(spark, idx, growth_factor=1.2)
+    # retrained meta records the grown corpus as the new baseline
+    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert meta.n_built == e.count()
+
+
+def test_pq_append_backfills_crash_between_writes(spark, sf_dir, tmp_path):
+    """Simulated crash after the vectors write but before codes: the
+    re-run re-encodes the stranded rows from the materialized vectors
+    under the STORED codebooks — codes equal a clean append's."""
+    import shutil
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") >= 100)
+    batch = e.filter(F.col("vec_id") < 100)
+    idx = str(tmp_path / "pq_crash")
+    S.build_pq_index(base, idx, m=8, ks=16, seed=42)
+
+    # clean append on a twin index for the expected end state
+    idx2 = str(tmp_path / "pq_clean")
+    shutil.copytree(idx, idx2)
+    S.append_to_pq_index(batch, idx2)
+
+    # crash simulation: write ONLY the vectors side, then re-run append
+    batch.selectExpr("vec_id as id", "cast(embedding as array<double>) as v").write.mode(
+        "append"
+    ).parquet(f"{idx}/vectors")
+    S.append_to_pq_index(batch, idx)
+
+    codes = {tuple([r.id] + list(r.codes)) for r in spark.read.parquet(f"{idx}/codes").collect()}
+    clean = {tuple([r.id] + list(r.codes)) for r in spark.read.parquet(f"{idx2}/codes").collect()}
+    assert codes == clean
