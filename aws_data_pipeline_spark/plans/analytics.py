@@ -463,6 +463,46 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_props_stats_variant",
+    demoted=True,
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VariantType twin of ``json_props_stats``: ``parse_json`` ONCE
+    into Spark 4's binary variant encoding, then typed ``variant_get``
+    path extraction — the multi-path scale shape (``get_json_object``
+    re-parses the JSON string per path; variant parses once and each
+    extra path is a cheap binary probe). Same values, same oracle SQL.
+
+    Demoted tier: driver signal carried by json_props_stats (identical
+    oracle); this twin pins that the variant path stays value-equal in
+    the local parity suite and gives bench a one-parse baseline to
+    compare when queries grow to many paths."""
+    e = T(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        e.withColumn("k", F.variant_get(v, "$.k", "long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
 # -- Pivot -----------------------------------------------------------------
 
 

@@ -67,6 +67,7 @@ HEADLINE = [
     "embedding_cosine_topk",     # broadcast brute-force ANN baseline
     "dedup_exact_text",          # digest dedup
     "text_quality_scores",       # HOF text featurization
+    "bm25_scores",               # map-side BM25 + broadcast corpus-stats row
     "benchmark_decontamination",  # broadcast n-gram overlap vs eval set
     "q5_local_supplier_volume",  # 6-table star join
     "neardup_clusters",          # pair graph + iterative connected components
