@@ -1472,7 +1472,11 @@ def append_to_pq_index(
     retrained away, not absorbed): each sub-table anti-joins the batch's
     ids against what it already holds, so a crash between the two writes
     is backfilled on re-run and re-appends are no-ops. Per-batch cost is
-    one encode of the missing rows + two id anti-joins."""
+    one encode of the missing rows + two id anti-joins. Zero-norm /
+    degenerate vectors land in ``vectors`` (the exactness side tolerates
+    them — NULL cosine) but are dropped by the encoder, so they read as
+    "pending" on a re-delivery of the SAME batch and are re-dropped — a
+    bounded no-op, not accumulation: the pending set is batch-scoped."""
     spark = df.sparkSession
     books = read_pq_codebooks(spark, path)
     nv = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
