@@ -1166,7 +1166,15 @@ def train_pq_codebooks(
             F.pmod(F.xxhash64(F.col("cv"), F.lit(seed)), F.lit(1 << 32))
             < F.lit(thresh)
         )
-    mat = np.array(vecs.toPandas()["cv"].tolist(), dtype="float64")
+    vals = vecs.toPandas()["cv"].tolist()
+    # ragged corpora (wrong-length rows — same hazard _band_codes guards)
+    # would collect as an object array and crash the matmuls; train on the
+    # modal length, mirroring pq_encode's skip-don't-crash contract
+    lengths: dict[int, int] = {}
+    for x in vals:
+        lengths[len(x)] = lengths.get(len(x), 0) + 1
+    modal = max(lengths, key=lambda d: lengths[d])
+    mat = np.array([x for x in vals if len(x) == modal], dtype="float64")
     if normalize:
         nrm = np.linalg.norm(mat, axis=1)
         mat = mat[nrm > 0.0] / nrm[nrm > 0.0, None]

@@ -562,3 +562,17 @@ def test_pq_append_backfills_crash_between_writes(spark, sf_dir, tmp_path):
     codes = {tuple([r.id] + list(r.codes)) for r in spark.read.parquet(f"{idx}/codes").collect()}
     clean = {tuple([r.id] + list(r.codes)) for r in spark.read.parquet(f"{idx2}/codes").collect()}
     assert codes == clean
+
+
+def test_pq_train_tolerates_ragged_vectors(spark):
+    """A wrong-length vector in the training corpus must not crash the
+    codebook fit (it would otherwise collect as an object ndarray): train
+    on the modal length, and the encoder skips the ragged row."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    rows = [(i, [float(j) for j in range(64)]) for i in range(50)]
+    rows.append((99, [1.0, 2.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = S.train_pq_codebooks(df, m=8, ks=4, seed=1)
+    assert len(books) == 8 and all(len(b) == 4 for b in books)
+    assert {r.id for r in S.pq_encode(df, books).collect()} == set(range(50))
