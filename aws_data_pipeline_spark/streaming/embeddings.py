@@ -52,6 +52,8 @@ def incremental_embedding_ingest(
     ivf_index_path: str | None = None,
     ivf_cells: int = 16,
     ivf_retrain: bool = False,
+    pq_index_path: str | None = None,
+    pq_retrain: bool = False,
 ) -> None:
     """One availableNow run: new embedding files → in-batch semantic dedup
     → index probe → idempotent append of novel vectors to corpus + LSH
@@ -72,6 +74,14 @@ def incremental_embedding_ingest(
 
     vec_ids must be globally unique across batches (upstream contract,
     same as the text loop's doc_ids).
+
+    ``pq_index_path`` extends the same upkeep to the PQ index (the third
+    embedding index family): appends encode under the index's STORED
+    codebooks from the same batch ∩ corpus crash-backfilling set the IVF
+    append uses, the bootstrap builds from the full corpus zone, and
+    ``pq_retrain=True`` consults ``pq_retrain_due`` post-run (growth past
+    2× the build-time size) — so all three families (LSH bands, IVF
+    cells, PQ codes) stay current from one ingest loop.
 
     ``ivf_retrain=True`` adds post-run quantizer maintenance: after the
     availableNow run drains (this loop is the index's only writer, so
@@ -151,6 +161,21 @@ def incremental_embedding_ingest(
                         ),
                     )
 
+        # PQ upkeep: same crash-backfilling batch ∩ corpus set and
+        # bootstrap-from-full-corpus rule as IVF (module docstring)
+        if pq_index_path is not None and zone_exists(sess, corpus_path):
+            accepted_pq = batch.dropDuplicates(["vec_id"]).join(
+                sess.read.parquet(corpus_path).select("vec_id"),
+                "vec_id",
+                "left_semi",
+            )
+            if zone_exists(sess, f"{pq_index_path}/meta"):
+                similarity.append_to_pq_index(accepted_pq, pq_index_path)
+            else:
+                full = sess.read.parquet(corpus_path)
+                if not full.isEmpty():
+                    similarity.build_pq_index(full, pq_index_path)
+
     (
         spark.readStream.schema(VEC_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -169,3 +194,10 @@ def incremental_embedding_ingest(
         and similarity.ivf_retrain_due(spark, ivf_index_path)
     ):
         similarity.retrain_ivf_index(spark, ivf_index_path)
+    if (
+        pq_retrain
+        and pq_index_path is not None
+        and zone_exists(spark, f"{pq_index_path}/meta")
+        and similarity.pq_retrain_due(spark, pq_index_path)
+    ):
+        similarity.retrain_pq_index(spark, pq_index_path)

@@ -576,3 +576,55 @@ def test_pq_train_tolerates_ragged_vectors(spark):
     books = S.train_pq_codebooks(df, m=8, ks=4, seed=1)
     assert len(books) == 8 and all(len(b) == 4 for b in books)
     assert {r.id for r in S.pq_encode(df, books).collect()} == set(range(50))
+
+
+def test_incremental_embedding_ingest_maintains_pq(spark, tmp_path):
+    """PQ upkeep inside the ingest loop: enabling pq_index_path on an
+    already-populated corpus bootstraps from the FULL corpus zone, later
+    batches encode under the STORED codebooks (codes table == accepted
+    vector set), and post-run retrain fires only when growth warrants."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.streaming.embeddings import (
+        incremental_embedding_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    pq = str(tmp_path / "pq")
+
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)], schema
+    ).write.parquet(str(inbox / "b1"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c")
+    )
+    # first run WITH pq enabled: bootstrap indexes vectors 0-7 too
+    spark.createDataFrame(
+        [(10, _vec(10)), (11, _vec(11))], schema
+    ).write.parquet(str(inbox / "b2"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        pq_index_path=pq,
+    )
+    books = S.read_pq_codebooks(spark, pq)
+    got = {r.id for r in spark.read.parquet(f"{pq}/codes").collect()}
+    assert got == set(range(8)) | {10, 11}
+
+    # a further batch appends codes under the SAME stored codebooks
+    spark.createDataFrame([(20, _vec(20))], schema).write.parquet(
+        str(inbox / "b3")
+    )
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        pq_index_path=pq, pq_retrain=True,
+    )
+    assert S.read_pq_codebooks(spark, pq) == books  # growth < 2x: no retrain
+    got = {r.id for r in spark.read.parquet(f"{pq}/codes").collect()}
+    assert got == set(range(8)) | {10, 11, 20}
+    # probe over the stream-maintained index stays well-formed
+    q = spark.createDataFrame([(10, _vec(10))], schema)
+    out = S.pq_topk_indexed(spark, q, pq, k=3, rerank=10).collect()
+    assert out and all(1 <= r.rank <= 3 for r in out)
