@@ -628,3 +628,37 @@ def test_incremental_embedding_ingest_maintains_pq(spark, tmp_path):
     q = spark.createDataFrame([(10, _vec(10))], schema)
     out = S.pq_topk_indexed(spark, q, pq, k=3, rerank=10).collect()
     assert out and all(1 <= r.rank <= 3 for r in out)
+
+
+def test_pq_composes_with_ivf_cell_probe(spark, sf_dir, tmp_path):
+    """The documented IVF-PQ composition: restrict the ADC scan to codes of
+    vectors in the query's probed IVF cells (the FAISS IVF-PQ layout).
+    Results stay well-formed and every neighbor comes from a probed cell."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    cents = S.train_ivf_centroids(e, n_cells=8, train_fraction=None)
+    assigned = e.selectExpr(
+        "vec_id as neighbor_id", "cast(embedding as array<double>) as cv"
+    ).withColumn("cell", S.nearest_cell(F.col("cv"), cents))
+
+    books = S.train_pq_codebooks(e, m=8, ks=16, seed=42)
+    codes = S.pq_encode(e, books)
+
+    # probe cells per query (nprobe=4), restrict codes to those vectors
+    probed_ids = set()
+    import numpy as np
+
+    c = np.asarray(cents)
+    for r in q.collect():
+        v = np.asarray(r.embedding, dtype="float64")
+        sims = (c @ v) / (np.linalg.norm(c, axis=1) * np.linalg.norm(v))
+        cells = set(np.argsort(-sims)[:4].tolist())
+        probed_ids |= {
+            a.neighbor_id for a in assigned.collect() if a.cell in cells
+        }
+    cell_codes = codes.filter(F.col("id").isin(list(probed_ids)))
+    out = S.pq_topk(q, e, books, k=5, corpus_codes=cell_codes, rerank=20).collect()
+    assert out and all(1 <= r.rank <= 5 for r in out)
+    assert {r.neighbor_id for r in out} <= probed_ids
