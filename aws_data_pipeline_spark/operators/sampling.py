@@ -592,3 +592,54 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per group
+    (Efraimidis–Spirtes A-ES): each row draws u ~ Uniform(0,1) from its id
+    hash and survives if its key ``ln(u)/w`` ranks in the group's top-k —
+    inclusion probability proportional to weight, the standard
+    quality-weighted corpus subsampling primitive (weight = quality score
+    → good documents oversampled, none guaranteed, every document
+    reachable).
+
+    Determinism/portability: u is an exact rational from the 60-bit md5
+    prefix (``(h % 1e6 + 1) / 1000001`` — engine-portable, replayable in
+    any SQL engine), so re-runs and re-partitions pick the same sample;
+    the one ``ln`` is ordered through ``round(key, 9)`` with an id
+    tie-break (the tfidf rule: engine-stable comparisons, not just tie
+    handling). Rows with weight <= 0 are excluded (A-ES is undefined
+    there) — mirror the filter in any oracle.
+
+    Scale shape: one hash + key projection map-side, one top-k window per
+    group — the same single-shuffle shape as every other top-k here.
+    """
+    from pyspark.sql import Window
+
+    from aws_data_pipeline_spark.functions.portable import md5_prefix_long
+
+    h = md5_prefix_long(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed))
+    )
+    u = (F.pmod(h, F.lit(1_000_000)) + F.lit(1)) / F.lit(1_000_001.0)
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    out = (
+        df.where(w > 0)
+        .withColumn("__key", F.round(key, 9))
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "sample_rank")
+    )

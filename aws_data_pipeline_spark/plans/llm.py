@@ -1797,6 +1797,44 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_per_lang",
+    demoted=True,
+    sql="""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             round(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'wsample-v1'),
+                                1, 15))::UBIGINT % 1000000 AS BIGINT) + 1) / 1000001.0)
+               / CAST(n_chars AS DOUBLE), 9) AS k
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    )
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC)
+               AS sample_rank
+      FROM keyed
+    ) WHERE sample_rank <= 5
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirtes A-ES, 5
+    per language, weight = n_chars): inclusion probability proportional
+    to weight — the quality-weighted subsampling primitive. The u-draw is
+    an exact md5-prefix rational, the one ln is ordered through
+    round(key, 9) with an id tie-break, so membership value-hashes
+    cross-engine (operators/sampling.py::weighted_sample_topk).
+
+    Demoted tier from birth (oracled cap held at 100): driver sampling
+    signal carried by stratified_sample_assignments_portable /
+    mixture_resample_docs; the full A-ES oracle replays in the local
+    parity suite every pytest run."""
+    d = T(spark, sf_dir, "documents")
+    return sampling.weighted_sample_topk(
+        d, id_col="doc_id", weight_col="n_chars", group_col="lang", k=5
+    )
+
+
+@register(
     "unigram_logprob_scores",
     sql="""
     WITH toks AS (

@@ -116,3 +116,26 @@ def test_dsir_weights_separate_domains(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_weighted_sample_topk_proportional_and_deterministic(spark):
+    """A-ES invariants: heavy-weight rows are strongly overrepresented;
+    membership is identical under repartitioning (hash-derived, not
+    RNG-over-partition-order); weight<=0 rows never appear."""
+    from aws_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "g", 50.0 if i < 100 else 1.0) for i in range(2000)]
+    rows.append((9999, "g", 0.0))   # excluded: weight 0
+    rows.append((9998, "g", -1.0))  # excluded: negative
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out1 = weighted_sample_topk(df, "doc_id", "w", "grp", k=100)
+    got1 = {(r.grp, r.doc_id, r.sample_rank) for r in out1.collect()}
+    assert len(got1) == 100
+    assert not {9998, 9999} & {d for _, d, _ in got1}
+    heavy = sum(1 for _, d, _ in got1 if d < 100)
+    # 100 heavy rows at weight 50 vs 1900 at weight 1: uniform sampling
+    # would include ~5; A-ES should include most of them
+    assert heavy >= 40
+    out2 = weighted_sample_topk(df.repartition(7), "doc_id", "w", "grp", k=100)
+    got2 = {(r.grp, r.doc_id, r.sample_rank) for r in out2.collect()}
+    assert got1 == got2
