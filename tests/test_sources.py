@@ -243,3 +243,83 @@ def test_zone_fingerprint_counts_committed_bytes(spark, tmp_path):
     df.repartition(4).write.mode("overwrite").parquet(str(zone))
     nf2, nb2 = zone_fingerprint(spark, str(zone))
     assert nf2 > 1 and (nf2, nb2) != (n_files, n_bytes)
+
+
+def test_zorder_key_matches_python_model(spark):
+    """The Morton interleave as a JVM expression equals the reference
+    bit-interleave for random quantized pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_spark.functions.zorder import zorder_key
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+
+    def model(x, y, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")]).alias("k")
+    ).collect()
+    for r in got:
+        assert r.k == model(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_cluster_narrows_rowgroups_on_both_dims(spark, tmp_path):
+    """The scale claim, measured: after Z-order clustering, BOTH columns'
+    per-file value spans are narrow; after lexicographic clustering only
+    the leading column's are. (Files stand in for row groups at this
+    size — parquet stats are per-row-group, file min/max via footers.)"""
+    import pyarrow.parquet as pq
+    import random
+
+    from aws_data_pipeline_spark.functions.zorder import zorder_cluster_zone
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(100_000), rng.randrange(100_000)) for _ in range(60_000)]
+    zpath = str(tmp_path / "zord")
+    lpath = str(tmp_path / "lex")
+    df = spark.createDataFrame(rows, "x long, y long")
+    df.write.parquet(zpath)
+    df.write.parquet(lpath)
+
+    zorder_cluster_zone(spark, zpath, ["x", "y"], target_file_bytes=64 * 1024)
+    compact_zone(spark, lpath, sort_by=("x", "y"), target_file_bytes=64 * 1024)
+
+    def mean_span(path, col):
+        import glob as g
+
+        spans = []
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        assert spans
+        return sum(spans) / len(spans)
+
+    # leading dim: both layouts narrow
+    assert mean_span(zpath, "x") < 0.7 * 100_000
+    assert mean_span(lpath, "x") < 0.7 * 100_000
+    # second dim: z-order narrow, lexicographic ~full-range
+    zy, ly = mean_span(zpath, "y"), mean_span(lpath, "y")
+    assert ly > 0.8 * 100_000  # lexicographic can't skip on y
+    assert zy < 0.6 * ly  # z-order can
