@@ -444,3 +444,24 @@ def test_jaccard_hot_shingle_cap_near_linear_on_boilerplate_corpus(spark):
     # O(bucket^2) cliff uncapped. Floor guards sub-second baselines
     # against sandbox scheduler noise.
     assert wall_a <= max(6.0 * wall_c, 5.0), (wall_a, wall_c)
+
+
+def test_pq_codes_shrink_scan_payload(spark, sf_dir, tmp_path):
+    """The PQ scale claim, measured on disk: the ADC scan side (codes
+    parquet) is a small fraction of the vector parquet it replaces —
+    measured ~0.04 at sf0.1 (4-bit codes pack tightly); assert <0.15."""
+    import glob
+    import os
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.train_pq_codebooks(e, m=8, ks=16, seed=42)
+    codes_p = str(tmp_path / "codes")
+    vecs_p = str(tmp_path / "vecs")
+    S.pq_encode(e, books).write.parquet(codes_p)
+    e.selectExpr("vec_id", "embedding").write.parquet(vecs_p)
+    b = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+    )
+    assert b(codes_p) < 0.15 * b(vecs_p)
