@@ -79,6 +79,10 @@ def zorder_cluster_zone(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
+    if any(stats[f"lo_{i}"] is None for i in range(len(cols))):
+        # empty zone or all-NULL key column: nothing to cluster, and a
+        # truncate-rewrite here would only risk the data for a no-op
+        return 0
     qs = [
         quantize(F.col(c), stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
         for i, c in enumerate(cols)
