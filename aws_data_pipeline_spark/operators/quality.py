@@ -143,3 +143,78 @@ def zscore_outlier_counts(
         )
         .agg(F.count(F.when(dev * dev > spread, F.lit(1))).alias("n_outliers"))
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    col: str,
+    bins: int = 10,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current slice of
+    one numeric column — the standard distribution-drift monitor a
+    production pipeline runs between ingest snapshots (PSI > 0.2 =
+    investigate). Bins are the BASELINE's ``bins``-quantile deciles
+    (canonical PSI), bin membership is ``#edges <= x``, and each bin's
+    contribution is ``(p - q) * ln(p / q)`` with both proportions floored
+    at ``floor`` so an empty current bin stays finite.
+
+    Output: one row per observed bin — (bin, n_base, n_curr,
+    psi_contribution); the scalar PSI is their sum.
+
+    Determinism (oracle contract): bin edges come from ``percentile``
+    (== DuckDB ``quantile_cont``, both linear interpolation — the proven
+    cross-engine pair), counts are exact ints, and the one ``ln`` snaps
+    to 9-dp units with the final contribution snapped to 6-dp, the
+    fixed-point recipe every logprob oracle here uses.
+
+    Scale shape: one pass over the baseline for edges (sketchable via
+    approx_percentile at 100 TB), one map-side bin assignment + count per
+    side, a bins-sized join — nothing data-sized shuffles but the two
+    bin-count aggregations.
+    """
+    fr = [i / bins for i in range(1, bins)]
+    edges = base.agg(
+        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fr])).alias("es")
+    )
+
+    def binned(df: DataFrame, n_alias: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.size(F.filter(F.col("es"), lambda e: x >= e))
+        return (
+            df.where(F.col(col).isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(n_alias))
+        )
+
+    bc = binned(base, "n_base")
+    cc = binned(curr, "n_curr")
+    tot_b = bc.agg(F.sum("n_base").alias("tb"))
+    tot_c = cc.agg(F.sum("n_curr").alias("tc"))
+    j = (
+        bc.join(cc, "bin", "full_outer")
+        .na.fill({"n_base": 0, "n_curr": 0})
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_c))
+    )
+    p = F.greatest(
+        F.col("n_base").cast("double") / F.col("tb").cast("double"),
+        F.lit(floor),
+    )
+    q = F.greatest(
+        F.col("n_curr").cast("double") / F.col("tc").cast("double"),
+        F.lit(floor),
+    )
+    u = F.round(F.log(p / q) * F.lit(1e9)).cast("long")
+    contrib = (
+        F.round((p - q) * (u.cast("double") / F.lit(1e9)) * F.lit(1e6)).cast(
+            "long"
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return j.select(
+        "bin", "n_base", "n_curr", contrib.alias("psi_contribution")
+    )

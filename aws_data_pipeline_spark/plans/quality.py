@@ -142,3 +142,66 @@ def dq_zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").alias("n_orders"),
         "n_outliers",
     )
+
+
+@register(
+    "dq_psi_price_drift",
+    demoted=True,
+    sql="""
+    WITH base AS (
+      SELECT o_totalprice AS x FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_totalprice IS NOT NULL
+    ), curr AS (
+      SELECT o_totalprice AS x FROM orders
+      WHERE year(o_orderdate) = 2000 AND o_totalprice IS NOT NULL
+    ), edges AS (
+      SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS es
+      FROM base
+    ), bb AS (
+      SELECT len(list_filter(e.es, v -> x >= v)) AS bin FROM base, edges e
+    ), cb AS (
+      SELECT len(list_filter(e.es, v -> x >= v)) AS bin FROM curr, edges e
+    ), bc AS (
+      SELECT bin, COUNT(*) AS n_base FROM bb GROUP BY bin
+    ), cc AS (
+      SELECT bin, COUNT(*) AS n_curr FROM cb GROUP BY bin
+    ), tb AS (SELECT SUM(n_base) AS tb FROM bc),
+       tc AS (SELECT SUM(n_curr) AS tc FROM cc),
+    j AS (
+      SELECT COALESCE(bc.bin, cc.bin) AS bin,
+             COALESCE(n_base, 0) AS n_base,
+             COALESCE(n_curr, 0) AS n_curr
+      FROM bc FULL OUTER JOIN cc USING (bin)
+    )
+    SELECT bin, n_base, n_curr,
+           CAST(CAST(round(
+             (greatest(CAST(n_base AS DOUBLE) / CAST(tb.tb AS DOUBLE), 1e-6)
+              - greatest(CAST(n_curr AS DOUBLE) / CAST(tc.tc AS DOUBLE), 1e-6))
+             * (CAST(CAST(round(
+                  ln(greatest(CAST(n_base AS DOUBLE) / CAST(tb.tb AS DOUBLE), 1e-6)
+                     / greatest(CAST(n_curr AS DOUBLE) / CAST(tc.tc AS DOUBLE), 1e-6))
+                  * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0)
+             * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS psi_contribution
+    FROM j CROSS JOIN tb CROSS JOIN tc
+    """,
+)
+def dq_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of o_totalprice between the 1996 and
+    2000 order cohorts, per baseline-decile bin — the distribution-drift
+    monitor a pipeline runs between ingest snapshots. Bin edges from the
+    proven percentile==quantile_cont pair; counts exact; the one ln
+    snapped to 9-dp units, contributions to 6-dp
+    (operators/quality.py::psi_drift).
+
+    Demoted tier from birth (oracled cap held at 100): driver DQ signal
+    carried by dq_profile_orders / dq_zscore_outlier_counts; the full
+    PSI oracle replays in the local parity suite every pytest run."""
+    o = T(spark, sf_dir, "orders")
+    base = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_totalprice").alias("x")
+    )
+    curr = o.where(F.year("o_orderdate") == 2000).select(
+        F.col("o_totalprice").alias("x")
+    )
+    return quality.psi_drift(base, curr, "x", bins=10)

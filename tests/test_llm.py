@@ -1435,3 +1435,27 @@ def test_pq_planted_clusters_high_recall(spark):
         ).collect()
     }
     assert len(rr & brute) / len(brute) >= 0.9
+
+
+def test_psi_drift_detects_planted_shift(spark):
+    """PSI sanity on planted distributions: identical slices give ~0 total
+    PSI; a shifted current slice gives a clearly positive one; bins with
+    an empty current side stay finite (floored proportions)."""
+    from aws_data_pipeline_spark.operators.quality import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "x double"
+    )
+    same = psi_drift(base, base, "x", bins=10).collect()
+    assert abs(sum(r.psi_contribution for r in same)) < 1e-9
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 60.0,) for i in range(2000)], "x double"
+    )
+    rows = psi_drift(base, shifted, "x", bins=10).collect()
+    total = sum(r.psi_contribution for r in rows)
+    assert total > 0.2  # the "investigate" threshold, decisively crossed
+    import math
+
+    assert all(math.isfinite(r.psi_contribution) for r in rows)
+    # the low bins lost all current mass yet stay finite
+    assert any(r.n_curr == 0 and r.n_base > 0 for r in rows)
