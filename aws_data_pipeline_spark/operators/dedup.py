@@ -1224,3 +1224,60 @@ def duplicate_span_stats(
             F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens")
         ).alias("dup_frac"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hot_mod: int | None = 256,
+    hot_min: int = 4,
+) -> DataFrame:
+    """Surgical span-level dedup (Lee et al. 2021 §4's REMOVE action):
+    excise every maximal duplicated span from each document instead of
+    dropping the document — boilerplate assemblages lose their duplicated
+    regions, the novel remainder survives. Output per input doc:
+    ``(id, n_tokens, n_removed_tokens, cleaned_text)`` — docs with no
+    duplicated spans pass through verbatim (modulo the tokenizer's
+    whitespace normalization, which is the corpus-wide contract anyway).
+
+    Scale shape: :func:`duplicate_spans` does the heavy lifting (one
+    explode, one hash groupBy, gaps-and-islands); the removal itself is
+    ROW-LOCAL — spans collect per doc (a doc's island list is small by
+    construction), join back on the id, and a nested higher-order filter
+    keeps tokens outside every island. No extra shuffle beyond the
+    per-doc span collect.
+    """
+    spans = duplicate_spans(df, id_col, text_col, k=k, hot_mod=hot_mod, hot_min=hot_min)
+    isl = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("s"),
+                (F.col("span_start") + F.col("span_tokens") - 1)
+                .cast("long")
+                .alias("e"),
+            )
+        ).alias("__isl")
+    )
+    from aws_data_pipeline_spark.operators import widen_narrow_input
+    from aws_data_pipeline_spark.operators.text import tokens
+
+    d = widen_narrow_input(df).withColumn("__t", tokens(F.col(text_col)))
+    j = d.join(isl, id_col, "left").withColumn(
+        "__isl",
+        F.coalesce(F.col("__isl"), F.array().cast("array<struct<s:bigint,e:bigint>>")),
+    )
+    # token index i is 0-based; span positions are 1-based (duplicate_spans)
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: ~F.exists(
+            F.col("__isl"), lambda sp: ((i + 1) >= sp.s) & ((i + 1) <= sp.e)
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.size("__t").cast("int").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

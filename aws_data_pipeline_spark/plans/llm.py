@@ -200,6 +200,50 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_scrubbed_docs",
+    demoted=True,
+    sql=f"""
+    WITH {_dup_span_ctes(8)},
+    isl AS (
+      SELECT doc_id,
+             list({{'s': span_start, 'e': span_start + span_tokens - 1}}) AS isl
+      FROM spans GROUP BY doc_id
+    ),
+    scrub AS (
+      SELECT t.doc_id, t.t,
+             list_filter(t.t, (x, i) ->
+               len(list_filter(COALESCE(l.isl, []),
+                               sp -> i >= sp.s AND i <= sp.e)) = 0) AS kept
+      FROM toks t LEFT JOIN isl l USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(t) - len(kept) AS INTEGER) AS n_removed_tokens,
+           -- COALESCE: DuckDB array_to_string([]) is NULL where Spark
+           -- concat_ws over an empty array is '' (fully-scrubbed docs)
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_fingerprint
+    FROM scrub
+    """,
+)
+def span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REMOVAL (Lee et al. 2021 §4): every maximal
+    duplicated span excised, the novel remainder kept — per doc, original
+    and removed token counts plus the md5 of the cleaned reassembly (the
+    full surgical edit value-hashed cross-engine; both engines run the
+    same nested positional filter, 1-based islands against the token
+    index). Demoted tier from birth (oracled cap): driver span signal
+    carried by duplicate_span_stats (same CTE chain)."""
+    d = T(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(d, "doc_id", k=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        F.md5(F.col("cleaned_text")).alias("cleaned_fingerprint"),
+    )
+
+
+@register(
     "duplicate_span_stats",
     sql=f"""
     WITH {_dup_span_ctes(8)},

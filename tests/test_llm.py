@@ -1459,3 +1459,27 @@ def test_psi_drift_detects_planted_shift(spark):
     assert all(math.isfinite(r.psi_contribution) for r in rows)
     # the low bins lost all current mass yet stay finite
     assert any(r.n_curr == 0 and r.n_base > 0 for r in rows)
+
+
+def test_remove_duplicate_spans_surgical(spark):
+    """Planted-boilerplate surgical removal: the shared 8-gram region is
+    excised from both docs, novel prefixes/suffixes survive, and a doc
+    with no duplicated spans passes through verbatim (modulo whitespace
+    tokenization)."""
+    from aws_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # 10 shared tokens
+    docs = [
+        (1, f"alpha beta gamma {boiler} delta"),
+        (2, f"zeta {boiler} eta theta iota"),
+        (3, "totally novel words only here once upon a time"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[3].n_removed_tokens == 0
+    assert out[3].cleaned_text == docs[2][1]
+    # both planted docs lose exactly the 10 boilerplate tokens
+    assert out[1].n_removed_tokens == 10
+    assert out[2].n_removed_tokens == 10
+    assert out[1].cleaned_text == "alpha beta gamma delta"
+    assert out[2].cleaned_text == "zeta eta theta iota"
