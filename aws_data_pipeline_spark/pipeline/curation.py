@@ -68,6 +68,13 @@ class CurationConfig:
     # other document. None = stage disabled.
     max_dup_span_frac: float | None = None
     span_k: int = 8
+    # opt-in SURGICAL span action (Lee et al. 2021 §4's remove, vs the
+    # gate's drop): instead of (or after) dropping span-heavy documents,
+    # excise the duplicated spans from every surviving document and keep
+    # the novel remainder — text is REWRITTEN (and n_chars refreshed).
+    # Composes with the gate: gate first drops mostly-duplicated docs,
+    # then scrubbing cleans what remains. False = stage disabled.
+    scrub_dup_spans: bool = False
     # opt-in leakage-guard split: key the train/val/test hash on RELATED-
     # document clusters at this Jaccard threshold instead of per-document.
     # Set BELOW jaccard_threshold: duplicates above it are already collapsed
@@ -156,6 +163,21 @@ def curate(
             F.col("dup_frac") > cfg.max_dup_span_frac
         ).select("doc_id")
         kept = kept.join(heavy, "doc_id", "left_anti")
+
+    # 4a'. optional surgical scrub: rewrite survivors with their
+    # duplicated spans excised (spans re-detected over the CURRENT
+    # survivor set — post-gate, so scrubbing never resurrects a dropped
+    # doc's spans as "duplicated")
+    if cfg.scrub_dup_spans:
+        cleaned = dedup.remove_duplicate_spans(
+            kept, "doc_id", k=cfg.span_k
+        ).select("doc_id", F.col("cleaned_text"))
+        kept = (
+            kept.join(cleaned, "doc_id")
+            .withColumn("text", F.col("cleaned_text"))
+            .withColumn("n_chars", F.length("text"))
+            .drop("cleaned_text")
+        )
 
     # 4b. optional SemDeDup stage: greedy lowest-id semantic-duplicate marks
     # over the embedding space of the SURVIVORS ONLY — the semi-join prune

@@ -370,3 +370,28 @@ def test_curate_span_gate_drops_boilerplate_assemblage(spark):
     cfg_on = CurationConfig(min_quality=0.0, max_dup_span_frac=0.8)
     kept_on = {r.doc_id for r in curate(docs, cfg_on).collect()}
     assert kept_on == {1, 2, 4}  # the assemblage is gone, sources stay
+
+
+def test_curate_scrub_dup_spans_rewrites_text(spark, sf_dir):
+    """The surgical span stage: with scrub_dup_spans=True the curated
+    text has no corpus-duplicated k-gram left (re-detection over the
+    output finds zero spans), counts stay equal to the unscrubbed run,
+    and the stage is deterministic under repartitioning."""
+    docs = load(spark, sf_dir, "documents")
+    cfg = CurationConfig(min_quality=0.0, scrub_dup_spans=True, span_k=8)
+    out = curate(docs, cfg)
+    base = curate(docs, CurationConfig(min_quality=0.0))
+    assert out.count() == base.count()  # scrub rewrites, never drops
+    # nothing duplicated remains at the same k in the scrubbed output
+    residual = dedup.duplicate_spans(
+        out.select("doc_id", "text"), "doc_id", k=8
+    )
+    assert residual.isEmpty()
+    # n_chars refreshed to the rewritten text
+    assert all(
+        r.n_chars == len(r.text) for r in out.select("n_chars", "text").collect()
+    )
+    out2 = curate(docs.repartition(13), cfg)
+    a = {(r.doc_id, r.text) for r in out.select("doc_id", "text").collect()}
+    b = {(r.doc_id, r.text) for r in out2.select("doc_id", "text").collect()}
+    assert a == b
