@@ -72,9 +72,25 @@ def zorder_cluster_zone(
     unpartitioned zones — see compact_zone's docstring). The key column
     is computational only and is dropped before the write; returns the
     output task/file count."""
-    from aws_data_pipeline_spark.sources.parquet import read_zone
+    from pyspark.sql.types import NumericType
+
+    from aws_data_pipeline_spark.sources.parquet import clustered_rewrite, read_zone
 
     df = read_zone(spark, path)
+    # fail loudly on non-numeric key columns: a string column casts to
+    # all-NULL doubles, which would otherwise be indistinguishable from
+    # an empty zone and silently skip the rewrite the caller asked for
+    bad = [
+        c
+        for c in cols
+        if not isinstance(df.schema[c].dataType, NumericType)
+    ]
+    if bad:
+        raise ValueError(
+            f"zorder_cluster_zone: non-numeric key column(s) {bad} — "
+            "Z-order keys must be numeric (quantize a derived numeric "
+            "proxy for strings/dates first)"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
@@ -87,18 +103,10 @@ def zorder_cluster_zone(
         quantize(F.col(c), stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
         for i, c in enumerate(cols)
     ]
-    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    n_files = max(
-        1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes)
+    return clustered_rewrite(
+        df.withColumn("__zkey", zorder_key(qs, bits)),
+        path,
+        ["__zkey"],
+        target_file_bytes,
+        drop_cols=["__zkey"],
     )
-    keyed = df.withColumn("__zkey", zorder_key(qs, bits)).localCheckpoint(
-        eager=True  # lineage off the files the overwrite truncates
-    )
-    (
-        keyed.repartitionByRange(n_files, "__zkey")
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    return n_files

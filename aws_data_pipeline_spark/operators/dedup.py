@@ -1239,8 +1239,10 @@ def remove_duplicate_spans(
     dropping the document — boilerplate assemblages lose their duplicated
     regions, the novel remainder survives. Output per input doc:
     ``(id, n_tokens, n_removed_tokens, cleaned_text)`` — docs with no
-    duplicated spans pass through verbatim (modulo the tokenizer's
-    whitespace normalization, which is the corpus-wide contract anyway).
+    duplicated spans pass through VERBATIM in their original case:
+    detection runs on the lowercased token stream (every dedup operator's
+    contract), but reconstruction splits the ORIGINAL text — safe because
+    ``lower()`` never moves a space, so token positions line up.
 
     Scale shape: :func:`duplicate_spans` does the heavy lifting (one
     explode, one hash groupBy, gaps-and-islands); the removal itself is
@@ -1249,7 +1251,9 @@ def remove_duplicate_spans(
     keeps tokens outside every island. No extra shuffle beyond the
     per-doc span collect.
     """
-    spans = duplicate_spans(df, id_col, text_col, k=k, hot_mod=hot_mod, hot_min=hot_min)
+    spans = duplicate_spans(
+        df, id_col, text_col, k=k, hot_mod=hot_mod, hot_min=hot_min
+    ).withColumnRenamed("doc_id", id_col)  # duplicate_spans emits 'doc_id'
     isl = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(
@@ -1261,9 +1265,10 @@ def remove_duplicate_spans(
         ).alias("__isl")
     )
     from aws_data_pipeline_spark.operators import widen_narrow_input
-    from aws_data_pipeline_spark.operators.text import tokens
 
-    d = widen_narrow_input(df).withColumn("__t", tokens(F.col(text_col)))
+    # ORIGINAL-case tokens: positions match the lowercased detection
+    # stream because lower() is per-character (no token boundary moves)
+    d = widen_narrow_input(df).withColumn("__t", F.split(F.col(text_col), " "))
     j = d.join(isl, id_col, "left").withColumn(
         "__isl",
         F.coalesce(F.col("__isl"), F.array().cast("array<struct<s:bigint,e:bigint>>")),

@@ -1175,6 +1175,12 @@ def train_pq_codebooks(
         lengths[len(x)] = lengths.get(len(x), 0) + 1
     modal = max(lengths, key=lambda d: lengths[d])
     mat = np.array([x for x in vals if len(x) == modal], dtype="float64")
+    # sort the sample BY VALUE before the fit: toPandas() order follows
+    # partition layout, and k-means++ picks positional indices — without
+    # this, repartitioning/compacting the source changes the codebooks
+    # and the docstring's re-derivability claim breaks (duplicate rows
+    # are identical, so their relative order cannot matter)
+    mat = mat[np.lexsort(mat.T[::-1])]
     if normalize:
         nrm = np.linalg.norm(mat, axis=1)
         mat = mat[nrm > 0.0] / nrm[nrm > 0.0, None]
@@ -1448,7 +1454,10 @@ def build_pq_index(
         ],
         "j int, c int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    n_built = stored.count()
+    # growth baseline = the CODES population (what pq_retrain_due counts);
+    # the vectors count includes zero-norm/ragged rows the encoder drops,
+    # and a vectors-based baseline would make the 2x trigger fire late
+    n_built = spark.read.parquet(f"{path}/codes").count()
     spark.createDataFrame(
         [(m, ks, seed, n_built)], "m int, ks int, seed int, n_built long"
     ).write.mode("overwrite").parquet(f"{path}/meta")

@@ -209,12 +209,17 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              list({{'s': span_start, 'e': span_start + span_tokens - 1}}) AS isl
       FROM spans GROUP BY doc_id
     ),
+    -- reconstruction splits the ORIGINAL text (detection is lowercased;
+    -- lower() never moves a space, so positions line up)
+    origt AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
     scrub AS (
       SELECT t.doc_id, t.t,
              list_filter(t.t, (x, i) ->
                len(list_filter(COALESCE(l.isl, []),
                                sp -> i >= sp.s AND i <= sp.e)) = 0) AS kept
-      FROM toks t LEFT JOIN isl l USING (doc_id)
+      FROM origt t LEFT JOIN isl l USING (doc_id)
     )
     SELECT doc_id,
            CAST(len(t) AS INTEGER) AS n_tokens,

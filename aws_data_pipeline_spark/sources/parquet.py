@@ -194,17 +194,15 @@ def compact_zone(
     few megabytes of it.
     """
     df = read_zone(spark, path)
+    if sort_by:
+        return clustered_rewrite(df, path, sort_by, target_file_bytes)
     # size estimate from Spark's own scan statistics (no separate FS listing)
     est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n_files = max(1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes))
     # materialize before overwriting the path we're reading (lineage through
     # the input files would otherwise race the delete)
     df = df.localCheckpoint(eager=True)
-    if sort_by:
-        # repartitionByRange gives globally disjoint key ranges per file;
-        # the within-file sort tightens every row group's min/max
-        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
-    elif partition_by:
+    if partition_by:
         # salt alongside the partition columns: hashing by them ALONE
         # would collapse every hive partition into ONE task writing ONE
         # file regardless of size (a 500 GB day -> one 500 GB file and a
@@ -224,6 +222,37 @@ def compact_zone(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    return n_files
+
+
+def clustered_rewrite(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    drop_cols: Sequence[str] = (),
+) -> int:
+    """The ONE clustered-rewrite mechanic (shared by ``compact_zone``'s
+    sorted branch and ``functions.zorder.zorder_cluster_zone``):
+    range-partition into ~target-size files, sort within each so every
+    row group's min/max is tight, truncate-overwrite ``path``.
+    ``drop_cols`` lets a caller sort on a computed key (e.g. a Z-order
+    key) without persisting it. Same crash posture as compact_zone's
+    unpartitioned branch: the overwrite truncates before committing —
+    maintenance-window semantics, re-run on crash."""
+    est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(
+        1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes)
+    )
+    # materialize before overwriting the path being read (lineage through
+    # the input files would otherwise race the delete)
+    df = df.localCheckpoint(eager=True)
+    out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    for c in drop_cols:
+        out = out.drop(c)
+    out.write.mode("overwrite").parquet(path)
     return n_files
 
 

@@ -140,12 +140,25 @@ def incremental_embedding_ingest(
         # self-matches re-delivered vectors and survivors goes empty, but
         # their IVF assignment may still be missing); append_to_ivf_index's
         # own anti-join makes re-appends no-ops.
-        if ivf_index_path is not None and zone_exists(sess, corpus_path):
-            accepted = batch.dropDuplicates(["vec_id"]).join(
-                sess.read.parquet(corpus_path).select("vec_id"),
-                "vec_id",
-                "left_semi",
+        accepted = None
+        if (
+            (ivf_index_path is not None or pq_index_path is not None)
+            and zone_exists(sess, corpus_path)
+        ):
+            # ONE shared batch ∩ corpus frame for both ANN index upkeeps —
+            # the crash-backfill semantics are identical by design, and a
+            # single localCheckpoint avoids recomputing the dedup + join
+            # (and re-reading the corpus zone) per index family
+            accepted = (
+                batch.dropDuplicates(["vec_id"])
+                .join(
+                    sess.read.parquet(corpus_path).select("vec_id"),
+                    "vec_id",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)
             )
+        if ivf_index_path is not None and accepted is not None:
             if zone_exists(sess, f"{ivf_index_path}/centroids"):
                 similarity.append_to_ivf_index(sess, accepted, ivf_index_path)
             else:
@@ -163,14 +176,9 @@ def incremental_embedding_ingest(
 
         # PQ upkeep: same crash-backfilling batch ∩ corpus set and
         # bootstrap-from-full-corpus rule as IVF (module docstring)
-        if pq_index_path is not None and zone_exists(sess, corpus_path):
-            accepted_pq = batch.dropDuplicates(["vec_id"]).join(
-                sess.read.parquet(corpus_path).select("vec_id"),
-                "vec_id",
-                "left_semi",
-            )
+        if pq_index_path is not None and accepted is not None:
             if zone_exists(sess, f"{pq_index_path}/meta"):
-                similarity.append_to_pq_index(accepted_pq, pq_index_path)
+                similarity.append_to_pq_index(accepted, pq_index_path)
             else:
                 full = sess.read.parquet(corpus_path)
                 if not full.isEmpty():

@@ -1483,3 +1483,41 @@ def test_remove_duplicate_spans_surgical(spark):
     assert out[2].n_removed_tokens == 10
     assert out[1].cleaned_text == "alpha beta gamma delta"
     assert out[2].cleaned_text == "zeta eta theta iota"
+
+
+def test_remove_duplicate_spans_preserves_case(spark):
+    """Detection is lowercased (dedup contract) but reconstruction must
+    return the ORIGINAL casing — a training corpus scrubbed of spans must
+    not come back case-folded."""
+    from aws_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = " ".join(f"B{i}" for i in range(10))
+    docs = [
+        (1, f"The API Returns JSON {boiler}"),
+        (2, f"{boiler} Unrelated Mixed Case Tail"),
+        (3, "Totally Novel Words Only Here Once Upon A Time"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert out[3].cleaned_text == docs[2][1]  # verbatim, case intact
+    assert out[1].cleaned_text == "The API Returns JSON"
+    assert out[2].cleaned_text == "Unrelated Mixed Case Tail"
+    # lower/upper variants of the same boilerplate still detect as dups
+    mixed = [(1, f"lead {boiler.lower()} tail one"),
+             (2, f"pre {boiler.upper()} post two")]
+    df2 = spark.createDataFrame(mixed, "doc_id long, text string")
+    out2 = {r.doc_id: r for r in remove_duplicate_spans(df2, k=8).collect()}
+    assert out2[1].n_removed_tokens == 10 and out2[2].n_removed_tokens == 10
+    assert out2[1].cleaned_text == "lead tail one"
+    assert out2[2].cleaned_text == "pre post two"
+
+
+def test_remove_duplicate_spans_custom_id_col(spark):
+    from aws_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(10, f"x {boiler}"), (20, f"y {boiler}")], "id long, text string"
+    )
+    out = {r.id: r for r in remove_duplicate_spans(df, id_col="id", k=8).collect()}
+    assert out[10].cleaned_text == "x" and out[20].cleaned_text == "y"
