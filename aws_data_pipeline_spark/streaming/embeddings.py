@@ -7,9 +7,10 @@ text loop keeps the MinHash-LSH and k-gram indexes current: each micro-batch
 is semantically deduplicated within itself (banded hyperplane-LSH pairs →
 min-id survivors), probed against the index of everything already accepted,
 and only novel vectors append to the corpus zone, the LSH index, and — when
-enabled — the IVF ANN index (new vectors assigned to the FIXED build
-centroids; :func:`operators.similarity.ivf_retrain_due` tells the owner when
-drift warrants a quantizer rebuild). Per-batch cost is O(batch × bands +
+enabled — the IVF and PQ ANN indexes (new vectors assigned/encoded under the
+FIXED build centroids/codebooks; :func:`operators.similarity.ivf_retrain_due`
+and :func:`operators.similarity.pq_retrain_due` tell the owner when drift or
+growth warrants a rebuild). Per-batch cost is O(batch × bands +
 matched candidates); accepted vectors are never re-banded or re-paired.
 
 Crash-consistency contract is the text loop's, verbatim: every append set is
