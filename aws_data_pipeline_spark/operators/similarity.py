@@ -1018,6 +1018,7 @@ def compact_embedding_indexes(
     lsh_index_path: str | None = None,
     ivf_index_path: str | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    pq_index_path: str | None = None,
 ) -> dict[str, int]:
     """Periodic maintenance for the append-maintained embedding indexes —
     the embedding twin of ``streaming.corpus.compact_corpus_indexes``:
@@ -1053,6 +1054,21 @@ def compact_embedding_indexes(
             f"{ivf_index_path}/corpus",
             target_file_bytes=target_file_bytes,
             partition_by=("cell",),
+        )
+    if pq_index_path is not None:
+        # codes cluster on id (the ADC scan is a full sweep, but re-rank
+        # and append anti-joins probe by id); vectors likewise
+        written["pq_codes"] = compact_zone(
+            spark,
+            f"{pq_index_path}/codes",
+            target_file_bytes=target_file_bytes,
+            sort_by=("id",),
+        )
+        written["pq_vectors"] = compact_zone(
+            spark,
+            f"{pq_index_path}/vectors",
+            target_file_bytes=target_file_bytes,
+            sort_by=("id",),
         )
     return written
 

@@ -662,3 +662,36 @@ def test_pq_composes_with_ivf_cell_probe(spark, sf_dir, tmp_path):
     out = S.pq_topk(q, e, books, k=5, corpus_codes=cell_codes, rerank=20).collect()
     assert out and all(1 <= r.rank <= 5 for r in out)
     assert {r.neighbor_id for r in out} <= probed_ids
+
+
+def test_compact_pq_index_preserves_probe_results(spark, sf_dir, tmp_path):
+    """PQ joins the compaction contract: after append-fragmentation and a
+    compact, probe rows are identical and the file count shrinks."""
+    import glob
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "pqc")
+    S.build_pq_index(e.filter(F.col("vec_id") % 4 != 0), idx, m=8, ks=16)
+    for m in range(2):  # two appends -> extra small files per sub-table
+        S.append_to_pq_index(
+            e.filter(F.col("vec_id") % 4 == 0).filter(
+                (F.col("vec_id") % 2 == m)
+            ),
+            idx,
+        )
+    q = e.filter(F.col("vec_id") < 8)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk_indexed(spark, q, idx, k=5, rerank=30).collect()
+    }
+    files_before = len(glob.glob(f"{idx}/codes/*.parquet"))
+    written = S.compact_embedding_indexes(spark, pq_index_path=idx)
+    assert set(written) == {"pq_codes", "pq_vectors"}
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk_indexed(spark, q, idx, k=5, rerank=30).collect()
+    }
+    assert after == before  # compaction rewrites rows, never re-codes
+    assert len(glob.glob(f"{idx}/codes/*.parquet")) <= files_before
