@@ -615,8 +615,13 @@ def weighted_sample_topk(
     any SQL engine), so re-runs and re-partitions pick the same sample;
     the one ``ln`` is ordered through ``round(key, 9)`` with an id
     tie-break (the tfidf rule: engine-stable comparisons, not just tie
-    handling). Rows with weight <= 0 are excluded (A-ES is undefined
-    there) — mirror the filter in any oracle.
+    handling). Weights are normalized by the group max before keying
+    (``ln(u) / (w / max_group(w))``) — a positive per-group rescale never
+    changes the A-ES ordering, and it keeps the 9-dp fixed-point key
+    resolving even for very large raw weights (unnormalized, w >~ 1e8
+    collapses every key to 0.000000000 and selection degenerates to the
+    id tie-break). Rows with weight <= 0 are excluded (A-ES is undefined
+    there) — mirror the filter AND the normalization in any oracle.
 
     Scale shape: one hash + key projection map-side, one top-k window per
     group — the same single-shuffle shape as every other top-k here.
@@ -630,7 +635,8 @@ def weighted_sample_topk(
     )
     u = (F.pmod(h, F.lit(1_000_000)) + F.lit(1)) / F.lit(1_000_001.0)
     w = F.col(weight_col).cast("double")
-    key = F.log(u) / w
+    wmax = F.max(w).over(Window.partitionBy(group_col))
+    key = F.log(u) / (w / wmax)
     out = (
         df.where(w > 0)
         .withColumn("__key", F.round(key, 9))

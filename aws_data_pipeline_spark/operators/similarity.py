@@ -1221,7 +1221,10 @@ def train_pq_codebooks(
             if tot == 0.0:
                 centers.append(x[rng.integers(len(x))])
                 continue
-            centers.append(x[np.searchsorted(np.cumsum(d2 / tot), rng.random())])
+            # clamp: float cumsum can end < 1.0, and searchsorted would
+            # then return len(x) for an unlucky draw
+            pick = min(np.searchsorted(np.cumsum(d2 / tot), rng.random()), len(x) - 1)
+            centers.append(x[pick])
         c = np.vstack(centers)
         for _ in range(iters):
             d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)

@@ -201,7 +201,6 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "span_scrubbed_docs",
-    demoted=True,
     sql=f"""
     WITH {_dup_span_ctes(8)},
     isl AS (
@@ -236,8 +235,8 @@ def span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and removed token counts plus the md5 of the cleaned reassembly (the
     full surgical edit value-hashed cross-engine; both engines run the
     same nested positional filter, 1-based islands against the token
-    index). Demoted tier from birth (oracled cap): driver span signal
-    carried by duplicate_span_stats (same CTE chain)."""
+    index). Registered r8 (was demoted-from-birth r7) — entered in
+    unigram_logprob_scores's slot, cap held at 100."""
     d = T(spark, sf_dir, "documents")
     out = dedup.remove_duplicate_spans(d, "doc_id", k=8)
     return out.select(
@@ -805,6 +804,11 @@ def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
     state = _src_state(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir, n_cells, seed, state)
     if key not in _IVF_INDEX:
+        # evict superseded entries for the same corpus+params (the
+        # _pq_corpus rule): a regenerated corpus changes `state`, and the
+        # stale resident inverted file would otherwise stay persisted
+        for old in [k for k in _IVF_INDEX if k[:4] == key[:4]]:
+            _IVF_INDEX.pop(old)[1].unpersist()
         idx = _ensure_ivf_index(spark, sf_dir, n_cells, seed)
         cents = [
             [float(x) for x in r.centroid]
@@ -824,7 +828,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
     return _IVF_INDEX[key]
 
 
-@register("embedding_ann_ivf", sql=None)
+@register("embedding_ann_ivf", sql=None, demoted=True)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF: k-means coarse quantizer (8 cells), each
     query probes its 4 nearest cells, exact cosine ranking within them —
@@ -834,7 +838,13 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     search-only: rank centroids per query, equi-join the probed cells
     against the resident inverted file. At 100 TB use the disk path
     end-to-end (embedding_ann_ivf_indexed — partition-pruned cell reads).
-    Recall vs brute force measured in tests/test_llm.py."""
+    Recall vs brute force measured in tests/test_llm.py.
+
+    Demoted r8 (embedding_ann_pq_indexed entered the rows-only tail in
+    its slot): driver IVF signal carried by embedding_ann_ivf_indexed —
+    both paths read the SAME persisted index (single source of truth for
+    the quantizer, see _ivf_index) and return identical rows by
+    construction, pinned in tests/test_llm.py."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     cents, assigned = _ivf_index(spark, sf_dir, n_cells=8)
@@ -874,16 +884,25 @@ _PQ_CACHE: dict = {}
 
 
 def _pq_corpus(spark: SparkSession, sf_dir: str, m: int = 8, ks: int = 16):
-    """Resident PQ artifacts per (app, sf_dir, params, source state):
-    train-once codebooks + persisted corpus codes — the encode is the
-    expensive pass, the search reads only 8-byte code rows. Source state
-    in the key invalidates on corpus regeneration (the _ivf_index rule)."""
+    """Resident PQ artifacts per (app, sf_dir, params, source state),
+    READ from the persisted index (single source of truth for codebooks
+    AND codes — the _ivf_index rule): the disk index is built/appended
+    once per corpus by _ensure_pq_index, the resident copy just loads its
+    codebooks and persists its code rows, so the resident and indexed
+    search paths return identical rows by construction. Source state in
+    the key invalidates on corpus regeneration."""
     state = _src_state(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir, m, ks, state)
     if key not in _PQ_CACHE:
-        e = T(spark, sf_dir, "embeddings")
-        books = similarity.train_pq_codebooks(e, m=m, ks=ks, seed=42)
-        codes = similarity.pq_encode(e, books).persist()
+        # evict superseded entries for the same corpus+params first: a
+        # regenerated corpus changes `state`, and the stale entry's
+        # persisted codes would otherwise pin executor storage for the
+        # rest of the application
+        for old in [k for k in _PQ_CACHE if k[:4] == key[:4]]:
+            _PQ_CACHE.pop(old)[1].unpersist()
+        idx = _ensure_pq_index(spark, sf_dir, m=m, ks=ks)
+        books = similarity.read_pq_codebooks(spark, idx)
+        codes = spark.read.parquet(f"{idx}/codes").persist()
         codes.count()  # materialize eagerly
         _PQ_CACHE[key] = (books, codes)
     return _PQ_CACHE[key]
@@ -899,13 +918,73 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT, and only the candidate sliver touches full vectors. Recall and
     codebook/encode determinism pinned in tests/test_llm.py (test_pq_*).
 
-    Demoted tier (rows-only tail is at its 10-entry cap): driver ANN
-    signal carried by embedding_ann_ivf / embedding_ann_lsh; this entry
-    exists so bench.py can time the PQ path."""
+    Demoted (rows-only tail cap): driver PQ signal carried by
+    embedding_ann_pq_indexed — the persisted-index probe under the same
+    stored codebooks (identity pinned in tests/test_llm.py); this
+    resident entry exists so bench.py can time the in-memory PQ path."""
     books, codes = _pq_corpus(spark, sf_dir)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.pq_topk(queries, e, books, k=5, corpus_codes=codes, rerank=40)
+
+
+def _pq_index_path(sf_dir: str, m: int, ks: int) -> str:
+    return _warehouse_index_path(sf_dir, f"pq_index_m{m}_k{ks}")
+
+
+def _ensure_pq_index(
+    spark: SparkSession, sf_dir: str, m: int = 8, ks: int = 16
+) -> str:
+    """Materialize the on-disk PQ index the way a 100 TB corpus reaches
+    steady state (the _ensure_ivf_index recipe): BUILD (train codebooks +
+    encode + write codes/vectors/meta) from the simulated existing corpus
+    (vec_id % 10 != 7), then APPEND the simulated new batch
+    (vec_id % 10 = 7) under the STORED codebooks via
+    :func:`similarity.append_to_pq_index` — so every probe of this index
+    exercises the append-maintained shape, not a fresh full build.
+
+    Staleness: the shared source-state marker (row count + file
+    fingerprint); a regenerated corpus under the same path triggers a
+    rebuild. Params are part of the index path. Build and append complete
+    before the marker write, so a crash mid-way reads as stale and the
+    re-run redoes both (build overwrites, append is idempotent)."""
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+
+    idx = _pq_index_path(sf_dir, m, ks)
+    e = T(spark, sf_dir, "embeddings")
+    state = _src_state(spark, sf_dir, "embeddings")
+    fresh = (
+        zone_exists(spark, f"{idx}/codes")
+        and zone_exists(spark, f"{idx}/meta")
+        and _src_marker_fresh(spark, idx, state)
+    )
+    if not fresh:
+        similarity.build_pq_index(
+            e.filter(F.col("vec_id") % 10 != 7), idx, m=m, ks=ks, seed=42
+        )
+        similarity.append_to_pq_index(
+            e.filter(F.col("vec_id") % 10 == 7), idx
+        )
+        _write_src_marker(spark, idx, state)
+    return idx
+
+
+@register("embedding_ann_pq_indexed", sql=None)
+def embedding_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via the PERSISTED product-quantization index — the on-disk
+    100 TB shape: the ADC scan reads ONLY ``codes`` (8 bytes/vector, the
+    32x scan-payload cut measured in tests/test_scale.py); full vectors
+    are touched just for the exact re-rank candidates. First call per
+    corpus BUILDS from the simulated existing corpus then APPENDS the new
+    batch under the stored codebooks (see _ensure_pq_index), so the probe
+    exercises the append-maintained index — the IVF-indexed pattern
+    (embedding_ann_ivf_indexed) applied to the PQ family. Identical rows
+    to the resident embedding_ann_pq under the same codebooks
+    (tests/test_llm.py)."""
+    idx = _ensure_pq_index(spark, sf_dir, m=8, ks=16)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk_indexed(spark, queries, idx, k=5, rerank=40)
 
 
 # -- Text analysis ---------------------------------------------------------
@@ -1847,14 +1926,17 @@ def token_budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "weighted_sample_per_lang",
-    demoted=True,
     sql="""
     WITH keyed AS (
+      -- weight normalized by the group max before the ln(u)/w key: a
+      -- positive per-group rescale never reorders A-ES, and it keeps
+      -- the 9-dp key resolving for large raw weights (operator doc)
       SELECT lang, doc_id,
              round(
                ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'wsample-v1'),
                                 1, 15))::UBIGINT % 1000000 AS BIGINT) + 1) / 1000001.0)
-               / CAST(n_chars AS DOUBLE), 9) AS k
+               / (CAST(n_chars AS DOUBLE)
+                  / MAX(CAST(n_chars AS DOUBLE)) OVER (PARTITION BY lang)), 9) AS k
       FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
     )
     SELECT lang, doc_id, sample_rank FROM (
@@ -1872,11 +1954,8 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact md5-prefix rational, the one ln is ordered through
     round(key, 9) with an id tie-break, so membership value-hashes
     cross-engine (operators/sampling.py::weighted_sample_topk).
-
-    Demoted tier from birth (oracled cap held at 100): driver sampling
-    signal carried by stratified_sample_assignments_portable /
-    mixture_resample_docs; the full A-ES oracle replays in the local
-    parity suite every pytest run."""
+    Registered r8 (was demoted-from-birth r7) — entered in
+    session_window_counts's slot, cap held at 100."""
     d = T(spark, sf_dir, "documents")
     return sampling.weighted_sample_topk(
         d, id_col="doc_id", weight_col="n_chars", group_col="lang", k=5
@@ -1885,6 +1964,7 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unigram_logprob_scores",
+    demoted=True,
     sql="""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -1911,7 +1991,13 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-family fluency scores: per-doc average negative log-prob
     under an add-1-smoothed corpus unigram LM (CCNet-style filtering tail).
     Exact-int counts, 9-dp fixed-point token sums, mirrored final
-    divisions — the whole score value-hashes against the oracle."""
+    divisions — the whole score value-hashes against the oracle.
+
+    Demoted r8 (span_scrubbed_docs entered in its slot): driver LM-scoring
+    signal carried by bigram_logprob_scores — the strictly more general
+    conditional-LM path over the same tokenization, smoothing, and
+    fixed-point ln machinery; this full oracle still replays in the local
+    parity suite every pytest run."""
     d = T(spark, sf_dir, "documents")
     return text.unigram_logprob(d)
 

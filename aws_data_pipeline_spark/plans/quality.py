@@ -146,7 +146,6 @@ def dq_zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_psi_price_drift",
-    demoted=True,
     sql="""
     WITH base AS (
       SELECT o_totalprice AS x FROM orders
@@ -192,11 +191,9 @@ def dq_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor a pipeline runs between ingest snapshots. Bin edges from the
     proven percentile==quantile_cont pair; counts exact; the one ln
     snapped to 9-dp units, contributions to 6-dp
-    (operators/quality.py::psi_drift).
-
-    Demoted tier from birth (oracled cap held at 100): driver DQ signal
-    carried by dq_profile_orders / dq_zscore_outlier_counts; the full
-    PSI oracle replays in the local parity suite every pytest run."""
+    (operators/quality.py::psi_drift). Registered r8 (was
+    demoted-from-birth r7) — entered in tumbling_window_counts's slot,
+    cap held at 100."""
     o = T(spark, sf_dir, "orders")
     base = o.where(F.year("o_orderdate") == 1996).select(
         F.col("o_totalprice").alias("x")

@@ -16,6 +16,7 @@ from aws_data_pipeline_spark.streaming import windows as sw
 
 @register(
     "tumbling_window_counts",
+    demoted=True,
     sql="""
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -28,7 +29,14 @@ from aws_data_pipeline_spark.streaming import windows as sw
 )
 def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows per event type — identical operator runs under
-    readStream with the 30-minute watermark bounding state."""
+    readStream with the 30-minute watermark bounding state.
+
+    Demoted r8 (dq_psi_price_drift entered in its slot): driver
+    time-window signal carried by sliding_window_counts — tumbling is the
+    slide==width special case of the same window() operator; streaming
+    execution (watermark + availableNow + checkpoint resume) stays
+    pytest-pinned in tests/test_streaming.py, and this full oracle
+    replays in the local parity suite every run."""
     return sw.tumbling_counts(T(spark, sf_dir, "events"))
 
 
@@ -53,6 +61,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_counts",
+    demoted=True,
     sql="""
     WITH flagged AS (
       SELECT user_id, ts,
@@ -79,7 +88,13 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window(30-min gap) per user. Spark defines session end as
-    last-event + gap; the gaps-and-islands oracle reproduces that exactly."""
+    last-event + gap; the gaps-and-islands oracle reproduces that exactly.
+
+    Demoted r8 (weighted_sample_per_lang entered in its slot): driver
+    sessionization signal carried by sessionize_events — the same
+    30-minute-gap session machinery over the same events table with
+    richer per-session output; this full oracle replays in the local
+    parity suite every pytest run."""
     return sw.session_counts(T(spark, sf_dir, "events"))
 
 

@@ -55,6 +55,10 @@ def incremental_embedding_ingest(
     ivf_retrain: bool = False,
     pq_index_path: str | None = None,
     pq_retrain: bool = False,
+    pq_m: int = 8,
+    pq_ks: int = 16,
+    pq_seed: int = 42,
+    pq_max_train: int = 16384,
 ) -> None:
     """One availableNow run: new embedding files → in-batch semantic dedup
     → index probe → idempotent append of novel vectors to corpus + LSH
@@ -82,7 +86,10 @@ def incremental_embedding_ingest(
     append uses, the bootstrap builds from the full corpus zone, and
     ``pq_retrain=True`` consults ``pq_retrain_due`` post-run (growth past
     2× the build-time size) — so all three families (LSH bands, IVF
-    cells, PQ codes) stay current from one ingest loop.
+    cells, PQ codes) stay current from one ingest loop. The bootstrap
+    build takes its shape from ``pq_m``/``pq_ks``/``pq_seed``/
+    ``pq_max_train`` (corpora whose dim is not divisible by 8 need a
+    non-default ``pq_m``); appends and retrains read the stored meta.
 
     ``ivf_retrain=True`` adds post-run quantizer maintenance: after the
     availableNow run drains (this loop is the index's only writer, so
@@ -181,9 +188,20 @@ def incremental_embedding_ingest(
             if zone_exists(sess, f"{pq_index_path}/meta"):
                 similarity.append_to_pq_index(accepted, pq_index_path)
             else:
+                # bootstrap under the CALLER's PQ params — a corpus whose
+                # dim is not divisible by the default m=8 would otherwise
+                # raise mid-foreachBatch with no way to configure it
+                # (appends thereafter read params from the stored meta)
                 full = sess.read.parquet(corpus_path)
                 if not full.isEmpty():
-                    similarity.build_pq_index(full, pq_index_path)
+                    similarity.build_pq_index(
+                        full,
+                        pq_index_path,
+                        m=pq_m,
+                        ks=pq_ks,
+                        seed=pq_seed,
+                        max_train=pq_max_train,
+                    )
 
     (
         spark.readStream.schema(VEC_SCHEMA)

@@ -56,17 +56,28 @@ def main() -> int:
     if not rounds:
         print("no CORRECTNESS history; keep the current order")
         return 0
-    upcoming = max(rounds) + 1
+    # Staleness is measured in EXECUTED driver rounds, not round numbers:
+    # the driver can skip a round entirely (round 6 produced no
+    # CORRECTNESS file), and a skipped round gives NO query a check
+    # opportunity, so it must not count against any entry's signal age.
+    ridx = {r: i for i, r in enumerate(sorted(set(rounds)))}
+    upcoming = len(ridx)  # index the next executed round will get
     pos = {n: i for i, n in enumerate(current)}
 
     def seen(n: str) -> int:
-        return latest.get(n, -(10**6))  # never-signaled sorts oldest
+        # executed-round index; never-signaled sorts oldest
+        return ridx[latest[n]] if n in latest else -(10**6)
 
     oracled = [n for n in current if reg[n].sql is not None]
     rows_only = [n for n in current if reg[n].sql is None]
 
+    # displaced debt = missed at least TWO executed windows (or never
+    # signaled at all) — the steady-state two-window cadence makes a
+    # 2-executed-rounds-old signal the normal "other half", which fills
+    # rest_oracled oldest-first and reaches the window on its own; only
+    # older-than-that entries must outrank the rows-only seats.
     displaced = sorted(
-        (n for n in oracled if upcoming - seen(n) >= 2),
+        (n for n in oracled if upcoming - seen(n) >= 3),
         key=lambda n: (seen(n), pos[n]),
     )
     rest_oracled = sorted(
@@ -80,7 +91,7 @@ def main() -> int:
     assert sorted(order) == sorted(current)
 
     print(
-        f"# proposed _PRIORITY for round {upcoming} "
+        f"# proposed _PRIORITY for round {max(rounds) + 1} "
         f"({len(displaced)} displaced lead, {len(seats)} rows-only seats)"
     )
     if "--diff" in sys.argv:

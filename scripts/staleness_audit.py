@@ -50,8 +50,14 @@ def main() -> int:
     if not rounds:
         print("no CORRECTNESS_r*.json history; nothing to audit")
         return 0
+    # Staleness counts EXECUTED driver rounds, not round numbers: the
+    # driver can skip a round (round 6 wrote no CORRECTNESS file), and a
+    # skipped round offered no query a check opportunity, so it must not
+    # age any signal. latest[] keeps round numbers for display; the
+    # arithmetic below maps them to executed-round indices.
+    ridx = {r: i for i, r in enumerate(sorted(set(rounds)))}
     last_round = max(rounds)
-    next_round = last_round + 1
+    next_round = len(ridx)  # executed-round index of the simulated round
     window = set(order[:50])
 
     breaches = []
@@ -66,7 +72,7 @@ def main() -> int:
             continue  # rows-only: weaker cadence by documented policy
         # after the next round runs: in-window entries refresh to
         # next_round; everything else keeps its current signal
-        signal = next_round if name in window else seen
+        signal = next_round if name in window else ridx[seen]
         if next_round - signal < 2:
             continue
         # the documented bounded exception: an entry displaced past slot
@@ -80,8 +86,9 @@ def main() -> int:
             breaches.append((name, seen))
 
     print(
-        f"history: rounds {min(rounds)}-{last_round}; simulating round "
-        f"{next_round} over the current 50-slot window"
+        f"history: executed rounds {sorted(set(rounds))}; simulating the "
+        f"next executed round (nominally r{last_round + 1}) over the "
+        f"current 50-slot window"
     )
     if never:
         oracled = [n for n in never if reg[n].sql is not None]
@@ -94,13 +101,13 @@ def main() -> int:
         )
     if displaced_ok:
         print(
-            f"bounded displacement (documented exception — these sit at "
-            f"slots 51-60 and MUST lead round {next_round + 1}'s window):"
+            "bounded displacement (documented exception — these sit at "
+            "slots 51-60 and MUST lead the FOLLOWING round's window):"
         )
         for name, seen, slot in displaced_ok:
             print(f"  slot {slot:3d}  {name:42s} latest signal r{seen}")
     if breaches:
-        print(f"PROMISE BREACH after round {next_round}:")
+        print(f"PROMISE BREACH after round {last_round + 1}:")
         for name, seen in sorted(breaches, key=lambda x: x[1]):
             print(f"  {name:42s} latest signal r{seen}")
         return 1

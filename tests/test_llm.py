@@ -376,10 +376,36 @@ def test_registry_ivf_resident_equals_persisted(spark, sf_dir):
     from aws_data_pipeline_spark.plans import load_registry
 
     reg = load_registry()
-    a = {tuple(r) for r in reg["embedding_ann_ivf"].spark_fn(spark, sf_dir).collect()}
+    from aws_data_pipeline_spark.plans import DEMOTED
+
+    a = {
+        tuple(r)
+        for r in DEMOTED["embedding_ann_ivf"].spark_fn(spark, sf_dir).collect()
+    }
     b = {
         tuple(r)
         for r in reg["embedding_ann_ivf_indexed"].spark_fn(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_registry_pq_resident_equals_persisted(spark, sf_dir):
+    """The resident (embedding_ann_pq, demoted) and persisted
+    (embedding_ann_pq_indexed) searches share ONE set of stored codebooks
+    and code rows (the on-disk index — _pq_corpus reads both from it, the
+    _ivf_index single-source-of-truth rule) and must return identical
+    rows; the index itself is the append-maintained shape (build on the
+    vec_id%10!=7 slice, append the rest under stored codebooks)."""
+    from aws_data_pipeline_spark.plans import DEMOTED, load_registry
+
+    reg = load_registry()
+    a = {
+        tuple(r)
+        for r in DEMOTED["embedding_ann_pq"].spark_fn(spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in reg["embedding_ann_pq_indexed"].spark_fn(spark, sf_dir).collect()
     }
     assert a == b and len(a) > 0
 

@@ -139,3 +139,31 @@ def test_weighted_sample_topk_proportional_and_deterministic(spark):
     out2 = weighted_sample_topk(df.repartition(7), "doc_id", "w", "grp", k=100)
     got2 = {(r.grp, r.doc_id, r.sample_rank) for r in out2.collect()}
     assert got1 == got2
+
+
+def test_weighted_sample_topk_large_weights_keep_resolution(spark):
+    """Group-max normalization regression (ADVICE r7): with raw weights
+    >~1e8 the unnormalized 9-dp key ln(u)/w collapsed every row to
+    0.000000000 and selection degenerated to the lowest-id tie-break.
+    Normalized keys must (a) still overrepresent heavy rows at w~1e12,
+    and (b) make membership invariant under a uniform weight rescale —
+    the A-ES ordering is scale-free, so 50-vs-1 and 5e13-vs-1e12 must
+    pick the same sample."""
+    from aws_data_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "g", 5e13 if i < 100 else 1e12) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = {(r.doc_id, r.sample_rank)
+           for r in weighted_sample_topk(df, "doc_id", "w", "grp", k=100).collect()}
+    heavy = sum(1 for d, _ in got if d < 100)
+    assert heavy >= 40  # degenerate id-tiebreak selection would give ~100 of 0..99...
+    # ...no: id-tiebreak picks ids 0-99 exactly => heavy==100 AND ranks==ids+1.
+    # The sharp degeneracy signature is rank order == id order; rule it out:
+    assert got != {(i, i + 1) for i in range(100)}
+    small = [(i, "g", 50.0 if i < 100 else 1.0) for i in range(2000)]
+    df_small = spark.createDataFrame(small, "doc_id long, grp string, w double")
+    got_small = {
+        (r.doc_id, r.sample_rank)
+        for r in weighted_sample_topk(df_small, "doc_id", "w", "grp", k=100).collect()
+    }
+    assert got == got_small  # same weight RATIOS -> identical sample
