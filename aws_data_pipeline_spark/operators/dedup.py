@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from aws_data_pipeline_spark.functions.portable import md5_prefix_long
 from aws_data_pipeline_spark.operators import widen_narrow_input
 from aws_data_pipeline_spark.operators.text import hashed_shingles, shingles, tokens
+from aws_data_pipeline_spark.sources.parquet import index_root
 
 # Fixed universal-hash parameters: h_i(s) = (a_i * x + b_i) mod M, where
 # x = pmod(xxhash64(s), 2^31-1). a_i < 2^31 keeps a_i * x < 2^62 — inside
@@ -484,6 +485,7 @@ def build_lsh_text_index(
     num_perm: int = 16,
     bands: int = 4,
     hash_fn: str = "xxhash64",
+    force_new_version: bool = False,
 ) -> None:
     """Persist a corpus's MinHash-LSH index: ``path/sets`` (doc, shingle
     set — the exact-verification side), ``path/bands`` (doc, band, key —
@@ -493,20 +495,30 @@ def build_lsh_text_index(
     probes it via :func:`neardup_against_index` without touching corpus
     text. Signatures are computed from the MATERIALIZED sets read back
     from disk — tokenization runs once, and the write doubles as the
-    cache `_signatures_from_sets` requires."""
+    cache `_signatures_from_sets` requires. Rebuilds over an active index
+    (or with ``force_new_version=True``) write a fresh version directory
+    and flip the pointer last — the same atomic-swap contract as the
+    embedding indexes (similarity._resolve_build_root)."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        _finish_index_build,
+        _resolve_build_root,
+    )
+
     spark = df.sparkSession
+    root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
     # persist=False: the only consumer is this write — the read-back
     # below is the materialization signatures use
     shingle_sets(df, id_col, text_col, k, persist=False).write.mode(
         "overwrite"
-    ).parquet(f"{path}/sets")
-    sets = spark.read.parquet(f"{path}/sets")
+    ).parquet(f"{root}/sets")
+    sets = spark.read.parquet(f"{root}/sets")
     _banded_keys(
         _signatures_from_sets(sets, num_perm, hash_fn), bands, num_perm // bands
-    ).write.mode("overwrite").parquet(f"{path}/bands")
+    ).write.mode("overwrite").parquet(f"{root}/bands")
     spark.createDataFrame(
         [(k, num_perm, bands, hash_fn)], "k int, num_perm int, bands int, hash_fn string"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{root}/meta")
+    _finish_index_build(spark, path, new_v, old_root, ("sets", "bands", "meta"))
 
 
 def neardup_against_index(
@@ -520,6 +532,7 @@ def neardup_against_index(
     """Probe a persisted LSH index (``build_lsh_text_index``) with a new
     batch; parameters come from the index's own metadata. See
     :func:`neardup_against_corpus` for semantics and the scale story."""
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     return neardup_against_corpus(
         new_df,
@@ -1098,6 +1111,7 @@ def build_kgram_index(
     path: str,
     text_col: str = "text",
     k: int = 8,
+    force_new_version: bool = False,
 ) -> None:
     """Persist the corpus's DISTINCT positional k-gram hash set — the
     substring-level sibling of :func:`build_lsh_text_index`, extending
@@ -1114,8 +1128,16 @@ def build_kgram_index(
     the BUILD-TIME corpus doc count — build-once callers use it as a
     staleness probe (a regenerated corpus under the same path must not be
     served hashes of the old one); append-maintained indexes grow past it
-    by design and never consult it."""
+    by design and never consult it. Rebuilds over an active index write a
+    fresh version directory and flip the pointer last (the embedding
+    indexes' atomic-swap contract)."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        _finish_index_build,
+        _resolve_build_root,
+    )
+
     spark = df.sparkSession
+    root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
     n_docs = df.count()
     (
         widen_narrow_input(df)
@@ -1126,11 +1148,12 @@ def build_kgram_index(
         )
         .distinct()
         .write.mode("overwrite")
-        .parquet(f"{path}/hashes")
+        .parquet(f"{root}/hashes")
     )
     spark.createDataFrame(
         [(k, n_docs)], "k int, built_n_docs long"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{root}/meta")
+    _finish_index_build(spark, path, new_v, old_root, ("hashes", "meta"))
 
 
 def append_to_kgram_index(
@@ -1142,6 +1165,7 @@ def append_to_kgram_index(
     metadata. Per-batch cost is O(batch tokens) + one anti-join against
     the hash set — corpus text is never touched."""
     spark = df.sparkSession
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     new_h = (
         widen_narrow_input(df)
@@ -1181,6 +1205,7 @@ def duplicate_spans_against_index(
     boilerplate-heavy BATCH can additionally pre-cap via the same
     detector :func:`duplicate_spans` uses (probe batches are
     ingest-sized, so the uncapped window is the right default here)."""
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     k = meta.k
     wins = widen_narrow_input(new_df).select(

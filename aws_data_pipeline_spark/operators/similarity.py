@@ -16,6 +16,53 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_data_pipeline_spark.sources.parquet import (
+    commit_index_version,
+    delete_zone,
+    index_active_version,
+    index_next_root,
+    index_root,
+)
+
+
+def _resolve_build_root(
+    spark, path: str, force_new_version: bool
+) -> tuple[str, int | None, str | None]:
+    """(write root, version to commit, superseded root) for an index
+    (re)build at ``path``. A fresh unversioned build writes straight under
+    ``path`` (meta-last stays its crash contract); any build over an
+    ALREADY-ACTIVE index — or one forced by a retrain/compaction — writes
+    a new ``v<N>`` candidate that readers cannot see until the caller
+    commits it (see sources.parquet's versioned-index store)."""
+    v = index_active_version(spark, path)
+    if v is None and not force_new_version:
+        return path, None, None
+    new_root, new_v = index_next_root(spark, path)
+    old_root = path if v is None else f"{path}/v{v}"
+    return new_root, new_v, old_root
+
+
+def _finish_index_build(
+    spark, path: str, new_v: int | None, old_root: str | None, subs: tuple[str, ...]
+) -> None:
+    """Commit a versioned rebuild (single marker-file create — the atomic
+    flip; probes resolve the old root until it lands) and then delete the
+    superseded data. A legacy unversioned root deletes only the family's
+    own sub-tables (``src_meta``/markers stay); a crash between commit and
+    cleanup leaves inert orphans, never a half-served index."""
+    if new_v is None:
+        return
+    commit_index_version(spark, path, new_v)
+    if old_root == path:
+        for s in subs:
+            delete_zone(spark, f"{path}/{s}")
+    elif old_root is not None:
+        delete_zone(spark, old_root)
+
+
+def _copy_zone(spark, src: str, dst: str) -> None:
+    spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -660,6 +707,7 @@ def build_ivf_index(
     n_cells: int = 16,
     seed: int = 42,
     train_fraction: float | None = None,
+    force_new_version: bool = False,
 ) -> None:
     """Persist an IVF index: corpus assigned to k-means cells, written
     partitioned by cell, plus the centroid table.
@@ -668,7 +716,14 @@ def build_ivf_index(
     happen here; every later query batch reads ONLY its probed cell
     directories (partition pruning on ``cell=``) — at 100 TB a 1024-cell
     index turns each query batch into a scan of nprobe/1024 of the corpus.
+
+    Rebuild atomicity: a build over an already-active index (or one with
+    ``force_new_version=True`` — the retrain path) writes a fresh version
+    directory and flips the pointer last, so concurrent probes serve the
+    old index until the single-file commit (see _resolve_build_root).
     """
+    spark = corpus.sparkSession
+    root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
     centroids = train_ivf_centroids(
         corpus, id_col, vec_col, n_cells, seed, train_fraction
     )
@@ -683,22 +738,24 @@ def build_ivf_index(
     # neighbors that no longer exist
     assigned.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
-    ).partitionBy("cell").parquet(f"{path}/corpus")
-    spark = corpus.sparkSession
+    ).partitionBy("cell").parquet(f"{root}/corpus")
     cent = spark.createDataFrame(
         list(enumerate(centroids)), "cell int, centroid array<double>"
     )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.write.mode("overwrite").parquet(f"{root}/centroids")
     # build-time per-cell histogram — the baseline ivf_index_drift compares
     # the append-maintained corpus against to signal quantizer retrain.
     # Counted from the WRITTEN corpus (partition column only, no data
     # columns), so the stats match the files exactly.
     (
-        spark.read.parquet(f"{path}/corpus")
+        spark.read.parquet(f"{root}/corpus")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("built_n"))
         .write.mode("overwrite")
-        .parquet(f"{path}/build_stats")
+        .parquet(f"{root}/build_stats")
+    )
+    _finish_index_build(
+        spark, path, new_v, old_root, ("corpus", "centroids", "build_stats")
     )
 
 
@@ -718,7 +775,11 @@ def ivf_topk_indexed(
     The probed-cell set is collected to the driver — it is at most
     ``nprobe * |query batch|`` small integers, and turning it into a literal
     predicate is precisely what lets the scan skip every other partition.
-    """
+    Both reads resolve the index's ACTIVE version root once, so a
+    concurrent retrain/compaction never serves this probe a half-written
+    state (the centroids and corpus seen here always belong to one
+    committed build)."""
+    index_path = index_root(spark, index_path)
     cent = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -802,6 +863,7 @@ def build_embedding_lsh_index(
     rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
+    force_new_version: bool = False,
 ) -> None:
     """Persist a corpus's hyperplane-LSH index — the embedding twin of
     ``dedup.build_lsh_text_index``: ``path/vectors`` (id, v — the exact
@@ -811,18 +873,23 @@ def build_embedding_lsh_index(
     hyperplanes are seeded, so a probe in ANY later session regenerates
     bit-identical codes from the meta alone — nothing model-like is
     stored. Build once per corpus version; per-batch semantic dedup then
-    never touches corpus embeddings except the matched candidates."""
+    never touches corpus embeddings except the matched candidates.
+    Rebuilds over an active index write a fresh version and flip the
+    pointer last (see _resolve_build_root) — probes never see a
+    half-written state."""
     spark = df.sparkSession
+    root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
     v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    v.write.mode("overwrite").parquet(f"{path}/vectors")
-    stored = spark.read.parquet(f"{path}/vectors")
+    v.write.mode("overwrite").parquet(f"{root}/vectors")
+    stored = spark.read.parquet(f"{root}/vectors")
     _band_codes(stored, bands, rows_per_band, dim, seed).write.mode(
         "overwrite"
-    ).parquet(f"{path}/bands")
+    ).parquet(f"{root}/bands")
     spark.createDataFrame(
         [(bands, rows_per_band, dim, seed)],
         "bands int, rows_per_band int, dim int, seed int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{root}/meta")
+    _finish_index_build(spark, path, new_v, old_root, ("vectors", "bands", "meta"))
 
 
 def embedding_neardup_against_index(
@@ -843,6 +910,7 @@ def embedding_neardup_against_index(
     regardless of threshold: cross-join candidate volume is bounded by
     the BATCH side, so code-collision density cannot approach n² the way
     a full self-join at a loose threshold does."""
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     nv = new_df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     new_banded = _band_codes(nv, meta.bands, meta.rows_per_band, meta.dim, meta.seed)
@@ -890,6 +958,7 @@ def append_to_embedding_lsh_index(
     by construction). Per-batch cost is O(batch × bands) plus the two
     id anti-joins; corpus vectors are never re-banded."""
     spark = df.sparkSession
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     nv = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
@@ -931,6 +1000,7 @@ def append_to_ivf_index(
     reports per-cell growth against the build-time histogram so the
     owner can schedule a retrain (which IS a full rebuild, by design:
     moving centroids re-cells every vector)."""
+    path = index_root(spark, path)
     cents = [
         [float(x) for x in r.centroid]
         for r in sorted(
@@ -966,6 +1036,7 @@ def ivf_index_drift(spark, path: str) -> DataFrame:
     signal for the append path. Reads only the partition column of the
     corpus (column-pruned count) plus the tiny build_stats table; cells
     created empty at build time report built_n = 0 and growth = NULL."""
+    path = index_root(spark, path)
     built = spark.read.parquet(f"{path}/build_stats")
     cur = (
         spark.read.parquet(f"{path}/corpus")
@@ -1029,47 +1100,62 @@ def compact_embedding_indexes(
     corpus keeps its ``cell=`` partitioning, salted-compacted within) so
     row-group min/max ranges turn selective probes into skips. Probe
     identity is guaranteed: compaction rewrites rows, never drops or
-    re-codes them (pinned in tests/test_llm.py). Same maintenance-window
-    caveat as the text side: Spark's unpartitioned overwrite truncates
-    before committing, so don't run concurrently with ingest."""
+    re-codes them (pinned in tests/test_llm.py).
+
+    Concurrency-safe per index: each index's compacted sub-tables (plus
+    verbatim copies of its small tables) land in a fresh version
+    directory, committed by ONE marker-file create — probes during the
+    compaction serve the old layout, probes after serve the compacted
+    one, and a crash mid-compaction leaves the old version active (the
+    next run simply writes a new candidate). No truncation anywhere."""
     from aws_data_pipeline_spark.sources.parquet import compact_zone
 
     written: dict[str, int] = {}
+
+    def _swap(path: str, big: dict[str, dict], small: tuple[str, ...]) -> dict:
+        old_root = index_root(spark, path)
+        new_root, new_v = index_next_root(spark, path)
+        counts = {}
+        for sub, kw in big.items():
+            counts[sub] = compact_zone(
+                spark,
+                f"{old_root}/{sub}",
+                target_file_bytes=target_file_bytes,
+                dest=f"{new_root}/{sub}",
+                **kw,
+            )
+        for sub in small:
+            _copy_zone(spark, f"{old_root}/{sub}", f"{new_root}/{sub}")
+        _finish_index_build(
+            spark, path, new_v, old_root, tuple(big) + small
+        )
+        return counts
+
     if lsh_index_path is not None:
-        written["vectors"] = compact_zone(
-            spark,
-            f"{lsh_index_path}/vectors",
-            target_file_bytes=target_file_bytes,
-            sort_by=("id",),
+        c = _swap(
+            lsh_index_path,
+            {"vectors": {"sort_by": ("id",)}, "bands": {"sort_by": ("band", "code")}},
+            ("meta",),
         )
-        written["bands"] = compact_zone(
-            spark,
-            f"{lsh_index_path}/bands",
-            target_file_bytes=target_file_bytes,
-            sort_by=("band", "code"),
-        )
+        written["vectors"] = c["vectors"]
+        written["bands"] = c["bands"]
     if ivf_index_path is not None:
-        written["ivf_corpus"] = compact_zone(
-            spark,
-            f"{ivf_index_path}/corpus",
-            target_file_bytes=target_file_bytes,
-            partition_by=("cell",),
+        c = _swap(
+            ivf_index_path,
+            {"corpus": {"partition_by": ("cell",)}},
+            ("centroids", "build_stats"),
         )
+        written["ivf_corpus"] = c["corpus"]
     if pq_index_path is not None:
         # codes cluster on id (the ADC scan is a full sweep, but re-rank
         # and append anti-joins probe by id); vectors likewise
-        written["pq_codes"] = compact_zone(
-            spark,
-            f"{pq_index_path}/codes",
-            target_file_bytes=target_file_bytes,
-            sort_by=("id",),
+        c = _swap(
+            pq_index_path,
+            {"codes": {"sort_by": ("id",)}, "vectors": {"sort_by": ("id",)}},
+            ("codebooks", "meta"),
         )
-        written["pq_vectors"] = compact_zone(
-            spark,
-            f"{pq_index_path}/vectors",
-            target_file_bytes=target_file_bytes,
-            sort_by=("id",),
-        )
+        written["pq_codes"] = c["codes"]
+        written["pq_vectors"] = c["vectors"]
     return written
 
 
@@ -1100,11 +1186,14 @@ def retrain_ivf_index(
     Contract honesty: retrain deliberately does NOT preserve probe
     identity — moving centroids re-cells vectors (that is the point; see
     ``append_to_ivf_index``). Exactness is unchanged: a full probe
-    (nprobe = n_cells) equals brute force before and after. Same
-    maintenance-window caveat as ``compact_embedding_indexes``: the
-    static overwrite truncates before committing, so don't serve probes
-    from the index mid-retrain; crash recovery is "re-run the retrain"
-    (the vectors are checkpointed off the files being replaced).
+    (nprobe = n_cells) equals brute force before and after.
+
+    Concurrency-safe: the rebuild writes a fresh version directory and
+    commits it with one marker-file create (``force_new_version`` through
+    ``build_ivf_index``), so probes during the retrain serve the OLD
+    index until the flip and the new one after — no truncation window. A
+    crash mid-retrain leaves the old version intact and still active;
+    re-running the retrain writes a new candidate.
     """
     drift = ivf_index_drift(spark, path).collect()
     built = sum(r.built_n for r in drift)
@@ -1119,17 +1208,23 @@ def retrain_ivf_index(
         # the drift rows already told us the corpus size — derive the
         # scale-honest sample instead of defaulting to a full-corpus fit
         train_fraction = choose_ivf_train_fraction(current, n_cells)
-    # materialize off the files the rebuild overwrites (lineage through the
-    # input files would otherwise race the truncate — compact_zone pattern)
+    # the rebuild writes a NEW version dir, so reading the active root
+    # lazily would be safe — but the post-commit cleanup deletes these
+    # files, so materialize anyway before the build consumes them twice
     vecs = (
-        spark.read.parquet(f"{path}/corpus")
+        spark.read.parquet(f"{index_root(spark, path)}/corpus")
         .select(
             F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("embedding")
         )
         .localCheckpoint(eager=True)
     )
     build_ivf_index(
-        vecs, path, n_cells=n_cells, seed=seed, train_fraction=train_fraction
+        vecs,
+        path,
+        n_cells=n_cells,
+        seed=seed,
+        train_fraction=train_fraction,
+        force_new_version=True,
     )
     return {"n_vectors": current, "n_cells": n_cells}
 
@@ -1445,6 +1540,7 @@ def build_pq_index(
     ks: int = 16,
     seed: int = 42,
     max_train: int = 16384,
+    force_new_version: bool = False,
 ) -> None:
     """Persist a PQ index: ``path/vectors`` (id, v — the exact re-rank
     side), ``path/codes`` (id, codes — the 8-byte ADC scan side),
@@ -1453,18 +1549,24 @@ def build_pq_index(
     hyperplanes (seeded, re-derivable from meta alone), PQ codebooks are
     DATA-FITTED — they must be stored, and append-time encoding must use
     the stored books or codes would be incomparable across batches. Meta
-    is written LAST, so a crash mid-build reads as missing-meta and the
-    re-run rebuilds."""
+    is written LAST, so a crash mid-FRESH-build reads as missing-meta and
+    the re-run rebuilds; a build over an already-active index (or a
+    retrain, via ``force_new_version``) instead writes a fresh version
+    directory and flips the pointer last — probes and appends keep
+    reading one internally-consistent (codes, codebooks) pair throughout,
+    and a crash mid-rebuild leaves the old version active (no
+    new-codes-under-old-codebooks state is ever visible)."""
     spark = corpus.sparkSession
+    root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
     v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    v.write.mode("overwrite").parquet(f"{path}/vectors")
-    stored = spark.read.parquet(f"{path}/vectors")
+    v.write.mode("overwrite").parquet(f"{root}/vectors")
+    stored = spark.read.parquet(f"{root}/vectors")
     books = train_pq_codebooks(
         stored, vec_col="v", m=m, ks=ks, seed=seed, max_train=max_train
     )
     pq_encode(stored, books, id_col="id", vec_col="v").write.mode(
         "overwrite"
-    ).parquet(f"{path}/codes")
+    ).parquet(f"{root}/codes")
     spark.createDataFrame(
         [
             (j, c, books[j][c])
@@ -1472,19 +1574,23 @@ def build_pq_index(
             for c in range(ks)
         ],
         "j int, c int, centroid array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{root}/codebooks")
     # growth baseline = the CODES population (what pq_retrain_due counts);
     # the vectors count includes zero-norm/ragged rows the encoder drops,
     # and a vectors-based baseline would make the 2x trigger fire late
-    n_built = spark.read.parquet(f"{path}/codes").count()
+    n_built = spark.read.parquet(f"{root}/codes").count()
     spark.createDataFrame(
         [(m, ks, seed, n_built)], "m int, ks int, seed int, n_built long"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{root}/meta")
+    _finish_index_build(
+        spark, path, new_v, old_root, ("vectors", "codes", "codebooks", "meta")
+    )
 
 
 def read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     """The stored codebooks as the nested-list driver artifact every PQ
     entry point takes — one small read (m·ks rows)."""
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     rows = spark.read.parquet(f"{path}/codebooks").collect()
     books: list[list[list[float]]] = [
@@ -1515,6 +1621,7 @@ def append_to_pq_index(
     bounded no-op, not accumulation: the pending set is batch-scoped."""
     spark = df.sparkSession
     books = read_pq_codebooks(spark, path)
+    path = index_root(spark, path)
     nv = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     missing_vecs = nv.join(
         spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
@@ -1539,27 +1646,41 @@ def pq_retrain_due(spark, path: str, growth_factor: float = 2.0) -> bool:
     the grown corpus increasingly badly (the PQ analogue of IVF cell
     drift; PQ has no per-cell counts, so realized growth is the signal).
     Cost: one footer-metadata count + the meta row."""
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     current = spark.read.parquet(f"{path}/codes").count()
     return meta.n_built > 0 and current >= growth_factor * meta.n_built
 
 
 def retrain_pq_index(spark, path: str, max_train: int = 16384) -> dict[str, int]:
-    """Retrain the codebooks on the index's OWN vectors and re-encode in
-    place — the append lifecycle's endpoint (build → append×N →
+    """Retrain the codebooks on the index's OWN vectors and re-encode —
+    the append lifecycle's endpoint (build → append×N →
     pq_retrain_due fires → retrain), never rescanning the source corpus.
     Deliberately NOT code-preserving (new books re-quantize everything —
     that is the point); exact re-rank results are unchanged since
-    ``vectors`` is untouched. Same maintenance-window caveat as
-    ``compact_embedding_indexes``: don't serve probes mid-retrain."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    ``vectors`` carries the same rows forward.
+
+    Concurrency-safe: the rebuild lands in a fresh version directory and
+    commits with one marker-file create (``force_new_version`` through
+    ``build_pq_index``), so probes mid-retrain serve the OLD
+    (codes, codebooks) pair and the new pair only after the flip — a
+    crash mid-retrain can never leave new codes visible under old stored
+    codebooks."""
+    root = index_root(spark, path)
+    meta = spark.read.parquet(f"{root}/meta").collect()[0]
     vecs = (
-        spark.read.parquet(f"{path}/vectors")
+        spark.read.parquet(f"{root}/vectors")
         .select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
-        .localCheckpoint(eager=True)  # lineage off the files being replaced
+        .localCheckpoint(eager=True)  # post-commit cleanup deletes these files
     )
     build_pq_index(
-        vecs, path, m=meta.m, ks=meta.ks, seed=meta.seed, max_train=max_train
+        vecs,
+        path,
+        m=meta.m,
+        ks=meta.ks,
+        seed=meta.seed,
+        max_train=max_train,
+        force_new_version=True,
     )
     return {"n_vectors": vecs.count(), "m": meta.m, "ks": meta.ks}
 
@@ -1576,7 +1697,10 @@ def pq_topk_indexed(
     """Top-k via the PERSISTED PQ index — the on-disk 100 TB shape: the
     ADC scan reads ONLY ``path/codes`` (8 bytes/vector); ``path/vectors``
     is touched just for the re-rank candidates. Identical rows to the
-    resident :func:`pq_topk` under the same codebooks by construction."""
+    resident :func:`pq_topk` under the same codebooks by construction.
+    The active root resolves ONCE, so every sub-table read belongs to one
+    committed build even while a retrain/compaction runs."""
+    path = index_root(spark, path)
     books = read_pq_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     corpus = spark.read.parquet(f"{path}/vectors").select(

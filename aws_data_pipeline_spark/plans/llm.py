@@ -770,14 +770,14 @@ def _ensure_ivf_index(
     path, so differently-parameterized indexes coexist. Build and append
     complete before the marker write, so a crash mid-way reads as stale
     and the re-run redoes both (the append itself is idempotent)."""
-    from aws_data_pipeline_spark.sources.parquet import zone_exists
+    from aws_data_pipeline_spark.sources.parquet import index_has
 
     idx = _ivf_index_path(sf_dir, n_cells, seed)
     e = T(spark, sf_dir, "embeddings")
     state = _src_state(spark, sf_dir, "embeddings")
     fresh = (
-        zone_exists(spark, f"{idx}/corpus")
-        and zone_exists(spark, f"{idx}/centroids")
+        index_has(spark, idx, "corpus")
+        and index_has(spark, idx, "centroids")
         and _src_marker_fresh(spark, idx, state)
     )
     if not fresh:
@@ -809,7 +809,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
         # stale resident inverted file would otherwise stay persisted
         for old in [k for k in _IVF_INDEX if k[:4] == key[:4]]:
             _IVF_INDEX.pop(old)[1].unpersist()
-        idx = _ensure_ivf_index(spark, sf_dir, n_cells, seed)
+        from aws_data_pipeline_spark.sources.parquet import index_root
+
+        idx = index_root(spark, _ensure_ivf_index(spark, sf_dir, n_cells, seed))
         cents = [
             [float(x) for x in r.centroid]
             for r in sorted(
@@ -900,7 +902,9 @@ def _pq_corpus(spark: SparkSession, sf_dir: str, m: int = 8, ks: int = 16):
         # rest of the application
         for old in [k for k in _PQ_CACHE if k[:4] == key[:4]]:
             _PQ_CACHE.pop(old)[1].unpersist()
-        idx = _ensure_pq_index(spark, sf_dir, m=m, ks=ks)
+        from aws_data_pipeline_spark.sources.parquet import index_root
+
+        idx = index_root(spark, _ensure_pq_index(spark, sf_dir, m=m, ks=ks))
         books = similarity.read_pq_codebooks(spark, idx)
         codes = spark.read.parquet(f"{idx}/codes").persist()
         codes.count()  # materialize eagerly
@@ -948,14 +952,14 @@ def _ensure_pq_index(
     rebuild. Params are part of the index path. Build and append complete
     before the marker write, so a crash mid-way reads as stale and the
     re-run redoes both (build overwrites, append is idempotent)."""
-    from aws_data_pipeline_spark.sources.parquet import zone_exists
+    from aws_data_pipeline_spark.sources.parquet import index_has
 
     idx = _pq_index_path(sf_dir, m, ks)
     e = T(spark, sf_dir, "embeddings")
     state = _src_state(spark, sf_dir, "embeddings")
     fresh = (
-        zone_exists(spark, f"{idx}/codes")
-        and zone_exists(spark, f"{idx}/meta")
+        index_has(spark, idx, "codes")
+        and index_has(spark, idx, "meta")
         and _src_marker_fresh(spark, idx, state)
     )
     if not fresh:

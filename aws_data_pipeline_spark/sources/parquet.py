@@ -164,12 +164,121 @@ def zone_fingerprint(spark: SparkSession, path: str) -> tuple[int, int]:
     return (n_files, n_bytes)
 
 
+# -- Versioned index store -------------------------------------------------
+# Rebuild-in-place (truncate-then-overwrite) is fine for derived data in a
+# maintenance window, but an index serving probes during a retrain or
+# compaction needs an ATOMIC swap: the rebuild writes a fresh version
+# directory (``path/v<N>``) and then commits it by creating ONE empty
+# marker file ``path/_ptr/<N>`` — a single file create (atomic on
+# HDFS/local, one PUT on object stores), never a truncate. Readers resolve
+# the active root through :func:`index_root`: highest committed marker
+# wins; no marker at all means the unversioned layout (fresh builds write
+# sub-tables directly under ``path``). A crash mid-rebuild leaves the old
+# version fully intact and still being served; re-running the rebuild
+# writes a new candidate directory. ``_ptr`` and ``v<N>`` internals are
+# ``_``-invisible to :func:`zone_exists` probes of ``path`` itself only
+# via the marker dir; version DATA dirs are plain names, so existence
+# checks must go through :func:`index_has`, not raw sub-paths.
+
+_PTR_DIR = "_ptr"
+_BUCKETS_DIR = "_buckets"
+
+
+def _max_numeric_marker(spark: SparkSession, marker_dir: str) -> int | None:
+    """Max numeric empty-marker filename under ``marker_dir`` (None when
+    the directory is absent or holds no numeric names) — the shared read
+    side of the single-file-create commit idiom."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(marker_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    best: int | None = None
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = int(name) if best is None else max(best, int(name))
+    return best
+
+
+def _create_marker(spark: SparkSession, marker_dir: str, value: int) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/{value}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(jpath, True).close()
+
+
+def index_active_version(spark: SparkSession, path: str) -> int | None:
+    """Highest committed version of the index at ``path`` (max numeric
+    marker name under ``path/_ptr``), or None for the unversioned layout."""
+    return _max_numeric_marker(spark, f"{path}/{_PTR_DIR}")
+
+
+def index_root(spark: SparkSession, path: str) -> str:
+    """Active data root of an index: ``path`` itself (unversioned fresh
+    build) or ``path/v<N>`` for the highest committed version. Every
+    probe/append/maintenance read of a maintained index resolves through
+    this — never hardcode a sub-table path."""
+    v = index_active_version(spark, path)
+    return path if v is None else f"{path}/v{v}"
+
+
+def index_next_root(spark: SparkSession, path: str) -> tuple[str, int]:
+    """(candidate directory, version number) for the next rebuild of the
+    index at ``path``. Writing into it is invisible to readers until
+    :func:`commit_index_version` creates the marker."""
+    v = (index_active_version(spark, path) or 0) + 1
+    return f"{path}/v{v}", v
+
+
+def commit_index_version(spark: SparkSession, path: str, version: int) -> None:
+    """Atomically flip the index's active version: create the single empty
+    marker file ``path/_ptr/<version>``. Old version serves until this
+    returns; the new one after."""
+    _create_marker(spark, f"{path}/{_PTR_DIR}", version)
+
+
+def zone_bucket_count(spark: SparkSession, path: str) -> int | None:
+    """Recorded hash-bucket fan-out of a ``bucket=``-partitioned zone
+    (``path/_buckets/<N>`` marker, written BEFORE the first data file), or
+    None for an unbucketed legacy zone. The marker — not the caller's
+    parameter — is the source of truth on every later append/read: a
+    pruned anti-join computed under a DIFFERENT modulus than the data was
+    written with would silently miss rows and re-admit duplicates."""
+    return _max_numeric_marker(spark, f"{path}/{_BUCKETS_DIR}")
+
+
+def record_zone_bucket_count(spark: SparkSession, path: str, n: int) -> None:
+    """Record the bucket fan-out for a new zone. Written before the first
+    data write: a crash in between leaves a data-free zone whose marker
+    simply gets reused (re-recording the same N is a no-op)."""
+    _create_marker(spark, f"{path}/{_BUCKETS_DIR}", n)
+
+
+def index_has(spark: SparkSession, path: str, sub: str) -> bool:
+    """Existence probe for an index sub-table through the active root —
+    the version-aware replacement for ``zone_exists(f"{path}/{sub}")``."""
+    return zone_exists(spark, f"{index_root(spark, path)}/{sub}")
+
+
+def delete_zone(spark: SparkSession, path: str) -> None:
+    """Recursively delete a zone (no-op when absent) — post-commit cleanup
+    of a superseded index version. A crash between commit and cleanup
+    leaves orphaned-but-inert files (never resolved by index_root)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def compact_zone(
     spark: SparkSession,
     path: str,
     partition_by: Sequence[str] = (),
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Sequence[str] = (),
+    dest: str | None = None,
 ) -> int:
     """Rewrite a zone into ~target-size files; returns the rewrite's task
     count (= file count for unpartitioned/sorted zones; a hive-partitioned
@@ -192,16 +301,23 @@ def compact_zone(
     key skip whole row groups / files at scan time — the poor man's Z-order,
     and at 100 TB the difference between scanning a partition and scanning a
     few megabytes of it.
+
+    ``dest``: write the compacted copy THERE instead of overwriting
+    ``path`` — the versioned-index swap path (see index_next_root /
+    commit_index_version): the source stays readable throughout and no
+    truncation ever happens.
     """
     df = read_zone(spark, path)
+    out_path = dest if dest is not None else path
     if sort_by:
-        return clustered_rewrite(df, path, sort_by, target_file_bytes)
+        return clustered_rewrite(df, path, sort_by, target_file_bytes, dest=dest)
     # size estimate from Spark's own scan statistics (no separate FS listing)
     est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n_files = max(1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes))
-    # materialize before overwriting the path we're reading (lineage through
-    # the input files would otherwise race the delete)
-    df = df.localCheckpoint(eager=True)
+    if out_path == path:
+        # materialize before overwriting the path we're reading (lineage
+        # through the input files would otherwise race the delete)
+        df = df.localCheckpoint(eager=True)
     if partition_by:
         # salt alongside the partition columns: hashing by them ALONE
         # would collapse every hive partition into ONE task writing ONE
@@ -221,7 +337,7 @@ def compact_zone(
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.parquet(out_path)
     return n_files
 
 
@@ -231,6 +347,7 @@ def clustered_rewrite(
     sort_cols: Sequence[str],
     target_file_bytes: int = 128 * 1024 * 1024,
     drop_cols: Sequence[str] = (),
+    dest: str | None = None,
 ) -> int:
     """The ONE clustered-rewrite mechanic (shared by ``compact_zone``'s
     sorted branch and ``functions.zorder.zorder_cluster_zone``):
@@ -238,21 +355,25 @@ def clustered_rewrite(
     row group's min/max is tight, truncate-overwrite ``path``.
     ``drop_cols`` lets a caller sort on a computed key (e.g. a Z-order
     key) without persisting it. Same crash posture as compact_zone's
-    unpartitioned branch: the overwrite truncates before committing —
-    maintenance-window semantics, re-run on crash."""
+    unpartitioned branch WHEN rewriting in place: the overwrite truncates
+    before committing — maintenance-window semantics, re-run on crash.
+    With ``dest`` set (the versioned-index swap), the source is never
+    touched and no truncation happens."""
+    out_path = dest if dest is not None else path
     est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n_files = max(
         1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes)
     )
-    # materialize before overwriting the path being read (lineage through
-    # the input files would otherwise race the delete)
-    df = df.localCheckpoint(eager=True)
+    if out_path == path:
+        # materialize before overwriting the path being read (lineage
+        # through the input files would otherwise race the delete)
+        df = df.localCheckpoint(eager=True)
     out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
     for c in drop_cols:
         out = out.drop(c)
-    out.write.mode("overwrite").parquet(path)
+    out.write.mode("overwrite").parquet(out_path)
     return n_files
 
 

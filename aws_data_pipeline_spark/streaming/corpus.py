@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_data_pipeline_spark.operators import dedup
-from aws_data_pipeline_spark.sources.parquet import zone_exists
+from aws_data_pipeline_spark.sources.parquet import index_has, zone_exists
 
 DOC_SCHEMA = T.StructType(
     [
@@ -61,7 +61,10 @@ def append_to_lsh_text_index(
     docs are skipped, docs whose sets landed but whose bands did not get
     their bands computed from the materialized sets.
     """
+    from aws_data_pipeline_spark.sources.parquet import index_root
+
     spark = df.sparkSession
+    path = index_root(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     ids = df.select(F.col(id_col).alias("doc"))
     missing_sets = df.join(
@@ -104,33 +107,53 @@ def compact_corpus_indexes(
     ranges turn selective probes into row-group skips. Returns files
     written per sub-table.
 
-    Run it BETWEEN ingest runs, and treat it as maintenance-window work:
-    Spark's unpartitioned overwrite truncates the directory before the
-    new files commit, so a crash MID-COMPACTION leaves that sub-table
-    partial. That is recoverable — the index is derived data, rebuildable
-    from the corpus zone (``build_lsh_text_index`` / ``build_kgram_index``)
-    or by re-running this compaction from the surviving sub-tables — but
-    it is not the old-or-new atomicity the ingest appends have; do not
-    schedule it concurrently with ingest. Same cadence as
-    ``cluster_bridges``-triggered re-clustering, or whenever the
-    small-file count passes a few hundred."""
-    from aws_data_pipeline_spark.sources.parquet import compact_zone, zone_exists
+    Concurrency-safe per index (the embedding compaction's contract,
+    ``similarity.compact_embedding_indexes``): each index's compacted
+    sub-tables — plus a verbatim copy of its small ``meta`` — land in a
+    fresh version directory committed by ONE marker-file create, so
+    probes during the compaction serve the old layout and a crash
+    mid-compaction leaves the old version active; no truncation anywhere.
+    Same cadence as ``cluster_bridges``-triggered re-clustering, or
+    whenever the small-file count passes a few hundred."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        _copy_zone,
+        _finish_index_build,
+    )
+    from aws_data_pipeline_spark.sources.parquet import (
+        compact_zone,
+        index_has,
+        index_next_root,
+        index_root,
+    )
 
     written: dict[str, int] = {}
+    old_root = index_root(spark, index_path)
+    new_root, new_v = index_next_root(spark, index_path)
     written["sets"] = compact_zone(
-        spark, f"{index_path}/sets", target_file_bytes=target_file_bytes,
-        sort_by=("doc",),
+        spark, f"{old_root}/sets", target_file_bytes=target_file_bytes,
+        sort_by=("doc",), dest=f"{new_root}/sets",
     )
     written["bands"] = compact_zone(
-        spark, f"{index_path}/bands", target_file_bytes=target_file_bytes,
-        sort_by=("band", "key"),
+        spark, f"{old_root}/bands", target_file_bytes=target_file_bytes,
+        sort_by=("band", "key"), dest=f"{new_root}/bands",
     )
-    if kgram_index_path is not None and zone_exists(
-        spark, f"{kgram_index_path}/hashes"
+    _copy_zone(spark, f"{old_root}/meta", f"{new_root}/meta")
+    _finish_index_build(
+        spark, index_path, new_v, old_root, ("sets", "bands", "meta")
+    )
+    if kgram_index_path is not None and index_has(
+        spark, kgram_index_path, "hashes"
     ):
+        k_old = index_root(spark, kgram_index_path)
+        k_new, k_v = index_next_root(spark, kgram_index_path)
         written["hashes"] = compact_zone(
-            spark, f"{kgram_index_path}/hashes",
+            spark, f"{k_old}/hashes",
             target_file_bytes=target_file_bytes, sort_by=("h",),
+            dest=f"{k_new}/hashes",
+        )
+        _copy_zone(spark, f"{k_old}/meta", f"{k_new}/meta")
+        _finish_index_build(
+            spark, kgram_index_path, k_v, k_old, ("hashes", "meta")
         )
     return written
 
@@ -194,7 +217,7 @@ def incremental_corpus_ingest(
             "left_semi",
         ).localCheckpoint()
         # 2. cross-batch: probe the index of everything accepted so far
-        if zone_exists(sess, f"{index_path}/meta"):
+        if index_has(sess, index_path, "meta"):
             matched = dedup.neardup_against_index(
                 sess, survivors, index_path, threshold=threshold
             ).select(F.col("new_id").alias("doc_id")).distinct()
@@ -212,7 +235,7 @@ def incremental_corpus_ingest(
                 corpus_new = survivors.join(existing, "doc_id", "left_anti")
             if not corpus_new.isEmpty():
                 corpus_new.write.mode("append").parquet(corpus_path)
-            if zone_exists(sess, f"{index_path}/meta"):
+            if index_has(sess, index_path, "meta"):
                 append_to_lsh_text_index(survivors, index_path)
             else:
                 dedup.build_lsh_text_index(
@@ -236,7 +259,7 @@ def incremental_corpus_ingest(
                 "doc_id",
                 "left_semi",
             )
-            if zone_exists(sess, f"{kgram_index_path}/meta"):
+            if index_has(sess, kgram_index_path, "meta"):
                 dedup.append_to_kgram_index(accepted, kgram_index_path)
             else:
                 # Bootstrap from the FULL corpus zone, not `accepted`:

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_data_pipeline_spark.operators import dedup, similarity
-from aws_data_pipeline_spark.sources.parquet import zone_exists
+from aws_data_pipeline_spark.sources.parquet import (
+    index_has,
+    record_zone_bucket_count,
+    zone_bucket_count,
+    zone_exists,
+)
 
 VEC_SCHEMA = T.StructType(
     [
@@ -41,6 +46,31 @@ VEC_SCHEMA = T.StructType(
         T.StructField("embedding", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+def _pruned_corpus_ids(sess, corpus_path: str, batch: DataFrame, n_buckets):
+    """The corpus zone's id column restricted — by PARTITION PRUNING — to
+    the hash buckets this batch's vec_ids land in. This is what keeps the
+    per-batch idempotency anti-join O(batch), not O(corpus): a bucketed
+    zone (``bucket = pmod(vec_id, N)`` hive partitions) resolves the
+    literal ``bucket IN (...)`` disjunction to PartitionFilters, so a
+    batch touching 4 of 1024 buckets lists and scans 4/1024 of the corpus
+    id column — the partition-pruned silver pattern
+    (sources.parquet.read_partition_slice) applied to the vector corpus.
+    Legacy unbucketed zones (``n_buckets`` None) fall back to the full
+    column-pruned id scan."""
+    ids = sess.read.parquet(corpus_path)
+    if n_buckets is None:
+        return ids.select("vec_id")
+    bkts = sorted(
+        int(r.b)
+        for r in batch.select(
+            F.pmod(F.col("vec_id"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return ids.filter(F.col("bucket").isin(bkts)).select("vec_id")
 
 
 def incremental_embedding_ingest(
@@ -59,6 +89,7 @@ def incremental_embedding_ingest(
     pq_ks: int = 16,
     pq_seed: int = 42,
     pq_max_train: int = 16384,
+    corpus_buckets: int = 64,
 ) -> None:
     """One availableNow run: new embedding files → in-batch semantic dedup
     → index probe → idempotent append of novel vectors to corpus + LSH
@@ -80,6 +111,16 @@ def incremental_embedding_ingest(
     vec_ids must be globally unique across batches (upstream contract,
     same as the text loop's doc_ids).
 
+    ``corpus_buckets``: new corpus zones are written hive-partitioned by
+    ``bucket = pmod(vec_id, corpus_buckets)`` with the fan-out recorded
+    in a ``_buckets`` marker BEFORE the first data file. Every later
+    run's idempotency anti-join and batch ∩ corpus semi-join then prune
+    to the batch's buckets (PartitionFilters — see
+    :func:`_pruned_corpus_ids`), keeping per-batch corpus reads O(batch)
+    instead of O(corpus) at 100 TB. The recorded marker, not this
+    parameter, governs existing zones; legacy unbucketed zones keep
+    working with full column-pruned id scans.
+
     ``pq_index_path`` extends the same upkeep to the PQ index (the third
     embedding index family): appends encode under the index's STORED
     codebooks from the same batch ∩ corpus crash-backfilling set the IVF
@@ -92,13 +133,14 @@ def incremental_embedding_ingest(
     non-default ``pq_m``); appends and retrains read the stored meta.
 
     ``ivf_retrain=True`` adds post-run quantizer maintenance: after the
-    availableNow run drains (this loop is the index's only writer, so
-    post-run IS the maintenance window ``retrain_ivf_index`` requires),
-    ``ivf_retrain_due`` is consulted and, when drift warrants it, the
-    quantizer is rebuilt from the index's own vectors at default
-    thresholds — the embedding twin of the text loop's compaction
-    trigger. Off by default: owners serving probes from the index during
-    ingest runs schedule retrains themselves.
+    availableNow run drains, ``ivf_retrain_due`` is consulted and, when
+    drift warrants it, the quantizer is rebuilt from the index's own
+    vectors at default thresholds — the embedding twin of the text loop's
+    compaction trigger. The rebuild is a versioned atomic swap
+    (``retrain_ivf_index``), so concurrent probes keep serving the old
+    quantizer until the flip; it stays off by default only because
+    retrain POLICY (when, at what thresholds) belongs to the index owner,
+    not the ingest loop.
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -106,6 +148,14 @@ def incremental_embedding_ingest(
             return
         sess = batch.sparkSession
         batch = batch.localCheckpoint()
+        # bucket fan-out: the zone's own recorded marker is the source of
+        # truth (a modulus mismatch would silently break the pruned
+        # anti-join); a brand-new zone records the caller's fan-out
+        # BEFORE any data lands, legacy unbucketed zones stay unbucketed
+        nb = zone_bucket_count(sess, corpus_path)
+        if nb is None and not zone_exists(sess, corpus_path):
+            record_zone_bucket_count(sess, corpus_path, corpus_buckets)
+            nb = corpus_buckets
         # 1. in-batch dedup: exact id, then semantic components
         uniq = batch.dropDuplicates(["vec_id"])
         pairs = similarity.neardup_pairs_lsh(uniq, threshold=threshold).select(
@@ -118,7 +168,7 @@ def incremental_embedding_ingest(
             "left_semi",
         ).localCheckpoint()
         # 2. cross-batch: probe the index of everything accepted so far
-        if zone_exists(sess, f"{index_path}/meta"):
+        if index_has(sess, index_path, "meta"):
             matched = (
                 similarity.embedding_neardup_against_index(
                     sess, survivors, index_path, threshold=threshold
@@ -132,11 +182,22 @@ def incremental_embedding_ingest(
         if not survivors.isEmpty():
             corpus_new = survivors
             if zone_exists(sess, corpus_path):
-                existing = sess.read.parquet(corpus_path).select("vec_id")
+                # partition-pruned idempotency: only the batch's buckets
+                # are listed/scanned, never the whole corpus id column
+                existing = _pruned_corpus_ids(sess, corpus_path, survivors, nb)
                 corpus_new = survivors.join(existing, "vec_id", "left_anti")
             if not corpus_new.isEmpty():
-                corpus_new.write.mode("append").parquet(corpus_path)
-            if zone_exists(sess, f"{index_path}/meta"):
+                w = corpus_new
+                if nb is not None:
+                    w = w.withColumn(
+                        "bucket", F.pmod(F.col("vec_id"), F.lit(nb))
+                    )
+                    w.write.mode("append").partitionBy("bucket").parquet(
+                        corpus_path
+                    )
+                else:
+                    w.write.mode("append").parquet(corpus_path)
+            if index_has(sess, index_path, "meta"):
                 similarity.append_to_embedding_lsh_index(survivors, index_path)
             else:
                 # bootstrap from the FULL corpus zone (module docstring)
@@ -157,17 +218,20 @@ def incremental_embedding_ingest(
             # the crash-backfill semantics are identical by design, and a
             # single localCheckpoint avoids recomputing the dedup + join
             # (and re-reading the corpus zone) per index family
+            uniq_batch = batch.dropDuplicates(["vec_id"])
             accepted = (
-                batch.dropDuplicates(["vec_id"])
-                .join(
-                    sess.read.parquet(corpus_path).select("vec_id"),
+                uniq_batch.join(
+                    # same bucket pruning as the corpus anti-join: the
+                    # semi-join's corpus side reads only the batch's
+                    # bucket partitions
+                    _pruned_corpus_ids(sess, corpus_path, uniq_batch, nb),
                     "vec_id",
                     "left_semi",
                 )
                 .localCheckpoint(eager=True)
             )
         if ivf_index_path is not None and accepted is not None:
-            if zone_exists(sess, f"{ivf_index_path}/centroids"):
+            if index_has(sess, ivf_index_path, "centroids"):
                 similarity.append_to_ivf_index(sess, accepted, ivf_index_path)
             else:
                 full = sess.read.parquet(corpus_path)
@@ -185,7 +249,7 @@ def incremental_embedding_ingest(
         # PQ upkeep: same crash-backfilling batch ∩ corpus set and
         # bootstrap-from-full-corpus rule as IVF (module docstring)
         if pq_index_path is not None and accepted is not None:
-            if zone_exists(sess, f"{pq_index_path}/meta"):
+            if index_has(sess, pq_index_path, "meta"):
                 similarity.append_to_pq_index(accepted, pq_index_path)
             else:
                 # bootstrap under the CALLER's PQ params — a corpus whose
@@ -217,14 +281,14 @@ def incremental_embedding_ingest(
     if (
         ivf_retrain
         and ivf_index_path is not None
-        and zone_exists(spark, f"{ivf_index_path}/centroids")
+        and index_has(spark, ivf_index_path, "centroids")
         and similarity.ivf_retrain_due(spark, ivf_index_path)
     ):
         similarity.retrain_ivf_index(spark, ivf_index_path)
     if (
         pq_retrain
         and pq_index_path is not None
-        and zone_exists(spark, f"{pq_index_path}/meta")
+        and index_has(spark, pq_index_path, "meta")
         and similarity.pq_retrain_due(spark, pq_index_path)
     ):
         similarity.retrain_pq_index(spark, pq_index_path)

@@ -28,6 +28,15 @@ from aws_data_pipeline_spark.operators.similarity import (
 )
 
 
+def _sub(spark, path, sub):
+    """Active-root sub-table path: maintenance (retrain/compaction) moves
+    an index's data into committed version directories, so direct
+    sub-table reads must resolve the same root the probes do."""
+    from aws_data_pipeline_spark.sources.parquet import index_root
+
+    return f"{index_root(spark, path)}/{sub}"
+
+
 def _probe_pairs(spark, new, idx, threshold=0.45):
     return {
         (r.new_id, r.corpus_id, round(r.sim, 9))
@@ -401,12 +410,14 @@ def test_ivf_retrain_resets_drift_and_keeps_exactness(spark, sf_dir, tmp_path):
     assert stats["n_vectors"] == len(ids_before)
     # default n_cells scales with realized growth: ceil(4 * current/built)
     assert stats["n_cells"] == -(-4 * len(ids_before) // corpus0.count())
-    assert spark.read.parquet(f"{idx}/centroids").count() == stats["n_cells"]
+    assert spark.read.parquet(_sub(spark, idx, "centroids")).count() == stats["n_cells"]
 
     # every vector survives the rebuild, none invented
     ids_after = {
         r.neighbor_id
-        for r in spark.read.parquet(f"{idx}/corpus").select("neighbor_id").collect()
+        for r in spark.read.parquet(_sub(spark, idx, "corpus"))
+        .select("neighbor_id")
+        .collect()
     }
     assert ids_after == ids_before
 
@@ -417,7 +428,7 @@ def test_ivf_retrain_resets_drift_and_keeps_exactness(spark, sf_dir, tmp_path):
 
     # full probe == exact search, independent of where the centroids moved
     queries = e.filter(F.col("vec_id") % 97 == 1)
-    full_corpus = spark.read.parquet(f"{idx}/corpus").select(
+    full_corpus = spark.read.parquet(_sub(spark, idx, "corpus")).select(
         F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("embedding")
     )
     got = {
@@ -481,7 +492,8 @@ def test_ingest_post_run_ivf_retrain_trigger(spark, tmp_path):
     assert all(r.built_n == r.current_n and r.appended_n == 0 for r in rows)
     assert sum(r.current_n for r in rows) == 23
     got = {
-        r.neighbor_id for r in spark.read.parquet(f"{ivf}/corpus").collect()
+        r.neighbor_id
+        for r in spark.read.parquet(_sub(spark, ivf, "corpus")).collect()
     }
     assert got == set(range(10)) | {20} | {30 + i for i in range(12)}
 
@@ -530,7 +542,7 @@ def test_pq_index_build_probe_append_retrain(spark, sf_dir, tmp_path):
     assert out["n_vectors"] == e.count()
     assert not S.pq_retrain_due(spark, idx, growth_factor=1.2)
     # retrained meta records the grown corpus as the new baseline
-    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+    meta = spark.read.parquet(_sub(spark, idx, "meta")).collect()[0]
     assert meta.n_built == e.count()
 
 
@@ -694,4 +706,83 @@ def test_compact_pq_index_preserves_probe_results(spark, sf_dir, tmp_path):
         for r in S.pq_topk_indexed(spark, q, idx, k=5, rerank=30).collect()
     }
     assert after == before  # compaction rewrites rows, never re-codes
-    assert len(glob.glob(f"{idx}/codes/*.parquet")) <= files_before
+    assert len(glob.glob(f"{_sub(spark, idx, 'codes')}/*.parquet")) <= files_before
+
+
+def test_index_version_swap_serves_old_until_commit(spark, sf_dir, tmp_path):
+    """The atomic-swap contract itself: an UNCOMMITTED candidate version
+    (exactly the state a crash mid-retrain leaves behind) is invisible —
+    probes keep returning the old index's rows — and the single
+    marker-file commit flips every read path to the new version at once.
+    No truncation window exists in which a probe could see half-written
+    state or new codes under old codebooks."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        commit_index_version,
+        index_active_version,
+        index_root,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    even = e.filter(F.col("vec_id") % 2 == 0)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "pq_swap")
+    S.build_pq_index(even, idx, m=8, ks=16)
+    q = e.filter(F.col("vec_id") < 6)  # mixed-parity query batch
+
+    def probe():
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in S.pq_topk_indexed(spark, q, idx, k=3, rerank=20).collect()
+        }
+
+    before = probe()
+    assert before and all(n % 2 == 0 for _, n, _ in before)
+
+    # mid-rebuild state: a full candidate version exists but no commit
+    # marker (a crashed retrain) — every probe still serves the old build
+    S.build_pq_index(odd, f"{idx}/v1", m=8, ks=16)
+    assert index_active_version(spark, idx) is None
+    assert probe() == before
+
+    # the flip is ONE marker-file create; afterwards every read path —
+    # probe, codebooks, retrain-due accounting — resolves the new version
+    commit_index_version(spark, idx, 1)
+    assert index_root(spark, idx) == f"{idx}/v1"
+    after = probe()
+    assert after and all(n % 2 == 1 for _, n, _ in after)
+
+
+def test_retrain_versions_index_and_cleans_superseded(spark, sf_dir, tmp_path):
+    """Retrains commit monotonically increasing versions and delete the
+    superseded data AFTER the flip: the legacy root's sub-tables are gone
+    once v1 is active, v1 is gone once v2 is active, and the probe stays
+    well-formed across both swaps (old-until-flip is pinned separately in
+    test_index_version_swap_serves_old_until_commit)."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        index_active_version,
+        zone_exists,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "pq_vers")
+    S.build_pq_index(e.filter(F.col("vec_id") % 3 != 0), idx, m=8, ks=16)
+    S.append_to_pq_index(e.filter(F.col("vec_id") % 3 == 0), idx)
+    n_all = e.count()
+
+    out = S.retrain_pq_index(spark, idx)
+    assert out["n_vectors"] == n_all
+    assert index_active_version(spark, idx) == 1
+    # legacy unversioned sub-tables were cleaned up post-commit
+    for sub in ("vectors", "codes", "codebooks", "meta"):
+        assert not zone_exists(spark, f"{idx}/{sub}")
+
+    S.retrain_pq_index(spark, idx)
+    assert index_active_version(spark, idx) == 2
+    assert not zone_exists(spark, f"{idx}/v1")
+    q = e.filter(F.col("vec_id") < 5)
+    rows = S.pq_topk_indexed(spark, q, idx, k=3, rerank=10).collect()
+    assert rows and all(1 <= r.rank <= 3 for r in rows)
+    # every vector still present under v2
+    assert spark.read.parquet(_sub(spark, idx, "codes")).count() == n_all

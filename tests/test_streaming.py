@@ -567,7 +567,11 @@ def test_compact_corpus_indexes_preserves_probes(spark, tmp_path):
     assert files_before >= 4  # one append file per batch — the fragmentation
     written = compact_corpus_indexes(spark, index, kgram)
     assert set(written) == {"sets", "bands", "hashes"}
-    assert len(glob.glob(f"{index}/bands/*.parquet")) == written["bands"] == 1
+    # compaction commits a new version directory — resolve like a probe does
+    from aws_data_pipeline_spark.sources.parquet import index_root
+
+    bands_dir = f"{index_root(spark, index)}/bands"
+    assert len(glob.glob(f"{bands_dir}/*.parquet")) == written["bands"] == 1
     after_lsh = {
         tuple(r) for r in neardup_against_index(spark, probe, index).collect()
     }
