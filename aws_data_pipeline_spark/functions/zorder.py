@@ -40,6 +40,50 @@ def quantize(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
     return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), F.coalesce(q, F.lit(0))))
 
 
+def zorder_proxy(col: Column, dtype) -> Column:
+    """Order-preserving numeric proxy for a Z-order dimension — what turns
+    the loud non-numeric failure into a documented transform:
+
+    - numeric: the column itself;
+    - date: epoch day (``datediff`` from 1970-01-01) — exact;
+    - timestamp: epoch seconds — exact at clustering granularity;
+    - string: the first 8 BYTES of the UTF-8 encoding as a big-endian
+      unsigned integer (hex-prefix → base-10 ``conv`` → double). Byte
+      order == lexicographic byte order, so the proxy is monotone in the
+      string sort order; strings sharing an 8-byte prefix collapse to one
+      proxy value — fine for a 16-bit quantizer, but a domain whose
+      values share a LONG common prefix (URLs under one host) should
+      strip the prefix first or cluster on a different key.
+
+    Anything else (arrays, structs, maps, binary) still fails loudly:
+    there is no order-preserving scalar to derive."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    if isinstance(dtype, NumericType):
+        return col
+    if isinstance(dtype, DateType):
+        return F.datediff(col, F.to_date(F.lit("1970-01-01")))
+    if isinstance(dtype, TimestampType):
+        return F.unix_timestamp(col)
+    if isinstance(dtype, StringType):
+        # first 8 bytes of the encoding, right-padded: substring on the
+        # HEX string slices bytes (not characters), so multi-byte UTF-8
+        # never overflows the 64-bit conv
+        hex8 = F.rpad(
+            F.substring(F.hex(F.encode(col, "UTF-8")), 1, 16), 16, "0"
+        )
+        return F.conv(hex8, 16, 10).cast("double")
+    raise ValueError(
+        f"zorder_proxy: no order-preserving numeric proxy for {dtype} — "
+        "Z-order dimensions must be numeric, date, timestamp, or string"
+    )
+
+
 def zorder_key(quantized: Sequence[Column], bits: int = 16) -> Column:
     """Morton interleave of pre-quantized ``[0, 2^bits)`` longs: bit ``i``
     of dimension ``d`` lands at position ``i * D + d``. Pure shift/mask
@@ -71,37 +115,27 @@ def zorder_cluster_zone(
     within, truncate-then-overwrite (maintenance-window semantics for
     unpartitioned zones — see compact_zone's docstring). The key column
     is computational only and is dropped before the write; returns the
-    output task/file count."""
-    from pyspark.sql.types import NumericType
+    output task/file count.
 
+    Non-numeric dimensions (date, timestamp, string) are routed through
+    :func:`zorder_proxy` — an order-preserving numeric stand-in — so the
+    common real-world keys cluster directly; genuinely proxy-less types
+    still fail loudly there."""
     from aws_data_pipeline_spark.sources.parquet import clustered_rewrite, read_zone
 
     df = read_zone(spark, path)
-    # fail loudly on non-numeric key columns: a string column casts to
-    # all-NULL doubles, which would otherwise be indistinguishable from
-    # an empty zone and silently skip the rewrite the caller asked for
-    bad = [
-        c
-        for c in cols
-        if not isinstance(df.schema[c].dataType, NumericType)
-    ]
-    if bad:
-        raise ValueError(
-            f"zorder_cluster_zone: non-numeric key column(s) {bad} — "
-            "Z-order keys must be numeric (quantize a derived numeric "
-            "proxy for strings/dates first)"
-        )
+    proxies = [zorder_proxy(F.col(c), df.schema[c].dataType) for c in cols]
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        *[F.min(p.cast("double")).alias(f"lo_{i}") for i, p in enumerate(proxies)],
+        *[F.max(p.cast("double")).alias(f"hi_{i}") for i, p in enumerate(proxies)],
     ).collect()[0]
     if any(stats[f"lo_{i}"] is None for i in range(len(cols))):
         # empty zone or all-NULL key column: nothing to cluster, and a
         # truncate-rewrite here would only risk the data for a no-op
         return 0
     qs = [
-        quantize(F.col(c), stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
-        for i, c in enumerate(cols)
+        quantize(p, stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
+        for i, p in enumerate(proxies)
     ]
     return clustered_rewrite(
         df.withColumn("__zkey", zorder_key(qs, bits)),

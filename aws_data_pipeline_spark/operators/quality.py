@@ -151,6 +151,8 @@ def psi_drift(
     col: str,
     bins: int = 10,
     floor: float = 1e-6,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Population Stability Index between a baseline and a current slice of
     one numeric column — the standard distribution-drift monitor a
@@ -169,15 +171,24 @@ def psi_drift(
     to 9-dp units with the final contribution snapped to 6-dp, the
     fixed-point recipe every logprob oracle here uses.
 
-    Scale shape: one pass over the baseline for edges (sketchable via
-    approx_percentile at 100 TB), one map-side bin assignment + count per
-    side, a bins-sized join — nothing data-sized shuffles but the two
-    bin-count aggregations.
+    Scale shape: one pass over the baseline for edges, one map-side bin
+    assignment + count per side, a bins-sized join — nothing data-sized
+    shuffles but the two bin-count aggregations. ``approx=True`` swaps
+    the exact (full-sort) edge computation for ``approx_percentile``'s
+    mergeable KLL-family sketch at ``accuracy`` — the 100 TB path: edge
+    RANKS are off by at most ``1/accuracy`` of the population, so at most
+    that fraction of either side's mass can change bins, bounding the PSI
+    divergence from the exact twin (error-bound pinned in
+    tests/test_quality.py, the approx_distinct_customers pattern).
+    Counting against the sketched edges stays exact either way.
     """
     fr = [i / bins for i in range(1, bins)]
-    edges = base.agg(
-        F.percentile(F.col(col), F.array(*[F.lit(f) for f in fr])).alias("es")
+    edge_fn = (
+        (lambda c: F.approx_percentile(c, F.array(*[F.lit(f) for f in fr]), F.lit(accuracy)))
+        if approx
+        else (lambda c: F.percentile(c, F.array(*[F.lit(f) for f in fr])))
     )
+    edges = base.agg(edge_fn(F.col(col)).alias("es"))
 
     def binned(df: DataFrame, n_alias: str) -> DataFrame:
         x = F.col(col).cast("double")

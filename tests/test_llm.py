@@ -1487,6 +1487,41 @@ def test_psi_drift_detects_planted_shift(spark):
     assert any(r.n_curr == 0 and r.n_base > 0 for r in rows)
 
 
+def test_psi_drift_approx_error_bound(spark, sf_dir):
+    """The 100 TB PSI path (approx=True: approx_percentile sketch edges)
+    against the exact twin, on real orders data — the
+    approx_distinct_customers pattern. With sketch accuracy A, each edge's
+    RANK is off by at most 1/A of the baseline, so at most bins/A of
+    either side's mass can change bins; the resulting total-PSI divergence
+    must stay far inside the 0.2 'investigate' decision band, i.e. the
+    approx monitor reaches the same conclusions the exact one does."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_spark.operators.quality import psi_drift
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.where(F.year("o_orderdate") <= 1995).select(
+        F.col("o_totalprice").alias("x")
+    )
+    curr = o.where(F.year("o_orderdate") >= 1998).select(
+        F.col("o_totalprice").alias("x")
+    )
+    exact = sum(
+        r.psi_contribution for r in psi_drift(base, curr, "x", bins=10).collect()
+    )
+    approx = sum(
+        r.psi_contribution
+        for r in psi_drift(base, curr, "x", bins=10, approx=True).collect()
+    )
+    assert abs(approx - exact) < 0.02  # << the 0.2 decision threshold
+    # identical slices still read as ~0 drift through the sketch
+    same = sum(
+        r.psi_contribution
+        for r in psi_drift(base, base, "x", bins=10, approx=True).collect()
+    )
+    assert abs(same) < 1e-6
+
+
 def test_remove_duplicate_spans_surgical(spark):
     """Planted-boilerplate surgical removal: the shared 8-gram region is
     excised from both docs, novel prefixes/suffixes survive, and a doc
