@@ -255,6 +255,32 @@ def record_zone_bucket_count(spark: SparkSession, path: str, n: int) -> None:
     _create_marker(spark, f"{path}/{_BUCKETS_DIR}", n)
 
 
+def pruned_zone_ids(
+    spark, path: str, batch: DataFrame, n_buckets: int | None, id_col: str
+) -> DataFrame:
+    """A ``bucket=``-partitioned zone's id column restricted — by
+    PARTITION PRUNING — to the hash buckets this batch's ids land in.
+    This is what keeps a per-batch idempotency anti-join O(batch), not
+    O(zone): the literal ``bucket IN (...)`` disjunction resolves to
+    PartitionFilters, so a batch touching 4 of 1024 buckets lists and
+    scans 4/1024 of the zone's id column — the partition-pruned silver
+    pattern (:func:`read_partition_slice`) applied to an id-keyed zone.
+    Legacy unbucketed zones (``n_buckets`` None) fall back to the full
+    column-pruned id scan."""
+    ids = spark.read.parquet(path)
+    if n_buckets is None:
+        return ids.select(id_col)
+    bkts = sorted(
+        int(r.b)
+        for r in batch.select(
+            F.pmod(F.col(id_col), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return ids.filter(F.col("bucket").isin(bkts)).select(id_col)
+
+
 def index_has(spark: SparkSession, path: str, sub: str) -> bool:
     """Existence probe for an index sub-table through the active root —
     the version-aware replacement for ``zone_exists(f"{path}/{sub}")``."""

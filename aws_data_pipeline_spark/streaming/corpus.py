@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from aws_data_pipeline_spark.operators import dedup
-from aws_data_pipeline_spark.sources.parquet import index_has, zone_exists
+from aws_data_pipeline_spark.sources.parquet import (
+    index_has,
+    pruned_zone_ids,
+    record_zone_bucket_count,
+    zone_bucket_count,
+    zone_exists,
+)
 
 DOC_SCHEMA = T.StructType(
     [
@@ -170,6 +176,7 @@ def incremental_corpus_ingest(
     bands: int = 4,
     kgram_index_path: str | None = None,
     kgram_k: int = 8,
+    corpus_buckets: int = 64,
 ) -> None:
     """One availableNow run: new document files -> in-batch dedup -> index
     probe -> idempotent append of novel docs to corpus + index.
@@ -195,6 +202,17 @@ def incremental_corpus_ingest(
 
     doc_ids must be globally unique across batches (upstream contract,
     same as any append-only ingest).
+
+    ``corpus_buckets``: new corpus zones are written hive-partitioned by
+    ``bucket = pmod(doc_id, corpus_buckets)`` with the fan-out recorded
+    in a ``_buckets`` marker BEFORE the first data file — the embedding
+    loop's layout (:func:`streaming.embeddings.incremental_embedding_ingest`),
+    verbatim. Every later run's idempotency anti-join and batch ∩ corpus
+    semi-join then prune to the batch's buckets (PartitionFilters via
+    :func:`sources.parquet.pruned_zone_ids`), keeping per-batch corpus
+    reads O(batch) instead of O(corpus) at 100 TB. The recorded marker,
+    not this parameter, governs existing zones; legacy unbucketed zones
+    keep working with full column-pruned id scans.
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -202,6 +220,14 @@ def incremental_corpus_ingest(
             return
         sess = batch.sparkSession
         batch = batch.localCheckpoint()  # consumed by several jobs below
+        # bucket fan-out: the zone's own recorded marker is the source of
+        # truth (a modulus mismatch would silently break the pruned
+        # anti-join); a brand-new zone records the caller's fan-out
+        # BEFORE any data lands, legacy unbucketed zones stay unbucketed
+        nb = zone_bucket_count(sess, corpus_path)
+        if nb is None and not zone_exists(sess, corpus_path):
+            record_zone_bucket_count(sess, corpus_path, corpus_buckets)
+            nb = corpus_buckets
         # 1. in-batch dedup: exact digest first (cheap), then fuzzy
         exact = dedup.exact_dedup(batch, "doc_id")
         uniq = exact.filter(~F.col("is_duplicate")).drop(
@@ -231,15 +257,31 @@ def incremental_corpus_ingest(
         if not survivors.isEmpty():
             corpus_new = survivors
             if zone_exists(sess, corpus_path):
-                existing = sess.read.parquet(corpus_path).select("doc_id")
+                # partition-pruned idempotency: only the batch's buckets
+                # are listed/scanned, never the whole corpus id column
+                existing = pruned_zone_ids(
+                    sess, corpus_path, survivors, nb, "doc_id"
+                )
                 corpus_new = survivors.join(existing, "doc_id", "left_anti")
             if not corpus_new.isEmpty():
-                corpus_new.write.mode("append").parquet(corpus_path)
+                if nb is not None:
+                    corpus_new.withColumn(
+                        "bucket", F.pmod(F.col("doc_id"), F.lit(nb))
+                    ).write.mode("append").partitionBy("bucket").parquet(
+                        corpus_path
+                    )
+                else:
+                    corpus_new.write.mode("append").parquet(corpus_path)
             if index_has(sess, index_path, "meta"):
                 append_to_lsh_text_index(survivors, index_path)
             else:
+                # Bootstrap from the FULL corpus zone, not `survivors`:
+                # enabling the index on an already-populated corpus must
+                # index history too (the k-gram bootstrap's rule, for the
+                # same silent-under-reporting reason; on a fresh corpus
+                # the two are identical anyway).
                 dedup.build_lsh_text_index(
-                    survivors,
+                    sess.read.parquet(corpus_path).select("doc_id", "text"),
                     index_path,
                     k=k,
                     num_perm=num_perm,
@@ -255,7 +297,9 @@ def incremental_corpus_ingest(
         # idempotent. Runs OUTSIDE the survivors guard for that reason.
         if kgram_index_path is not None and zone_exists(sess, corpus_path):
             accepted = uniq.join(
-                sess.read.parquet(corpus_path).select("doc_id"),
+                # same bucket pruning as the corpus anti-join: the
+                # semi-join's corpus side reads only the batch's buckets
+                pruned_zone_ids(sess, corpus_path, uniq, nb, "doc_id"),
                 "doc_id",
                 "left_semi",
             )

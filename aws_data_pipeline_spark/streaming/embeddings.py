@@ -49,28 +49,13 @@ VEC_SCHEMA = T.StructType(
 
 
 def _pruned_corpus_ids(sess, corpus_path: str, batch: DataFrame, n_buckets):
-    """The corpus zone's id column restricted — by PARTITION PRUNING — to
-    the hash buckets this batch's vec_ids land in. This is what keeps the
-    per-batch idempotency anti-join O(batch), not O(corpus): a bucketed
-    zone (``bucket = pmod(vec_id, N)`` hive partitions) resolves the
-    literal ``bucket IN (...)`` disjunction to PartitionFilters, so a
-    batch touching 4 of 1024 buckets lists and scans 4/1024 of the corpus
-    id column — the partition-pruned silver pattern
-    (sources.parquet.read_partition_slice) applied to the vector corpus.
-    Legacy unbucketed zones (``n_buckets`` None) fall back to the full
-    column-pruned id scan."""
-    ids = sess.read.parquet(corpus_path)
-    if n_buckets is None:
-        return ids.select("vec_id")
-    bkts = sorted(
-        int(r.b)
-        for r in batch.select(
-            F.pmod(F.col("vec_id"), F.lit(n_buckets)).alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    return ids.filter(F.col("bucket").isin(bkts)).select("vec_id")
+    """The vector corpus zone's id column restricted — by PARTITION
+    PRUNING — to the hash buckets this batch's vec_ids land in (see
+    :func:`sources.parquet.pruned_zone_ids`, shared with the text loop):
+    the per-batch idempotency anti-join stays O(batch), not O(corpus)."""
+    from aws_data_pipeline_spark.sources.parquet import pruned_zone_ids
+
+    return pruned_zone_ids(sess, corpus_path, batch, n_buckets, "vec_id")
 
 
 def incremental_embedding_ingest(

@@ -522,3 +522,114 @@ def test_embedding_ingest_corpus_antijoin_is_partition_pruned(spark, tmp_path):
         corpus_buckets=8,
     )
     assert spark.read.parquet(corpus).count() == 16
+
+
+def test_text_ingest_corpus_antijoin_is_partition_pruned(spark, tmp_path):
+    """The text ingest loop's per-batch corpus idempotency anti-join must
+    read only the hash-bucket partitions the batch touches
+    (PartitionFilters on ``bucket=``) — the embedding loop's layout
+    (test_embedding_ingest_corpus_antijoin_is_partition_pruned) applied
+    to the document corpus. Also pins the recorded fan-out marker and
+    that checkpoint-loss re-delivery stays idempotent under bucketing."""
+    import json
+
+    from aws_data_pipeline_spark.sources.parquet import (
+        pruned_zone_ids,
+        zone_bucket_count,
+    )
+    from aws_data_pipeline_spark.streaming.corpus import (
+        incremental_corpus_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    docs = [
+        {
+            "doc_id": i,
+            "text": " ".join(f"w{i}t{j}" for j in range(40)),
+            "lang": "en",
+            "source": "a",
+        }
+        for i in range(16)
+    ]
+    (inbox / "b1.jsonl").write_text("\n".join(json.dumps(d) for d in docs))
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c1"),
+        corpus_buckets=8,
+    )
+    # the zone records its own fan-out and is hive-partitioned by bucket
+    assert zone_bucket_count(spark, corpus) == 8
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == set(
+        range(16)
+    )
+
+    # a batch touching ONE bucket prunes the corpus read to it
+    batch = spark.createDataFrame(
+        [(3, "x"), (11, "y")], "doc_id long, text string"
+    )
+    pruned = pruned_zone_ids(spark, corpus, batch, 8, "doc_id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "bucket" in seg
+    assert {r.doc_id for r in pruned.collect()} == {3, 11}  # bucket 3 only
+
+    # idempotency under bucketing: a lost checkpoint re-delivers all
+    # files and the bucketed anti-join keeps the zone flat
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c2"),
+        corpus_buckets=8,
+    )
+    assert spark.read.parquet(corpus).count() == 16
+
+
+def test_text_lsh_bootstrap_indexes_preexisting_corpus(spark, tmp_path):
+    """Enabling the LSH index on an already-populated corpus (a fresh
+    index_path pointed at history) must index HISTORY, not just the
+    current batch — the k-gram / embedding bootstrap rule. A later
+    near-dup of a pre-index doc is then rejected cross-batch."""
+    import json
+
+    from aws_data_pipeline_spark.streaming.corpus import (
+        incremental_corpus_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    base = " ".join(f"tok{i}" for i in range(60))
+    (inbox / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": base, "lang": "en", "source": "a"})
+    )
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, str(tmp_path / "idx1"), str(tmp_path / "c1")
+    )
+
+    # switch to a FRESH index path: bootstrap must cover doc 1 from the
+    # corpus zone, so doc 2 (near-dup of 1) is rejected in the same run
+    other = " ".join(f"other{i}" for i in range(40))
+    (inbox / "b2.jsonl").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 2, "text": other, "lang": "en", "source": "b"},
+            ]
+        )
+    )
+    idx2 = str(tmp_path / "idx2")
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, idx2, str(tmp_path / "c2")
+    )
+    indexed = {r.doc for r in spark.read.parquet(f"{idx2}/sets").collect()}
+    assert indexed == {1, 2}  # history indexed, not just the batch
+    (inbox / "b3.jsonl").write_text(
+        json.dumps(
+            {"doc_id": 3, "text": base + " extra", "lang": "en", "source": "c"}
+        )
+    )
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, idx2, str(tmp_path / "c2")
+    )
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
