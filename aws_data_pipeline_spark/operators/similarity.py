@@ -1714,3 +1714,156 @@ def pq_topk_indexed(
         corpus_codes=codes,
         rerank=rerank,
     )
+
+
+# --------------------------------------------------------------------------
+# SQ8: scalar (per-dimension affine) quantization — the fourth ANN family.
+# Train = per-dim min/max over the corpus (one map-side-combinable agg;
+# no k-means, no seed); encode = 1 small int per dimension; search =
+# exact query vs DEQUANTIZED corpus (FAISS SQ8's asymmetric mode). Unlike
+# PQ the reconstruction is a closed-form IEEE expression over the stored
+# stats, so the whole search path is oracle-able value-for-value: every
+# engine that mirrors the same basic ops gets bit-identical reconstructed
+# vectors (min/max, -, /255, +0.5, floor, clamp are all exactly-rounded
+# deterministic double ops — no RNG, no iterative training).
+# --------------------------------------------------------------------------
+
+
+def sq8_train_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension ``(min, scale=(max-min)/255)`` over the corpus — the
+    whole SQ8 "codebook" (2 doubles per dimension, vs PQ's m*ks*sub).
+
+    Scale shape: posexplode → groupBy(pos) min/max is map-side
+    combinable, so the shuffle is O(dim × partitions) rows no matter the
+    corpus size; the collected result is dim rows (the same
+    small-by-construction class as the IVF centroid collect)."""
+    rows = (
+        corpus.select(F.posexplode(as_double(F.col(vec_col))).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.pos)
+    mins = [float(r.mn) for r in rows]
+    scales = [(float(r.mx) - float(r.mn)) / 255.0 for r in rows]
+    return mins, scales
+
+
+def _sq8_params(mins: list[float], scales: list[float]) -> tuple[Column, Column]:
+    return (
+        F.array(*[F.lit(float(m)) for m in mins]),
+        F.array(*[F.lit(float(s)) for s in scales]),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) with ``codes[d] = clamp(floor((x_d - min_d)/scale_d +
+    0.5), 0, 255)`` as smallint — 1 byte of information per dimension
+    (parquet bit-packs the narrow range), a 4-8× scan-payload cut vs the
+    raw float vectors. A constant dimension (scale 0) encodes as 0 and
+    reconstructs to its min. Pure codegen: two literal stat arrays + one
+    indexed transform, no Python in the path."""
+    mn, sc = _sq8_params(mins, scales)
+    codes = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x, i: F.when(F.element_at(sc, i + 1) == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (x - F.element_at(mn, i + 1)) / F.element_at(sc, i + 1)
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        )
+        .cast("smallint"),
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def sq8_reconstruct(codes: Column, mins: list[float], scales: list[float]) -> Column:
+    """Dequantize a codes array back to ``min_d + code_d * scale_d``
+    (array<double>) — closed-form, exactly reproducible anywhere."""
+    mn, sc = _sq8_params(mins, scales)
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(mn, i + 1)
+        + c.cast("double") * F.element_at(sc, i + 1),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    mins: list[float] | None = None,
+    scales: list[float] | None = None,
+    corpus_codes: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """SQ8 ANN: rank the corpus by exact-query-vs-dequantized-corpus
+    cosine (FAISS's asymmetric SQ8 search), optionally exact-re-rank the
+    top ``rerank`` on full vectors. Output schema matches
+    ``brute_force_topk`` (query_id, neighbor_id, rank).
+
+    Scale shape: the corpus side touches ONLY the code rows (pass
+    ``corpus_codes`` built once via :func:`sq8_encode` — 4-8× less scan
+    payload than the float vectors); dequantize + cosine run inside
+    whole-stage codegen against two literal stat arrays, queries are
+    broadcast with their norms precomputed. Quantization error is bounded
+    per dimension by scale/2, so recall@k is near-1 on real corpora
+    (pinned in pytest); the optional re-rank restores the exact ceiling
+    on the candidate sliver, as in pq_topk."""
+    if mins is None or scales is None:
+        mins, scales = sq8_train_stats(corpus, vec_col)
+    if corpus_codes is None:
+        corpus_codes = sq8_encode(corpus, mins, scales, id_col, vec_col)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("qn", norm(F.col("qv")))
+    )
+    c = corpus_codes.select(
+        F.col("id").alias("neighbor_id"),
+        sq8_reconstruct(F.col("codes"), mins, scales).alias("rv"),
+    ).withColumn("rn", norm(F.col("rv")))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.try_divide(dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")),
+        )
+    )
+    if rerank is None:
+        return _topk_by_sim(scored.drop("qv", "qn", "rv", "rn"), k)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = cand.join(cv, "neighbor_id").withColumn(
+        "sim", cosine(F.col("qv"), F.col("cv"))
+    )
+    return _topk_by_sim(exact.drop("qv", "cv"), k)

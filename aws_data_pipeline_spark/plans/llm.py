@@ -991,6 +991,64 @@ def embedding_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_indexed(spark, queries, idx, k=5, rerank=40)
 
 
+_SQ8_STATS: dict = {}
+
+
+@register(
+    "embedding_ann_sq8",
+    sql="""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dims AS (
+      SELECT pos, min(v) AS mn, (max(v) - min(v)) / 255 AS sc
+      FROM (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM base)
+      GROUP BY pos
+    ),
+    recon AS (
+      SELECT vec_id,
+             list(CASE WHEN sc = 0 THEN mn
+                       ELSE mn + least(255, greatest(0, floor((v - mn) / sc + 0.5))) * sc
+                  END ORDER BY pos) AS r
+      FROM (SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+            FROM base) x
+      JOIN dims USING (pos)
+      GROUP BY vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.e, c.r) DESC, c.vec_id ASC
+             ) AS rank
+      FROM base q JOIN recon c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via SQ8 scalar quantization (FAISS's SQ8 asymmetric search):
+    per-dimension min/max train (one map-side-combinable agg), smallint
+    codes (4-8× scan-payload cut), exact-query-vs-DEQUANTIZED-corpus
+    cosine ranking inside whole-stage codegen. The only ANN family whose
+    search path has a FULL value oracle: train stats, the floor/clamp
+    encode chain, and the reconstruction are all exactly-rounded
+    deterministic double ops, so the DuckDB twin reproduces the
+    reconstructed vectors bit-for-bit and ranks match (ties by neighbor
+    id, the _topk_by_sim contract). Ranks only in the output, the
+    embedding_cosine_topk precedent. Recall vs brute force and the
+    payload cut are pinned in pytest."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    # train-once cache (the _pq_corpus discipline): stats are 2 doubles
+    # per dimension, keyed by source state so corpus regeneration
+    # invalidates; repeated probes skip the min/max pass
+    state = _src_state(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, state)
+    if key not in _SQ8_STATS:
+        _SQ8_STATS.clear()  # driver-side lists only; stale keys are useless
+        _SQ8_STATS[key] = similarity.sq8_train_stats(e)
+    mins, scales = _SQ8_STATS[key]
+    return similarity.sq8_topk(queries, e, k=5, mins=mins, scales=scales)
+
+
 # -- Text analysis ---------------------------------------------------------
 
 _PROFILE_SQL = {
@@ -1534,11 +1592,19 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY t.token
     ) ORDER BY token_count DESC, token ASC LIMIT 50
     """,
+    demoted=True,
 )
 def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-50 tokens by frequency (deterministic
     tie-break). One partial-aggregated shuffle on token — the map-side
-    combiner is what keeps this linear at 100 TB."""
+    combiner is what keeps this linear at 100 TB.
+
+    Demoted r8 (embedding_ann_sq8 entered the oracled registry in its
+    slot, cap held at 100): token-frequency driver signal carried by
+    token_counts (per-doc counting) and tfidf_top_terms (corpus-level
+    top terms over the same tokenizer); the full oracle still replays
+    every pytest run, and it remains the exact twin that pins
+    heavy_hitter_tokens_approx locally."""
     from aws_data_pipeline_spark.operators import sampling
 
     return sampling.vocabulary(T(spark, sf_dir, "documents"), top_k=50)

@@ -633,3 +633,26 @@ def test_text_lsh_bootstrap_indexes_preexisting_corpus(spark, tmp_path):
         spark, str(inbox), corpus, idx2, str(tmp_path / "c2")
     )
     assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+
+def test_sq8_codes_shrink_scan_payload(spark, sf_dir, tmp_path):
+    """The SQ8 scale claim, measured on disk: the code rows the search
+    scans are a small fraction of the float vectors they replace —
+    measured ~0.27 at sf0.1 (smallint codes bit-pack); assert <0.4.
+    Midway between raw vectors and PQ's ~0.04: SQ8 trades compression
+    for near-exact recall and a fully oracle-able search path."""
+    import glob
+    import os
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mins, scales = S.sq8_train_stats(e)
+    codes_p = str(tmp_path / "codes")
+    vecs_p = str(tmp_path / "vecs")
+    S.sq8_encode(e, mins, scales).write.parquet(codes_p)
+    e.selectExpr("vec_id", "embedding").write.parquet(vecs_p)
+    b = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+    )
+    assert b(codes_p) < 0.4 * b(vecs_p)
