@@ -75,6 +75,8 @@ def incremental_embedding_ingest(
     pq_seed: int = 42,
     pq_max_train: int = 16384,
     corpus_buckets: int = 64,
+    sq8_index_path: str | None = None,
+    sq8_retrain: bool = False,
 ) -> None:
     """One availableNow run: new embedding files → in-batch semantic dedup
     → index probe → idempotent append of novel vectors to corpus + LSH
@@ -111,8 +113,12 @@ def incremental_embedding_ingest(
     codebooks from the same batch ∩ corpus crash-backfilling set the IVF
     append uses, the bootstrap builds from the full corpus zone, and
     ``pq_retrain=True`` consults ``pq_retrain_due`` post-run (growth past
-    2× the build-time size) — so all three families (LSH bands, IVF
-    cells, PQ codes) stay current from one ingest loop. The bootstrap
+    2× the build-time size) — so all index families (LSH bands, IVF
+    cells, PQ codes, SQ8 codes) stay current from one ingest loop.
+    ``sq8_index_path``/``sq8_retrain`` do the same for the SQ8 family:
+    appends encode under the stored per-dimension ranges (out-of-range
+    values saturate) and the post-run retrain trigger fires on growth OR
+    per-dim range drift (``sq8_retrain_due``). The bootstrap
     build takes its shape from ``pq_m``/``pq_ks``/``pq_seed``/
     ``pq_max_train`` (corpora whose dim is not divisible by 8 need a
     non-default ``pq_m``); appends and retrains read the stored meta.
@@ -196,7 +202,11 @@ def incremental_embedding_ingest(
         # own anti-join makes re-appends no-ops.
         accepted = None
         if (
-            (ivf_index_path is not None or pq_index_path is not None)
+            (
+                ivf_index_path is not None
+                or pq_index_path is not None
+                or sq8_index_path is not None
+            )
             and zone_exists(sess, corpus_path)
         ):
             # ONE shared batch ∩ corpus frame for both ANN index upkeeps —
@@ -230,6 +240,18 @@ def incremental_embedding_ingest(
                             n_full, ivf_cells
                         ),
                     )
+
+        # SQ8 upkeep: same crash-backfilling batch ∩ corpus set and
+        # bootstrap-from-full-corpus rule as IVF/PQ (module docstring);
+        # appends encode under the STORED per-dim ranges (out-of-range
+        # values saturate until sq8_retrain_due notices the drift)
+        if sq8_index_path is not None and accepted is not None:
+            if index_has(sess, sq8_index_path, "meta"):
+                similarity.append_to_sq8_index(accepted, sq8_index_path)
+            else:
+                full = sess.read.parquet(corpus_path)
+                if not full.isEmpty():
+                    similarity.build_sq8_index(full, sq8_index_path)
 
         # PQ upkeep: same crash-backfilling batch ∩ corpus set and
         # bootstrap-from-full-corpus rule as IVF (module docstring)
@@ -277,3 +299,10 @@ def incremental_embedding_ingest(
         and similarity.pq_retrain_due(spark, pq_index_path)
     ):
         similarity.retrain_pq_index(spark, pq_index_path)
+    if (
+        sq8_retrain
+        and sq8_index_path is not None
+        and index_has(spark, sq8_index_path, "meta")
+        and similarity.sq8_retrain_due(spark, sq8_index_path)
+    ):
+        similarity.retrain_sq8_index(spark, sq8_index_path)

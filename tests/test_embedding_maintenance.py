@@ -786,3 +786,194 @@ def test_retrain_versions_index_and_cleans_superseded(spark, sf_dir, tmp_path):
     assert rows and all(1 <= r.rank <= 3 for r in rows)
     # every vector still present under v2
     assert spark.read.parquet(_sub(spark, idx, "codes")).count() == n_all
+
+
+def test_sq8_index_build_probe_append_retrain_growth_and_drift(
+    spark, sf_dir, tmp_path
+):
+    """Full SQ8 index lifecycle (the PQ contract, fourth family):
+    persisted probe == resident sq8_topk under the same stats; append is
+    idempotent and makes new vectors findable; retrain-due fires on
+    growth AND on per-dim range drift (the SQ8-specific signal: appended
+    vectors saturating the stored quantizer range); retrain resets
+    both."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    extra = e.filter(F.col("vec_id") % 5 == 0)
+    idx = str(tmp_path / "sq8_idx")
+    S.build_sq8_index(base, idx)
+
+    q = e.filter(F.col("vec_id") < 10)
+    mins, scales = S.read_sq8_stats(spark, idx)
+    resident = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk(
+            q, base, k=5, mins=mins, scales=scales, rerank=40
+        ).collect()
+    }
+    indexed = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_indexed(spark, q, idx, k=5, rerank=40).collect()
+    }
+    assert indexed == resident  # persisted == resident by construction
+
+    # append: idempotent, and appended vectors become findable
+    S.append_to_sq8_index(extra, idx)
+    n_codes = spark.read.parquet(f"{idx}/codes").count()
+    S.append_to_sq8_index(extra, idx)  # re-delivery is a no-op
+    assert spark.read.parquet(f"{idx}/codes").count() == n_codes
+    assert n_codes == e.count()
+    assert S.read_sq8_stats(spark, idx) == (mins, scales)  # stats fixed
+
+    # same-distribution appends: growth triggers; tail extension (the
+    # measured ~0.19 holdout overshoot) stays under the drift default
+    assert not S.sq8_retrain_due(
+        spark, idx, growth_factor=2.0, max_range_drift=0.5
+    )
+    assert S.sq8_retrain_due(spark, idx, growth_factor=1.2)
+
+    # drift trigger: an out-of-range append saturates and trips the
+    # range-drift probe even without growth
+    dim = len(mins)
+    wild = spark.createDataFrame(
+        [(999999, [float(mins[d] - 200.0 * max(scales[d], 1e-3)) for d in range(dim)])],
+        "vec_id long, embedding array<double>",
+    )
+    S.append_to_sq8_index(wild, idx)
+    codes999 = {
+        tuple(r.codes)
+        for r in spark.read.parquet(f"{idx}/codes").filter("id = 999999").collect()
+    }
+    assert codes999 == {tuple([0] * dim)}  # fully saturated low
+    drift = S.sq8_range_drift(spark, idx).agg(F.max("drift")).collect()[0][0]
+    assert drift > 0.5  # ~0.78: a genuine range break, not tail extension
+    assert S.sq8_retrain_due(spark, idx, growth_factor=100.0)  # drift alone
+
+    # retrain refits ranges on the index's own vectors and resets both
+    out = S.retrain_sq8_index(spark, idx)
+    assert out["n_vectors"] == e.count() + 1
+    assert not S.sq8_retrain_due(spark, idx, growth_factor=1.2)
+    m2, s2 = S.read_sq8_stats(spark, idx)
+    assert (m2, s2) != (mins, scales)  # ranges absorbed the wild vector
+    meta = spark.read.parquet(_sub(spark, idx, "meta")).collect()[0]
+    assert meta.n_built == e.count() + 1
+
+
+def test_sq8_append_backfills_crash_between_writes(spark, sf_dir, tmp_path):
+    """Simulated crash after the vectors write but before codes: the
+    re-run re-encodes the stranded rows from the materialized vectors
+    under the STORED stats — codes equal a clean append's."""
+    import shutil
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") >= 100)
+    batch = e.filter(F.col("vec_id") < 100)
+    idx = str(tmp_path / "sq8_crash")
+    S.build_sq8_index(base, idx)
+
+    idx2 = str(tmp_path / "sq8_clean")
+    shutil.copytree(idx, idx2)
+    S.append_to_sq8_index(batch, idx2)
+
+    batch.selectExpr(
+        "vec_id as id", "cast(embedding as array<double>) as v"
+    ).write.mode("append").parquet(f"{idx}/vectors")
+    S.append_to_sq8_index(batch, idx)
+
+    codes = {
+        tuple([r.id] + list(r.codes))
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    }
+    clean = {
+        tuple([r.id] + list(r.codes))
+        for r in spark.read.parquet(f"{idx2}/codes").collect()
+    }
+    assert codes == clean
+
+
+def test_incremental_embedding_ingest_maintains_sq8(spark, tmp_path):
+    """SQ8 upkeep inside the ingest loop: enabling sq8_index_path on an
+    already-populated corpus bootstraps from the FULL corpus zone, later
+    batches encode under the STORED stats, and the post-run retrain
+    fires only when growth/drift warrants."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.streaming.embeddings import (
+        incremental_embedding_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    sq8 = str(tmp_path / "sq8")
+
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)], schema
+    ).write.parquet(str(inbox / "b1"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c")
+    )
+    # first run WITH sq8 enabled: bootstrap indexes vectors 0-7 too
+    spark.createDataFrame(
+        [(10, _vec(10)), (11, _vec(11))], schema
+    ).write.parquet(str(inbox / "b2"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        sq8_index_path=sq8,
+    )
+    stats = S.read_sq8_stats(spark, sq8)
+    got = {r.id for r in spark.read.parquet(f"{sq8}/codes").collect()}
+    assert got == set(range(8)) | {10, 11}
+
+    # a further batch appends codes under the SAME stored stats
+    spark.createDataFrame([(20, _vec(20))], schema).write.parquet(
+        str(inbox / "b3")
+    )
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        sq8_index_path=sq8, sq8_retrain=False,
+    )
+    assert S.read_sq8_stats(spark, sq8) == stats
+    got = {r.id for r in spark.read.parquet(f"{sq8}/codes").collect()}
+    assert got == set(range(8)) | {10, 11, 20}
+    q = spark.createDataFrame([(10, _vec(10))], schema)
+    out = S.sq8_topk_indexed(spark, q, sq8, k=3, rerank=10).collect()
+    assert out and all(1 <= r.rank <= 3 for r in out)
+
+
+def test_compact_sq8_index_preserves_probe_results(spark, sf_dir, tmp_path):
+    """SQ8 joins the compaction contract: after append-fragmentation and
+    a compact, probe rows are identical and the file count shrinks."""
+    import glob
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "sq8c")
+    S.build_sq8_index(e.filter(F.col("vec_id") % 4 != 0), idx)
+    for m in range(2):
+        S.append_to_sq8_index(
+            e.filter(F.col("vec_id") % 4 == 0).filter(
+                (F.col("vec_id") % 2 == m)
+            ),
+            idx,
+        )
+    q = e.filter(F.col("vec_id") < 8)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_indexed(spark, q, idx, k=5, rerank=30).collect()
+    }
+    files_before = len(glob.glob(f"{idx}/codes/*.parquet"))
+    written = S.compact_embedding_indexes(spark, sq8_index_path=idx)
+    assert set(written) == {"sq8_codes", "sq8_vectors"}
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_indexed(spark, q, idx, k=5, rerank=30).collect()
+    }
+    assert after == before
+    assert len(glob.glob(f"{_sub(spark, idx, 'codes')}/*.parquet")) <= files_before
