@@ -527,3 +527,52 @@ def delete_from_zone(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
     return len(touched)
+
+
+def index_compaction_due(
+    spark: SparkSession,
+    path: str,
+    subs: tuple[str, ...],
+    max_files: int = 256,
+) -> bool:
+    """True when any sub-table of the index's ACTIVE root has fragmented
+    past ``max_files`` committed data files — the owner-facing cadence
+    probe for ``compact_corpus_indexes`` / ``compact_embedding_indexes``,
+    closing the symmetry with the retrain triggers (growth and drift have
+    ``*_retrain_due``; file fragmentation now has this). Every
+    availableNow append adds one small file per sub-table, so this is
+    effectively "batches since last compaction"; cost is one recursive
+    listing per sub-table (metadata only, no data reads)."""
+    root = index_root(spark, path)
+    return any(
+        zone_fingerprint(spark, f"{root}/{s}")[0] > max_files for s in subs
+    )
+
+
+def gc_index_versions(spark: SparkSession, path: str) -> list[int]:
+    """Delete orphaned version directories of a versioned index: every
+    ``path/v<N>`` except the active one. Orphans arise from a crash
+    between a rebuild's data write and its marker commit (an abandoned
+    candidate) or between commit and superseded-version cleanup
+    (``_finish_index_build``'s documented inert leftovers). Returns the
+    versions removed. OWNER-scheduled, like retrain/compaction policy:
+    run it only when no rebuild is in flight, since an uncommitted
+    candidate directory is indistinguishable from an abandoned one."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    active = index_active_version(spark, path)
+    removed: list[int] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) != active
+        ):
+            fs.delete(st.getPath(), True)
+            removed.append(int(name[1:]))
+    return sorted(removed)

@@ -977,3 +977,57 @@ def test_compact_sq8_index_preserves_probe_results(spark, sf_dir, tmp_path):
     }
     assert after == before
     assert len(glob.glob(f"{_sub(spark, idx, 'codes')}/*.parquet")) <= files_before
+
+
+def test_compaction_due_and_version_gc(spark, sf_dir, tmp_path):
+    """The maintenance-cadence probes: index_compaction_due fires once
+    appends fragment a sub-table past the file budget (and not before),
+    and gc_index_versions removes exactly the non-active version
+    directories a crash can strand, leaving probes untouched."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        gc_index_versions,
+        index_active_version,
+        index_compaction_due,
+        index_root,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "sq8gc")
+    S.build_sq8_index(e.filter(F.col("vec_id") % 4 != 0), idx)
+    for m in range(2):
+        S.append_to_sq8_index(
+            e.filter(F.col("vec_id") % 4 == 0).filter(
+                (F.col("vec_id") % 2 == m)
+            ),
+            idx,
+        )
+    subs = ("vectors", "codes")
+    # fragmented by two appends, but still under a generous budget
+    assert not index_compaction_due(spark, idx, subs, max_files=256)
+    # a tiny budget fires — the signal the owner schedules compaction on
+    assert index_compaction_due(spark, idx, subs, max_files=2)
+
+    # retrain twice: two versioned swaps; _finish_index_build cleans the
+    # superseded data, so fabricate a crash orphan (an uncommitted
+    # candidate directory) plus verify gc keeps only the active version
+    S.retrain_sq8_index(spark, idx)
+    S.retrain_sq8_index(spark, idx)
+    active = index_active_version(spark, idx)
+    q = e.filter(F.col("vec_id") < 8)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_indexed(spark, q, idx, k=5, rerank=30).collect()
+    }
+    orphan = f"{idx}/v{active + 5}"  # abandoned candidate, never committed
+    spark.createDataFrame([(1,)], "x int").write.parquet(f"{orphan}/codes")
+    removed = gc_index_versions(spark, idx)
+    assert active + 5 in removed
+    assert index_active_version(spark, idx) == active
+    assert index_root(spark, idx).endswith(f"v{active}")
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_indexed(spark, q, idx, k=5, rerank=30).collect()
+    }
+    assert after == before
+    assert gc_index_versions(spark, idx) == []  # idempotent
