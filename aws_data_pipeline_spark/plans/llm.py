@@ -1043,7 +1043,10 @@ def embedding_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _src_state(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir, state)
     if key not in _SQ8_STATS:
-        _SQ8_STATS.clear()  # driver-side lists only; stale keys are useless
+        # evict superseded entries for the same corpus only (the _PQ_CACHE
+        # rule): a session alternating sf dirs keeps each one's stats
+        for old in [k for k in _SQ8_STATS if k[:2] == key[:2]]:
+            _SQ8_STATS.pop(old)
         _SQ8_STATS[key] = similarity.sq8_train_stats(e)
     mins, scales = _SQ8_STATS[key]
     return similarity.sq8_topk(queries, e, k=5, mins=mins, scales=scales)

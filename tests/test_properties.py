@@ -623,3 +623,42 @@ def test_connected_components_random_graphs_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc1 long, doc2 long")
     got = {r.node: r.label for r in connected_components(df).collect()}
     assert got == expect
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(min_value=-10.0, max_value=10.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@given(vecs=VECS)
+@_SETTINGS
+def test_sq8_reconstruction_error_bound(spark, vecs):
+    """The SQ8 guarantee for ANY corpus: for every in-range value (and
+    every corpus value is in range of its own train stats by
+    construction), |reconstruct(encode(x)) - x| <= scale/2 per dimension
+    — the closed-form bound the near-exact recall claim rests on. Also
+    pins code-domain validity for arbitrary inputs."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    mins, scales = S.sq8_train_stats(df)
+    out = (
+        S.sq8_encode(df, mins, scales)
+        .withColumn("rv", S.sq8_reconstruct(F.col("codes"), mins, scales))
+        .collect()
+    )
+    raw = {i: v for i, v in enumerate(vecs)}
+    for r in out:
+        assert all(0 <= c <= 255 for c in r.codes)
+        for d, (x, xr) in enumerate(zip(raw[r.id], r.rv)):
+            # scale/2 plus float slop; constant dims reconstruct exactly
+            assert abs(xr - x) <= scales[d] / 2 + 1e-9, (r.id, d, x, xr)
