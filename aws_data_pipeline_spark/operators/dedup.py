@@ -498,10 +498,10 @@ def build_lsh_text_index(
     cache `_signatures_from_sets` requires. Rebuilds over an active index
     (or with ``force_new_version=True``) write a fresh version directory
     and flip the pointer last — the same atomic-swap contract as the
-    embedding indexes (similarity._resolve_build_root)."""
-    from aws_data_pipeline_spark.operators.similarity import (
-        _finish_index_build,
-        _resolve_build_root,
+    embedding indexes (sources.parquet.resolve_build_root)."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        finish_index_build as _finish_index_build,
+        resolve_build_root as _resolve_build_root,
     )
 
     spark = df.sparkSession
@@ -1131,9 +1131,9 @@ def build_kgram_index(
     by design and never consult it. Rebuilds over an active index write a
     fresh version directory and flip the pointer last (the embedding
     indexes' atomic-swap contract)."""
-    from aws_data_pipeline_spark.operators.similarity import (
-        _finish_index_build,
-        _resolve_build_root,
+    from aws_data_pipeline_spark.sources.parquet import (
+        finish_index_build as _finish_index_build,
+        resolve_build_root as _resolve_build_root,
     )
 
     spark = df.sparkSession

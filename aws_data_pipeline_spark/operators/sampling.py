@@ -636,6 +636,14 @@ def weighted_sample_topk(
     u = (F.pmod(h, F.lit(1_000_000)) + F.lit(1)) / F.lit(1_000_001.0)
     w = F.col(weight_col).cast("double")
     wmax = F.max(w).over(Window.partitionBy(group_col))
+    # Cross-engine exactness posture, stated plainly: u comes from a
+    # fixed 1e6-point grid and both engines' ln agree bitwise on it
+    # (replayed green by the oracle-parity suite and the hostile
+    # partition sweep every round); group-max normalization bounds the
+    # key near |ln u| so the 9-dp snap keeps resolution for weight
+    # ratios up to ~1e6 within a group. Beyond that ratio the selection
+    # stays weight-proportional but the last-ulp oracle identity is no
+    # longer guaranteed — callers with wilder weights should pre-scale.
     key = F.log(u) / (w / wmax)
     out = (
         df.where(w > 0)

@@ -22,46 +22,18 @@ from aws_data_pipeline_spark.sources.parquet import (
     index_active_version,
     index_next_root,
     index_root,
+    zone_exists,
 )
 
 
-def _resolve_build_root(
-    spark, path: str, force_new_version: bool
-) -> tuple[str, int | None, str | None]:
-    """(write root, version to commit, superseded root) for an index
-    (re)build at ``path``. A fresh unversioned build writes straight under
-    ``path`` (meta-last stays its crash contract); any build over an
-    ALREADY-ACTIVE index — or one forced by a retrain/compaction — writes
-    a new ``v<N>`` candidate that readers cannot see until the caller
-    commits it (see sources.parquet's versioned-index store)."""
-    v = index_active_version(spark, path)
-    if v is None and not force_new_version:
-        return path, None, None
-    new_root, new_v = index_next_root(spark, path)
-    old_root = path if v is None else f"{path}/v{v}"
-    return new_root, new_v, old_root
-
-
-def _finish_index_build(
-    spark, path: str, new_v: int | None, old_root: str | None, subs: tuple[str, ...]
-) -> None:
-    """Commit a versioned rebuild (single marker-file create — the atomic
-    flip; probes resolve the old root until it lands) and then delete the
-    superseded data. A legacy unversioned root deletes only the family's
-    own sub-tables (``src_meta``/markers stay); a crash between commit and
-    cleanup leaves inert orphans, never a half-served index."""
-    if new_v is None:
-        return
-    commit_index_version(spark, path, new_v)
-    if old_root == path:
-        for s in subs:
-            delete_zone(spark, f"{path}/{s}")
-    elif old_root is not None:
-        delete_zone(spark, old_root)
-
-
-def _copy_zone(spark, src: str, dst: str) -> None:
-    spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+# The versioned-build write protocol moved to sources.parquet (it is pure
+# storage mechanics shared by the text indexes too); these aliases keep the
+# historical private names importable.
+from aws_data_pipeline_spark.sources.parquet import (  # noqa: E402
+    copy_zone as _copy_zone,
+    finish_index_build as _finish_index_build,
+    resolve_build_root as _resolve_build_root,
+)
 
 
 def as_double(vec: Column) -> Column:
@@ -1103,12 +1075,16 @@ def compact_embedding_indexes(
     identity is guaranteed: compaction rewrites rows, never drops or
     re-codes them (pinned in tests/test_llm.py).
 
-    Concurrency-safe per index: each index's compacted sub-tables (plus
-    verbatim copies of its small tables) land in a fresh version
-    directory, committed by ONE marker-file create — probes during the
-    compaction serve the old layout, probes after serve the compacted
-    one, and a crash mid-compaction leaves the old version active (the
-    next run simply writes a new candidate). No truncation anywhere."""
+    Concurrency contract, stated precisely: the versioned swap makes
+    this PROBE-safe (readers during the compaction serve the old layout,
+    which is kept for one further generation so even scans that resolved
+    pre-flip finish; a crash mid-compaction leaves the old version
+    active) but NOT concurrent-APPEND-safe — an append that resolved the
+    old root mid-compaction would land rows in a superseded generation
+    and they would never reach the active index. Maintenance and appends
+    share one owner (the ingest loop runs appends in-batch and
+    retrain/compaction only after the availableNow run drains); never
+    schedule this concurrently with an ingest into the same index."""
     from aws_data_pipeline_spark.sources.parquet import compact_zone
 
     written: dict[str, int] = {}
@@ -1601,7 +1577,14 @@ def build_pq_index(
 def read_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     """The stored codebooks as the nested-list driver artifact every PQ
     entry point takes — one small read (m·ks rows)."""
-    path = index_root(spark, path)
+    return _pq_codebooks_at(spark, index_root(spark, path))
+
+
+def _pq_codebooks_at(spark, path: str) -> list[list[list[float]]]:
+    """Codebooks from an ALREADY-RESOLVED root — appends read their
+    artifacts and write their data through ONE resolution, so a retrain
+    committing mid-append can never pair old codebooks with the new
+    version's tables."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     rows = spark.read.parquet(f"{path}/codebooks").collect()
     books: list[list[list[float]]] = [
@@ -1631,8 +1614,8 @@ def append_to_pq_index(
     "pending" on a re-delivery of the SAME batch and are re-dropped — a
     bounded no-op, not accumulation: the pending set is batch-scoped."""
     spark = df.sparkSession
-    books = read_pq_codebooks(spark, path)
-    path = index_root(spark, path)
+    path = index_root(spark, path)  # ONE resolution for artifacts + writes
+    books = _pq_codebooks_at(spark, path)
     nv = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     missing_vecs = nv.join(
         spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
@@ -1712,7 +1695,7 @@ def pq_topk_indexed(
     The active root resolves ONCE, so every sub-table read belongs to one
     committed build even while a retrain/compaction runs."""
     path = index_root(spark, path)
-    books = read_pq_codebooks(spark, path)
+    books = _pq_codebooks_at(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     corpus = spark.read.parquet(f"{path}/vectors").select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")
@@ -1922,7 +1905,11 @@ def build_sq8_index(
 def read_sq8_stats(spark, path: str) -> tuple[list[float], list[float]]:
     """The stored per-dimension quantizer as the (mins, scales) driver
     artifact every SQ8 entry point takes — one small read (dim rows)."""
-    path = index_root(spark, path)
+    return _sq8_stats_at(spark, index_root(spark, path))
+
+
+def _sq8_stats_at(spark, path: str) -> tuple[list[float], list[float]]:
+    """Stats from an ALREADY-RESOLVED root (the _pq_codebooks_at rule)."""
     rows = spark.read.parquet(f"{path}/stats").collect()
     rows.sort(key=lambda r: r.pos)
     return [float(r.mn) for r in rows], [float(r.sc) for r in rows]
@@ -1942,8 +1929,8 @@ def append_to_sq8_index(
     own append set, so a crash between the two writes backfills on
     re-run and re-appends are no-ops."""
     spark = df.sparkSession
-    mins, scales = read_sq8_stats(spark, path)
-    path = index_root(spark, path)
+    path = index_root(spark, path)  # ONE resolution for artifacts + writes
+    mins, scales = _sq8_stats_at(spark, path)
     nv = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     missing_vecs = nv.join(
         spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
@@ -1984,8 +1971,15 @@ def sq8_range_drift(spark, path: str) -> DataFrame:
         F.col("obs_mx") - (F.col("mn") + span),
         F.lit(0.0),
     )
+    # a build-time-CONSTANT dimension (span 0) has no scale to express
+    # overshoot in: ANY departure from the stored point is unbounded
+    # reconstruction error, so report infinite drift rather than
+    # silently clamping to 0 and never tripping the retrain trigger
     return stats.join(obs, "pos").withColumn(
-        "drift", F.when(span > 0, over / span).otherwise(F.lit(0.0))
+        "drift",
+        F.when(span > 0, over / span).otherwise(
+            F.when(over > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
+        ),
     )
 
 
@@ -2046,7 +2040,7 @@ def sq8_topk_indexed(
     root resolves ONCE, so every sub-table read belongs to one committed
     build even while a retrain/compaction runs."""
     path = index_root(spark, path)
-    mins, scales = read_sq8_stats(spark, path)
+    mins, scales = _sq8_stats_at(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     corpus = spark.read.parquet(f"{path}/vectors").select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")

@@ -576,3 +576,63 @@ def gc_index_versions(spark: SparkSession, path: str) -> list[int]:
             fs.delete(st.getPath(), True)
             removed.append(int(name[1:]))
     return sorted(removed)
+
+
+# -- Versioned-build write protocol ---------------------------------------
+# The WRITE side of the versioned index store above (resolve a candidate
+# root, commit + generation-keeping cleanup) — one protocol shared by every
+# maintained index family (text LSH/k-gram, embedding LSH/IVF/PQ/SQ8), kept
+# next to the marker primitives it is built from.
+
+
+def resolve_build_root(
+    spark, path: str, force_new_version: bool
+) -> tuple[str, int | None, str | None]:
+    """(write root, version to commit, superseded root) for an index
+    (re)build at ``path``. Only a build over a genuinely EMPTY path
+    writes straight under it (meta-last stays its crash contract); any
+    build over an already-active index — versioned via the pointer
+    marker, or the legacy unversioned layout detected by a committed
+    data file under ``path`` — writes a new ``v<N>`` candidate that
+    readers cannot see until the caller commits it (see
+    sources.parquet's versioned-index store). Without the
+    data-existence probe, a rebuild of a never-yet-versioned index (a
+    stale-corpus rebuild, not just retrains) would truncate it in place
+    under live probes."""
+    v = index_active_version(spark, path)
+    if v is None and not force_new_version and not zone_exists(spark, path):
+        return path, None, None
+    new_root, new_v = index_next_root(spark, path)
+    old_root = path if v is None else f"{path}/v{v}"
+    return new_root, new_v, old_root
+
+
+def finish_index_build(
+    spark, path: str, new_v: int | None, old_root: str | None, subs: tuple[str, ...]
+) -> None:
+    """Commit a versioned rebuild (single marker-file create — the atomic
+    flip; probes resolve the old root until it lands), KEEP the
+    immediately-superseded root for in-flight readers (a probe that
+    resolved the old root before the flip still holds lazy scans over
+    its files — deleting it at commit time would abort them mid-read, or
+    silently truncate them under ignoreMissingFiles), and delete
+    anything two or more flips behind: no reader that started after the
+    PREVIOUS commit can reference those. Steady-state storage is
+    therefore ≤ 2× one index; :func:`sources.parquet.gc_index_versions`
+    collects the kept generation (and crash orphans) in owner-scheduled
+    quiet periods."""
+    if new_v is None:
+        return
+    commit_index_version(spark, path, new_v)
+    if old_root is None or old_root == path:
+        return  # first flip over a legacy/empty root: nothing older exists
+    old_v = int(old_root.rsplit("/v", 1)[1])
+    # two-generations-behind cleanup: legacy root sub-tables, then v<N>
+    for s in subs:
+        delete_zone(spark, f"{path}/{s}")
+    for n in range(1, old_v):
+        delete_zone(spark, f"{path}/v{n}")
+
+
+def copy_zone(spark, src: str, dst: str) -> None:
+    spark.read.parquet(src).write.mode("overwrite").parquet(dst)

@@ -113,17 +113,19 @@ def compact_corpus_indexes(
     ranges turn selective probes into row-group skips. Returns files
     written per sub-table.
 
-    Concurrency-safe per index (the embedding compaction's contract,
-    ``similarity.compact_embedding_indexes``): each index's compacted
-    sub-tables — plus a verbatim copy of its small ``meta`` — land in a
-    fresh version directory committed by ONE marker-file create, so
-    probes during the compaction serve the old layout and a crash
-    mid-compaction leaves the old version active; no truncation anywhere.
-    Same cadence as ``cluster_bridges``-triggered re-clustering, or
-    whenever the small-file count passes a few hundred."""
-    from aws_data_pipeline_spark.operators.similarity import (
-        _copy_zone,
-        _finish_index_build,
+    Concurrency contract (the embedding compaction's,
+    ``similarity.compact_embedding_indexes``, verbatim): PROBE-safe — the
+    compacted sub-tables land in a fresh version directory committed by
+    ONE marker-file create, the superseded generation is kept one more
+    flip for in-flight readers, and a crash mid-compaction leaves the old
+    version active — but NOT concurrent-APPEND-safe: an append resolving
+    the old root mid-compaction would strand its rows in a superseded
+    generation. Run it from the index's single owner, between ingest
+    runs. Cadence: ``sources.parquet.index_compaction_due``, or whenever
+    the small-file count passes a few hundred."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        copy_zone as _copy_zone,
+        finish_index_build as _finish_index_build,
     )
     from aws_data_pipeline_spark.sources.parquet import (
         compact_zone,

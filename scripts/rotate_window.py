@@ -6,9 +6,11 @@ lands on the right queries — the arithmetic that silently broke in round 4.
 ``staleness_audit.py`` DETECTS a bad plan; this script PROPOSES the correct
 one, encoding the documented policy:
 
-1. displaced oracled entries lead (any oracled query whose latest signal is
-   already 2+ rounds behind the round about to run — the bounded-
-   displacement debt that MUST clear first);
+1. displaced oracled entries lead (any oracled query that has missed at
+   least TWO executed driver windows — ``upcoming - seen >= 3`` in
+   executed-round indices; skipped rounds age nothing. Entries exactly
+   one window behind are the normal "other half" of the 2×50 cycle and
+   fill step 3 — the bounded-displacement debt here MUST clear first);
 2. then ``--rows-seats`` rows-only seats: never-signaled entries first
    (a first-ever driver signal outranks any refresh), then oldest-signal;
 3. then every remaining oracled entry, oldest signal first (ties keep the

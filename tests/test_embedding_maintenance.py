@@ -754,13 +754,16 @@ def test_index_version_swap_serves_old_until_commit(spark, sf_dir, tmp_path):
 
 
 def test_retrain_versions_index_and_cleans_superseded(spark, sf_dir, tmp_path):
-    """Retrains commit monotonically increasing versions and delete the
-    superseded data AFTER the flip: the legacy root's sub-tables are gone
-    once v1 is active, v1 is gone once v2 is active, and the probe stays
-    well-formed across both swaps (old-until-flip is pinned separately in
-    test_index_version_swap_serves_old_until_commit)."""
+    """Retrains commit monotonically increasing versions and KEEP the
+    immediately-superseded generation for in-flight readers (a probe that
+    resolved the old root pre-flip still holds lazy scans over its
+    files); only data two or more flips behind is deleted at commit, and
+    gc_index_versions collects the kept generation in quiet periods.
+    Old-until-flip is pinned separately in
+    test_index_version_swap_serves_old_until_commit."""
     from aws_data_pipeline_spark.operators import similarity as S
     from aws_data_pipeline_spark.sources.parquet import (
+        gc_index_versions,
         index_active_version,
         zone_exists,
     )
@@ -774,18 +777,29 @@ def test_retrain_versions_index_and_cleans_superseded(spark, sf_dir, tmp_path):
     out = S.retrain_pq_index(spark, idx)
     assert out["n_vectors"] == n_all
     assert index_active_version(spark, idx) == 1
-    # legacy unversioned sub-tables were cleaned up post-commit
+    # the legacy unversioned sub-tables are the KEPT previous generation
     for sub in ("vectors", "codes", "codebooks", "meta"):
-        assert not zone_exists(spark, f"{idx}/{sub}")
+        assert zone_exists(spark, f"{idx}/{sub}")
 
     S.retrain_pq_index(spark, idx)
     assert index_active_version(spark, idx) == 2
-    assert not zone_exists(spark, f"{idx}/v1")
+    # now the legacy root is two flips behind -> cleaned at commit;
+    # v1 is the kept previous generation
+    for sub in ("vectors", "codes", "codebooks", "meta"):
+        assert not zone_exists(spark, f"{idx}/{sub}")
+    assert zone_exists(spark, f"{idx}/v1")
     q = e.filter(F.col("vec_id") < 5)
     rows = S.pq_topk_indexed(spark, q, idx, k=3, rerank=10).collect()
     assert rows and all(1 <= r.rank <= 3 for r in rows)
     # every vector still present under v2
     assert spark.read.parquet(_sub(spark, idx, "codes")).count() == n_all
+    # owner-scheduled GC removes the kept generation, probe unchanged
+    assert gc_index_versions(spark, idx) == [1]
+    assert not zone_exists(spark, f"{idx}/v1")
+    rows2 = S.pq_topk_indexed(spark, q, idx, k=3, rerank=10).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows2} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in rows
+    }
 
 
 def test_sq8_index_build_probe_append_retrain_growth_and_drift(
@@ -1031,3 +1045,40 @@ def test_compaction_due_and_version_gc(spark, sf_dir, tmp_path):
     }
     assert after == before
     assert gc_index_versions(spark, idx) == []  # idempotent
+
+
+def test_sq8_constant_dim_drift_is_not_silent(spark, tmp_path):
+    """A dimension CONSTANT at build time has span 0 — any departure from
+    the stored point is unbounded reconstruction error, so the drift
+    probe must report it (as infinite drift), not clamp to 0 and let
+    sq8_retrain_due sleep through it."""
+    import math
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "sq8const")
+    S.build_sq8_index(df, idx)
+    # in-range append: no drift anywhere
+    S.append_to_sq8_index(
+        spark.createDataFrame(
+            [(100, [3.5, 7.0])], "vec_id long, embedding array<double>"
+        ),
+        idx,
+    )
+    assert not S.sq8_retrain_due(spark, idx, growth_factor=10.0)
+    # the constant dim moves: infinite drift, retrain due on drift alone
+    S.append_to_sq8_index(
+        spark.createDataFrame(
+            [(101, [3.5, 150.0])], "vec_id long, embedding array<double>"
+        ),
+        idx,
+    )
+    worst = (
+        S.sq8_range_drift(spark, idx).agg(F.max("drift")).collect()[0][0]
+    )
+    assert math.isinf(worst)
+    assert S.sq8_retrain_due(spark, idx, growth_factor=10.0)
