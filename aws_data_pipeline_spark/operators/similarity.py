@@ -1394,48 +1394,22 @@ def pq_encode(
     )
 
 
-def pq_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    corpus_codes: DataFrame | None = None,
-    rerank: int | None = None,
+def _pq_query_luts(
+    q: DataFrame, codebooks: list[list[list[float]]], id_type: str
 ) -> DataFrame:
-    """PQ ANN via asymmetric distance computation (ADC): rank corpus codes
-    by the query's per-subspace lookup table, optionally exact-re-rank the
-    top ``rerank`` candidates. Output schema matches ``brute_force_topk``
-    (query_id, neighbor_id, sim, rank).
-
-    Scale shape: the corpus side touches ONLY the 8-byte code rows
-    (``corpus_codes`` — persist it once per corpus; pass it to skip
-    re-encoding), scored JVM-side as ``m`` array lookups per row inside
-    whole-stage codegen; the query side precomputes its ``m × ks`` LUT of
-    subspace inner products as ONE numpy matmul per Arrow batch (a
-    literal-expression LUT — m·ks nested HOF columns — costs seconds of
-    Catalyst analysis per execution; measured 5.1 s → sub-second after
-    moving it to Arrow). The optional re-rank joins full vectors for
-    the top-``rerank`` candidates only — the FAISS refine step: ADC keeps
-    recall's floor, exact cosine on a candidate sliver restores its
-    ceiling. Compose with IVF by passing cell-probed codes as
-    ``corpus_codes``. Approximate by design: recall vs brute_force_topk
-    is pinned in pytest, not a value oracle.
-    """
+    """(query_id, qv, lut) for a (query_id, qv) frame: the normalized
+    query vector and its m×ks LUT of subspace inner products, built as
+    ONE numpy matmul per Arrow batch (a literal-expression LUT costs
+    seconds of Catalyst analysis — measured in round 7 and rejected).
+    Zero-norm / ragged queries are dropped. Shared by pq_topk and the
+    IVF-PQ composition."""
     import numpy as np
 
     m = len(codebooks)
     ks = len(codebooks[0])
     sub = len(codebooks[0][0])
     dim = m * sub
-    if corpus_codes is None:
-        corpus_codes = pq_encode(corpus, codebooks, id_col, vec_col)
     books = [np.asarray(b, dtype="float64") for b in codebooks]
-    id_type = queries.schema[id_col].dataType.simpleString()
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
 
     def build_lut(batches):
         import numpy as np
@@ -1476,26 +1450,69 @@ def pq_topk(
                 }
             )
 
-    qlut = q.mapInPandas(
+    return q.mapInPandas(
         build_lut,
         schema=f"query_id {id_type}, qv array<double>, lut array<double>",
     )
+
+
+def _pq_adc_sim(m: int, ks: int):
+    """The ADC scoring expression over (lut, codes) columns: m array
+    lookups folded JVM-side inside whole-stage codegen."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"),
+            (j * ks + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    corpus_codes: DataFrame | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC): rank corpus codes
+    by the query's per-subspace lookup table, optionally exact-re-rank the
+    top ``rerank`` candidates. Output schema matches ``brute_force_topk``
+    (query_id, neighbor_id, sim, rank).
+
+    Scale shape: the corpus side touches ONLY the 8-byte code rows
+    (``corpus_codes`` — persist it once per corpus; pass it to skip
+    re-encoding), scored JVM-side as ``m`` array lookups per row inside
+    whole-stage codegen; the query side precomputes its ``m × ks`` LUT of
+    subspace inner products as ONE numpy matmul per Arrow batch (a
+    literal-expression LUT — m·ks nested HOF columns — costs seconds of
+    Catalyst analysis per execution; measured 5.1 s → sub-second after
+    moving it to Arrow). The optional re-rank joins full vectors for
+    the top-``rerank`` candidates only — the FAISS refine step: ADC keeps
+    recall's floor, exact cosine on a candidate sliver restores its
+    ceiling. Compose with IVF by passing cell-probed codes as
+    ``corpus_codes``. Approximate by design: recall vs brute_force_topk
+    is pinned in pytest, not a value oracle.
+    """
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    if corpus_codes is None:
+        corpus_codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    id_type = queries.schema[id_col].dataType.simpleString()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qlut = _pq_query_luts(q, codebooks, id_type)
     scored = (
         F.broadcast(qlut)
         .crossJoin(corpus_codes.withColumnRenamed("id", "neighbor_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "sim",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.col("lut"),
-                    (j * ks + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
-                ),
-            ),
-        )
+        .withColumn("sim", _pq_adc_sim(m, ks))
     )
     if rerank is None:
         return _topk_by_sim(scored.drop("qv", "lut", "codes"), k)
@@ -2054,3 +2071,95 @@ def sq8_topk_indexed(
         corpus_codes=codes,
         rerank=rerank,
     )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    queries: DataFrame,
+    ivf_index_path: str,
+    pq_index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = 40,
+) -> DataFrame:
+    """FAISS IVF-PQ composed over the two persisted indexes as a
+    first-class search (previously only a test recipe): rank centroids
+    per query, take each query's ``nprobe`` cells, read ONLY those cell
+    partitions of the IVF corpus — ids and cell alone, the vectors stay
+    untouched — ADC-score just those candidates through the PQ codes
+    under the stored codebooks, and exact-re-rank the top ``rerank``
+    from the PQ vectors table. Candidate restriction is PER QUERY (the
+    probed (query, cell) frame joins the cell-pruned corpus on cell), so
+    a vector outside a query's own probed cells can never reach its
+    ranking — the semantics the FAISS inverted-list layout gives.
+
+    Scale shape: centroid ranking is a broadcast of n_cells rows; the
+    corpus read carries PartitionFilters on the probed ``cell=`` set and
+    prunes to two columns; ADC scoring joins the candidate ids against
+    the 25×-compressed codes table (hash join on id — the codes scan is
+    bounded by the already-compressed table; a dedicated cell-partitioned
+    codes layout would prune that too and is the one remaining step to
+    the literal FAISS file format); the exact re-rank touches full
+    vectors for ``rerank`` rows per query only. Both roots resolve ONCE,
+    so the probe serves one committed build of each index. Requires the
+    two indexes to cover the same corpus (the ingest loop maintains both
+    from the same batch stream)."""
+    ivf_root = index_root(spark, ivf_index_path)
+    pq_root = index_root(spark, pq_index_path)
+    books = _pq_codebooks_at(spark, pq_root)
+    m, ks = len(books), len(books[0])
+    id_type = queries.schema[id_col].dataType.simpleString()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cent = F.broadcast(spark.read.parquet(f"{ivf_root}/centroids"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cell").asc()
+    )
+    probed = (
+        q.crossJoin(cent)
+        .withColumn("cent_sim", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    cand = (
+        F.broadcast(probed)
+        .join(
+            spark.read.parquet(f"{ivf_root}/corpus")
+            .filter(F.col("cell").isin(cells))
+            .select("neighbor_id", "cell"),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qlut = _pq_query_luts(q, books, id_type)
+    codes = spark.read.parquet(f"{pq_root}/codes").withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qlut), "query_id")
+        .withColumn("sim", _pq_adc_sim(m, ks))
+    )
+    if rerank is None:
+        return _topk_by_sim(scored.drop("qv", "lut", "codes"), k)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    cand2 = (
+        scored.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    cv = spark.read.parquet(f"{pq_root}/vectors").select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    exact = cand2.join(cv, "neighbor_id").withColumn(
+        "sim", cosine(F.col("qv"), F.col("cv"))
+    )
+    return _topk_by_sim(exact.drop("qv", "cv"), k)

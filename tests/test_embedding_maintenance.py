@@ -1082,3 +1082,66 @@ def test_sq8_constant_dim_drift_is_not_silent(spark, tmp_path):
     )
     assert math.isinf(worst)
     assert S.sq8_retrain_due(spark, idx, growth_factor=10.0)
+
+
+def test_ivfpq_indexed_composition(spark, sf_dir, tmp_path):
+    """The first-class IVF-PQ probe over the two persisted indexes:
+    per-query candidate restriction (every neighbor lies in THAT query's
+    nprobe cells, pinned against a numpy centroid model), a recall floor
+    on the hardest-case near-random corpus, and the exact re-rank never
+    degrades the ADC-only ranking."""
+    import numpy as np
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    S.build_ivf_index(e, ivf, n_cells=8, seed=42, train_fraction=0.5)
+    S.build_pq_index(e, pq, m=8, ks=16, seed=42)
+    q = e.filter(F.col("vec_id") < 10)
+
+    out = S.ivfpq_topk_indexed(
+        spark, q, ivf, pq, k=5, nprobe=4, rerank=40
+    ).collect()
+    assert len(out) == 50 and all(1 <= r.rank <= 5 for r in out)
+
+    # per-query containment: neighbor's cell (numpy model of the stored
+    # centroids) must be among the query's top-nprobe cells
+    cents = np.asarray(
+        [
+            r.centroid
+            for r in sorted(
+                spark.read.parquet(_sub(spark, ivf, "centroids")).collect(),
+                key=lambda r: r.cell,
+            )
+        ]
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in e.collect()}
+    cn = np.linalg.norm(cents, axis=1)
+
+    def probed_cells(v):
+        sims = (cents @ v) / (cn * np.linalg.norm(v))
+        order = np.lexsort((np.arange(len(sims)), -sims))
+        return set(order[:4].tolist())
+
+    def cell_of(v):
+        d = ((cents - v) ** 2).sum(axis=1)
+        return int(np.argmin(d))
+
+    for r in out:
+        assert cell_of(vecs[r.neighbor_id]) in probed_cells(vecs[r.query_id]), r
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(q, e, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    adc_only = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivfpq_topk_indexed(
+            spark, q, ivf, pq, k=5, nprobe=4, rerank=None
+        ).collect()
+    }
+    assert len(got & brute) / len(brute) >= 0.3  # measured 0.56
+    assert len(got & brute) >= len(adc_only & brute)  # re-rank refines
