@@ -2124,6 +2124,8 @@ def ivfpq_topk_indexed(
         .withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= nprobe)
         .select("query_id", "cell")
+        .localCheckpoint(eager=True)  # nprobe × |queries| rows; feeds the
+        # driver-side cell collect AND the candidate join — one compute
     )
     cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
     cand = (

@@ -991,6 +991,25 @@ def embedding_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_indexed(spark, queries, idx, k=5, rerank=40)
 
 
+@register("embedding_ann_ivfpq", sql=None)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via the composed IVF-PQ search over the two persisted,
+    append-maintained indexes (round 8 — previously a test-only recipe):
+    per-query nprobe cell pruning restricts the ADC scan to the FAISS
+    inverted-list candidate set, codes score under the stored codebooks,
+    exact re-rank from the PQ vectors table. Rows-only (k-means + PQ —
+    not SQL-expressible); per-query cell containment, recall floor, and
+    rerank-refinement pinned in
+    test_embedding_maintenance::test_ivfpq_indexed_composition."""
+    ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
+    pq = _ensure_pq_index(spark, sf_dir, m=8, ks=16)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk_indexed(
+        spark, queries, ivf, pq, k=5, nprobe=4, rerank=40
+    )
+
+
 _SQ8_STATS: dict = {}
 
 
