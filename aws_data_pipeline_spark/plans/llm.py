@@ -1010,6 +1010,55 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_index_path(sf_dir: str) -> str:
+    return _warehouse_index_path(sf_dir, "sq8_index")
+
+
+def _ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the on-disk SQ8 index the way a 100 TB corpus reaches
+    steady state (the _ensure_pq_index recipe): BUILD (train per-dim
+    ranges + encode + write vectors/codes/stats/meta) from the simulated
+    existing corpus (vec_id % 10 != 7), then APPEND the simulated new
+    batch under the STORED ranges via similarity.append_to_sq8_index —
+    so every probe exercises the append-maintained shape. Same
+    source-state staleness marker; build+append complete before the
+    marker write (crash re-runs both; append is idempotent)."""
+    from aws_data_pipeline_spark.sources.parquet import index_has
+
+    idx = _sq8_index_path(sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    state = _src_state(spark, sf_dir, "embeddings")
+    fresh = (
+        index_has(spark, idx, "codes")
+        and index_has(spark, idx, "meta")
+        and _src_marker_fresh(spark, idx, state)
+    )
+    if not fresh:
+        similarity.build_sq8_index(e.filter(F.col("vec_id") % 10 != 7), idx)
+        similarity.append_to_sq8_index(e.filter(F.col("vec_id") % 10 == 7), idx)
+        _write_src_marker(spark, idx, state)
+    return idx
+
+
+@register("embedding_ann_sq8_indexed", sql=None)
+def embedding_ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via the PERSISTED SQ8 index — the scan touches only the
+    smallint code rows (3.7× payload cut), dequantizes in codegen under
+    the STORED per-dim ranges, exact-re-ranks from the index's vectors
+    table. First call per corpus BUILDS from the simulated existing
+    corpus then APPENDS the new batch under the stored ranges
+    (_ensure_sq8_index), so the probe exercises the append-maintained
+    index — completing the per-family indexed-probe parity
+    (ivf_indexed / pq_indexed / sq8_indexed). Rows-only: the index probe
+    differs from the oracled resident embedding_ann_sq8 (train corpus
+    excludes the appended tranche by design), and its lifecycle is
+    pinned in test_embedding_maintenance::test_sq8_*."""
+    idx = _ensure_sq8_index(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.sq8_topk_indexed(spark, queries, idx, k=5, rerank=40)
+
+
 _SQ8_STATS: dict = {}
 
 

@@ -77,6 +77,7 @@ HEADLINE = [
     "embedding_ann_pq",          # PQ codes + ADC LUT scoring + exact re-rank
     "embedding_ann_pq_indexed",  # persisted append-maintained PQ index probe
     "embedding_ann_sq8",         # scalar-quantized codes, dequantized cosine scan
+    "embedding_ann_sq8_indexed",  # persisted append-maintained SQ8 index probe
     "embedding_ann_ivfpq",       # composed cell-pruned ADC over both persisted indexes
     "embedding_neardup_pairs",   # banded-LSH equi-join + exact verify
     "context_window_chunks",     # row-local sequence+explode chunking (no shuffle)
