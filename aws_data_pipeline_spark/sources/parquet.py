@@ -549,15 +549,22 @@ def index_compaction_due(
     )
 
 
-def gc_index_versions(spark: SparkSession, path: str) -> list[int]:
-    """Delete orphaned version directories of a versioned index: every
-    ``path/v<N>`` except the active one. Orphans arise from a crash
-    between a rebuild's data write and its marker commit (an abandoned
-    candidate) or between commit and superseded-version cleanup
-    (``_finish_index_build``'s documented inert leftovers). Returns the
-    versions removed. OWNER-scheduled, like retrain/compaction policy:
-    run it only when no rebuild is in flight, since an uncommitted
-    candidate directory is indistinguishable from an abandoned one."""
+def gc_index_versions(
+    spark: SparkSession, path: str, subs: tuple[str, ...] = ()
+) -> list[int]:
+    """Delete superseded generations of a versioned index: every
+    ``path/v<N>`` except the active one, plus — when ``subs`` names the
+    family's sub-tables and a versioned generation IS active — the
+    legacy unversioned sub-tables still sitting at the root (the kept
+    generation of the FIRST flip, which no later flip revisits). Targets
+    arise from the keep-one-generation commit contract
+    (``finish_index_build``) and from crashes (an abandoned uncommitted
+    candidate, or inert leftovers between commit and cleanup). Returns
+    the version numbers removed (legacy root cleanup reports as 0).
+    OWNER-scheduled, like retrain/compaction policy: run it only when no
+    rebuild is in flight and no in-flight probe still holds pre-flip
+    scans, since an uncommitted candidate directory is indistinguishable
+    from an abandoned one."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -575,6 +582,12 @@ def gc_index_versions(spark: SparkSession, path: str) -> list[int]:
         ):
             fs.delete(st.getPath(), True)
             removed.append(int(name[1:]))
+    if active is not None and subs:
+        legacy = [s for s in subs if zone_exists(spark, f"{path}/{s}")]
+        for s in legacy:
+            delete_zone(spark, f"{path}/{s}")
+        if legacy:
+            removed.append(0)
     return sorted(removed)
 
 

@@ -1145,3 +1145,33 @@ def test_ivfpq_indexed_composition(spark, sf_dir, tmp_path):
     }
     assert len(got & brute) / len(brute) >= 0.3  # measured 0.56
     assert len(got & brute) >= len(adc_only & brute)  # re-rank refines
+
+
+def test_gc_collects_legacy_root_generation(spark, sf_dir, tmp_path):
+    """After the FIRST versioned flip the legacy unversioned sub-tables
+    are the kept generation; gc_index_versions(subs=...) collects them
+    in a quiet period without touching the active version's data."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        gc_index_versions,
+        zone_exists,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "sq8legacy")
+    S.build_sq8_index(e, idx)
+    S.retrain_sq8_index(spark, idx)  # flip 1: legacy subs kept for readers
+    subs = ("vectors", "codes", "stats", "meta")
+    assert all(zone_exists(spark, f"{idx}/{s}") for s in subs)
+    q = e.filter(F.col("vec_id") < 5)
+    before = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_indexed(spark, q, idx, k=3, rerank=10).collect()
+    }
+    assert gc_index_versions(spark, idx, subs=subs) == [0]
+    assert not any(zone_exists(spark, f"{idx}/{s}") for s in subs)
+    after = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_indexed(spark, q, idx, k=3, rerank=10).collect()
+    }
+    assert after == before
