@@ -99,3 +99,89 @@ def sessionize(
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(wrun)
     ).drop("__new")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number — the scale path for an unpartitioned
+    ``Window.orderBy`` (which Spark plans as ``Exchange SinglePartition`` +
+    one-task WindowExec: the whole frame through one core at 100 TB).
+
+    Three declarative steps, none single-partition:
+
+    1. ``repartitionByRange`` on the order keys — Spark's distributed sort
+       machinery (sampled range boundaries; partition i's keys all precede
+       partition i+1's). ``localCheckpoint`` pins the sampled boundaries so
+       the two downstream jobs (offset count + final projection) see the
+       SAME partitioning — without it a re-sample between jobs could shift
+       rows across partitions and corrupt the offsets.
+    2. LOCAL ``row_number`` within each range partition (WindowExec
+       partitioned by ``spark_partition_id()`` — parallel, no global sort).
+    3. One bounded collect of per-partition counts (one long per range
+       partition) -> cumulative offsets, broadcast-joined back; global
+       row number = local row number + partition offset.
+
+    ``order_by`` must be a TOTAL order (tie-break on a unique key): then the
+    result is deterministic regardless of where the sampled boundaries land.
+    """
+    out, _ = _global_row_number_with_total(df, order_by, out_col, num_partitions)
+    return out
+
+
+def _global_row_number_with_total(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(n, *order_by).localCheckpoint(eager=True)
+    part = part.withColumn("__pid", F.spark_partition_id())
+    local = part.withColumn(
+        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
+    )
+    counts = dict(
+        part.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    )  # bounded: one row per range partition
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off = F.broadcast(
+        spark.createDataFrame(offsets, schema="__pid int, __off long")
+    )
+    out = (
+        local.join(off, "__pid")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+    return out, acc
+
+
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    order_by: Sequence[Column],
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``ntile(k)`` over a global order — exact SQL ntile
+    semantics (first ``n mod k`` buckets get ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)``), computed from :func:`global_row_number` plus the total
+    count the offset pass already produced — so it costs nothing beyond the
+    row-number itself and never plans a SinglePartition exchange."""
+    ranked, n = _global_row_number_with_total(
+        df, order_by, "__rn", num_partitions
+    )
+    q, r = divmod(n, k)
+    head = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    rn = F.col("__rn")
+    bucket = F.when(
+        rn <= head, F.ceil(rn / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rn - F.lit(head)) / F.lit(max(q, 1))))
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__rn")

@@ -818,16 +818,20 @@ def price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) over total spend — deterministic (total order via the
-    custkey tie-break). A global window like this single-partitions; at
-    100 TB the same result comes from percent_rank over range partitioning
-    (Spark sorts globally first) — fine here because the input is one row
-    per customer, already aggregated."""
+    custkey tie-break). Round 8: computed by the DISTRIBUTED global-rank
+    operator (range repartition + per-partition row_number + broadcast
+    offsets, operators/windows.py:global_ntile) instead of an unpartitioned
+    ``Window.orderBy`` — the latter plans ``Exchange SinglePartition``, one
+    task holding every customer row, which at 100 TB (billions of
+    customers) is the canonical WindowExec scale-killer. Exact ntile
+    semantics pinned against F.ntile in tests/test_scale.py."""
     o = T(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         dsum("o_totalprice").alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("c_custkey"))
-    return spend.withColumn("quartile", F.ntile(4).over(w))
+    return windows.global_ntile(
+        spend, 4, [F.col("spend").desc(), F.col("c_custkey")], out_col="quartile"
+    )
 
 
 @register(

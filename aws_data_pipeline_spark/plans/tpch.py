@@ -303,9 +303,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         _sum_rev().alias("total_revenue")
     )
-    top = rev.withColumn(
-        "__max", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__max"))
+    # global max via a one-row aggregate broadcast back as an equi-join —
+    # NOT an unpartitioned window, which would single-partition every
+    # supplier's revenue row through one WindowExec task at scale
+    mx = rev.agg(F.max("total_revenue").alias("__max"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx.__max).drop("__max")
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         top.join(F.broadcast(s), top.supplier_no == s.s_suppkey)

@@ -41,7 +41,11 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             if q.sql is None:
-                n = q.spark_fn(spark, sf_dir).count()
+                from tests.oracle import assert_plan_contract
+
+                df = q.spark_fn(spark, sf_dir)
+                assert_plan_contract(df, name)
+                n = df.count()
                 status = f"rows-ran ({n} rows)"
             else:
                 run_compare(spark, sf_dir, name)

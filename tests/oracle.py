@@ -69,11 +69,34 @@ def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> None:
         )
 
 
+# Queries allowed a cartesian product in their physical plan. Empty by
+# design: every pairwise candidate generator in the engine is an equi-join
+# on a bucket key (LSH band, k-gram hash, IVF cell, SimHash band), and every
+# deliberate crossJoin broadcasts a bounded side — which plans as
+# BroadcastNestedLoopJoin (bounded build side), never CartesianProduct.
+CARTESIAN_OK: frozenset[str] = frozenset()
+
+
+def assert_plan_contract(df, name: str) -> None:
+    """Standing physical-plan contract, checked on every oracle replay:
+    a CartesianProduct node is a 100 TB scale-killer (|L|x|R| task matrix,
+    both sides materialized), so its appearance in ANY registered query is
+    a regression even when the sf0.001 answer stays correct."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+        raise AssertionError(
+            f"{name}: CartesianProduct in physical plan — equi-join on a "
+            f"bucket key or broadcast the bounded side instead"
+        )
+
+
 def run_compare(spark, sf_dir: str, name: str) -> None:
     from aws_data_pipeline_spark.plans import DEMOTED, load_registry
 
     q = load_registry().get(name) or DEMOTED[name]
-    sdf = q.spark_fn(spark, sf_dir).toPandas()
+    df = q.spark_fn(spark, sf_dir)
+    assert_plan_contract(df, name)
+    sdf = df.toPandas()
     assert q.sql is not None, f"{name} has no oracle SQL"
     con = duck_con(sf_dir)
     try:

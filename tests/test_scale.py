@@ -656,3 +656,53 @@ def test_sq8_codes_shrink_scan_payload(spark, sf_dir, tmp_path):
         os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
     )
     assert b(codes_p) < 0.4 * b(vecs_p)
+
+
+def test_global_ntile_matches_window_ntile_and_parallelizes(spark):
+    """global_ntile == F.ntile over the single-partition global window
+    (exact SQL semantics incl. the uneven-bucket split), while its plan
+    never contains an Exchange SinglePartition — the whole point: at 100 TB
+    the global window funnels every row through ONE WindowExec task."""
+    from pyspark.sql import Window
+
+    from aws_data_pipeline_spark.operators.windows import global_ntile
+
+    rows = [(i, float((i * 7919) % 1000)) for i in range(1001)]  # ties + odd n
+    df = spark.createDataFrame(rows, "id long, v double")
+    order = [F.col("v").desc(), F.col("id")]
+    got = global_ntile(df, 4, order, out_col="q", num_partitions=8)
+    want = df.withColumn("q", F.ntile(4).over(Window.orderBy(*order)))
+    assert sorted(got.collect()) == sorted(want.collect())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__pid" in plan  # window runs PER range bucket
+
+
+def test_global_ntile_fewer_rows_than_buckets(spark):
+    """n < k degenerate case: ntile assigns one row per leading bucket."""
+    from aws_data_pipeline_spark.operators.windows import global_ntile
+
+    df = spark.createDataFrame([(1, 5.0), (2, 3.0)], "id long, v double")
+    got = {
+        r["id"]: r["q"]
+        for r in global_ntile(
+            df, 4, [F.col("v").desc(), F.col("id")], out_col="q"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_global_row_number_deterministic_across_reruns(spark):
+    """The sampled range boundaries may differ between invocations; with a
+    total order the assignment must not."""
+    from aws_data_pipeline_spark.operators.windows import global_row_number
+
+    rows = [((i * 31) % 500, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    order = [F.col("v"), F.col("id")]
+    a = sorted(global_row_number(df, order, num_partitions=7).collect())
+    b = sorted(global_row_number(df, order, num_partitions=13).collect())
+    assert a == b
+    assert [r["rn"] for r in sorted(a, key=lambda r: (r["v"], r["id"]))] == list(
+        range(1, 501)
+    )
