@@ -660,3 +660,50 @@ def bm25_scores(
             (total_u.cast("double") / F.lit(1e6)).alias("bm25_score"),
         )
     )
+
+
+# Markup stripping (the C4/CCNet "extract text from HTML" curation stage).
+# Order matters twice: script/style/comment BLOCKS go before the generic
+# tag pattern (their contents must vanish, not just their tags), and
+# &amp; unescapes LAST (else "&amp;lt;" would double-unescape to "<"
+# instead of the literal "&lt;" the author wrote).
+MARKUP_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Strip HTML/XML markup from a text column — the web-crawl extraction
+    stage every corpus-curation chain starts with (C4's "remove markup"
+    step). Entirely a chain of JVM ``regexp_replace``/``replace`` column
+    expressions: whole-stage codegen inside the scan, zero shuffle, zero
+    Python — the correct 100 TB shape for a per-document rewrite.
+
+    Semantics: script/style/comment blocks removed WITH their contents,
+    remaining tags become spaces, the six ubiquitous entities unescape
+    (single pass, amp last), whitespace runs collapse to one space, ends
+    trimmed. Deliberately regex-grade (not an HTML5 parser): lazy block
+    matches and ``<[^>]*>`` are the documented approximation, chosen
+    because the identical patterns run on any RE2/Java engine — the DuckDB
+    oracle replays them verbatim.
+    """
+    c: Column = F.col(text_col)
+    for pat, repl in MARKUP_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    # explicit class, not \s: Java's \s includes \x0B where RE2's does not,
+    # so \s+ would diverge between Spark and the DuckDB oracle on exotic input
+    c = F.trim(F.regexp_replace(c, "[ \t\r\n\f]+", " "))
+    return df.withColumn(out_col, c)

@@ -2665,3 +2665,86 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit("per_document", doc_split).unionAll(
         audit("cluster_keyed", cluster_split)
     )
+
+
+# The synthesized wrapper exercises every strip rule: a style block, a
+# script block whose CONTENT holds a '<' (block removal, not tag removal),
+# a comment carrying the doc_id, heading/paragraph tags, and the six
+# entities (incl. the '&amp;amp;' double-escape that must unescape exactly
+# once). Both engines build the IDENTICAL string, then replay the identical
+# pattern chain — see operators/text.py::strip_markup for the ordering
+# rules the chain encodes.
+_HTML_PRE = (
+    '<html><head><style>p{margin:0}</style>'
+    '<script src="a.js">var i = 1 < 2;</script></head><body><!-- doc '
+)
+_HTML_MID = ' --><h1 class="t">'
+_HTML_MID2 = "</h1><p>"
+_HTML_POST = "</p><p>&quot;fin&quot; &amp;amp; &lt;eof&gt;&nbsp;</p></body></html>"
+
+
+@register(
+    "markup_stripped_docs",
+    demoted=True,
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}' ||
+             source || '{_HTML_MID2}' || text || '{_HTML_POST}' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   html,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '[ \t\r\n\f]+', ' ', 'g')) AS clean
+      FROM h
+    )
+    SELECT doc_id, md5(clean) AS clean_md5,
+           CAST(CASE WHEN clean = '' THEN 0
+                     ELSE len(string_split(clean, ' ')) END AS INTEGER)
+             AS n_words
+    FROM s
+    """,
+)
+def markup_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (the C4-style web-extraction curation stage): each
+    document wrapped in a deterministic HTML scaffold, then cleaned by the
+    JVM regexp/replace chain — full cleaned text value-hashed cross-engine
+    (md5) plus the post-strip word count. Zero shuffle: the whole rewrite
+    runs inside the scan stage's codegen.
+
+    Demoted (born r8, full value oracle): driver signal carried by
+    string_normalize_parts (the regexp/string-function surface, hash-green
+    r7) and curated_corpus_portable (the curation-chain family).
+    """
+    d = T(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("source"),
+        F.lit(_HTML_MID2),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    stripped = text.strip_markup(
+        d.withColumn("__html", html), text_col="__html", out_col="clean"
+    )
+    clean = F.col("clean")
+    return stripped.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.when(clean == "", F.lit(0))
+        .otherwise(F.size(F.split(clean, " ")))
+        .cast("int")
+        .alias("n_words"),
+    )

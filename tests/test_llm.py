@@ -1654,3 +1654,35 @@ def test_sq8_recall_and_rerank(spark, sf_dir):
     assert len(rr & brute) >= len(sq & brute)
     out = similarity.sq8_topk(q, e, k=5).collect()
     assert all(1 <= r.rank <= 5 for r in out)
+
+
+def test_strip_markup_semantics(spark):
+    """The documented strip rules on crafted strings: block contents vanish
+    (not just tags), entities unescape exactly once with amp LAST, runs of
+    whitespace collapse, tag-only input strips to empty."""
+    from aws_data_pipeline_spark.operators.text import strip_markup
+
+    cases = [
+        # script/style CONTENT removed, incl. a '<' inside the script body
+        ("<script>if (1 < 2) alert('x')</script>keep", "keep"),
+        ("<style>p { color: red }</style>keep", "keep"),
+        # comments vanish; generic tags become spaces, then collapse
+        ("a<!-- hidden -->b", "a b"),
+        ("<h1>Title</h1><p>body text</p>", "Title body text"),
+        # entity ordering: &amp;lt; is the AUTHOR writing "&lt;" — one
+        # unescape only, never the double-unescape to "<"
+        ("&amp;lt; &lt; &gt; &quot;q&quot; &#39;s&#39; a&nbsp;b", "&lt; < > \"q\" 's' a b"),
+        # whitespace runs (tabs/newlines) collapse; ends trim
+        ("  a\t\tb\n\nc  ", "a b c"),
+        # tag-only document strips to empty
+        ("<html><body></body></html>", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["clean_text"]
+        for r in strip_markup(df).select("id", "clean_text").collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
