@@ -1,5 +1,6 @@
 """LLM training-data curation pipeline: the north-star operators composed
-end-to-end (documents -> quality gate [+ optional Gopher hard rules] ->
+end-to-end (documents -> [optional markup strip] -> quality gate
+[+ optional Gopher hard rules] ->
 language gate -> exact dedup -> fuzzy dedup [+ optional duplicated-span
 gate, + optional SemDeDup over an embeddings frame] -> [optional T=2
 mixture resampling] -> deterministic
@@ -31,6 +32,12 @@ from aws_data_pipeline_spark.operators import dedup, sampling, similarity, text
 
 @dataclass
 class CurationConfig:
+    # opt-in stage 0 (the true front of the chain): strip HTML/XML markup
+    # from `text` before anything scores or hashes it — a crawl corpus
+    # whose quality/length/dedup signals are computed over tag soup gates
+    # and dedups the MARKUP, not the content. Rewrites text (and refreshes
+    # n_chars). False = stage disabled (the test corpora are already plain).
+    strip_markup: bool = False
     min_quality: float = 0.5
     keep_langs: tuple[str, ...] = ()  # empty = keep all
     # opt-in hard-rule gate (text.gopher_quality_flags) layered on the
@@ -101,6 +108,17 @@ def curate(
     split assignment, regardless of partitioning.
     """
     cfg = cfg or CurationConfig()
+
+    # 0. optional markup strip FIRST: every downstream signal (quality
+    # score, language id, shingles, digests) must see content, not tags.
+    # Row-local regexp chain — rides the scan, no shuffle.
+    if cfg.strip_markup:
+        docs = (
+            text.strip_markup(docs, text_col="text", out_col="__clean")
+            .withColumn("text", F.col("__clean"))
+            .withColumn("n_chars", F.length("text"))
+            .drop("__clean")
+        )
 
     # 1-2. row-local gates (no shuffle; predicates push into the scan)
     scored = text.quality_score(docs)

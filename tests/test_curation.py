@@ -395,3 +395,41 @@ def test_curate_scrub_dup_spans_rewrites_text(spark, sf_dir):
     a = {(r.doc_id, r.text) for r in out.select("doc_id", "text").collect()}
     b = {(r.doc_id, r.text) for r in out2.select("doc_id", "text").collect()}
     assert a == b
+
+
+def test_curate_strip_markup_stage_recovers_plain_pipeline(spark, sf_dir):
+    """Markup-invariance: wrapping every document in an HTML scaffold and
+    curating with strip_markup=True reproduces the plain-text pipeline
+    EXACTLY — same survivors, same rewritten text, same quality scores,
+    same split assignment. Which is the point of running the strip first:
+    every downstream signal sees content, never tags."""
+    from aws_data_pipeline_spark.operators.text import strip_markup
+
+    docs = load(spark, sf_dir, "documents")
+    # normalize whitespace up front so the only difference between the two
+    # runs is the markup itself (strip_markup also collapses whitespace)
+    plain = (
+        strip_markup(docs, text_col="text", out_col="__c")
+        .withColumn("text", F.col("__c"))
+        .withColumn("n_chars", F.length("text"))
+        .drop("__c")
+    )
+    wrapped = plain.withColumn(
+        "text",
+        F.concat(
+            F.lit('<html><head><style>p{x:0}</style></head><body><!-- w --><p>'),
+            F.col("text"),
+            F.lit("</p><script>var a = 1 < 2;</script></body></html>"),
+        ),
+    ).withColumn("n_chars", F.length("text"))
+
+    cfg_plain = CurationConfig(hash_fn="md5")
+    cfg_strip = CurationConfig(hash_fn="md5", strip_markup=True)
+    cols = ["doc_id", "text", "quality_score", "split"]
+    want = sorted(curate(plain, cfg_plain).select(*cols).collect())
+    got = sorted(curate(wrapped, cfg_strip).select(*cols).collect())
+    assert got == want
+    # and without the stage, the scaffold perturbs the pipeline (tags leak
+    # into scores/shingles) — guards against strip_markup becoming a no-op
+    untreated = sorted(curate(wrapped, cfg_plain).select(*cols).collect())
+    assert untreated != want
