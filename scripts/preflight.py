@@ -39,8 +39,12 @@ def check_registry() -> None:
     oracled = sum(1 for q in reg.values() if q.sql is not None)
     if oracled != 100:
         fail(f"oracled registry count {oracled} != 100 (driver window math)")
-    if len(reg) - oracled > 10:
-        fail(f"rows-only tail grew to {len(reg) - oracled} (> 10)")
+    # 12 = the 10 long-standing rows-only entries + the two r8-born
+    # persisted-probe entries (embedding_ann_ivfpq, embedding_ann_sq8_indexed)
+    # that the round-9 rotation seats for first signal (plans/__init__.py
+    # window comment). Growth beyond that needs a demotion, not a new slot.
+    if len(reg) - oracled > 12:
+        fail(f"rows-only tail grew to {len(reg) - oracled} (> 12)")
     missing = [n for n, q in DEMOTED.items() if "Demoted" not in (q.doc or "")]
     if missing:
         fail(f"DEMOTED entries without a carrier note: {missing}")
