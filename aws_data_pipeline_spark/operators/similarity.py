@@ -2083,6 +2083,7 @@ def ivfpq_topk_indexed(
     k: int = 5,
     nprobe: int = 4,
     rerank: int | None = 40,
+    cell_codes_path: str | None = None,
 ) -> DataFrame:
     """FAISS IVF-PQ composed over the two persisted indexes as a
     first-class search (previously only a test recipe): rank centroids
@@ -2099,13 +2100,23 @@ def ivfpq_topk_indexed(
     corpus read carries PartitionFilters on the probed ``cell=`` set and
     prunes to two columns; ADC scoring joins the candidate ids against
     the 25×-compressed codes table (hash join on id — the codes scan is
-    bounded by the already-compressed table; a dedicated cell-partitioned
-    codes layout would prune that too and is the one remaining step to
-    the literal FAISS file format); the exact re-rank touches full
-    vectors for ``rerank`` rows per query only. Both roots resolve ONCE,
-    so the probe serves one committed build of each index. Requires the
-    two indexes to cover the same corpus (the ingest loop maintains both
-    from the same batch stream)."""
+    bounded by the already-compressed table); the exact re-rank touches
+    full vectors for ``rerank`` rows per query only. Both roots resolve
+    ONCE, so the probe serves one committed build of each index.
+    Requires the two indexes to cover the same corpus (the ingest loop
+    maintains both from the same batch stream).
+
+    ``cell_codes_path`` (optional): a materialized
+    :func:`build_ivfpq_cell_codes` layout — PQ codes partitioned by IVF
+    cell, the literal FAISS inverted-list-with-codes file shape. With it
+    the probe reads ONLY the probed ``cell=`` partitions of the codes
+    (PartitionFilters on the 25×-compressed table — nprobe/cells of the
+    already-small scan) and skips the IVF corpus read and the id hash
+    join entirely: one broadcast join from (query, cell) straight onto
+    the per-cell posting lists. Fails loudly when the layout was built
+    from roots other than the CURRENT committed roots of the two source
+    indexes (an append/retrain superseded it) — rebuild and retry;
+    results are row-identical to the two-index path either way."""
     ivf_root = index_root(spark, ivf_index_path)
     pq_root = index_root(spark, pq_index_path)
     books = _pq_codebooks_at(spark, pq_root)
@@ -2128,26 +2139,50 @@ def ivfpq_topk_indexed(
         # driver-side cell collect AND the candidate join — one compute
     )
     cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
-    cand = (
-        F.broadcast(probed)
-        .join(
-            spark.read.parquet(f"{ivf_root}/corpus")
-            .filter(F.col("cell").isin(cells))
-            .select("neighbor_id", "cell"),
-            "cell",
-        )
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
     qlut = _pq_query_luts(q, books, id_type)
-    codes = spark.read.parquet(f"{pq_root}/codes").withColumnRenamed(
-        "id", "neighbor_id"
-    )
-    scored = (
-        cand.join(codes, "neighbor_id")
-        .join(F.broadcast(qlut), "query_id")
-        .withColumn("sim", _pq_adc_sim(m, ks))
-    )
+    if cell_codes_path is not None:
+        cc_root = index_root(spark, cell_codes_path)
+        cc_meta = spark.read.parquet(f"{cc_root}/meta").collect()[0]
+        if cc_meta.ivf_root != ivf_root or cc_meta.pq_root != pq_root:
+            raise ValueError(
+                "ivfpq cell-codes layout is STALE (built from "
+                f"{cc_meta.ivf_root!r}/{cc_meta.pq_root!r}, current roots are "
+                f"{ivf_root!r}/{pq_root!r}) — an append/retrain superseded a "
+                "source index; rebuild with build_ivfpq_cell_codes"
+            )
+        posting = (
+            spark.read.parquet(f"{cc_root}/codes")
+            .filter(F.col("cell").isin(cells))
+            .withColumnRenamed("id", "neighbor_id")
+        )
+        scored = (
+            F.broadcast(probed)
+            .join(posting, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes")
+            .join(F.broadcast(qlut), "query_id")
+            .withColumn("sim", _pq_adc_sim(m, ks))
+        )
+    else:
+        cand = (
+            F.broadcast(probed)
+            .join(
+                spark.read.parquet(f"{ivf_root}/corpus")
+                .filter(F.col("cell").isin(cells))
+                .select("neighbor_id", "cell"),
+                "cell",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        codes = spark.read.parquet(f"{pq_root}/codes").withColumnRenamed(
+            "id", "neighbor_id"
+        )
+        scored = (
+            cand.join(codes, "neighbor_id")
+            .join(F.broadcast(qlut), "query_id")
+            .withColumn("sim", _pq_adc_sim(m, ks))
+        )
     if rerank is None:
         return _topk_by_sim(scored.drop("qv", "lut", "codes"), k)
     wc = Window.partitionBy("query_id").orderBy(
@@ -2165,3 +2200,58 @@ def ivfpq_topk_indexed(
         "sim", cosine(F.col("qv"), F.col("cv"))
     )
     return _topk_by_sim(exact.drop("qv", "cv"), k)
+
+
+def build_ivfpq_cell_codes(
+    spark, ivf_index_path: str, pq_index_path: str, path: str
+) -> dict[str, int]:
+    """Materialize the FAISS inverted-list-with-codes layout: the PQ codes
+    table re-written hive-partitioned by IVF cell, so
+    :func:`ivfpq_topk_indexed` reads nprobe/cells of the 25×-compressed
+    codes with PartitionFilters and needs neither the IVF corpus read nor
+    the per-id hash join.
+
+    DERIVED data, not a third index: ``meta`` records the two source
+    roots it was built from, the probe refuses a stale layout loudly, and
+    the maintenance story is rebuild-on-supersede (cheap — one join over
+    the compressed codes) rather than a third append lifecycle that could
+    drift out of sync with its sources. Rebuilds land through the shared
+    versioned-swap protocol (candidate dir + single marker-file commit),
+    so probes mid-rebuild serve the previous generation; meta is written
+    LAST inside each generation (the crash contract: half-written reads
+    as missing-meta)."""
+    ivf_root = index_root(spark, ivf_index_path)
+    pq_root = index_root(spark, pq_index_path)
+    root, new_v, old_root = _resolve_build_root(spark, path, force_new_version=False)
+    codes = spark.read.parquet(f"{pq_root}/codes")
+    cells = spark.read.parquet(f"{ivf_root}/corpus").select(
+        F.col("neighbor_id").alias("id"), "cell"
+    )
+    posting = codes.join(cells, "id")
+    # STATIC overwrite for the same reason as the IVF corpus tree: a
+    # rebuild must replace every cell directory, including ones that
+    # receive no rows this time
+    posting.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cell").parquet(f"{root}/codes")
+    n = spark.read.parquet(f"{root}/codes").count()
+    spark.createDataFrame(
+        [(ivf_root, pq_root, n)], "ivf_root string, pq_root string, n long"
+    ).write.mode("overwrite").parquet(f"{root}/meta")
+    _finish_index_build(spark, path, new_v, old_root, ("codes", "meta"))
+    return {"n_codes": n}
+
+
+def ivfpq_cell_codes_current(
+    spark, path: str, ivf_index_path: str, pq_index_path: str
+) -> bool:
+    """True when the materialized cell-codes layout at ``path`` was built
+    from the CURRENT committed roots of both source indexes — the owner's
+    rebuild trigger (the ``*_retrain_due`` analogue for derived layouts).
+    Metadata-only: one meta row and two pointer-marker listings."""
+    if not zone_exists(spark, f"{index_root(spark, path)}/meta"):
+        return False
+    meta = spark.read.parquet(f"{index_root(spark, path)}/meta").collect()[0]
+    return meta.ivf_root == index_root(
+        spark, ivf_index_path
+    ) and meta.pq_root == index_root(spark, pq_index_path)

@@ -991,22 +991,44 @@ def embedding_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_indexed(spark, queries, idx, k=5, rerank=40)
 
 
+def _ensure_ivfpq_cell_codes(
+    spark: SparkSession, sf_dir: str, ivf: str, pq: str
+) -> str:
+    """Materialize (or refresh) the FAISS inverted-list-with-codes layout
+    derived from the two ensured indexes. Currency is checked against the
+    sources' committed roots (similarity.ivfpq_cell_codes_current), so an
+    index rebuild triggered by corpus regeneration automatically triggers
+    this rebuild too — the derived-layout maintenance rule as code."""
+    # params in the name (the _warehouse_index_path rule): differently-
+    # parameterized source indexes must never thrash one derived layout
+    cc = _warehouse_index_path(sf_dir, "ivfpq_cell_codes_c8_m8_ks16")
+    if not similarity.ivfpq_cell_codes_current(spark, cc, ivf, pq):
+        similarity.build_ivfpq_cell_codes(spark, ivf, pq, cc)
+    return cc
+
+
 @register("embedding_ann_ivfpq", sql=None)
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the composed IVF-PQ search over the two persisted,
     append-maintained indexes (round 8 — previously a test-only recipe):
     per-query nprobe cell pruning restricts the ADC scan to the FAISS
     inverted-list candidate set, codes score under the stored codebooks,
-    exact re-rank from the PQ vectors table. Rows-only (k-means + PQ —
-    not SQL-expressible); per-query cell containment, recall floor, and
+    exact re-rank from the PQ vectors table. Probes through the
+    materialized CELL-CODES layout (PQ codes partitioned by IVF cell —
+    the literal FAISS inverted-list-with-codes shape): the codes scan
+    carries PartitionFilters + runtime DPP on the probed cells and the
+    per-id hash join disappears; row-identical to the two-index path
+    (test_ivfpq_cell_codes_layout). Rows-only (k-means + PQ — not
+    SQL-expressible); per-query cell containment, recall floor, and
     rerank-refinement pinned in
     test_embedding_maintenance::test_ivfpq_indexed_composition."""
     ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
     pq = _ensure_pq_index(spark, sf_dir, m=8, ks=16)
+    cc = _ensure_ivfpq_cell_codes(spark, sf_dir, ivf, pq)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.ivfpq_topk_indexed(
-        spark, queries, ivf, pq, k=5, nprobe=4, rerank=40
+        spark, queries, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
     )
 
 

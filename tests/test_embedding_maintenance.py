@@ -1175,3 +1175,64 @@ def test_gc_collects_legacy_root_generation(spark, sf_dir, tmp_path):
         for r in S.sq8_topk_indexed(spark, q, idx, k=3, rerank=10).collect()
     }
     assert after == before
+
+
+def test_ivfpq_cell_codes_layout(spark, sf_dir, tmp_path):
+    """The materialized inverted-list-with-codes layout: probe through it
+    is ROW-IDENTICAL to the two-index path, its codes scan carries
+    PartitionFilters on the probed cells only, a superseded source index
+    makes the probe fail loudly until rebuild, and the currency check
+    tracks all of it."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    cc = str(tmp_path / "ivfpq_codes")
+    S.build_ivf_index(e, ivf, n_cells=8, seed=42, train_fraction=0.5)
+    S.build_pq_index(e, pq, m=8, ks=16, seed=42)
+    assert not S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    S.build_ivfpq_cell_codes(spark, ivf, pq, cc)
+    assert S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+
+    q = e.filter(F.col("vec_id") < 10)
+    via_cc = S.ivfpq_topk_indexed(
+        spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+    )
+    base = S.ivfpq_topk_indexed(spark, q, ivf, pq, k=5, nprobe=4, rerank=40)
+    assert sorted(map(tuple, via_cc.collect())) == sorted(map(tuple, base.collect()))
+
+    # the codes scan reads the cell-partitioned layout (id+codes+cell —
+    # the plain PQ codes table has no cell column) with PartitionFilters
+    # on cell: the probed-cell IN list plus a dynamicpruningexpression
+    # (runtime DPP from the broadcast probe join — at scale it prunes to
+    # the actually-probed cells even when the static set is wide)
+    plan = via_cc._jdf.queryExecution().executedPlan().toString()
+    cc_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "codes#" in ln and "cell#" in ln
+    ]
+    assert cc_scans, plan
+    assert all("PartitionFilters: [cell#" in ln for ln in cc_scans)
+    assert any("dynamicpruningexpression" in ln for ln in cc_scans)
+
+    # supersede one source index: probe through the stale layout fails
+    # loudly, rebuild restores identity
+    S.retrain_ivf_index(spark, ivf)
+    assert not S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    import pytest
+
+    with pytest.raises(ValueError, match="STALE"):
+        S.ivfpq_topk_indexed(
+            spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+        ).collect()
+    S.build_ivfpq_cell_codes(spark, ivf, pq, cc)
+    assert S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    after = S.ivfpq_topk_indexed(
+        spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+    ).collect()
+    base_after = S.ivfpq_topk_indexed(
+        spark, q, ivf, pq, k=5, nprobe=4, rerank=40
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, base_after))
