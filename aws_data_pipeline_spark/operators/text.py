@@ -7,6 +7,7 @@ on 100 TB of documents.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -707,3 +708,33 @@ def strip_markup(df: DataFrame, text_col: str = "text", out_col: str = "clean_te
     # so \s+ would diverge between Spark and the DuckDB oracle on exotic input
     c = F.trim(F.regexp_replace(c, "[ \t\r\n\f]+", " "))
     return df.withColumn(out_col, c)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (``form``: NFC/NFD/NFKC/NFKD) — the
+    canonicalization every tokenizer assumes: visually-identical strings
+    with different codepoint sequences ("e"+U+0301 vs U+00E9) must hash,
+    dedup, and tokenize identically, so a crawl corpus normalizes before
+    any digest or shingle is computed.
+
+    Spark has no built-in normalizer, so this is the sanctioned Python
+    path: an Arrow-batched scalar ``pandas_udf`` (vectorized transfer,
+    never row-at-a-time) over ``unicodedata.normalize`` — UAX#15 is
+    implementation-independent, so the DuckDB oracle's ``nfc_normalize``
+    (utf8proc) reproduces the output byte-for-byte (verified by md5 in the
+    registered twin)."""
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

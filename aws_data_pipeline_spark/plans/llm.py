@@ -2770,3 +2770,45 @@ def markup_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_words"),
     )
+
+
+@register(
+    "unicode_nfc_docs",
+    demoted=True,
+    sql="""
+    WITH t AS (
+      SELECT doc_id, text || 'e' || chr(769) || chr(233) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(raw)) AS norm_md5,
+           CAST(length(raw) AS INTEGER) AS n_chars_before,
+           CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_chars_after
+    FROM t
+    """,
+)
+def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.py::normalize_unicode,
+    Arrow-batched pandas_udf): each document gets a deterministic suffix
+    mixing a DECOMPOSED sequence ("e"+U+0301) with its precomposed twin
+    (U+00E9); normalization composes the former, so n_chars drops by
+    exactly the composed-pair count and the full normalized text is
+    value-hashed cross-engine (md5 — Python unicodedata and DuckDB's
+    utf8proc both implement UAX#15, verified byte-identical).
+
+    Demoted (born r8, full value oracle): driver signal carried by
+    string_normalize_parts (string canonicalization surface, hash-green
+    r7) and token_counts (per-document text derivation family)."""
+    d = T(spark, sf_dir, "documents")
+    raw = d.withColumn("raw", F.concat(F.col("text"), F.lit(
+            # explicit escapes, not glyphs: an NFC-normalizing editor or
+            # VCS filter would silently destroy the decomposed half
+            "e\u0301\u00e9"
+        )))
+    normed = text.normalize_unicode(raw, text_col="raw", out_col="norm")
+    return normed.select(
+        "doc_id",
+        F.md5(F.col("norm")).alias("norm_md5"),
+        F.length("raw").cast("int").alias("n_chars_before"),
+        F.length("norm").cast("int").alias("n_chars_after"),
+    )

@@ -1686,3 +1686,36 @@ def test_strip_markup_semantics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_normalize_unicode_semantics(spark):
+    """NFC composes decomposed sequences, leaves composed text alone, and
+    the form parameter switches behavior (NFKC folds compatibility chars
+    that NFC must preserve). None-safe."""
+    from aws_data_pipeline_spark.operators.text import normalize_unicode
+
+    rows = [
+        (0, "café"),      # decomposed -> café
+        (1, "café"),       # already composed: unchanged
+        (2, "ﬁne"),        # ligature fi: NFC keeps, NFKC folds to "fine"
+        (3, None),
+    ]
+    # source-integrity guard: if an editor/VCS filter ever NFC-normalizes
+    # this file, row 0 silently stops testing composition — fail loudly
+    assert ord(rows[0][1][-1]) == 0x301 and ord(rows[1][1][-1]) == 0xE9
+    df = spark.createDataFrame(rows, "id long, text string")
+    nfc = {
+        r["id"]: r["n"]
+        for r in normalize_unicode(df, out_col="n").select("id", "n").collect()
+    }
+    assert nfc[0] == "café" and len(nfc[0]) == 4
+    assert nfc[1] == "café"
+    assert nfc[2] == "ﬁne"
+    assert nfc[3] is None
+    nfkc = {
+        r["id"]: r["n"]
+        for r in normalize_unicode(df, out_col="n", form="NFKC")
+        .select("id", "n")
+        .collect()
+    }
+    assert nfkc[2] == "fine"
