@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from aws_data_pipeline_spark.operators import dedup
+from aws_data_pipeline_spark.operators import dedup, text
 from aws_data_pipeline_spark.sources.parquet import (
     index_has,
     pruned_zone_ids,
@@ -179,6 +179,8 @@ def incremental_corpus_ingest(
     kgram_index_path: str | None = None,
     kgram_k: int = 8,
     corpus_buckets: int = 64,
+    strip_markup: bool = False,
+    min_quality: float | None = None,
 ) -> None:
     """One availableNow run: new document files -> in-batch dedup -> index
     probe -> idempotent append of novel docs to corpus + index.
@@ -215,12 +217,41 @@ def incremental_corpus_ingest(
     reads O(batch) instead of O(corpus) at 100 TB. The recorded marker,
     not this parameter, governs existing zones; legacy unbucketed zones
     keep working with full column-pruned id scans.
+
+    ``strip_markup`` / ``min_quality`` (optional, off by default): the
+    curate() chain's row-local stage 0/1 applied per micro-batch BEFORE
+    dedup — raw-crawl loops gate and strip in-ingest so the corpus, the
+    indexes, and every downstream signal only ever see content that
+    passed. Deterministic column expressions: crash-recovery re-delivery
+    recomputes the identical survivors, so the idempotency contract is
+    unchanged.
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         sess = batch.sparkSession
+        # 0. optional row-local curation gates, MIRRORING curate()'s stage
+        # order (strip before anything scores or hashes the text; quality
+        # gate before the expensive pairwise stages). Pure deterministic
+        # column expressions, so a crash-recovery re-delivery recomputes
+        # the identical survivor set — the idempotency contract is
+        # untouched.
+        if strip_markup:
+            batch = (
+                text.strip_markup(batch, text_col="text", out_col="__clean")
+                .withColumn("text", F.col("__clean"))
+                .drop("__clean")
+            )
+        if min_quality is not None:
+            cols = batch.columns
+            batch = (
+                text.quality_score(batch)
+                .filter(F.col("quality_score") >= min_quality)
+                .select(*cols)
+            )
+            if batch.isEmpty():
+                return
         batch = batch.localCheckpoint()  # consumed by several jobs below
         # bucket fan-out: the zone's own recorded marker is the source of
         # truth (a modulus mismatch would silently break the pruned

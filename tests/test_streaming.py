@@ -699,3 +699,36 @@ def test_kgram_index_bootstrap_covers_preexisting_corpus(spark, tmp_path):
     )
     spans = duplicate_spans_against_index(spark, probe, kgram)
     assert spans.count() == 1 and spans.collect()[0].span_tokens == 30
+
+
+def test_incremental_corpus_ingest_row_local_gates(spark, tmp_path):
+    """The opt-in in-ingest curation gates: markup strips BEFORE hashing
+    (two docs identical up to tags dedup to one) and the quality gate
+    drops junk before it can reach the corpus or the index."""
+    from aws_data_pipeline_spark.streaming.corpus import incremental_corpus_ingest
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    good = " ".join(f"the tok{i} of and to is" for i in range(20))
+    batch = [
+        # identical CONTENT under different markup: must exact-dedup to one
+        {"doc_id": 1, "text": f"<p>{good}</p>", "lang": "en", "source": "a"},
+        {"doc_id": 2, "text": f"<div>{good}</div><!-- v2 -->", "lang": "en",
+         "source": "a"},
+        # junk: fails the quality gate
+        {"doc_id": 3, "text": "@@ ## $$", "lang": "en", "source": "b"},
+    ]
+    (inbox / "b1.jsonl").write_text("\n".join(json.dumps(d) for d in batch))
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, ckpt,
+        strip_markup=True, min_quality=0.3,
+    )
+    rows = spark.read.parquet(corpus).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert rows[0].text == good  # stored text is the STRIPPED content
+    indexed = {r.doc for r in spark.read.parquet(f"{index}/sets").collect()}
+    assert indexed == {1}
