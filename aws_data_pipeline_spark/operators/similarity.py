@@ -22,6 +22,7 @@ from aws_data_pipeline_spark.sources.parquet import (
     index_active_version,
     index_next_root,
     index_root,
+    qualified_path,
     zone_exists,
 )
 
@@ -2142,26 +2143,22 @@ def ivfpq_topk_indexed(
     qlut = _pq_query_luts(q, books, id_type)
     if cell_codes_path is not None:
         cc_root = index_root(spark, cell_codes_path)
-        cc_meta = spark.read.parquet(f"{cc_root}/meta").collect()[0]
-        if cc_meta.ivf_root != ivf_root or cc_meta.pq_root != pq_root:
+        reason = _cell_codes_stale(spark, cc_root, ivf_root, pq_root)
+        if reason is not None:
             raise ValueError(
-                "ivfpq cell-codes layout is STALE (built from "
-                f"{cc_meta.ivf_root!r}/{cc_meta.pq_root!r}, current roots are "
-                f"{ivf_root!r}/{pq_root!r}) — an append/retrain superseded a "
-                "source index; rebuild with build_ivfpq_cell_codes"
+                f"ivfpq cell-codes layout is STALE ({reason}) — "
+                "rebuild with build_ivfpq_cell_codes"
             )
-        posting = (
-            spark.read.parquet(f"{cc_root}/codes")
-            .filter(F.col("cell").isin(cells))
-            .withColumnRenamed("id", "neighbor_id")
-        )
-        scored = (
+        cand_codes = (
             F.broadcast(probed)
-            .join(posting, "cell")
+            .join(
+                spark.read.parquet(f"{cc_root}/codes")
+                .filter(F.col("cell").isin(cells))
+                .withColumnRenamed("id", "neighbor_id"),
+                "cell",
+            )
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", "codes")
-            .join(F.broadcast(qlut), "query_id")
-            .withColumn("sim", _pq_adc_sim(m, ks))
         )
     else:
         cand = (
@@ -2175,14 +2172,17 @@ def ivfpq_topk_indexed(
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id")
         )
-        codes = spark.read.parquet(f"{pq_root}/codes").withColumnRenamed(
-            "id", "neighbor_id"
+        cand_codes = cand.join(
+            spark.read.parquet(f"{pq_root}/codes").withColumnRenamed(
+                "id", "neighbor_id"
+            ),
+            "neighbor_id",
         )
-        scored = (
-            cand.join(codes, "neighbor_id")
-            .join(F.broadcast(qlut), "query_id")
-            .withColumn("sim", _pq_adc_sim(m, ks))
-        )
+    # shared ADC tail — one place for the LUT join + scoring expression, so
+    # the two candidate paths cannot drift (the row-identity test's claim)
+    scored = cand_codes.join(F.broadcast(qlut), "query_id").withColumn(
+        "sim", _pq_adc_sim(m, ks)
+    )
     if rerank is None:
         return _topk_by_sim(scored.drop("qv", "lut", "codes"), k)
     wc = Window.partitionBy("query_id").orderBy(
@@ -2212,10 +2212,14 @@ def build_ivfpq_cell_codes(
     the per-id hash join.
 
     DERIVED data, not a third index: ``meta`` records the two source
-    roots it was built from, the probe refuses a stale layout loudly, and
-    the maintenance story is rebuild-on-supersede (cheap — one join over
-    the compressed codes) rather than a third append lifecycle that could
-    drift out of sync with its sources. Rebuilds land through the shared
+    roots it was built from (stored QUALIFIED, so relative/absolute/
+    trailing-slash spellings of one location compare equal) AND the two
+    source row counts — retrains flip a root, but APPENDS land in the
+    same root, so the counts are what catch an appended-after-build
+    source. The probe refuses a stale layout loudly, and the maintenance
+    story is rebuild-on-supersede (cheap — one join over the compressed
+    codes) rather than a third append lifecycle that could drift out of
+    sync with its sources. Rebuilds land through the shared
     versioned-swap protocol (candidate dir + single marker-file commit),
     so probes mid-rebuild serve the previous generation; meta is written
     LAST inside each generation (the crash contract: half-written reads
@@ -2236,22 +2240,68 @@ def build_ivfpq_cell_codes(
     ).partitionBy("cell").parquet(f"{root}/codes")
     n = spark.read.parquet(f"{root}/codes").count()
     spark.createDataFrame(
-        [(ivf_root, pq_root, n)], "ivf_root string, pq_root string, n long"
+        [
+            (
+                qualified_path(spark, ivf_root),
+                qualified_path(spark, pq_root),
+                cells.count(),
+                codes.count(),
+            )
+        ],
+        "ivf_root string, pq_root string, n_ivf long, n_pq long",
     ).write.mode("overwrite").parquet(f"{root}/meta")
     _finish_index_build(spark, path, new_v, old_root, ("codes", "meta"))
     return {"n_codes": n}
 
 
+def _cell_codes_stale(spark, cc_root: str, ivf_root: str, pq_root: str) -> str | None:
+    """Reason string when the cell-codes layout at ``cc_root`` no longer
+    reflects the CURRENT state of its two source indexes, else None.
+    Shared by the probe (loud failure) and
+    :func:`ivfpq_cell_codes_current` (the owner's rebuild trigger), so
+    the two can never disagree. Two checks: qualified root equality
+    (catches retrains/compactions — they flip version roots) and source
+    row counts vs the counts stored at build time (catches APPENDS, which
+    write into the same root without a flip). The counts are
+    parquet-footer metadata reads — no data scan."""
+    meta = spark.read.parquet(f"{cc_root}/meta").collect()[0]
+    q_ivf = qualified_path(spark, ivf_root)
+    q_pq = qualified_path(spark, pq_root)
+    if meta.ivf_root != q_ivf or meta.pq_root != q_pq:
+        return (
+            f"built from roots {meta.ivf_root!r}/{meta.pq_root!r}, current "
+            f"are {q_ivf!r}/{q_pq!r} — a retrain/compaction superseded a "
+            "source index"
+        )
+    n_ivf = spark.read.parquet(f"{ivf_root}/corpus").count()
+    n_pq = spark.read.parquet(f"{pq_root}/codes").count()
+    if n_ivf != meta.n_ivf or n_pq != meta.n_pq:
+        return (
+            f"source row counts moved since the build (ivf corpus "
+            f"{meta.n_ivf} -> {n_ivf}, pq codes {meta.n_pq} -> {n_pq}) — "
+            "an append landed after the layout was materialized"
+        )
+    return None
+
+
 def ivfpq_cell_codes_current(
     spark, path: str, ivf_index_path: str, pq_index_path: str
 ) -> bool:
-    """True when the materialized cell-codes layout at ``path`` was built
-    from the CURRENT committed roots of both source indexes — the owner's
-    rebuild trigger (the ``*_retrain_due`` analogue for derived layouts).
-    Metadata-only: one meta row and two pointer-marker listings."""
-    if not zone_exists(spark, f"{index_root(spark, path)}/meta"):
+    """True when the materialized cell-codes layout at ``path`` reflects
+    the CURRENT state of both source indexes — the owner's rebuild
+    trigger (the ``*_retrain_due`` analogue for derived layouts). Shares
+    :func:`_cell_codes_stale` with the probe: qualified root equality
+    catches retrains, stored-vs-live source row counts catch appends.
+    Metadata-only (meta row + pointer listings + parquet footer counts)."""
+    cc_root = index_root(spark, path)
+    if not zone_exists(spark, f"{cc_root}/meta"):
         return False
-    meta = spark.read.parquet(f"{index_root(spark, path)}/meta").collect()[0]
-    return meta.ivf_root == index_root(
-        spark, ivf_index_path
-    ) and meta.pq_root == index_root(spark, pq_index_path)
+    return (
+        _cell_codes_stale(
+            spark,
+            cc_root,
+            index_root(spark, ivf_index_path),
+            index_root(spark, pq_index_path),
+        )
+        is None
+    )

@@ -80,8 +80,22 @@ def cluster_profile(
     Returns a conf dict (values stringified, ready for ``extra_conf``)
     plus derived integers under non-``spark.`` keys for callers/tests.
     """
-    if min(input_bytes, executors, cores_per_executor) <= 0:
-        raise ValueError("input_bytes, executors, cores_per_executor must be > 0")
+    if (
+        min(
+            input_bytes,
+            executors,
+            cores_per_executor,
+            executor_memory_bytes,
+            target_partition_bytes,
+        )
+        <= 0
+        or shuffle_amplification <= 0
+    ):
+        raise ValueError(
+            "every cluster_profile sizing input must be > 0 (a zero or "
+            "negative memory/amplification would silently derive nonsense "
+            "confs, e.g. autoBroadcastJoinThreshold=0 disabling broadcasts)"
+        )
     total_cores = executors * cores_per_executor
     per_core_mem = executor_memory_bytes // cores_per_executor
     mem_cap = max(per_core_mem // 8, 16 * 2**20)

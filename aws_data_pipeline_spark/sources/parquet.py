@@ -94,6 +94,18 @@ def read_partition_slice(
     return read_zone(spark, path).filter(cond)
 
 
+def qualified_path(spark: SparkSession, path: str) -> str:
+    """Fully-qualified URI string for ``path`` (scheme + authority +
+    absolute form) — the canonical spelling for STORING or COMPARING path
+    identities in metadata. Relative vs absolute vs trailing-slash
+    spellings of one location must compare equal, or a consumer checking
+    "was this derived from THAT index?" spuriously mismatches (the same
+    reason :func:`zone_exists` qualifies before prefix-slicing)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.makeQualified(jpath).toString()
+
+
 def zone_exists(spark: SparkSession, path: str) -> bool:
     """True iff the zone holds at least one COMMITTED data file (Hadoop FS
     probe — works for local paths, S3A, HDFS alike; stops at the first

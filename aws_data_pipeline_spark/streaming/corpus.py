@@ -250,9 +250,12 @@ def incremental_corpus_ingest(
                 .filter(F.col("quality_score") >= min_quality)
                 .select(*cols)
             )
-            if batch.isEmpty():
-                return
         batch = batch.localCheckpoint()  # consumed by several jobs below
+        # gate-emptied batch: checked AFTER the checkpoint so the strip +
+        # score chain evaluates exactly once (an isEmpty on the lazy frame
+        # would compute it a second time just to answer the guard)
+        if min_quality is not None and batch.isEmpty():
+            return
         # bucket fan-out: the zone's own recorded marker is the source of
         # truth (a modulus mismatch would silently break the pruned
         # anti-join); a brand-new zone records the caller's fan-out

@@ -26,6 +26,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     from aws_data_pipeline_spark.plans import load_registry
+    from aws_data_pipeline_spark.plans.contracts import assert_plan_contract
     from tests.oracle import run_compare
 
     spark = (
@@ -41,8 +42,6 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             if q.sql is None:
-                from tests.oracle import assert_plan_contract
-
                 df = q.spark_fn(spark, sf_dir)
                 assert_plan_contract(df, name)
                 n = df.count()

@@ -69,25 +69,13 @@ def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame, name: str) -> None:
         )
 
 
-# Queries allowed a cartesian product in their physical plan. Empty by
-# design: every pairwise candidate generator in the engine is an equi-join
-# on a bucket key (LSH band, k-gram hash, IVF cell, SimHash band), and every
-# deliberate crossJoin broadcasts a bounded side — which plans as
-# BroadcastNestedLoopJoin (bounded build side), never CartesianProduct.
-CARTESIAN_OK: frozenset[str] = frozenset()
-
-
-def assert_plan_contract(df, name: str) -> None:
-    """Standing physical-plan contract, checked on every oracle replay:
-    a CartesianProduct node is a 100 TB scale-killer (|L|x|R| task matrix,
-    both sides materialized), so its appearance in ANY registered query is
-    a regression even when the sf0.001 answer stays correct."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "CartesianProduct" in plan and name not in CARTESIAN_OK:
-        raise AssertionError(
-            f"{name}: CartesianProduct in physical plan — equi-join on a "
-            f"bucket key or broadcast the bounded side instead"
-        )
+# The contract itself lives in the PACKAGE (engine policy, usable by
+# operational scripts without a tests/ tree on the path); re-exported here
+# because every oracle replay enforces it.
+from aws_data_pipeline_spark.plans.contracts import (  # noqa: F401
+    CARTESIAN_OK,
+    assert_plan_contract,
+)
 
 
 def run_compare(spark, sf_dir: str, name: str) -> None:

@@ -1217,12 +1217,38 @@ def test_ivfpq_cell_codes_layout(spark, sf_dir, tmp_path):
     assert all("PartitionFilters: [cell#" in ln for ln in cc_scans)
     assert any("dynamicpruningexpression" in ln for ln in cc_scans)
 
-    # supersede one source index: probe through the stale layout fails
-    # loudly, rebuild restores identity
-    S.retrain_ivf_index(spark, ivf)
-    assert not S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    # APPEND to a source index: no version flip, but the stored source
+    # counts catch it — currency drops, the probe fails loudly (the
+    # silent-missing-vectors hole a root-only check would leave)
     import pytest
 
+    extra = spark.createDataFrame(
+        [(90001, [0.25] * 64), (90002, [0.75] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    S.append_to_pq_index(extra, pq)
+    S.append_to_ivf_index(spark, extra, ivf)
+    assert not S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    with pytest.raises(ValueError, match="append"):
+        S.ivfpq_topk_indexed(
+            spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+        ).collect()
+    S.build_ivfpq_cell_codes(spark, ivf, pq, cc)
+    assert S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    appended_view = S.ivfpq_topk_indexed(
+        spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+    ).collect()
+    assert sorted(map(tuple, appended_view)) == sorted(
+        map(
+            tuple,
+            S.ivfpq_topk_indexed(spark, q, ivf, pq, k=5, nprobe=4, rerank=40).collect(),
+        )
+    )
+
+    # supersede one source index by RETRAIN (root flip): probe through the
+    # stale layout fails loudly, rebuild restores identity
+    S.retrain_ivf_index(spark, ivf)
+    assert not S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
     with pytest.raises(ValueError, match="STALE"):
         S.ivfpq_topk_indexed(
             spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc

@@ -85,3 +85,9 @@ def test_rejects_degenerate_shapes():
         cluster_profile(0, executors=10)
     with pytest.raises(ValueError):
         cluster_profile(1 * GiB, executors=0)
+    # zero memory would silently derive autoBroadcastJoinThreshold=0
+    # (disabling every auto broadcast) instead of failing
+    with pytest.raises(ValueError):
+        cluster_profile(1 * GiB, executors=10, executor_memory_bytes=0)
+    with pytest.raises(ValueError):
+        cluster_profile(1 * GiB, executors=10, shuffle_amplification=0.0)
