@@ -77,6 +77,7 @@ def incremental_embedding_ingest(
     corpus_buckets: int = 64,
     sq8_index_path: str | None = None,
     sq8_retrain: bool = False,
+    ivfpq_cell_codes_path: str | None = None,
 ) -> None:
     """One availableNow run: new embedding files → in-batch semantic dedup
     → index probe → idempotent append of novel vectors to corpus + LSH
@@ -122,6 +123,14 @@ def incremental_embedding_ingest(
     build takes its shape from ``pq_m``/``pq_ks``/``pq_seed``/
     ``pq_max_train`` (corpora whose dim is not divisible by 8 need a
     non-default ``pq_m``); appends and retrains read the stored meta.
+
+    ``ivfpq_cell_codes_path`` (optional, needs both ``ivf_index_path``
+    and ``pq_index_path``): keeps the materialized FAISS
+    inverted-list-with-codes layout current — appends and retrains leave
+    derived data stale by definition, so after the run drains it is
+    rebuilt whenever :func:`similarity.ivfpq_cell_codes_current` reports
+    the stored source roots/counts no longer match; a no-op run costs
+    only the metadata currency check.
 
     ``ivf_retrain=True`` adds post-run quantizer maintenance: after the
     availableNow run drains, ``ivf_retrain_due`` is consulted and, when
@@ -306,3 +315,22 @@ def incremental_embedding_ingest(
         and similarity.sq8_retrain_due(spark, sq8_index_path)
     ):
         similarity.retrain_sq8_index(spark, sq8_index_path)
+    # derived cell-codes layout: appends (and any retrain above) leave it
+    # stale by definition — the stored source roots/counts no longer match
+    # — so the same post-run slot that retrains the sources refreshes it.
+    # Rebuild-on-supersede IS this layout's whole maintenance story
+    # (operators/similarity.py::build_ivfpq_cell_codes); checking currency
+    # first keeps a no-op run (nothing ingested, nothing retrained) free.
+    if (
+        ivfpq_cell_codes_path is not None
+        and ivf_index_path is not None
+        and pq_index_path is not None
+        and index_has(spark, ivf_index_path, "centroids")
+        and index_has(spark, pq_index_path, "meta")
+        and not similarity.ivfpq_cell_codes_current(
+            spark, ivfpq_cell_codes_path, ivf_index_path, pq_index_path
+        )
+    ):
+        similarity.build_ivfpq_cell_codes(
+            spark, ivf_index_path, pq_index_path, ivfpq_cell_codes_path
+        )

@@ -1262,3 +1262,79 @@ def test_ivfpq_cell_codes_layout(spark, sf_dir, tmp_path):
         spark, q, ivf, pq, k=5, nprobe=4, rerank=40
     ).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, base_after))
+
+
+def test_incremental_embedding_ingest_maintains_cell_codes(spark, tmp_path):
+    """The derived cell-codes layout joins the ingest loop's post-run
+    maintenance: appends to the source indexes leave it stale (stored
+    counts no longer match), the run's maintenance slot rebuilds it, and
+    probes through it stay row-identical to the two-index path. A no-op
+    run leaves a current layout untouched."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.streaming.embeddings import (
+        incremental_embedding_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    cc = str(tmp_path / "cc")
+
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(
+        [(i, _vec(i)) for i in range(12)], schema
+    ).write.parquet(str(inbox / "b1"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf, ivf_cells=4,
+        pq_index_path=pq, pq_m=4, pq_ks=8,
+        ivfpq_cell_codes_path=cc,
+    )
+    assert S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    q = spark.createDataFrame([(0, _vec(0)), (5, _vec(5))], schema)
+
+    def probe(path=None):
+        return sorted(
+            map(
+                tuple,
+                S.ivfpq_topk_indexed(
+                    spark, q, ivf, pq, k=3, nprobe=2, rerank=10,
+                    cell_codes_path=path,
+                ).collect(),
+            )
+        )
+
+    assert probe(cc) == probe(None)
+
+    # a later batch appends to IVF and PQ -> layout stale mid-run -> the
+    # post-run maintenance rebuilds it and the probe matches again
+    spark.createDataFrame(
+        [(30, _vec(30)), (31, _vec(31))], schema
+    ).write.parquet(str(inbox / "b2"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf,
+        pq_index_path=pq, pq_m=4, pq_ks=8,
+        ivfpq_cell_codes_path=cc,
+    )
+    assert S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    assert probe(cc) == probe(None)
+    ids_in_layout = {
+        r.id for r in spark.read.parquet(
+            f"{S.index_root(spark, cc)}/codes"
+        ).collect()
+    }
+    assert {30, 31} <= ids_in_layout
+
+    # no-op run (nothing new): layout version unchanged (no rebuild)
+    v_before = S.index_active_version(spark, cc)
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf,
+        pq_index_path=pq, pq_m=4, pq_ks=8,
+        ivfpq_cell_codes_path=cc,
+    )
+    assert S.index_active_version(spark, cc) == v_before
