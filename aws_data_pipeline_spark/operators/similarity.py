@@ -2074,6 +2074,29 @@ def sq8_topk_indexed(
     )
 
 
+def _probe_cells(spark, q: DataFrame, ivf_root: str, nprobe: int):
+    """(probed, cells) for a (query_id, qv) frame against a resolved IVF
+    root: ``probed`` is the per-query top-``nprobe`` (query_id, cell)
+    frame (checkpointed — it feeds both the driver-side cell collect and
+    the candidate join), ``cells`` the distinct probed-cell list for
+    static partition pruning. Shared by every IVF-composed search
+    (IVF-PQ, IVF-SQ8) so the inverted-list semantics cannot drift."""
+    cent = F.broadcast(spark.read.parquet(f"{ivf_root}/centroids"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cell").asc()
+    )
+    probed = (
+        q.crossJoin(cent)
+        .withColumn("cent_sim", cosine(F.col("qv"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "cell")
+        .localCheckpoint(eager=True)
+    )
+    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    return probed, cells
+
+
 def ivfpq_topk_indexed(
     spark,
     queries: DataFrame,
@@ -2126,20 +2149,7 @@ def ivfpq_topk_indexed(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    cent = F.broadcast(spark.read.parquet(f"{ivf_root}/centroids"))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("cent_sim").desc(), F.col("cell").asc()
-    )
-    probed = (
-        q.crossJoin(cent)
-        .withColumn("cent_sim", cosine(F.col("qv"), F.col("centroid")))
-        .withColumn("cell_rank", F.row_number().over(wq))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select("query_id", "cell")
-        .localCheckpoint(eager=True)  # nprobe × |queries| rows; feeds the
-        # driver-side cell collect AND the candidate join — one compute
-    )
-    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    probed, cells = _probe_cells(spark, q, ivf_root, nprobe)
     qlut = _pq_query_luts(q, books, id_type)
     if cell_codes_path is not None:
         cc_root = index_root(spark, cell_codes_path)
@@ -2205,11 +2215,15 @@ def ivfpq_topk_indexed(
 def build_ivfpq_cell_codes(
     spark, ivf_index_path: str, pq_index_path: str, path: str
 ) -> dict[str, int]:
-    """Materialize the FAISS inverted-list-with-codes layout: the PQ codes
-    table re-written hive-partitioned by IVF cell, so
-    :func:`ivfpq_topk_indexed` reads nprobe/cells of the 25×-compressed
-    codes with PartitionFilters and needs neither the IVF corpus read nor
-    the per-id hash join.
+    """Materialize the FAISS inverted-list-with-codes layout: a codes
+    table re-written hive-partitioned by IVF cell, so the composed search
+    reads nprobe/cells of the compressed codes with PartitionFilters and
+    needs neither the IVF corpus read nor the per-id hash join.
+
+    Codes-GENERIC despite the parameter name: any index whose active root
+    holds ``codes`` as (id, codes) rows composes — pass a PQ index for
+    :func:`ivfpq_topk_indexed` (25× payload cut) or an SQ8 index for
+    :func:`ivfsq8_topk_indexed` (near-exact in-cell ranking at ~4×).
 
     DERIVED data, not a third index: ``meta`` records the two source
     roots it was built from (stored QUALIFIED, so relative/absolute/
@@ -2305,3 +2319,105 @@ def ivfpq_cell_codes_current(
         )
         is None
     )
+
+
+def ivfsq8_topk_indexed(
+    spark,
+    queries: DataFrame,
+    ivf_index_path: str,
+    sq8_index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = 40,
+    cell_codes_path: str | None = None,
+) -> DataFrame:
+    """FAISS IVF+SQ8 composed over the two persisted indexes — the
+    standard billion-scale serving config (FAISS's ``IVF<n>,SQ8``): cell
+    pruning bounds the scan to nprobe/cells of the corpus, SQ8's per-dim
+    error ≤ scale/2 keeps ranking near-exact WITHIN the probed cells, so
+    recall tracks the IVF probe itself with a ~4× smaller byte sweep than
+    raw vectors — where IVF-PQ trades more recall for a deeper (25×)
+    payload cut. Same shape as :func:`ivfpq_topk_indexed`: shared
+    :func:`_probe_cells` inverted-list semantics, optional
+    :func:`build_ivfpq_cell_codes` layout over the SQ8 index (the builder
+    is codes-generic — both PQ and SQ8 store ``codes`` as (id, codes))
+    with the same qualified-root + source-count staleness contract, exact
+    re-rank from the SQ8 vectors table."""
+    ivf_root = index_root(spark, ivf_index_path)
+    sq8_root = index_root(spark, sq8_index_path)
+    mins, scales = _sq8_stats_at(spark, sq8_root)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", norm(F.col("qv")))
+    )
+    probed, cells = _probe_cells(
+        spark, q.select("query_id", "qv"), ivf_root, nprobe
+    )
+    if cell_codes_path is not None:
+        cc_root = index_root(spark, cell_codes_path)
+        reason = _cell_codes_stale(spark, cc_root, ivf_root, sq8_root)
+        if reason is not None:
+            raise ValueError(
+                f"ivfsq8 cell-codes layout is STALE ({reason}) — "
+                "rebuild with build_ivfpq_cell_codes(ivf, sq8, path)"
+            )
+        cand_codes = (
+            F.broadcast(probed)
+            .join(
+                spark.read.parquet(f"{cc_root}/codes")
+                .filter(F.col("cell").isin(cells))
+                .withColumnRenamed("id", "neighbor_id"),
+                "cell",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes")
+        )
+    else:
+        cand = (
+            F.broadcast(probed)
+            .join(
+                spark.read.parquet(f"{ivf_root}/corpus")
+                .filter(F.col("cell").isin(cells))
+                .select("neighbor_id", "cell"),
+                "cell",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand_codes = cand.join(
+            spark.read.parquet(f"{sq8_root}/codes").withColumnRenamed(
+                "id", "neighbor_id"
+            ),
+            "neighbor_id",
+        )
+    scored = (
+        cand_codes.withColumn(
+            "rv", sq8_reconstruct(F.col("codes"), mins, scales)
+        )
+        .withColumn("rn", norm(F.col("rv")))
+        .join(q, "query_id")
+        .withColumn(
+            "sim",
+            F.try_divide(dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")),
+        )
+    )
+    if rerank is None:
+        return _topk_by_sim(scored.drop("qv", "qn", "rv", "rn", "codes"), k)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    cand2 = (
+        scored.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    cv = spark.read.parquet(f"{sq8_root}/vectors").select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    exact = cand2.join(cv, "neighbor_id").withColumn(
+        "sim", cosine(F.col("qv"), F.col("cv"))
+    )
+    return _topk_by_sim(exact.drop("qv", "cv"), k)

@@ -2812,3 +2812,32 @@ def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("raw").cast("int").alias("n_chars_before"),
         F.length("norm").cast("int").alias("n_chars_after"),
     )
+
+
+@register("embedding_ann_ivfsq8", sql=None, demoted=True)
+def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 via the composed IVF+SQ8 search (FAISS's standard
+    billion-scale ``IVF<n>,SQ8`` config): cell pruning bounds the sweep,
+    SQ8 keeps in-cell ranking near-exact, probed through the generic
+    cell-codes layout (SQ8 codes partitioned by IVF cell, the same
+    qualified-root + source-count staleness contract as the PQ
+    composition). Where IVF-PQ maximizes payload cut, IVF-SQ8 maximizes
+    recall per probed cell — both ends of the compression/recall trade
+    are now first-class persisted searches.
+
+    Demoted rows-only (k-means + quantization — not SQL-expressible):
+    driver signal carried by embedding_ann_ivfpq (the composed
+    inverted-list search shape, rows-tail) and embedding_ann_sq8 (the
+    SQ8 scoring chain, full value oracle, hash-green window r8);
+    composition semantics pinned in
+    test_embedding_maintenance::test_ivfsq8_indexed_composition."""
+    ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
+    sq8 = _ensure_sq8_index(spark, sf_dir)
+    cc = _warehouse_index_path(sf_dir, "ivfsq8_cell_codes_c8")
+    if not similarity.ivfpq_cell_codes_current(spark, cc, ivf, sq8):
+        similarity.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivfsq8_topk_indexed(
+        spark, queries, ivf, sq8, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+    )

@@ -1338,3 +1338,58 @@ def test_incremental_embedding_ingest_maintains_cell_codes(spark, tmp_path):
         ivfpq_cell_codes_path=cc,
     )
     assert S.index_active_version(spark, cc) == v_before
+
+
+def test_ivfsq8_indexed_composition(spark, sf_dir, tmp_path):
+    """The IVF+SQ8 composed search: recall tracks the IVF probe itself
+    (SQ8 is near-exact within the probed cells, unlike PQ), the generic
+    cell-codes layout composes with the SQ8 index row-identically, and an
+    append to a source index staleness-fails the layout probe loudly."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    sq8 = str(tmp_path / "sq8")
+    cc = str(tmp_path / "ivfsq8_codes")
+    S.build_ivf_index(e, ivf, n_cells=8, seed=42, train_fraction=0.5)
+    S.build_sq8_index(e, sq8)
+    q = e.filter(F.col("vec_id") < 10)
+
+    out = S.ivfsq8_topk_indexed(
+        spark, q, ivf, sq8, k=5, nprobe=4, rerank=40
+    ).collect()
+    assert len(out) == 50 and all(1 <= r.rank <= 5 for r in out)
+
+    # SQ8 in-cell ranking is near-exact, so the composition agrees with
+    # the plain IVF probe (exact vectors, same cells) almost everywhere
+    ivf_rows = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk_indexed(spark, q, ivf, k=5, nprobe=4).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(got & ivf_rows) / len(ivf_rows) >= 0.8
+    brute = {
+        (r.query_id, r.neighbor_id) for r in S.brute_force_topk(q, e, k=5).collect()
+    }
+    assert len(got & brute) / len(brute) >= 0.3  # IVF-bounded recall
+
+    # the generic cell-codes layout composes with the SQ8 index
+    S.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
+    assert S.ivfpq_cell_codes_current(spark, cc, ivf, sq8)
+    via_cc = S.ivfsq8_topk_indexed(
+        spark, q, ivf, sq8, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+    ).collect()
+    assert sorted(map(tuple, via_cc)) == sorted(map(tuple, out))
+
+    # append-staleness: same contract as the PQ composition
+    extra = spark.createDataFrame(
+        [(91001, [0.33] * 64)], "vec_id long, embedding array<float>"
+    )
+    S.append_to_sq8_index(extra, sq8)
+    assert not S.ivfpq_cell_codes_current(spark, cc, ivf, sq8)
+    with pytest.raises(ValueError, match="append"):
+        S.ivfsq8_topk_indexed(
+            spark, q, ivf, sq8, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+        ).collect()
