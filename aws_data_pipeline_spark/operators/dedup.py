@@ -355,8 +355,18 @@ def minhash_lsh_pairs(
     sets = shingle_sets(df, id_col, text_col, k)
     sigs = _signatures_from_sets(sets, num_perm, hash_fn)
     banded = _banded_keys(sigs, bands, rows)
+    cand = _band_candidates(banded)
+    # verify candidates with exact jaccard over the SAME cached shingle sets
+    return _verify_pairs(cand, sets, sets, "doc1", "doc2", threshold)
+
+
+def _band_candidates(banded: DataFrame) -> DataFrame:
+    """Distinct (doc1 < doc2) candidate pairs from a banded-keys frame —
+    the LSH equi-self-join every banding-based verify mode (Jaccard,
+    edit-distance) shares, factored so the candidate semantics cannot
+    drift between them."""
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -366,8 +376,58 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .distinct()
     )
-    # verify candidates with exact jaccard over the SAME cached shingle sets
-    return _verify_pairs(cand, sets, sets, "doc1", "doc2", threshold)
+
+
+def edit_distance_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    bands: int = 4,
+    max_edit_ratio: float = 0.2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Edit-distance near-dup detection: the SAME MinHash-LSH banding as
+    :func:`minhash_lsh_pairs` generates candidates, but verification is
+    normalized Levenshtein — ``lev(a,b) / max(len(a), len(b))`` at or
+    below ``max_edit_ratio``. The verify of choice where token-set
+    Jaccard is too coarse: short records and character-level edits
+    (typos, transpositions, OCR noise) move few shingles but every
+    character matters.
+
+    Scale shape: the exact O(|a|·|b|) metric runs ONLY on bucketed
+    candidates (never all pairs — the LSH stage bounds it exactly as it
+    bounds the Jaccard verify), JVM-side via ``F.levenshtein`` inside the
+    candidate join's stage. The ratio is one int/int IEEE division —
+    bit-identical on any engine, so the md5 variant's oracle replays the
+    WHOLE chain including the verify values."""
+    rows = num_perm // bands
+    sets = shingle_sets(df, id_col, text_col, k)
+    sigs = _signatures_from_sets(sets, num_perm, hash_fn)
+    cand = _band_candidates(_banded_keys(sigs, bands, rows))
+    t = df.select(F.col(id_col), F.col(text_col))
+    return (
+        cand.join(
+            t.select(F.col(id_col).alias("doc1"), F.col(text_col).alias("__t1")),
+            "doc1",
+        )
+        .join(
+            t.select(F.col(id_col).alias("doc2"), F.col(text_col).alias("__t2")),
+            "doc2",
+        )
+        .withColumn(
+            # try_divide: two empty texts -> 0-length max -> NULL ratio,
+            # dropped (empty-vs-empty is exact dedup's case, not ours)
+            "edit_ratio",
+            F.try_divide(
+                F.levenshtein("__t1", "__t2").cast("double"),
+                F.greatest(F.length("__t1"), F.length("__t2")),
+            ),
+        )
+        .filter(F.col("edit_ratio") <= max_edit_ratio)
+        .select("doc1", "doc2", "edit_ratio")
+    )
 
 
 def _verify_pairs(

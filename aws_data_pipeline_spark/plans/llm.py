@@ -2841,3 +2841,40 @@ def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfsq8_topk_indexed(
         spark, queries, ivf, sq8, k=5, nprobe=4, rerank=40, cell_codes_path=cc
     )
+
+
+@register(
+    "edit_distance_dedup_portable",
+    demoted=True,
+    # the oracle replays the ENTIRE chain: portable MinHash signatures,
+    # banding, the candidate self-join (shared CTEs), then the
+    # edit-distance verify — levenshtein is a builtin on both engines and
+    # the normalized ratio is one int/int IEEE division, so the VALUES
+    # hash cross-engine, not just the pair set
+    sql=f"""
+    WITH {_portable_minhash_ctes("documents")}
+    SELECT c.doc1, c.doc2,
+           CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+             / greatest(length(d1.text), length(d2.text)) AS edit_ratio
+    FROM cand c
+    JOIN documents d1 ON d1.doc_id = c.doc1
+    JOIN documents d2 ON d2.doc_id = c.doc2
+    WHERE CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+            / greatest(length(d1.text), length(d2.text)) <= 0.2
+    """,
+)
+def edit_distance_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (character-level verify over the same
+    MinHash-LSH candidates): normalized Levenshtein <= 0.2, md5-portable
+    banding so the oracle replays signatures, candidates, AND the ratio
+    values. Complements the Jaccard verify the way production dedup
+    stacks do — token-set similarity for long documents, edit distance
+    where individual characters matter.
+
+    Demoted (born r8, full value oracle): driver signal carried by
+    minhash_lsh_dedup_portable (the shared banding chain, hash-green r7)."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.edit_distance_dedup_pairs(
+        d, "doc_id", k=5, num_perm=16, bands=4, max_edit_ratio=0.2,
+        hash_fn="md5",
+    )

@@ -1719,3 +1719,30 @@ def test_normalize_unicode_semantics(spark):
         .collect()
     }
     assert nfkc[2] == "fine"
+
+
+def test_edit_distance_dedup_semantics(spark):
+    """Character-level verify catches what Jaccard-style token sets blur:
+    a typo'd twin passes the ratio gate, a same-topic-different-text pair
+    does not, and the ratio value is the exact normalized Levenshtein."""
+    from aws_data_pipeline_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    typo = base.replace("tok7", "tok7x").replace("tok21", "tok2l")
+    other = " ".join(f"tok{i}" for i in range(20)) + " " + " ".join(
+        f"zz{i}" for i in range(20)
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, typo), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc1, r.doc2): r.edit_ratio
+        for r in dedup.edit_distance_dedup_pairs(
+            df, "doc_id", max_edit_ratio=0.1, hash_fn="md5"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # normalized ratio == lev/max(len): two single-char insertions... the
+    # replace adds 1 char ('tok7x') and substitutes 1 ('tok2l'), lev = 2
+    assert abs(pairs[(1, 2)] - 2 / max(len(base), len(typo))) < 1e-12
