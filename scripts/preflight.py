@@ -97,7 +97,11 @@ def run_bench_compare() -> None:
         )
     if r.returncode != 0:
         fail("bench.py failed")
-    baselines = sorted(glob.glob("evidence/bench_r*_run*.json"))
+    # mtime, not name: lexicographic sort puts run10 before run9, so a
+    # double-digit run number silently pinned the comparison to an OLD run
+    baselines = sorted(
+        glob.glob("evidence/bench_r*_run*.json"), key=os.path.getmtime
+    )
     if not baselines:
         print("bench ok (no evidence baseline to compare against)")
         return
