@@ -2421,3 +2421,44 @@ def ivfsq8_topk_indexed(
         "sim", cosine(F.col("qv"), F.col("cv"))
     )
     return _topk_by_sim(exact.drop("qv", "cv"), k)
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.25,
+    hi: float = 0.45,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/Contriever
+    recipe): per query, the top-k corpus vectors whose cosine lies in
+    ``[lo, hi)`` — similar enough that the model must work to separate
+    them, below the near-duplicate/positive threshold so no true positive
+    leaks into the negative set (set ``hi`` to the corpus's dedup
+    threshold; pairs at or above it are :func:`neardup_pairs_lsh`'s
+    business, not a training negative).
+
+    Same shape and conventions as :func:`brute_force_topk` (broadcast
+    queries × corpus scan, per-query window top-k, ranks only in the
+    output — similarity values differ in final ulps across engines): this
+    is the exact, oracle-able baseline; at 100 TB mine from ANN
+    candidates instead (any ``*_topk_indexed`` family with k large enough
+    to reach past the positives, then this band filter) — the same
+    exact-vs-indexed pairing every similarity query here follows."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .filter((F.col("sim") >= lo) & (F.col("sim") < hi))
+    )
+    return _topk_by_sim(scored, k)

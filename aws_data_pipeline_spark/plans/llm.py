@@ -2878,3 +2878,43 @@ def edit_distance_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", k=5, num_perm=16, bands=4, max_edit_ratio=0.2,
         hash_fn="md5",
     )
+
+
+@register(
+    "hard_negative_topk",
+    demoted=True,
+    sql="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC
+             ) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+        AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])) >= 0.25
+        AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])) < 0.45
+    ) WHERE rank <= 3
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/Contriever): per query vector, the top-3
+    corpus neighbors with cosine in [0.25, 0.45) — the band below the
+    corpus's 0.45 near-dup threshold, so mined negatives are hard but
+    never latent positives. Exact brute-force baseline with the full
+    DuckDB oracle (ranks only, cosine_topk's ulp convention); the 100 TB
+    path mines the same band from the ANN families' candidates.
+
+    Demoted (born r8, full value oracle): driver signal carried by
+    embedding_cosine_topk (the exact broadcast-scan ranking chain,
+    hash-green r7) and embedding_neardup_pairs (the 0.45 threshold's
+    owner)."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.hard_negative_topk(queries, e, k=3, lo=0.25, hi=0.45)

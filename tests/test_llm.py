@@ -1746,3 +1746,26 @@ def test_edit_distance_dedup_semantics(spark):
     # normalized ratio == lev/max(len): two single-char insertions... the
     # replace adds 1 char ('tok7x') and substitutes 1 ('tok2l'), lev = 2
     assert abs(pairs[(1, 2)] - 2 / max(len(base), len(typo))) < 1e-12
+
+
+def test_hard_negative_topk_band_semantics(spark):
+    """The mined set is exactly the band: a near-duplicate (sim≈1) is
+    EXCLUDED (it would be a latent positive), a mid-similarity vector is
+    the hard negative, an orthogonal one falls below the floor."""
+    from aws_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    near_dup = [0.99, 0.01, 0.0, 0.0]           # sim ~0.9999 -> excluded (>= hi)
+    hard = [0.35, 0.937, 0.0, 0.0]              # sim = 0.35  -> mined
+    easy = [0.0, 0.0, 1.0, 0.0]                 # sim = 0     -> excluded (< lo)
+    df = spark.createDataFrame(
+        [(0, q), (1, near_dup), (2, hard), (3, easy)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in hard_negative_topk(
+            df.filter(F.col("vec_id") == 0), df, k=3, lo=0.25, hi=0.45
+        ).collect()
+    }
+    assert got == {(0, 2)}
