@@ -662,3 +662,83 @@ def test_sq8_reconstruction_error_bound(spark, vecs):
         for d, (x, xr) in enumerate(zip(raw[r.id], r.rv)):
             # scale/2 plus float slop; constant dims reconstruct exactly
             assert abs(xr - x) <= scales[d] / 2 + 1e-9, (r.id, d, x, xr)
+
+
+GNTILE_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # value (ties likely)
+        st.integers(min_value=1, max_value=6),       # partition-count seed
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=GNTILE_ROWS, k=st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_global_ntile_matches_sql_ntile_for_any_input(spark, rows, k):
+    """For ANY frame, bucket count, and range-partition fan-out,
+    global_ntile reproduces SQL ntile exactly — incl. heavy ties (broken
+    by the id), n < k, and fan-outs larger than the row count."""
+    from pyspark.sql import Window
+
+    from aws_data_pipeline_spark.operators.windows import global_ntile
+
+    nparts = rows[0][1]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(rows)], "id long, v long"
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    got = sorted(
+        global_ntile(df, k, order, out_col="q", num_partitions=nparts).collect()
+    )
+    want = sorted(
+        df.withColumn("q", F.ntile(k).over(Window.orderBy(*order))).collect()
+    )
+    assert got == want
+
+
+# no '&'/';': entity unescape runs LAST by design, so an author-escaped
+# tag ("&lt;p&gt;") correctly becomes literal "<p>" CONTENT in the output —
+# stripping again would delete author-intended text, i.e. idempotency and
+# tag-freeness deliberately hold only for entity-free inputs (the escaped
+# single-unescape behavior is pinned in test_llm::test_strip_markup_semantics)
+TEXTS = st.text(
+    alphabet=st.sampled_from(list("ab <>/!npscript styleq\t\n")),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(TEXTS, min_size=1, max_size=12))
+@_SETTINGS
+def test_strip_markup_idempotent_and_tagfree(spark, texts):
+    """For ANY entity-free input (including pathological tag-soup
+    fragments), the stripped output contains no complete tag and stripping
+    is idempotent — strip(strip(x)) == strip(x) — so a chain can re-run it
+    safely."""
+    import re
+
+    from aws_data_pipeline_spark.operators.text import strip_markup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    once = {
+        r["id"]: r["c1"]
+        for r in strip_markup(df, out_col="c1").select("id", "c1").collect()
+    }
+    again = {
+        r["id"]: r["c2"]
+        for r in strip_markup(
+            spark.createDataFrame(
+                [(i, c) for i, c in once.items()], "id long, text string"
+            ),
+            out_col="c2",
+        )
+        .select("id", "c2")
+        .collect()
+    }
+    for i in once:
+        assert again[i] == once[i], (texts[i], once[i], again[i])
+        assert not re.search(r"<[^>]*>", once[i]), (texts[i], once[i])
