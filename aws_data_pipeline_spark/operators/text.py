@@ -738,3 +738,37 @@ def normalize_unicode(
         )
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def strip_accents(
+    df: DataFrame, text_col: str = "text", out_col: str = "folded_text"
+) -> DataFrame:
+    """Accent folding — NFD-decompose and drop combining marks (Unicode
+    category Mn), the search/match canonicalization that maps "café",
+    "café" (decomposed), and "cafe" to one key while leaving
+    non-mark letters (Æ, ø, ł) alone. Pairs with
+    :func:`normalize_unicode`: NFC canonicalizes representation, this
+    folds a linguistic distinction — run it only where matching should
+    ignore accents (query-side keys, dedup fingerprints for noisy OCR),
+    never as a blanket corpus rewrite.
+
+    Arrow-batched scalar pandas_udf (the sanctioned Python path — Spark
+    has no builtin); the DuckDB oracle's ``strip_accents`` (utf8proc)
+    reproduces it byte-for-byte, verified on composed, decomposed,
+    multi-mark, and non-decomposable inputs."""
+
+    @F.pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else "".join(
+                c
+                for c in unicodedata.normalize("NFD", x)
+                if unicodedata.category(c) != "Mn"
+            )
+        )
+
+    return df.withColumn(out_col, _fold(F.col(text_col)))

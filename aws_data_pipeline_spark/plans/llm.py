@@ -2918,3 +2918,46 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.hard_negative_topk(queries, e, k=3, lo=0.25, hi=0.45)
+
+
+@register(
+    "accent_stripped_docs",
+    demoted=True,
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' caf' || chr(233) || ' cafe' || chr(769) ||
+             ' ' || chr(216) || chr(322) || 'x' || chr(769) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(strip_accents(raw)) AS folded_md5,
+           CAST(length(raw) - length(strip_accents(raw)) AS INTEGER)
+             AS n_marks_removed
+    FROM t
+    """,
+)
+def accent_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding (operators/text.py::strip_accents) with a full
+    cross-engine value oracle: each document gets a deterministic suffix
+    mixing a composed accent ('café', U+00E9), a decomposed one
+    ('cafe' + combining U+0301), a non-decomposable pair (Ø, ł — marks
+    fold, letters never change), and a mark on a plain ASCII base
+    (x + U+0301). DuckDB's utf8proc strip_accents and the NFD-drop-Mn
+    pandas_udf agree byte-for-byte; the md5 of the full folded text plus
+    the removed-mark count are value-hashed.
+
+    Demoted (born r8, full value oracle): driver signal carried by
+    string_normalize_parts (string canonicalization surface, hash-green
+    r7); representation-canonicalization sibling unicode_nfc_docs."""
+    d = T(spark, sf_dir, "documents")
+    suffix = " café café Øłx́"
+    raw = d.withColumn("raw", F.concat(F.col("text"), F.lit(suffix)))
+    folded = text.strip_accents(raw, text_col="raw", out_col="folded")
+    return folded.select(
+        "doc_id",
+        F.md5(F.col("folded")).alias("folded_md5"),
+        (F.length("raw") - F.length("folded")).cast("int").alias(
+            "n_marks_removed"
+        ),
+    )

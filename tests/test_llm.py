@@ -1769,3 +1769,29 @@ def test_hard_negative_topk_band_semantics(spark):
         ).collect()
     }
     assert got == {(0, 2)}
+
+
+def test_strip_accents_semantics(spark):
+    """Marks fold regardless of representation (composed == decomposed
+    after folding), non-decomposable letters survive, plain-base marks
+    drop, None-safe."""
+    from aws_data_pipeline_spark.operators.text import strip_accents
+
+    rows = [
+        (0, "café"),        # composed
+        (1, "café"),       # decomposed — same fold as row 0
+        (2, "Ærø łódź"),  # Ærø łódź: Æ/ø/ł survive
+        (3, "x́y"),         # mark on plain base drops
+        (4, None),
+    ]
+    # source-integrity guard (the NFC test's rule): row 1 must stay decomposed
+    assert ord(rows[1][1][-1]) == 0x301
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["f"]
+        for r in strip_accents(df, out_col="f").select("id", "f").collect()
+    }
+    assert got[0] == got[1] == "cafe"
+    assert got[2] == "Ærø łodz"
+    assert got[3] == "xy"
+    assert got[4] is None
