@@ -78,6 +78,7 @@ def incremental_embedding_ingest(
     sq8_index_path: str | None = None,
     sq8_retrain: bool = False,
     ivfpq_cell_codes_path: str | None = None,
+    gc_superseded_versions: bool = False,
 ) -> None:
     """One availableNow run: new embedding files → in-batch semantic dedup
     → index probe → idempotent append of novel vectors to corpus + LSH
@@ -131,6 +132,13 @@ def incremental_embedding_ingest(
     rebuilt whenever :func:`similarity.ivfpq_cell_codes_current` reports
     the stored source roots/counts no longer match; a no-op run costs
     only the metadata currency check.
+
+    ``gc_superseded_versions=True`` collects index generations superseded
+    in PREVIOUS runs (and crash-stranded candidates) for every configured
+    index path, at run START — never right after this run's own retrains,
+    whose superseded generation must stay readable for in-flight probes
+    (the keep-one-generation commit contract). Steady-state storage per
+    index stays ≤ 2× with the flag on.
 
     ``ivf_retrain=True`` adds post-run quantizer maintenance: after the
     availableNow run drains, ``ivf_retrain_due`` is consulted and, when
@@ -282,6 +290,27 @@ def incremental_embedding_ingest(
                         seed=pq_seed,
                         max_train=pq_max_train,
                     )
+
+    # version GC runs at the START of a run, never right after this run's
+    # own retrains: finish_index_build deliberately keeps the
+    # immediately-superseded generation for readers that resolved their
+    # root before the flip, and collecting it in the same breath as the
+    # flip would defeat that protection. Anything superseded BEFORE this
+    # run opened has had at least one full run-cycle to drain — that is
+    # the documented owner-scheduled quiet period, realized as cadence.
+    if gc_superseded_versions:
+        from aws_data_pipeline_spark.sources.parquet import gc_index_versions
+
+        gc_targets = {
+            index_path: ("vectors", "bands", "meta"),
+            ivf_index_path: ("corpus", "centroids", "build_stats"),
+            pq_index_path: ("vectors", "codes", "codebooks", "meta"),
+            sq8_index_path: ("vectors", "codes", "stats", "meta"),
+            ivfpq_cell_codes_path: ("codes", "meta"),
+        }
+        for p, subs in gc_targets.items():
+            if p is not None:
+                gc_index_versions(spark, p, subs=subs)
 
     (
         spark.readStream.schema(VEC_SCHEMA)

@@ -1393,3 +1393,51 @@ def test_ivfsq8_indexed_composition(spark, sf_dir, tmp_path):
         S.ivfsq8_topk_indexed(
             spark, q, ivf, sq8, k=5, nprobe=4, rerank=40, cell_codes_path=cc
         ).collect()
+
+
+def test_ingest_start_gc_collects_superseded_versions(spark, tmp_path):
+    """gc_superseded_versions: the NEXT run's start collects generations
+    a previous run's retrain superseded (the kept-for-in-flight-readers
+    generation), and probes are identical before and after — the
+    owner-scheduled quiet period realized as run cadence."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+    from aws_data_pipeline_spark.streaming.embeddings import (
+        incremental_embedding_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ivf = str(tmp_path / "ivf")
+
+    schema = "vec_id long, embedding array<float>"
+    spark.createDataFrame(
+        [(i, _vec(i)) for i in range(12)], schema
+    ).write.parquet(str(inbox / "b1"))
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf, ivf_cells=4,
+    )
+    # a retrain supersedes the legacy root build; the root sub-tables are
+    # the kept generation
+    S.retrain_ivf_index(spark, ivf)
+    assert zone_exists(spark, f"{ivf}/corpus")  # kept for in-flight readers
+    q = spark.createDataFrame([(0, _vec(0))], schema)
+    before = sorted(
+        map(tuple, S.ivf_topk_indexed(spark, q, ivf, k=3, nprobe=2).collect())
+    )
+
+    # next run (no new files) with the flag: gc collects the kept
+    # generation at START; probe identity holds
+    incremental_embedding_ingest(
+        spark, str(inbox), corpus, index, str(tmp_path / "c"),
+        ivf_index_path=ivf,
+        gc_superseded_versions=True,
+    )
+    assert not zone_exists(spark, f"{ivf}/corpus")
+    after = sorted(
+        map(tuple, S.ivf_topk_indexed(spark, q, ivf, k=3, nprobe=2).collect())
+    )
+    assert after == before
