@@ -181,6 +181,7 @@ def incremental_corpus_ingest(
     corpus_buckets: int = 64,
     strip_markup: bool = False,
     min_quality: float | None = None,
+    gc_superseded_versions: bool = False,
 ) -> None:
     """One availableNow run: new document files -> in-batch dedup -> index
     probe -> idempotent append of novel docs to corpus + index.
@@ -225,6 +226,12 @@ def incremental_corpus_ingest(
     passed. Deterministic column expressions: crash-recovery re-delivery
     recomputes the identical survivors, so the idempotency contract is
     unchanged.
+
+    ``gc_superseded_versions=True``: collect index generations superseded
+    in PREVIOUS runs at run START — the embedding loop's cadence rule
+    (see :func:`streaming.embeddings.incremental_embedding_ingest`):
+    never right after this run's own rebuilds, whose kept generation must
+    stay readable for in-flight probes.
     """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
@@ -353,6 +360,19 @@ def incremental_corpus_ingest(
                 full = sess.read.parquet(corpus_path)
                 if not full.isEmpty():
                     dedup.build_kgram_index(full, kgram_index_path, k=kgram_k)
+
+    # run-START version GC (the embedding loop's cadence rule — see its
+    # comment for why collecting right after a rebuild would be wrong)
+    if gc_superseded_versions:
+        from aws_data_pipeline_spark.sources.parquet import gc_index_versions
+
+        gc_targets = {
+            index_path: ("sets", "bands", "meta"),
+            kgram_index_path: ("hashes", "meta"),
+        }
+        for p, subs in gc_targets.items():
+            if p is not None:
+                gc_index_versions(spark, p, subs=subs)
 
     (
         spark.readStream.schema(DOC_SCHEMA)

@@ -732,3 +732,49 @@ def test_incremental_corpus_ingest_row_local_gates(spark, tmp_path):
     assert rows[0].text == good  # stored text is the STRIPPED content
     indexed = {r.doc for r in spark.read.parquet(f"{index}/sets").collect()}
     assert indexed == {1}
+
+
+def test_text_ingest_start_gc_collects_superseded_versions(spark, tmp_path):
+    """The text loop's run-start version GC (the embedding loop's cadence
+    rule): a compaction supersedes the legacy root generation, the next
+    ingest run with the flag collects it, probes identical throughout."""
+    from aws_data_pipeline_spark.operators import dedup
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+    from aws_data_pipeline_spark.streaming.corpus import (
+        compact_corpus_indexes,
+        incremental_corpus_ingest,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = [
+        {"doc_id": i, "text": " ".join(f"w{i}t{j}" for j in range(30)),
+         "lang": "en", "source": "a"}
+        for i in range(6)
+    ]
+    (inbox / "b1.jsonl").write_text("\n".join(json.dumps(d) for d in docs))
+    incremental_corpus_ingest(spark, str(inbox), corpus, index, ckpt)
+    compact_corpus_indexes(spark, index)  # supersedes the legacy root build
+    assert zone_exists(spark, f"{index}/sets")  # kept generation
+
+    new = spark.createDataFrame(
+        [(99, docs[0]["text"] + " tail", "en", "a")],
+        "doc_id long, text string, lang string, source string",
+    )
+    before = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.neardup_against_index(spark, new, index, threshold=0.8).collect()
+    }
+    incremental_corpus_ingest(
+        spark, str(inbox), corpus, index, ckpt, gc_superseded_versions=True
+    )
+    assert not zone_exists(spark, f"{index}/sets")  # collected at run start
+    after = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.neardup_against_index(spark, new, index, threshold=0.8).collect()
+    }
+    assert after == before and before  # non-trivial probe, identical
