@@ -2143,14 +2143,9 @@ def ivfpq_topk_indexed(
     results are row-identical to the two-index path either way."""
     ivf_root = index_root(spark, ivf_index_path)
     pq_root = index_root(spark, pq_index_path)
-    books = _pq_codebooks_at(spark, pq_root)
-    m, ks = len(books), len(books[0])
-    id_type = queries.schema[id_col].dataType.simpleString()
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    probed, cells = _probe_cells(spark, q, ivf_root, nprobe)
-    qlut = _pq_query_luts(q, books, id_type)
+    # staleness gate FIRST: the designed loud failure must fire before the
+    # eager probe (_probe_cells localCheckpoints + collects) pays compute
+    cc_root = None
     if cell_codes_path is not None:
         cc_root = index_root(spark, cell_codes_path)
         reason = _cell_codes_stale(spark, cc_root, ivf_root, pq_root)
@@ -2159,6 +2154,15 @@ def ivfpq_topk_indexed(
                 f"ivfpq cell-codes layout is STALE ({reason}) — "
                 "rebuild with build_ivfpq_cell_codes"
             )
+    books = _pq_codebooks_at(spark, pq_root)
+    m, ks = len(books), len(books[0])
+    id_type = queries.schema[id_col].dataType.simpleString()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probed, cells = _probe_cells(spark, q, ivf_root, nprobe)
+    qlut = _pq_query_luts(q, books, id_type)
+    if cc_root is not None:
         cand_codes = (
             F.broadcast(probed)
             .join(
@@ -2245,6 +2249,13 @@ def build_ivfpq_cell_codes(
     cells = spark.read.parquet(f"{ivf_root}/corpus").select(
         F.col("neighbor_id").alias("id"), "cell"
     )
+    # snapshot the source counts BEFORE the posting write, from the SAME
+    # DataFrames the posting join consumes (their file listings were
+    # pinned at read creation): counting the live roots after the write
+    # would let an append landing in that window be recorded in meta yet
+    # absent from the posting — _cell_codes_stale would then report the
+    # layout current while it silently misses rows
+    n_ivf, n_pq = cells.count(), codes.count()
     posting = codes.join(cells, "id")
     # STATIC overwrite for the same reason as the IVF corpus tree: a
     # rebuild must replace every cell directory, including ones that
@@ -2258,8 +2269,8 @@ def build_ivfpq_cell_codes(
             (
                 qualified_path(spark, ivf_root),
                 qualified_path(spark, pq_root),
-                cells.count(),
-                codes.count(),
+                n_ivf,
+                n_pq,
             )
         ],
         "ivf_root string, pq_root string, n_ivf long, n_pq long",
@@ -2278,6 +2289,15 @@ def _cell_codes_stale(spark, cc_root: str, ivf_root: str, pq_root: str) -> str |
     row counts vs the counts stored at build time (catches APPENDS, which
     write into the same root without a flip). The counts are
     parquet-footer metadata reads — no data scan."""
+    # guarded, not a bare read: a crash between the codes and meta writes
+    # leaves a layout with no committed meta, and an unguarded read would
+    # surface as a raw parquet path-not-found instead of the documented
+    # loud staleness failure (the probe raises, the owner rebuilds)
+    if not zone_exists(spark, f"{cc_root}/meta"):
+        return (
+            "meta zone missing — a crash left a half-built layout (codes "
+            "written, meta not) or the path is not a cell-codes layout"
+        )
     meta = spark.read.parquet(f"{cc_root}/meta").collect()[0]
     q_ivf = qualified_path(spark, ivf_root)
     q_pq = qualified_path(spark, pq_root)
@@ -2308,8 +2328,6 @@ def ivfpq_cell_codes_current(
     catches retrains, stored-vs-live source row counts catch appends.
     Metadata-only (meta row + pointer listings + parquet footer counts)."""
     cc_root = index_root(spark, path)
-    if not zone_exists(spark, f"{cc_root}/meta"):
-        return False
     return (
         _cell_codes_stale(
             spark,
@@ -2347,6 +2365,17 @@ def ivfsq8_topk_indexed(
     re-rank from the SQ8 vectors table."""
     ivf_root = index_root(spark, ivf_index_path)
     sq8_root = index_root(spark, sq8_index_path)
+    # staleness gate FIRST, before the eager probe pays compute (same
+    # ordering contract as ivfpq_topk_indexed)
+    cc_root = None
+    if cell_codes_path is not None:
+        cc_root = index_root(spark, cell_codes_path)
+        reason = _cell_codes_stale(spark, cc_root, ivf_root, sq8_root)
+        if reason is not None:
+            raise ValueError(
+                f"ivfsq8 cell-codes layout is STALE ({reason}) — "
+                "rebuild with build_ivfpq_cell_codes(ivf, sq8, path)"
+            )
     mins, scales = _sq8_stats_at(spark, sq8_root)
     q = F.broadcast(
         queries.select(
@@ -2356,14 +2385,7 @@ def ivfsq8_topk_indexed(
     probed, cells = _probe_cells(
         spark, q.select("query_id", "qv"), ivf_root, nprobe
     )
-    if cell_codes_path is not None:
-        cc_root = index_root(spark, cell_codes_path)
-        reason = _cell_codes_stale(spark, cc_root, ivf_root, sq8_root)
-        if reason is not None:
-            raise ValueError(
-                f"ivfsq8 cell-codes layout is STALE ({reason}) — "
-                "rebuild with build_ivfpq_cell_codes(ivf, sq8, path)"
-            )
+    if cc_root is not None:
         cand_codes = (
             F.broadcast(probed)
             .join(
@@ -2446,7 +2468,14 @@ def hard_negative_topk(
     is the exact, oracle-able baseline; at 100 TB mine from ANN
     candidates instead (any ``*_topk_indexed`` family with k large enough
     to reach past the positives, then this band filter) — the same
-    exact-vs-indexed pairing every similarity query here follows."""
+    exact-vs-indexed pairing every similarity query here follows.
+
+    The band FILTER compares the cosine ROUNDED to 9 digits (tfidf's
+    engine-stability rule): raw doubles differ in final ulps across
+    engines, so a sim within an ulp of ``lo``/``hi`` would flip band
+    membership — and therefore ranks — between Spark and a replaying
+    oracle. Rounding moves the decision to a grid independent of the
+    band constants; oracles must apply the same ``round(sim, 9)``."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -2459,6 +2488,6 @@ def hard_negative_topk(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
-        .filter((F.col("sim") >= lo) & (F.col("sim") < hi))
+        .filter((F.round("sim", 9) >= lo) & (F.round("sim", 9) < hi))
     )
     return _topk_by_sim(scored, k)

@@ -2926,10 +2926,15 @@ def edit_distance_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings q
       JOIN embeddings c ON c.vec_id != q.vec_id
       WHERE q.vec_id < 10
-        AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                   CAST(c.embedding AS DOUBLE[])) >= 0.25
-        AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                   CAST(c.embedding AS DOUBLE[])) < 0.45
+        -- band filter on round(sim, 9), mirroring the Spark side: raw
+        -- doubles differ in final ulps across engines, and a sim within
+        -- an ulp of a boundary would flip band membership (tfidf's rule)
+        AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])), 9)
+              >= 0.25
+        AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])), 9)
+              < 0.45
     ) WHERE rank <= 3
     """,
 )

@@ -97,10 +97,15 @@ def run_bench_compare() -> None:
         )
     if r.returncode != 0:
         fail("bench.py failed")
-    # mtime, not name: lexicographic sort puts run10 before run9, so a
-    # double-digit run number silently pinned the comparison to an OLD run
+    # numeric (round, run) from the filename, not lexicographic (run10
+    # sorts before run9) and not mtime (git doesn't preserve mtimes, so a
+    # fresh clone gives every file the checkout time and the pick becomes
+    # filesystem-order arbitrary)
     baselines = sorted(
-        glob.glob("evidence/bench_r*_run*.json"), key=os.path.getmtime
+        glob.glob("evidence/bench_r*_run*.json"),
+        key=lambda p: tuple(
+            int(x) for x in re.findall(r"\d+", os.path.basename(p))
+        ),
     )
     if not baselines:
         print("bench ok (no evidence baseline to compare against)")

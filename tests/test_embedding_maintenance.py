@@ -1264,6 +1264,46 @@ def test_ivfpq_cell_codes_layout(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, after)) == sorted(map(tuple, base_after))
 
 
+def test_ivfpq_cell_codes_half_built_fails_loudly(spark, sf_dir, tmp_path):
+    """A crash between the codes and meta writes leaves a layout with no
+    committed meta: the probe must raise the documented loud staleness
+    ValueError (not a raw parquet path-not-found), the currency check
+    must report not-current, and a rebuild must restore service."""
+    import shutil
+
+    import pytest
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    cc = str(tmp_path / "cc")
+    S.build_ivf_index(e, ivf, n_cells=8, seed=42, train_fraction=0.5)
+    S.build_pq_index(e, pq, m=8, ks=16, seed=42)
+    S.build_ivfpq_cell_codes(spark, ivf, pq, cc)
+
+    # simulate the crash: codes committed, meta gone
+    cc_root = S.index_root(spark, cc)
+    shutil.rmtree(cc_root.removeprefix("file:") + "/meta")
+
+    q = e.filter(F.col("vec_id") < 10)
+    assert not S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    with pytest.raises(ValueError, match="meta zone missing"):
+        S.ivfpq_topk_indexed(
+            spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+        )
+    S.build_ivfpq_cell_codes(spark, ivf, pq, cc)
+    assert S.ivfpq_cell_codes_current(spark, cc, ivf, pq)
+    via_cc = S.ivfpq_topk_indexed(
+        spark, q, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+    ).collect()
+    base = S.ivfpq_topk_indexed(
+        spark, q, ivf, pq, k=5, nprobe=4, rerank=40
+    ).collect()
+    assert sorted(map(tuple, via_cc)) == sorted(map(tuple, base))
+
+
 def test_incremental_embedding_ingest_maintains_cell_codes(spark, tmp_path):
     """The derived cell-codes layout joins the ingest loop's post-run
     maintenance: appends to the source indexes leave it stale (stored
