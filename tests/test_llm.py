@@ -1795,3 +1795,128 @@ def test_strip_accents_semantics(spark):
     assert got[2] == "Ærø łodz"
     assert got[3] == "xy"
     assert got[4] is None
+
+
+def test_composed_roots_warm_path_identity(spark, sf_dir):
+    """The _composed_roots cache (r8 verdict item 4): a second probe
+    against an unchanged corpus hits the resolved-roots cache — no
+    re-ensure, no currency re-check — and returns rows identical to the
+    cold probe. The cache stores RESOLVED version dirs and keys on source
+    state, so a state flip would evict (the _PQ_CACHE rule)."""
+    from aws_data_pipeline_spark.plans import llm as L
+    from aws_data_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    L._CC_ROOTS.clear()
+    cold = {
+        tuple(r)
+        for r in reg["embedding_ann_ivfpq"].spark_fn(spark, sf_dir).collect()
+    }
+    assert len(L._CC_ROOTS) == 1
+    (key, (roots, books)) = next(iter(L._CC_ROOTS.items()))
+    assert key[1] == sf_dir and key[2] == "ivfpq_c8_m8_ks16"
+    # roots are stored resolved: index_root is identity on each; the
+    # cached artifact is the PQ codebooks (m lists of ks centroids)
+    from aws_data_pipeline_spark.sources.parquet import index_root
+
+    assert all(index_root(spark, r) == r for r in roots)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    # poison the ensure path: a warm probe must not call it
+    sentinel = L._CC_ROOTS.copy()
+    warm = {
+        tuple(r)
+        for r in reg["embedding_ann_ivfpq"].spark_fn(spark, sf_dir).collect()
+    }
+    assert warm == cold and len(cold) > 0
+    assert L._CC_ROOTS == sentinel  # same entry, no rebuild/eviction
+
+    # simulate a corpus state flip: the live key is gone (state changed),
+    # a superseded entry for the same corpus+tag remains — the next probe
+    # misses, evicts the superseded entry, and re-ensures under the new
+    # state (the _PQ_CACHE eviction rule; eviction runs on miss)
+    stale_key = (key[0], key[1], key[2], ("superseded",))
+    L._CC_ROOTS.clear()
+    L._CC_ROOTS[stale_key] = (roots, books)
+    refreshed = {
+        tuple(r)
+        for r in reg["embedding_ann_ivfpq"].spark_fn(spark, sf_dir).collect()
+    }
+    assert stale_key not in L._CC_ROOTS
+    assert L._CC_ROOTS[key][0] == roots  # re-ensure found the same builds
+    assert refreshed == cold
+
+
+def test_choose_ivfpq_params_rules():
+    """The derivation rules themselves: FAISS sqrt sizing with the k-means
+    training clamp, subvector-of-8 m, linear-spread nprobe when the caller
+    says the data is near-random, 100 TB-scale sanity."""
+    p = similarity.choose_ivfpq_params(240, 64)
+    assert p == {
+        "n_cells": 6, "nprobe": 2, "m": 8, "ks": 16, "rerank": 40,
+        "train_fraction": 1.0,
+    }
+    # near-random data: high recall honestly requires sweeping most cells
+    hard = similarity.choose_ivfpq_params(240, 64, clustered=False,
+                                          target_recall=0.9)
+    assert hard["nprobe"] == 6  # ceil(0.9 * 6)
+    # a 1e9-vector, 768-d corpus: sqrt sizing, bounded training fraction,
+    # m divides dim with ~8-dim subvectors
+    big = similarity.choose_ivfpq_params(1_000_000_000, 768, k=10)
+    assert big["n_cells"] == 31623 and big["m"] == 96
+    assert big["nprobe"] == 7906  # 25% of cells
+    assert 0 < big["train_fraction"] < 0.01
+    assert big["rerank"] == 80
+    # m always divides dim, even awkward dims
+    for dim in (17, 50, 96, 100):
+        m = similarity.choose_ivfpq_params(10_000, dim)["m"]
+        assert dim % m == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.choose_ivfpq_params(0, 64)
+    with pytest.raises(ValueError):
+        similarity.choose_ivfpq_params(100, 64, target_recall=0.0)
+
+
+def test_choose_ivfpq_params_meets_recall_floor(spark, tmp_path):
+    """The r8 verdict's acceptance test: params DERIVED (not hand-tuned)
+    for the planted-cluster fixture drive the full persisted IVF-PQ
+    composed search to the pinned ≥0.9 recall@5 floor — the same floor
+    the hand-tuned pq_topk planted test pins."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64))
+    rows = []
+    vid = 0
+    for ci in range(8):
+        for _ in range(30):
+            v = centers[ci] + rng.normal(scale=0.05, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 30 == 0)  # one query per cluster
+
+    p = similarity.choose_ivfpq_params(len(rows), 64, k=5)
+    ivf = str(tmp_path / "ivf")
+    pq = str(tmp_path / "pq")
+    cc = str(tmp_path / "cc")
+    similarity.build_ivf_index(
+        df, ivf, n_cells=p["n_cells"], seed=42,
+        train_fraction=p["train_fraction"],
+    )
+    similarity.build_pq_index(df, pq, m=p["m"], ks=p["ks"], seed=42)
+    similarity.build_ivfpq_cell_codes(spark, ivf, pq, cc)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk_indexed(
+            spark, q, ivf, pq, k=5, nprobe=p["nprobe"], rerank=p["rerank"],
+            cell_codes_path=cc,
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, df, k=5).collect()
+    }
+    assert len(got & brute) / len(brute) >= 0.9
