@@ -79,7 +79,13 @@ HEADLINE = [
     "embedding_ann_sq8",         # scalar-quantized codes, dequantized cosine scan
     "embedding_ann_sq8_indexed",  # persisted append-maintained SQ8 index probe
     "embedding_ann_ivfpq",       # composed cell-pruned ADC over both persisted indexes
+    "embedding_ann_ivfsq8",      # composed cell-pruned SQ8 (near-exact in-cell ranking)
     "embedding_neardup_pairs",   # banded-LSH equi-join + exact verify
+    "hard_negative_topk",        # banded cosine mining (broadcast scan + band filter)
+    "edit_distance_dedup_portable",  # LSH candidates + JVM levenshtein verify
+    "markup_stripped_docs",      # C4 markup strip: JVM regexp chain in the scan stage
+    "unicode_nfc_docs",          # Arrow-batched NFC normalization (mapInPandas path)
+    "accent_stripped_docs",      # Arrow-batched accent folding
     "context_window_chunks",     # row-local sequence+explode chunking (no shuffle)
     "duplicate_span_stats",      # positional k-gram explode + hash groupBy + islands
     "leakage_safe_splits",       # near-dup pairs -> components -> cluster-keyed split
