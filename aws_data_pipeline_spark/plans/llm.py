@@ -485,6 +485,29 @@ def _write_src_marker(
     ).write.mode("overwrite").parquet(f"{idx}/src_meta")
 
 
+_ENSURE_MEMO: dict = {}
+
+
+def _ensure_memo(spark: SparkSession, sf_dir: str, tag: str, state, ensure):
+    """Application-lifetime memo for the build-once _ensure_* helpers —
+    the _composed_roots rule one layer down: once an index's disk state
+    has been ensured fresh for a given corpus state, later calls in the
+    same application skip the marker read and zone listings entirely
+    (each is 1-2 driver-side Spark jobs — pure fixed overhead on every
+    warm indexed probe). ``state`` must be the caller's
+    :func:`_src_state` of the index's source table, the same probe the
+    DISK marker records, so the memo can never outlive what the marker
+    would detect: a corpus change flips the key, evicts the superseded
+    entry (params in ``tag``, the coexistence rule), and re-runs
+    ``ensure`` — which re-reads the disk marker and rebuilds if stale."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag, state)
+    if key not in _ENSURE_MEMO:
+        for old in [k for k in _ENSURE_MEMO if k[:3] == key[:3]]:
+            _ENSURE_MEMO.pop(old)
+        _ENSURE_MEMO[key] = ensure()
+    return _ENSURE_MEMO[key]
+
+
 def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once persisted corpus k-gram hash index over the simulated
     existing corpus (doc_id % 10 != 7). Staleness via the footer-cheap
@@ -493,11 +516,17 @@ def _ensure_kgram_index(spark: SparkSession, sf_dir: str) -> str:
     corpus's hashes."""
     idx = _kgram_index_path(sf_dir)
     state = _src_state(spark, sf_dir, "documents")
-    if not _src_marker_fresh(spark, idx, state):
-        corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
-        dedup.build_kgram_index(corpus, idx, k=8)
-        _write_src_marker(spark, idx, state)
-    return idx
+
+    def _do() -> str:
+        if not _src_marker_fresh(spark, idx, state):
+            corpus = T(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 10 != 7
+            )
+            dedup.build_kgram_index(corpus, idx, k=8)
+            _write_src_marker(spark, idx, state)
+        return idx
+
+    return _ensure_memo(spark, sf_dir, "kgram_k8", state, _do)
 
 
 @register("incremental_duplicate_spans", sql=None)
@@ -526,13 +555,19 @@ def _ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     marker (:func:`_src_marker_fresh`); params live in the path."""
     idx = _text_lsh_index_path(sf_dir)
     state = _src_state(spark, sf_dir, "documents")
-    if not _src_marker_fresh(spark, idx, state):
-        corpus = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 7)
-        dedup.build_lsh_text_index(
-            corpus, idx, k=5, num_perm=16, bands=4, hash_fn="md5"
-        )
-        _write_src_marker(spark, idx, state)
-    return idx
+
+    def _do() -> str:
+        if not _src_marker_fresh(spark, idx, state):
+            corpus = T(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 10 != 7
+            )
+            dedup.build_lsh_text_index(
+                corpus, idx, k=5, num_perm=16, bands=4, hash_fn="md5"
+            )
+            _write_src_marker(spark, idx, state)
+        return idx
+
+    return _ensure_memo(spark, sf_dir, "text_lsh_k5_p16_b4_md5", state, _do)
 
 
 @register("text_neardup_index_probe", sql=None)
@@ -790,24 +825,28 @@ def _ensure_ivf_index(
     idx = _ivf_index_path(sf_dir, n_cells, seed)
     e = T(spark, sf_dir, "embeddings")
     state = _src_state(spark, sf_dir, "embeddings")
-    fresh = (
-        index_has(spark, idx, "corpus")
-        and index_has(spark, idx, "centroids")
-        and _src_marker_fresh(spark, idx, state)
-    )
-    if not fresh:
-        similarity.build_ivf_index(
-            e.filter(F.col("vec_id") % 10 != 7),
-            idx,
-            n_cells=n_cells,
-            seed=seed,
-            train_fraction=0.1,
+
+    def _do() -> str:
+        fresh = (
+            index_has(spark, idx, "corpus")
+            and index_has(spark, idx, "centroids")
+            and _src_marker_fresh(spark, idx, state)
         )
-        similarity.append_to_ivf_index(
-            spark, e.filter(F.col("vec_id") % 10 == 7), idx
-        )
-        _write_src_marker(spark, idx, state)
-    return idx
+        if not fresh:
+            similarity.build_ivf_index(
+                e.filter(F.col("vec_id") % 10 != 7),
+                idx,
+                n_cells=n_cells,
+                seed=seed,
+                train_fraction=0.1,
+            )
+            similarity.append_to_ivf_index(
+                spark, e.filter(F.col("vec_id") % 10 == 7), idx
+            )
+            _write_src_marker(spark, idx, state)
+        return idx
+
+    return _ensure_memo(spark, sf_dir, f"ivf_{n_cells}_{seed}", state, _do)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
@@ -972,20 +1011,24 @@ def _ensure_pq_index(
     idx = _pq_index_path(sf_dir, m, ks)
     e = T(spark, sf_dir, "embeddings")
     state = _src_state(spark, sf_dir, "embeddings")
-    fresh = (
-        index_has(spark, idx, "codes")
-        and index_has(spark, idx, "meta")
-        and _src_marker_fresh(spark, idx, state)
-    )
-    if not fresh:
-        similarity.build_pq_index(
-            e.filter(F.col("vec_id") % 10 != 7), idx, m=m, ks=ks, seed=42
+
+    def _do() -> str:
+        fresh = (
+            index_has(spark, idx, "codes")
+            and index_has(spark, idx, "meta")
+            and _src_marker_fresh(spark, idx, state)
         )
-        similarity.append_to_pq_index(
-            e.filter(F.col("vec_id") % 10 == 7), idx
-        )
-        _write_src_marker(spark, idx, state)
-    return idx
+        if not fresh:
+            similarity.build_pq_index(
+                e.filter(F.col("vec_id") % 10 != 7), idx, m=m, ks=ks, seed=42
+            )
+            similarity.append_to_pq_index(
+                e.filter(F.col("vec_id") % 10 == 7), idx
+            )
+            _write_src_marker(spark, idx, state)
+        return idx
+
+    return _ensure_memo(spark, sf_dir, f"pq_{m}_{ks}", state, _do)
 
 
 @register("embedding_ann_pq_indexed", sql=None)
@@ -1134,16 +1177,24 @@ def _ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _sq8_index_path(sf_dir)
     e = T(spark, sf_dir, "embeddings")
     state = _src_state(spark, sf_dir, "embeddings")
-    fresh = (
-        index_has(spark, idx, "codes")
-        and index_has(spark, idx, "meta")
-        and _src_marker_fresh(spark, idx, state)
-    )
-    if not fresh:
-        similarity.build_sq8_index(e.filter(F.col("vec_id") % 10 != 7), idx)
-        similarity.append_to_sq8_index(e.filter(F.col("vec_id") % 10 == 7), idx)
-        _write_src_marker(spark, idx, state)
-    return idx
+
+    def _do() -> str:
+        fresh = (
+            index_has(spark, idx, "codes")
+            and index_has(spark, idx, "meta")
+            and _src_marker_fresh(spark, idx, state)
+        )
+        if not fresh:
+            similarity.build_sq8_index(
+                e.filter(F.col("vec_id") % 10 != 7), idx
+            )
+            similarity.append_to_sq8_index(
+                e.filter(F.col("vec_id") % 10 == 7), idx
+            )
+            _write_src_marker(spark, idx, state)
+        return idx
+
+    return _ensure_memo(spark, sf_dir, "sq8", state, _do)
 
 
 @register("embedding_ann_sq8_indexed", sql=None)
