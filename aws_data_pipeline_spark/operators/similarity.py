@@ -2580,3 +2580,79 @@ def hard_negative_topk(
         .filter((F.round("sim", 9) >= lo) & (F.round("sim", 9) < hi))
     )
     return _topk_by_sim(scored, k)
+
+
+def hard_negative_topk_indexed(
+    spark,
+    queries: DataFrame,
+    sq8_index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.25,
+    hi: float = 0.45,
+    band_slack: float = 0.05,
+    scan_k: int = 200,
+) -> DataFrame:
+    """Hard-negative mining through the persisted SQ8 index — the 100 TB
+    path :func:`hard_negative_topk`'s docstring names. Two stages:
+
+    - approximate: the scan touches ONLY the smallint codes (the measured
+      3.7× payload cut); asymmetric dequantized cosine is band-filtered
+      with ``band_slack`` widened on BOTH edges (SQ8's per-dim error is
+      bounded by scale/2, so a true band member's ADC sim sits within a
+      corpus-dependent slack of its exact value — the slack is what keeps
+      edge-of-band negatives from being silently lost to quantization),
+      then capped at the top ``scan_k`` per query so the exact side stays
+      bounded no matter how wide the band is in the corpus;
+    - exact: full vectors are read for those ≤``scan_k`` rows per query
+      only, the band re-applied on round(cosine, 9)
+      (:func:`hard_negative_topk`'s engine-stability rule), ranked with
+      the shared deterministic tie-break.
+
+    Equals the brute-force miner whenever ``scan_k`` covers the slacked
+    band (pinned on the planted fixture in tests/test_llm.py); at 100 TB
+    compose the approximate stage with IVF cell pruning exactly as
+    :func:`ivfsq8_topk_indexed` does for top-k search."""
+    root = index_root(spark, sq8_index_path)
+    mins, scales = _sq8_stats_at(spark, root)
+    codes = spark.read.parquet(f"{root}/codes")
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("qn", norm(F.col("qv")))
+    )
+    c = codes.select(
+        F.col("id").alias("neighbor_id"),
+        sq8_reconstruct(F.col("codes"), mins, scales).alias("rv"),
+    ).withColumn("rn", norm(F.col("rv")))
+    approx = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "asim",
+            F.try_divide(dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")),
+        )
+        .filter(
+            (F.col("asim") >= lo - band_slack)
+            & (F.col("asim") < hi + band_slack)
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= scan_k)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    cv = spark.read.parquet(f"{root}/vectors").select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    exact = (
+        cand.join(cv, "neighbor_id")
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .filter((F.round("sim", 9) >= lo) & (F.round("sim", 9) < hi))
+    )
+    return _topk_by_sim(exact.drop("qv", "cv"), k)

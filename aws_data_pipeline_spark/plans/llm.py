@@ -3097,6 +3097,24 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_topk(queries, e, k=3, lo=0.25, hi=0.45)
 
 
+@register("hard_negative_topk_indexed", sql=None, demoted=True)
+def hard_negative_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the persisted SQ8 index — the 100 TB
+    path the exact miner's docstring names: the band candidates come from
+    a slack-widened ADC filter over the smallint codes (3.7× smaller
+    scan), full vectors are read only for the capped candidate sliver,
+    the band re-applied exactly. Demoted rows-only from birth (the exact
+    twin hard_negative_topk carries the full value oracle — promoted r9);
+    brute-force-equality on the planted fixture and the registry pair's
+    row identity pinned in tests/test_llm.py."""
+    idx = _ensure_sq8_index(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.hard_negative_topk_indexed(
+        spark, queries, idx, k=3, lo=0.25, hi=0.45
+    )
+
+
 @register(
     "accent_stripped_docs",
     sql="""

@@ -1920,3 +1920,50 @@ def test_choose_ivfpq_params_meets_recall_floor(spark, tmp_path):
         for r in similarity.brute_force_topk(q, df, k=5).collect()
     }
     assert len(got & brute) / len(brute) >= 0.9
+
+
+def test_hard_negative_indexed_equals_exact_planted(spark, tmp_path):
+    """The ANN-backed miner equals the brute-force miner when scan_k
+    covers the slacked band: planted geometry — one near-dup (excluded
+    >= hi), one hard negative (mined), one easy negative (excluded < lo)
+    — through a real persisted SQ8 index."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    near_dup = [0.99, 0.01, 0.0, 0.0]
+    hard = [0.35, 0.937, 0.0, 0.0]
+    easy = [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, q), (1, near_dup), (2, hard), (3, easy)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "sq8")
+    S.build_sq8_index(df, idx)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk_indexed(
+            spark, df.filter(F.col("vec_id") == 0), idx, k=3, lo=0.25, hi=0.45
+        ).collect()
+    }
+    assert got == {(0, 2)}
+
+
+def test_registry_hard_negative_indexed_pair(spark, sf_dir):
+    """The demoted indexed miner returns the same rows as its promoted
+    exact twin on the registry corpus (the ANN candidates cover the band
+    at this scale; at 100 TB the cap/slack trade is the documented
+    contract, not an identity claim)."""
+    from aws_data_pipeline_spark.plans import DEMOTED, load_registry
+
+    reg = load_registry()
+    exact = {
+        tuple(r)
+        for r in reg["hard_negative_topk"].spark_fn(spark, sf_dir).collect()
+    }
+    indexed = {
+        tuple(r)
+        for r in DEMOTED["hard_negative_topk_indexed"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert indexed == exact and len(exact) > 0
