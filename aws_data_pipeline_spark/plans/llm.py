@@ -1836,9 +1836,10 @@ def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Demoted r8 (embedding_ann_sq8 entered the oracled registry in its
     slot, cap held at 100): token-frequency driver signal carried by
-    token_counts (per-doc counting) and tfidf_top_terms (corpus-level
-    top terms over the same tokenizer); the full oracle still replays
-    every pytest run, and it remains the exact twin that pins
+    token_counts (per-doc counting) and bm25_scores (corpus-level
+    term statistics over the same tokenizer — carrier updated r9 when
+    tfidf_top_terms was itself demoted behind it); the full oracle still
+    replays every pytest run, and it remains the exact twin that pins
     heavy_hitter_tokens_approx locally."""
     from aws_data_pipeline_spark.operators import sampling
 
