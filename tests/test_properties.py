@@ -742,3 +742,39 @@ def test_strip_markup_idempotent_and_tagfree(spark, texts):
     for i in once:
         assert again[i] == once[i], (texts[i], once[i], again[i])
         assert not re.search(r"<[^>]*>", once[i]), (texts[i], once[i])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    dim=st.integers(min_value=1, max_value=4096),
+    k=st.integers(min_value=1, max_value=1000),
+    target=st.floats(min_value=0.01, max_value=1.0),
+    clustered=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_choose_ivfpq_params_invariants(n, dim, k, target, clustered):
+    """choose_ivfpq_params is safe on ANY corpus shape: every returned
+    param is directly consumable by the builders/probe — m divides dim,
+    nprobe never exceeds n_cells, the k-means training clamp holds
+    (enough training points per centroid whenever the corpus allows it),
+    train_fraction is a valid Bernoulli fraction, rerank covers k, and
+    raising the recall target never probes FEWER cells."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        choose_ivfpq_params,
+    )
+
+    p = choose_ivfpq_params(n, dim, k=k, target_recall=target,
+                            clustered=clustered)
+    assert dim % p["m"] == 0 and 1 <= p["m"] <= dim
+    assert 1 <= p["n_cells"]
+    assert 1 <= p["nprobe"] <= p["n_cells"]
+    if n >= 39:  # the clamp is only satisfiable when the corpus allows it
+        assert n // p["n_cells"] >= 39
+    assert 0.0 < p["train_fraction"] <= 1.0
+    assert p["rerank"] >= k
+    assert p["ks"] == 16
+    if not clustered and target < 1.0:
+        higher = choose_ivfpq_params(n, dim, k=k,
+                                     target_recall=min(1.0, target + 0.2),
+                                     clustered=False)
+        assert higher["nprobe"] >= p["nprobe"]
