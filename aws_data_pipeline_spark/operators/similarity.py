@@ -2166,6 +2166,50 @@ def _probe_cells(spark, q: DataFrame, ivf_root: str, nprobe: int):
     return probed, cells
 
 
+def _cell_candidates(
+    spark, probed: DataFrame, cells, coarse_root: str, codes_root: str,
+    cc_root: str | None,
+) -> DataFrame:
+    """(query_id, neighbor_id, codes) candidates restricted PER QUERY to
+    its probed cells — the FAISS inverted-list candidate stage shared by
+    every IVF-composed search here (IVF-PQ, IVF-SQ8, the cell-pruned
+    hard-negative miner): one definition so the paths cannot drift.
+    With ``cc_root`` it reads the materialized cell-codes posting —
+    PartitionFilters + runtime DPP on the probed ``cell=`` partitions of
+    the compressed codes, no per-id hash join; without, the two-index
+    path — cell-pruned (neighbor_id, cell) from the coarse corpus, codes
+    hash-joined on id."""
+    if cc_root is not None:
+        return (
+            F.broadcast(probed)
+            .join(
+                spark.read.parquet(f"{cc_root}/codes")
+                .filter(F.col("cell").isin(cells))
+                .withColumnRenamed("id", "neighbor_id"),
+                "cell",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "codes")
+        )
+    cand = (
+        F.broadcast(probed)
+        .join(
+            spark.read.parquet(f"{coarse_root}/corpus")
+            .filter(F.col("cell").isin(cells))
+            .select("neighbor_id", "cell"),
+            "cell",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return cand.join(
+        spark.read.parquet(f"{codes_root}/codes").withColumnRenamed(
+            "id", "neighbor_id"
+        ),
+        "neighbor_id",
+    )
+
+
 def ivfpq_topk_indexed(
     spark,
     queries: DataFrame,
@@ -2244,36 +2288,7 @@ def ivfpq_topk_indexed(
     )
     probed, cells = _probe_cells(spark, q, ivf_root, nprobe)
     qlut = _pq_query_luts(q, books, id_type)
-    if cc_root is not None:
-        cand_codes = (
-            F.broadcast(probed)
-            .join(
-                spark.read.parquet(f"{cc_root}/codes")
-                .filter(F.col("cell").isin(cells))
-                .withColumnRenamed("id", "neighbor_id"),
-                "cell",
-            )
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "codes")
-        )
-    else:
-        cand = (
-            F.broadcast(probed)
-            .join(
-                spark.read.parquet(f"{ivf_root}/corpus")
-                .filter(F.col("cell").isin(cells))
-                .select("neighbor_id", "cell"),
-                "cell",
-            )
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand_codes = cand.join(
-            spark.read.parquet(f"{pq_root}/codes").withColumnRenamed(
-                "id", "neighbor_id"
-            ),
-            "neighbor_id",
-        )
+    cand_codes = _cell_candidates(spark, probed, cells, ivf_root, pq_root, cc_root)
     # shared ADC tail — one place for the LUT join + scoring expression, so
     # the two candidate paths cannot drift (the row-identity test's claim)
     scored = cand_codes.join(F.broadcast(qlut), "query_id").withColumn(
@@ -2474,36 +2489,9 @@ def ivfsq8_topk_indexed(
     probed, cells = _probe_cells(
         spark, q.select("query_id", "qv"), ivf_root, nprobe
     )
-    if cc_root is not None:
-        cand_codes = (
-            F.broadcast(probed)
-            .join(
-                spark.read.parquet(f"{cc_root}/codes")
-                .filter(F.col("cell").isin(cells))
-                .withColumnRenamed("id", "neighbor_id"),
-                "cell",
-            )
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "codes")
-        )
-    else:
-        cand = (
-            F.broadcast(probed)
-            .join(
-                spark.read.parquet(f"{ivf_root}/corpus")
-                .filter(F.col("cell").isin(cells))
-                .select("neighbor_id", "cell"),
-                "cell",
-            )
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand_codes = cand.join(
-            spark.read.parquet(f"{sq8_root}/codes").withColumnRenamed(
-                "id", "neighbor_id"
-            ),
-            "neighbor_id",
-        )
+    cand_codes = _cell_candidates(
+        spark, probed, cells, ivf_root, sq8_root, cc_root
+    )
     scored = (
         cand_codes.withColumn(
             "rv", sq8_reconstruct(F.col("codes"), mins, scales)
@@ -2648,6 +2636,88 @@ def hard_negative_topk_indexed(
         .select("query_id", "neighbor_id", "qv")
     )
     cv = spark.read.parquet(f"{root}/vectors").select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    exact = (
+        cand.join(cv, "neighbor_id")
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .filter((F.round("sim", 9) >= lo) & (F.round("sim", 9) < hi))
+    )
+    return _topk_by_sim(exact.drop("qv", "cv"), k)
+
+
+def hard_negative_topk_ivfsq8(
+    spark,
+    queries: DataFrame,
+    ivf_index_path: str,
+    sq8_index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    lo: float = 0.25,
+    hi: float = 0.45,
+    band_slack: float = 0.05,
+    nprobe: int = 4,
+    scan_k: int = 200,
+    cell_codes_path: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining fully composed with the IVF inverted lists —
+    the sweep a 100 TB contrastive-data job actually runs: candidates
+    come from :func:`_cell_candidates` (the SAME cell-pruned stage every
+    IVF-composed search here uses — PartitionFilters + DPP on the probed
+    ``cell=`` partitions of the compressed SQ8 codes when a cell-codes
+    layout is given), ADC sims band-filter with ``band_slack`` widened
+    edges and cap at ``scan_k`` per query, full vectors verify the band
+    exactly (round(sim, 9)). Mining recall is bounded by cell recall like
+    any IVF search — band members in unprobed cells are unreachable by
+    design (raise ``nprobe`` to trade scan for coverage; the exact miner
+    :func:`hard_negative_topk` and the full-scan
+    :func:`hard_negative_topk_indexed` are the recall ceilings, pinned
+    relative to this in tests/test_llm.py)."""
+    ivf_root = index_root(spark, ivf_index_path)
+    sq8_root = index_root(spark, sq8_index_path)
+    cc_root = None
+    if cell_codes_path is not None:
+        cc_root = index_root(spark, cell_codes_path)
+        reason = _cell_codes_stale(spark, cc_root, ivf_root, sq8_root)
+        if reason is not None:
+            raise ValueError(
+                f"ivfsq8 cell-codes layout is STALE ({reason}) — "
+                "rebuild with build_ivfpq_cell_codes(ivf, sq8, path)"
+            )
+    mins, scales = _sq8_stats_at(spark, sq8_root)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probed, cells = _probe_cells(spark, q, ivf_root, nprobe)
+    cand_codes = _cell_candidates(
+        spark, probed, cells, ivf_root, sq8_root, cc_root
+    )
+    qn = F.broadcast(q.withColumn("qn", norm(F.col("qv"))))
+    approx = (
+        cand_codes.withColumn(
+            "rv", sq8_reconstruct(F.col("codes"), mins, scales)
+        )
+        .withColumn("rn", norm(F.col("rv")))
+        .join(qn, "query_id")
+        .withColumn(
+            "asim",
+            F.try_divide(dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")),
+        )
+        .filter(
+            (F.col("asim") >= lo - band_slack)
+            & (F.col("asim") < hi + band_slack)
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") <= scan_k)
+        .select("query_id", "neighbor_id", "qv")
+    )
+    cv = spark.read.parquet(f"{sq8_root}/vectors").select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     exact = (

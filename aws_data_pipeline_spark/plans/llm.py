@@ -2965,6 +2965,29 @@ def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfsq8_roots(spark: SparkSession, sf_dir: str):
+    """The ensured + verified (ivf, sq8, cell_codes) resolved-root triple
+    plus SQ8 stats, shared by every IVF-SQ8-composed registry entry (the
+    top-k search and the hard-negative miner) through the one
+    state-keyed _composed_roots seat."""
+
+    def _ensure():
+        ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
+        sq8 = _ensure_sq8_index(spark, sf_dir)
+        cc = _warehouse_index_path(sf_dir, "ivfsq8_cell_codes_c8")
+        if not similarity.ivfpq_cell_codes_current(spark, cc, ivf, sq8):
+            similarity.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
+        return ivf, sq8, cc
+
+    return _composed_roots(
+        spark,
+        sf_dir,
+        "ivfsq8_c8",
+        _ensure,
+        artifacts=lambda roots: similarity._sq8_stats_at(spark, roots[1]),
+    )
+
+
 @register("embedding_ann_ivfsq8", sql=None, demoted=True)
 def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the composed IVF+SQ8 search (FAISS's standard
@@ -2982,22 +3005,7 @@ def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQ8 scoring chain, full value oracle, hash-green window r8);
     composition semantics pinned in
     test_embedding_maintenance::test_ivfsq8_indexed_composition."""
-
-    def _ensure():
-        ivf = _ensure_ivf_index(spark, sf_dir, n_cells=8)
-        sq8 = _ensure_sq8_index(spark, sf_dir)
-        cc = _warehouse_index_path(sf_dir, "ivfsq8_cell_codes_c8")
-        if not similarity.ivfpq_cell_codes_current(spark, cc, ivf, sq8):
-            similarity.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
-        return ivf, sq8, cc
-
-    (ivf, sq8, cc), stats = _composed_roots(
-        spark,
-        sf_dir,
-        "ivfsq8_c8",
-        _ensure,
-        artifacts=lambda roots: similarity._sq8_stats_at(spark, roots[1]),
-    )
+    (ivf, sq8, cc), stats = _ivfsq8_roots(spark, sf_dir)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.ivfsq8_topk_indexed(
@@ -3113,6 +3121,28 @@ def hard_negative_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.hard_negative_topk_indexed(
         spark, queries, idx, k=3, lo=0.25, hi=0.45
+    )
+
+
+@register("hard_negative_topk_ivfsq8", sql=None, demoted=True)
+def hard_negative_topk_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining fully composed with the IVF inverted lists —
+    candidates from the SAME cell-pruned posting stage every IVF-composed
+    search uses (_cell_candidates: PartitionFilters + DPP on the probed
+    cells of the compressed SQ8 codes), slack-widened ADC band filter,
+    exact band verify on the capped sliver. Mining recall is bounded by
+    cell recall like any IVF search (unprobed cells are unreachable by
+    design — the documented nprobe trade). Demoted rows-only from birth:
+    value signal carried by hard_negative_topk (exact twin, full oracle,
+    promoted r9) and the candidate stage by embedding_ann_ivfsq8;
+    full-coverage identity (nprobe = n_cells ⇒ rows == the exact miner's)
+    pinned in tests/test_llm.py."""
+    (ivf, sq8, cc), _stats = _ivfsq8_roots(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.hard_negative_topk_ivfsq8(
+        spark, queries, ivf, sq8, k=3, lo=0.25, hi=0.45, nprobe=4,
+        cell_codes_path=cc,
     )
 
 

@@ -1967,3 +1967,75 @@ def test_registry_hard_negative_indexed_pair(spark, sf_dir):
         .collect()
     }
     assert indexed == exact and len(exact) > 0
+
+
+def test_hard_negative_ivfsq8_full_coverage_equals_exact(spark, sf_dir, tmp_path):
+    """With nprobe = n_cells (no cell loss), slack covering ADC error, and
+    scan_k covering the band, the IVF-composed miner returns EXACTLY the
+    brute-force miner's rows — the identity that pins the composition; at
+    lower nprobe the result is a subset (unprobed cells are unreachable
+    by design, never extra rows)."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    ivf = str(tmp_path / "ivf")
+    sq8 = str(tmp_path / "sq8")
+    S.build_ivf_index(e, ivf, n_cells=8, seed=42, train_fraction=0.5)
+    S.build_sq8_index(e, sq8)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.hard_negative_topk(q, e, k=3, lo=0.25, hi=0.45).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.hard_negative_topk_ivfsq8(
+            spark, q, ivf, sq8, k=3, lo=0.25, hi=0.45, nprobe=8
+        ).collect()
+    }
+    assert full == exact and len(exact) > 0
+    # pruned probe: pairs are a subset of the exact miner's CANDIDATE band
+    # (ranks can shift as unreachable members drop out)
+    pruned_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk_ivfsq8(
+            spark, q, ivf, sq8, k=3, lo=0.25, hi=0.45, nprobe=2, scan_k=1000
+        ).collect()
+    }
+    band_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk(q, e, k=10**6, lo=0.25, hi=0.45).collect()
+    }
+    assert pruned_pairs <= band_pairs
+
+
+def test_registry_hard_negative_ivfsq8_runs(spark, sf_dir):
+    """The demoted cell-pruned miner runs through the shared ivfsq8 root
+    seat and returns a subset of the exact miner's band pairs."""
+    from aws_data_pipeline_spark.plans import DEMOTED, load_registry
+
+    reg = load_registry()
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in DEMOTED["hard_negative_topk_ivfsq8"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    band = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["hard_negative_topk"].spark_fn(spark, sf_dir).collect()
+    }
+    # k is equal on both, so with cell pruning got is a (possibly equal)
+    # subset only at the PAIR level when ranks align; assert the weaker
+    # always-true invariant: every mined pair is a true band member
+    import aws_data_pipeline_spark.plans.llm as L
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    all_band = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk(
+            e.filter(F.col("vec_id") < 10), e, k=10**6, lo=0.25, hi=0.45
+        ).collect()
+    }
+    assert got <= all_band and len(got) > 0
