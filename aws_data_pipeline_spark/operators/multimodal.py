@@ -191,9 +191,10 @@ def sample_frames(
 
 # import-probed at module load: decode_real lights up automatically in an
 # environment that ships Pillow, with no code change
-# (re-probed r8 and r9: `pip install Pillow` still cannot reach any index
-# from this sandbox ("from versions: none") and PIL is not importable —
-# the stub below remains the honest path)
+# (re-probed r8, r9 and r10 (2026-08-15): `pip install Pillow` still
+# cannot reach any index from this sandbox (DNS failure on the only
+# configured index) and PIL is not importable — the stub below remains
+# the honest path)
 try:
     from PIL import Image as _PIL_IMAGE
 except ImportError:  # container has no image libraries — honest stub below

@@ -212,12 +212,18 @@ def choose_ivfpq_params(
       NEAR-RANDOM vectors — the worst regime, where neighbor mass spreads
       ~linearly across ranked cells). ``clustered=True`` (real embedding
       corpora — the planted-cluster fixture's regime, where a query's
-      neighbors co-locate in its top-ranked cells): probe a fixed 25% of
-      cells, floor 2, which the pinned fixture meets with margin
-      (tests/test_llm.py::test_choose_ivfpq_params_meets_recall_floor).
-      ``clustered=False``: assume the measured linear spread and probe
-      ``ceil(target_recall * n_cells)`` — honest about near-random data:
-      high recall there means sweeping most cells.
+      neighbors co-locate in its top-ranked cells): probe 25% of cells up
+      to ``target_recall=0.9`` (the fraction the pinned fixture meets
+      with margin,
+      tests/test_llm.py::test_choose_ivfpq_params_meets_recall_floor),
+      then grow the fraction linearly to ALL cells as target_recall→1
+      — a 0.99 target must buy more probes than a 0.5 target even on
+      clustered data (cell boundaries still cut some neighborhoods), and
+      at 1.0 the only honest cell-recall promise is probing everything;
+      floor 2. ``clustered=False``: assume the measured linear spread and
+      probe ``ceil(target_recall * n_cells)`` — honest about near-random
+      data: high recall there means sweeping most cells. Both branches
+      are monotone in ``target_recall`` (property-tested).
     - ``m``: the divisor of ``dim`` closest to subvectors of 8 dims
       (the repo's measured 25×-cut config at dim=64), clamped to [1, dim].
     - ``ks = 16``: 4-bit codebooks, the measured config every lifecycle
@@ -238,7 +244,10 @@ def choose_ivfpq_params(
         1, min(round(math.sqrt(n_vectors)), n_vectors // min_train_per_cell)
     )
     if clustered:
-        nprobe = min(n_cells, max(2, math.ceil(0.25 * n_cells)))
+        frac = 0.25 if target_recall <= 0.9 else (
+            0.25 + 0.75 * (target_recall - 0.9) / 0.1
+        )
+        nprobe = min(n_cells, max(2, math.ceil(frac * n_cells)))
     else:
         nprobe = min(n_cells, max(2, math.ceil(target_recall * n_cells)))
     m = max(
@@ -1885,6 +1894,40 @@ def sq8_reconstruct(codes: Column, mins: list[float], scales: list[float]) -> Co
     )
 
 
+def sq8_error_norm(scales: list[float]) -> float:
+    """The driver-side half of the DERIVED ADC band slack:
+    ``E = ||scales||_2 / 2``. Each reconstructed coordinate sits within
+    ``scale_d/2`` of the true in-range value (round-to-nearest
+    quantization), so the reconstruction error vector obeys
+    ``||e|| <= E``; the cosine of a fixed query against the
+    reconstruction then deviates from the true cosine by at most
+    ``2||e|| / max(||r||, ||v||) <= 2E / ||r||`` (the unit-normalization
+    perturbation bound ``||a/||a|| - b/||b|||| <= 2||a-b||/max(||a||,
+    ||b||)``), which the hard-negative miners apply PER ROW using the
+    reconstructed norm already in their plans. This replaces the old
+    hand-tuned ``band_slack=0.05`` constant, which a wide-range corpus
+    (one outlier dimension inflating its scale) silently exceeds —
+    tests/test_llm.py plants exactly that corpus. Out-of-range APPENDED
+    vectors saturate (append_to_sq8_index) and can exceed the bound until
+    sq8_retrain_due triggers a retrain — the same caveat every SQ8 search
+    here documents."""
+    return 0.5 * math.sqrt(sum(s * s for s in scales))
+
+
+def _band_slack_col(band_slack: float | None, scales: list[float]) -> Column:
+    """The per-row ADC band slack as a Column: the caller's fixed constant
+    if given, else the derived ``2E/||r||`` bound from
+    :func:`sq8_error_norm` (``rn`` must be the reconstructed-norm column;
+    rows with ``rn = 0`` fall back to the vacuous slack 2.0 — their
+    ``asim`` is null via try_divide and drops from the band anyway)."""
+    if band_slack is not None:
+        return F.lit(float(band_slack))
+    err = sq8_error_norm(scales)
+    return F.coalesce(
+        F.try_divide(F.lit(2.0 * err), F.col("rn")), F.lit(2.0)
+    )
+
+
 def sq8_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -2579,7 +2622,7 @@ def hard_negative_topk_indexed(
     k: int = 5,
     lo: float = 0.25,
     hi: float = 0.45,
-    band_slack: float = 0.05,
+    band_slack: float | None = None,
     scan_k: int = 200,
 ) -> DataFrame:
     """Hard-negative mining through the persisted SQ8 index — the 100 TB
@@ -2587,12 +2630,18 @@ def hard_negative_topk_indexed(
 
     - approximate: the scan touches ONLY the smallint codes (the measured
       3.7× payload cut); asymmetric dequantized cosine is band-filtered
-      with ``band_slack`` widened on BOTH edges (SQ8's per-dim error is
+      with the slack widened on BOTH edges (SQ8's per-dim error is
       bounded by scale/2, so a true band member's ADC sim sits within a
       corpus-dependent slack of its exact value — the slack is what keeps
-      edge-of-band negatives from being silently lost to quantization),
+      edge-of-band negatives from being silently lost to quantization).
+      ``band_slack=None`` (default) DERIVES the slack per row from the
+      stored scales: ``2 * sq8_error_norm(scales) / ||r||``, the rigorous
+      cosine-perturbation bound — a fixed constant cannot promise this
+      (one wide-range dimension inflates the scales past any constant;
+      tests/test_llm.py plants such a corpus where 0.05 loses true band
+      members). Pass a float to pin a fixed slack instead. Candidates are
       then capped at the top ``scan_k`` per query so the exact side stays
-      bounded no matter how wide the band is in the corpus;
+      bounded no matter how wide the (slacked) band is in the corpus;
     - exact: full vectors are read for those ≤``scan_k`` rows per query
       only, the band re-applied on round(cosine, 9)
       (:func:`hard_negative_topk`'s engine-stability rule), ranked with
@@ -2615,6 +2664,7 @@ def hard_negative_topk_indexed(
         F.col("id").alias("neighbor_id"),
         sq8_reconstruct(F.col("codes"), mins, scales).alias("rv"),
     ).withColumn("rn", norm(F.col("rv")))
+    slack = _band_slack_col(band_slack, scales)
     approx = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -2623,8 +2673,8 @@ def hard_negative_topk_indexed(
             F.try_divide(dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")),
         )
         .filter(
-            (F.col("asim") >= lo - band_slack)
-            & (F.col("asim") < hi + band_slack)
+            (F.col("asim") >= F.lit(lo) - slack)
+            & (F.col("asim") < F.lit(hi) + slack)
         )
     )
     wc = Window.partitionBy("query_id").orderBy(
@@ -2656,7 +2706,7 @@ def hard_negative_topk_ivfsq8(
     k: int = 5,
     lo: float = 0.25,
     hi: float = 0.45,
-    band_slack: float = 0.05,
+    band_slack: float | None = None,
     nprobe: int = 4,
     scan_k: int = 200,
     cell_codes_path: str | None = None,
@@ -2666,8 +2716,10 @@ def hard_negative_topk_ivfsq8(
     come from :func:`_cell_candidates` (the SAME cell-pruned stage every
     IVF-composed search here uses — PartitionFilters + DPP on the probed
     ``cell=`` partitions of the compressed SQ8 codes when a cell-codes
-    layout is given), ADC sims band-filter with ``band_slack`` widened
-    edges and cap at ``scan_k`` per query, full vectors verify the band
+    layout is given), ADC sims band-filter with slack-widened edges
+    (``band_slack=None`` derives the rigorous per-row bound from the
+    stored scales — :func:`sq8_error_norm`; a float pins a fixed slack)
+    and cap at ``scan_k`` per query, full vectors verify the band
     exactly (round(sim, 9)). Mining recall is bounded by cell recall like
     any IVF search — band members in unprobed cells are unreachable by
     design (raise ``nprobe`` to trade scan for coverage; the exact miner
@@ -2694,6 +2746,7 @@ def hard_negative_topk_ivfsq8(
         spark, probed, cells, ivf_root, sq8_root, cc_root
     )
     qn = F.broadcast(q.withColumn("qn", norm(F.col("qv"))))
+    slack = _band_slack_col(band_slack, scales)
     approx = (
         cand_codes.withColumn(
             "rv", sq8_reconstruct(F.col("codes"), mins, scales)
@@ -2705,8 +2758,8 @@ def hard_negative_topk_ivfsq8(
             F.try_divide(dot(F.col("qv"), F.col("rv")), F.col("qn") * F.col("rn")),
         )
         .filter(
-            (F.col("asim") >= lo - band_slack)
-            & (F.col("asim") < hi + band_slack)
+            (F.col("asim") >= F.lit(lo) - slack)
+            & (F.col("asim") < F.lit(hi) + slack)
         )
     )
     wc = Window.partitionBy("query_id").orderBy(

@@ -499,10 +499,26 @@ def _ensure_memo(spark: SparkSession, sf_dir: str, tag: str, state, ensure):
     DISK marker records, so the memo can never outlive what the marker
     would detect: a corpus change flips the key, evicts the superseded
     entry (params in ``tag``, the coexistence rule), and re-runs
-    ``ensure`` — which re-reads the disk marker and rebuilds if stale."""
+    ``ensure`` — which re-reads the disk marker and rebuilds if stale.
+
+    Two freshness holes _src_state alone can't close (r9 advisory): an
+    OUT-OF-BAND index deletion (anything not flipping the source corpus)
+    would leave a warm hit serving a path that no longer exists, so a
+    warm hit is served only after a one-leaf :func:`zone_exists` probe on
+    the memoized path — a miss falls back to re-``ensure``; and entries
+    keyed by DEAD applications (a long-lived multi-session driver
+    process) would accumulate forever, so every insert first evicts all
+    other-application keys."""
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+
     key = (spark.sparkContext.applicationId, sf_dir, tag, state)
+    hit = _ENSURE_MEMO.get(key)
+    if hit is not None and isinstance(hit, str) and not zone_exists(spark, hit):
+        _ENSURE_MEMO.pop(key)
     if key not in _ENSURE_MEMO:
-        for old in [k for k in _ENSURE_MEMO if k[:3] == key[:3]]:
+        for old in [
+            k for k in _ENSURE_MEMO if k[:3] == key[:3] or k[0] != key[0]
+        ]:
             _ENSURE_MEMO.pop(old)
         _ENSURE_MEMO[key] = ensure()
     return _ENSURE_MEMO[key]
@@ -897,10 +913,12 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs brute force measured in tests/test_llm.py.
 
     Demoted r8 (embedding_ann_pq_indexed entered the rows-only tail in
-    its slot): driver IVF signal carried by embedding_ann_ivf_indexed —
-    both paths read the SAME persisted index (single source of truth for
-    the quantizer, see _ivf_index) and return identical rows by
-    construction, pinned in tests/test_llm.py."""
+    its slot): driver IVF signal carried by embedding_ann_ivfpq and
+    embedding_ann_ivfsq8 (since r10; r8-r9 by embedding_ann_ivf_indexed,
+    itself demoted r10) — every path reads the SAME persisted index
+    (single source of truth for the quantizer, see _ivf_index) and the
+    resident/persisted searches return identical rows by construction,
+    pinned in tests/test_llm.py."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     cents, assigned = _ivf_index(spark, sf_dir, n_cells=8)
@@ -909,7 +927,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_ivf_indexed", sql=None)
+@register("embedding_ann_ivf_indexed", sql=None, demoted=True)
 def embedding_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the PERSISTED IVF index — the on-disk 100 TB shape: the
     corpus is written partitioned by ``cell=`` (first call per corpus
@@ -919,7 +937,17 @@ def embedding_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell directories via partition pruning. Shares the trained quantizer
     with embedding_ann_ivf (the disk index is the single source of truth
     — see _ivf_index), so the resident and persisted paths return
-    identical rows."""
+    identical rows.
+
+    Demoted r10 (embedding_ann_ivfsq8 entered the rows-only tail in its
+    slot — the rows-only cap holds at 12): the persisted-IVF driver
+    signal is carried by embedding_ann_ivfpq (rows-ran r9) and
+    embedding_ann_ivfsq8 (seated r10) — both ensure and probe the SAME
+    persisted IVF index through _ensure_ivf_index with partition-pruned
+    cell reads, exercising strictly more of its lifecycle (build, append,
+    staleness gate, cell-codes composition). What is unique here — exact
+    full-vector in-cell scoring and resident/persisted row identity — is
+    pinned in tests/test_llm.py and replayed every pytest run."""
     idx = _ensure_ivf_index(spark, sf_dir, n_cells=8)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -1086,18 +1114,31 @@ def _composed_roots(spark: SparkSession, sf_dir: str, tag: str, ensure,
     re-runs ``ensure`` (which rebuilds whatever the markers say is stale).
     ``ensure`` must return the three UNRESOLVED index paths.
 
+    Warm hits are served only after a one-leaf :func:`zone_exists` probe
+    on each cached resolved root (r9 advisory): an out-of-band index
+    deletion or rebuild doesn't flip ``_src_state``, and without the
+    probe a warm probe would sail past the loud staleness gate
+    (``cell_codes_verified=True``) into raw parquet path errors — a probe
+    miss evicts and re-``ensure``s instead. Inserts also evict every
+    other-application key, so a long-lived multi-corpus driver process
+    can't grow the memo without bound.
+
     ``artifacts`` (optional): callback over the resolved roots returning
     small driver-side index artifacts (PQ codebooks, SQ8 stats — a few KB)
     to cache alongside, so warm probes also skip those collects. Returns
     (roots, artifacts_value)."""
-    from aws_data_pipeline_spark.sources.parquet import index_root
+    from aws_data_pipeline_spark.sources.parquet import index_root, zone_exists
 
     state = _src_state(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir, tag, state)
+    hit = _CC_ROOTS.get(key)
+    if hit is not None and not all(zone_exists(spark, r) for r in hit[0]):
+        _CC_ROOTS.pop(key)  # out-of-band deletion/rebuild: re-ensure
     if key not in _CC_ROOTS:
         # evict superseded entries for the same corpus+params (the
-        # _PQ_CACHE rule): a regenerated corpus changes `state`
-        for old in [k for k in _CC_ROOTS if k[:3] == key[:3]]:
+        # _PQ_CACHE rule, `state` flips on corpus regeneration) AND every
+        # dead application's keys (unbounded growth otherwise)
+        for old in [k for k in _CC_ROOTS if k[:3] == key[:3] or k[0] != key[0]]:
             _CC_ROOTS.pop(old)
         roots = tuple(index_root(spark, p) for p in ensure())
         _CC_ROOTS[key] = (roots, artifacts(roots) if artifacts else None)
@@ -2988,7 +3029,7 @@ def _ivfsq8_roots(spark: SparkSession, sf_dir: str):
     )
 
 
-@register("embedding_ann_ivfsq8", sql=None, demoted=True)
+@register("embedding_ann_ivfsq8", sql=None)
 def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the composed IVF+SQ8 search (FAISS's standard
     billion-scale ``IVF<n>,SQ8`` config): cell pruning bounds the sweep,
@@ -2999,11 +3040,11 @@ def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall per probed cell — both ends of the compression/recall trade
     are now first-class persisted searches.
 
-    Demoted rows-only (k-means + quantization — not SQL-expressible):
-    driver signal carried by embedding_ann_ivfpq (the composed
-    inverted-list search shape, rows-tail) and embedding_ann_sq8 (the
-    SQ8 scoring chain, full value oracle, hash-green window r8);
-    composition semantics pinned in
+    Rows-only (k-means + quantization — not SQL-expressible). Promoted
+    from demoted at round 10 for its first-ever driver rows-ran signal
+    (the r9 verdict's seat plan): it had been the only capability whose
+    sole evidence was pytest. Value semantics remain pinned locally by
+    embedding_ann_sq8's full value oracle (the SQ8 scoring chain) and
     test_embedding_maintenance::test_ivfsq8_indexed_composition."""
     (ivf, sq8, cc), stats = _ivfsq8_roots(spark, sf_dir)
     e = T(spark, sf_dir, "embeddings")

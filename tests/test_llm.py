@@ -1847,6 +1847,58 @@ def test_composed_roots_warm_path_identity(spark, sf_dir):
     assert refreshed == cold
 
 
+def test_composed_roots_out_of_band_deletion_reensures(spark, sf_dir):
+    """The warm path's freshness probe (r9 advisory): deleting an index
+    OUT OF BAND (nothing flips _src_state) must not leave warm probes
+    serving memoized roots into raw parquet path errors — the zone_exists
+    probe on the cached roots misses, evicts, and re-ensures (rebuild).
+    Dead-application keys are evicted on the insert, so a long-lived
+    multi-corpus driver can't grow the memo without bound."""
+    import re
+    import shutil
+
+    from aws_data_pipeline_spark.plans import llm as L
+    from aws_data_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    L._CC_ROOTS.clear()
+    cold = {
+        tuple(r)
+        for r in reg["embedding_ann_ivfsq8"].spark_fn(spark, sf_dir).collect()
+    }
+    (key, (roots, stats)) = next(iter(L._CC_ROOTS.items()))
+    # out-of-band deletion of the cell-codes index (markers included)
+    shutil.rmtree(re.sub(r"/v\d+$", "", roots[2]))
+    # and a fake dead-application entry that must not survive the insert
+    dead = ("application_dead_0000", key[1], key[2], key[3])
+    L._CC_ROOTS[dead] = (("gone",), None)
+    warm = {
+        tuple(r)
+        for r in reg["embedding_ann_ivfsq8"].spark_fn(spark, sf_dir).collect()
+    }
+    assert warm == cold  # re-ensured and rebuilt, not a path error
+    assert dead not in L._CC_ROOTS
+    assert key in L._CC_ROOTS
+
+
+def test_ensure_memo_out_of_band_deletion_reensures(spark, sf_dir):
+    """_ensure_memo's warm hit carries the same zone_exists freshness
+    probe: out-of-band deletion of a memoized build-once index triggers
+    re-ensure (rebuild) on the next call instead of a missing-path read."""
+    import shutil
+
+    from aws_data_pipeline_spark.plans import llm as L
+
+    idx = L._ensure_kgram_index(spark, sf_dir)
+    assert any(isinstance(v, str) and v == idx for v in L._ENSURE_MEMO.values())
+    shutil.rmtree(idx)
+    again = L._ensure_kgram_index(spark, sf_dir)
+    assert again == idx
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+
+    assert zone_exists(spark, f"{idx}/src_meta")  # rebuilt, marker restored
+
+
 def test_choose_ivfpq_params_rules():
     """The derivation rules themselves: FAISS sqrt sizing with the k-means
     training clamp, subvector-of-8 m, linear-spread nprobe when the caller
@@ -1948,6 +2000,61 @@ def test_hard_negative_indexed_equals_exact_planted(spark, tmp_path):
     assert got == {(0, 2)}
 
 
+def test_hard_negative_derived_slack_wide_range_corpus(spark, tmp_path):
+    """The DERIVED band slack (2*sq8_error_norm/||r||) keeps band members
+    a fixed 0.05 slack provably loses: one outlier dimension (a single
+    vector at 1000) inflates that dim's scale to ~3.9, so a band member
+    holding 1.9 there (mid-grid — maximal quantization error) reconstructs
+    with its dim-3 mass dropped entirely and its ADC cosine lands near
+    1.0 while its true cosine is ~0.43. The fixed 0.05 window around
+    [0.25, 0.45) excludes it; the derived per-row bound covers the ~0.57
+    ADC error with margin and the exact re-rank restores the true band."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    band_member = [0.9, 0.0, 0.0, 1.9]  # cos=0.428 in [0.25,0.45)
+    outlier = [0.0, 0.0, 0.0, 1000.0]  # cos=0, widens dim-3 scale
+    easy = [0.0, 1.0, 0.0, 0.0]  # cos=0
+    df = spark.createDataFrame(
+        [(0, q), (1, band_member), (2, outlier), (3, easy)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "sq8_wide")
+    S.build_sq8_index(df, idx)
+    queries = df.filter(F.col("vec_id") == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk(
+            queries, df, k=3, lo=0.25, hi=0.45
+        ).collect()
+    }
+    assert exact == {(0, 1)}  # the fixture plants exactly one band member
+    derived = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk_indexed(
+            spark, queries, idx, k=3, lo=0.25, hi=0.45
+        ).collect()
+    }
+    assert derived == exact
+    fixed = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk_indexed(
+            spark, queries, idx, k=3, lo=0.25, hi=0.45, band_slack=0.05
+        ).collect()
+    }
+    assert (0, 1) not in fixed  # the hand-tuned constant loses it
+    # the IVF-composed miner shares the same derived-slack column
+    ivf = str(tmp_path / "ivf_wide")
+    S.build_ivf_index(df, ivf, n_cells=2, seed=42, train_fraction=1.0)
+    composed = {
+        (r.query_id, r.neighbor_id)
+        for r in S.hard_negative_topk_ivfsq8(
+            spark, queries, ivf, idx, k=3, lo=0.25, hi=0.45, nprobe=2
+        ).collect()
+    }
+    assert composed == exact
+
+
 def test_registry_hard_negative_indexed_pair(spark, sf_dir):
     """The demoted indexed miner returns the same rows as its promoted
     exact twin on the registry corpus (the ANN candidates cover the band
@@ -2014,21 +2121,16 @@ def test_registry_hard_negative_ivfsq8_runs(spark, sf_dir):
     seat and returns a subset of the exact miner's band pairs."""
     from aws_data_pipeline_spark.plans import DEMOTED, load_registry
 
-    reg = load_registry()
+    load_registry()  # populate DEMOTED
     got = {
         (r.query_id, r.neighbor_id)
         for r in DEMOTED["hard_negative_topk_ivfsq8"]
         .spark_fn(spark, sf_dir)
         .collect()
     }
-    band = {
-        (r.query_id, r.neighbor_id)
-        for r in reg["hard_negative_topk"].spark_fn(spark, sf_dir).collect()
-    }
-    # k is equal on both, so with cell pruning got is a (possibly equal)
-    # subset only at the PAIR level when ranks align; assert the weaker
-    # always-true invariant: every mined pair is a true band member
-    import aws_data_pipeline_spark.plans.llm as L
+    # k caps both sides, so with cell pruning the mined set is a PAIR-level
+    # subset only when ranks align; assert the weaker always-true
+    # invariant: every mined pair is a true band member
     from aws_data_pipeline_spark.operators import similarity as S
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

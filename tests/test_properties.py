@@ -773,8 +773,11 @@ def test_choose_ivfpq_params_invariants(n, dim, k, target, clustered):
     assert 0.0 < p["train_fraction"] <= 1.0
     assert p["rerank"] >= k
     assert p["ks"] == 16
-    if not clustered and target < 1.0:
+    if target < 1.0:  # monotone in target_recall on BOTH branches
         higher = choose_ivfpq_params(n, dim, k=k,
                                      target_recall=min(1.0, target + 0.2),
-                                     clustered=False)
+                                     clustered=clustered)
         assert higher["nprobe"] >= p["nprobe"]
+    if clustered and target == 1.0 and p["n_cells"] >= 2:
+        # a 1.0 target's only honest cell-recall promise: probe every cell
+        assert p["nprobe"] == p["n_cells"]
