@@ -378,13 +378,16 @@ def test_registry_ivf_resident_equals_persisted(spark, sf_dir):
     reg = load_registry()
     from aws_data_pipeline_spark.plans import DEMOTED
 
+    assert reg is not None  # load_registry() populates DEMOTED
     a = {
         tuple(r)
         for r in DEMOTED["embedding_ann_ivf"].spark_fn(spark, sf_dir).collect()
     }
     b = {
         tuple(r)
-        for r in reg["embedding_ann_ivf_indexed"].spark_fn(spark, sf_dir).collect()
+        for r in DEMOTED["embedding_ann_ivf_indexed"]  # demoted r10
+        .spark_fn(spark, sf_dir)
+        .collect()
     }
     assert a == b and len(a) > 0
 
