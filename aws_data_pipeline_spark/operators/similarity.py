@@ -2189,23 +2189,33 @@ def sq8_topk_indexed(
 def _probe_cells(spark, q: DataFrame, ivf_root: str, nprobe: int):
     """(probed, cells) for a (query_id, qv) frame against a resolved IVF
     root: ``probed`` is the per-query top-``nprobe`` (query_id, cell)
-    frame (checkpointed — it feeds both the driver-side cell collect and
-    the candidate join), ``cells`` the distinct probed-cell list for
-    static partition pruning. Shared by every IVF-composed search
-    (IVF-PQ, IVF-SQ8) so the inverted-list semantics cannot drift."""
+    frame, ``cells`` the distinct probed-cell list for static partition
+    pruning. Shared by every IVF-composed search (IVF-PQ, IVF-SQ8) so
+    the inverted-list semantics cannot drift.
+
+    The ranking runs ONE action: probed is n_queries × nprobe rows —
+    bounded by the same contract that lets every downstream consumer
+    ``F.broadcast(probed)`` into the candidate join — so it is collected
+    whole and re-created as a local frame. That replaces the previous
+    eager localCheckpoint + distinct-collect pair (two driver jobs per
+    probe, plus executor block storage for the checkpoint) with a single
+    job, and the broadcast side becomes a LocalTableScan instead of a
+    checkpoint re-scan. Driver-side footprint is the broadcast payload
+    the old plan shipped anyway."""
     cent = F.broadcast(spark.read.parquet(f"{ivf_root}/centroids"))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cent_sim").desc(), F.col("cell").asc()
     )
-    probed = (
+    sel = (
         q.crossJoin(cent)
         .withColumn("cent_sim", cosine(F.col("qv"), F.col("centroid")))
         .withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= nprobe)
         .select("query_id", "cell")
-        .localCheckpoint(eager=True)
     )
-    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    rows = sel.collect()
+    probed = spark.createDataFrame(rows, sel.schema)
+    cells = sorted({r["cell"] for r in rows})
     return probed, cells
 
 
