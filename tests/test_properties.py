@@ -781,3 +781,46 @@ def test_choose_ivfpq_params_invariants(n, dim, k, target, clustered):
     if clustered and target == 1.0 and p["n_cells"] >= 2:
         # a 1.0 target's only honest cell-recall promise: probe every cell
         assert p["nprobe"] == p["n_cells"]
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+    n=st.integers(min_value=2, max_value=30),
+    dim=st.integers(min_value=2, max_value=16),
+    spread=st.floats(min_value=0.0, max_value=6.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_sq8_derived_slack_bounds_adc_error(seed, n, dim, spread):
+    """The mathematical contract behind the miners' DERIVED band slack
+    (sq8_error_norm): for ANY corpus — including heavy-tailed per-dim
+    ranges spanning up to 6 orders of magnitude, the regime where the old
+    fixed 0.05 slack fails — the asymmetric dequantized cosine deviates
+    from the exact cosine by at most 2*E/||r||, E = ||scales||/2, with
+    train/encode/reconstruct mirroring the engine's formulas verbatim
+    (min/max train, clamp(floor((x-min)/scale + 0.5)), min + code*scale)."""
+    import numpy as np
+
+    from aws_data_pipeline_spark.operators.similarity import sq8_error_norm
+
+    rng = np.random.default_rng(seed)
+    col_scale = 10.0 ** rng.uniform(-spread / 2, spread / 2, size=dim)
+    V = rng.normal(size=(n, dim)) * col_scale
+    mn, mx = V.min(axis=0), V.max(axis=0)
+    sc = (mx - mn) / 255.0
+    safe = np.where(sc == 0.0, 1.0, sc)
+    codes = np.where(
+        sc == 0.0, 0.0, np.clip(np.floor((V - mn) / safe + 0.5), 0, 255)
+    )
+    R = mn + codes * sc
+    E = sq8_error_norm(list(sc))
+    q = rng.normal(size=dim)
+    qn = np.linalg.norm(q)
+    if qn == 0.0:
+        return
+    for v, r in zip(V, R):
+        rn, vn = np.linalg.norm(r), np.linalg.norm(v)
+        if rn == 0.0 or vn == 0.0:  # engine drops null asim rows
+            continue
+        sim = float(q @ v / (qn * vn))
+        asim = float(q @ r / (qn * rn))
+        assert abs(asim - sim) <= 2.0 * E / rn + 1e-9
