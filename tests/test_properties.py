@@ -622,7 +622,12 @@ def test_connected_components_random_graphs_match_union_find(spark, edges):
 
     df = spark.createDataFrame(edges, "doc1 long, doc2 long")
     got = {r.node: r.label for r in connected_components(df).collect()}
-    assert got == expect
+    assert got == expect  # default path (small-graph union-find here)
+    forced = {
+        r.node: r.label
+        for r in connected_components(df, small_graph_max=0).collect()
+    }
+    assert forced == expect  # distributed fixpoint, fast path disabled
 
 
 VECS = st.lists(
