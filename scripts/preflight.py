@@ -1,12 +1,14 @@
 """Round-end preflight: every gate the driver grades, in one command.
 
 Runs (in order, cheapest first):
-1. registry invariants — 110 registered, exactly 100 oracled (the driver
-   window math), every DEMOTED entry carrying a named driver-signal
+1. registry invariants — exactly 100 oracled (the driver window math)
+   plus the capped rows-only tail, every DEMOTED entry carrying a named
+   driver-signal
    carrier note, no row-at-a-time ``F.udf`` anywhere in the package, and
    the window-staleness promise (scripts/staleness_audit.py);
 2. the driver's next CORRECTNESS window (scripts/window_check.py) at
-   sf0.01 — default the 50-slot window, ``--full`` for all 110;
+   sf0.01 — default the 50-slot window, ``--full`` for every registered
+   entry (count read from the registry, not hardcoded);
 3. the bench (bench.py at $SPARK_GRAFT_SF_DIR) compared against the
    ENVELOPE of the latest round's ``evidence/bench_r*_run*.json`` runs
    via scripts/bench_compare.py (interval compare: only candidate-min >
@@ -86,7 +88,14 @@ def run_staleness() -> None:
 
 
 def run_window(full: bool) -> None:
-    n = "110" if full else "50"
+    # full = every registered entry (registry size changes with promotions;
+    # read it instead of hardcoding a count that goes stale)
+    if full:
+        from aws_data_pipeline_spark.plans import load_registry
+
+        n = str(len(load_registry()))
+    else:
+        n = "50"
     r = subprocess.run(
         [sys.executable, "scripts/window_check.py", "/root/testdata/sf0.01", n],
         stderr=subprocess.DEVNULL,
