@@ -657,3 +657,73 @@ def weighted_sample_topk(
         .filter(F.col("sample_rank") <= k)
         .select(group_col, id_col, "sample_rank")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 8,
+    bucket_width: int = 32,
+) -> DataFrame:
+    """Pad-efficient batch assignment (dynamic batching): the last mile
+    between a curated corpus and a training loader that pads each batch
+    to its longest member. Documents are bucketed by whitespace token
+    count into fixed ``bucket_width`` ranges, ordered within each bucket
+    by (n_tokens desc, id), and cut into ``batch_size`` batches — every
+    batch holds near-equal-length documents, so per-document padding
+    waste is bounded by ``bucket_width - 1`` tokens instead of the
+    unbounded waste of collection-order batching (one 10k-token outlier
+    pads its whole batch to 10k).
+
+    Determinism/portability: token count is the proven whitespace twin
+    (token_counts' oracle expression); the bucket is INTEGER division
+    (``n_tokens div bucket_width`` — no float log2, whose
+    floor-at-a-power-of-two can differ across engines' libm, the tfidf
+    engine-stability rule); the within-bucket order is total
+    (n_tokens desc, id asc). Assignment is a pure function of
+    (corpus, batch_size, bucket_width) — independent of row order and
+    partitioning, replayable in any SQL engine.
+
+    Scale shape: the within-bucket rank runs through
+    :func:`~aws_data_pipeline_spark.operators.windows.global_row_number`
+    over the TOTAL order (bucket, n_tokens desc, id) — the distributed
+    three-step, never an ``Exchange SinglePartition`` WindowExec over a
+    data-sized bucket (buckets are few: max_tokens/bucket_width, so a
+    per-bucket window would funnel ~corpus/buckets rows through single
+    tasks at 100 TB). Per-bucket start offsets come from a bucket-sized
+    aggregate (domain-bounded: dozens of rows) broadcast back.
+    """
+    from aws_data_pipeline_spark.operators.windows import global_row_number
+
+    t = df.select(
+        F.col(id_col),
+        F.size(F.split(F.lower(F.col(text_col)), " "))
+        .cast("int")
+        .alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.expr(f"CAST(n_tokens div {int(bucket_width)} AS INT)")
+    )
+    ranked = global_row_number(
+        t,
+        [F.col("bucket").asc(), F.col("n_tokens").desc(), F.col(id_col).asc()],
+        out_col="__grn",
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        t.groupBy("bucket")
+        .agg(F.count("*").alias("__cnt"))
+        # unpartitioned window over the bucket-count frame: domain-bounded
+        # (max_tokens/bucket_width rows), the sanctioned SinglePartition
+        # class (see SHUFFLES.md sweep note)
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w), F.lit(0)))
+        .select("bucket", "__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "batch_in_bucket",
+            F.expr(f"CAST((__grn - __off - 1) div {int(batch_size)} AS INT)"),
+        )
+        .select(id_col, "n_tokens", "bucket", "batch_in_bucket")
+    )

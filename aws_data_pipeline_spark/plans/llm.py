@@ -2239,6 +2239,44 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_bucketed_batches",
+    demoted=True,
+    sql="""
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens // 32 AS INTEGER) AS bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY n_tokens // 32
+                                    ORDER BY n_tokens DESC, doc_id) - 1) // 8
+                AS INTEGER) AS batch_in_bucket
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-efficient batch assignment (dynamic batching): width-32 token
+    buckets, batches of 8 near-equal-length documents per bucket — the
+    loader-side complement to sequence_packing (packing concatenates into
+    fixed windows; bucketed batching keeps documents whole and bounds the
+    padding a pad-to-longest collator wastes). Deterministic pure
+    function of the corpus (integer buckets, total within-bucket order);
+    the Spark side ranks through the distributed global row_number, never
+    a data-sized single-partition window.
+
+    Born round 10, demoted-with-full-oracle (the hard_negative_topk
+    growth path: local hash parity + hostile-partition sweep from birth,
+    promotable when a window slot frees). Demoted: the batching/packing
+    capability's driver signal is carried by sequence_packing (hash-green
+    r9) and the token-count expression by token_counts (hash-green r9)."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    return sampling.length_bucketed_batches(
+        T(spark, sf_dir, "documents"), batch_size=8, bucket_width=32
+    )
+
+
+@register(
     "token_budget_sample_docs",
     # ordering doubles across engines is safe HERE because quality_score is
     # bit-stable (see text_quality_scores); the cumulative sum is integer

@@ -167,3 +167,40 @@ def test_weighted_sample_topk_large_weights_keep_resolution(spark):
         for r in weighted_sample_topk(df_small, "doc_id", "w", "grp", k=100).collect()
     }
     assert got == got_small  # same weight RATIOS -> identical sample
+
+
+def test_length_bucketed_batches_invariants(spark, sf_dir):
+    """Dynamic-batching contract: every batch holds at most batch_size
+    docs, all from one bucket (so within-batch token spread is bounded by
+    bucket_width - 1), batch indexes are dense from 0 per bucket, every
+    document is assigned exactly once, and the assignment is identical
+    under hostile repartitioning (the determinism claim)."""
+    from aws_data_pipeline_spark.operators import sampling
+    from aws_data_pipeline_spark.plans.common import T
+
+    d = T(spark, sf_dir, "documents")
+    out = sampling.length_bucketed_batches(d, batch_size=8, bucket_width=32)
+    rows = out.collect()
+    assert len(rows) == d.count()  # total assignment, no dupes/drops
+    assert len({r.doc_id for r in rows}) == len(rows)
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for r in rows:
+        assert r.bucket == r.n_tokens // 32
+        batches[(r.bucket, r.batch_in_bucket)].append(r.n_tokens)
+    for (bucket, _), toks in batches.items():
+        assert len(toks) <= 8
+        assert max(toks) - min(toks) <= 31  # same bucket by construction
+    per_bucket = defaultdict(set)
+    for bucket, bid in batches:
+        per_bucket[bucket].add(bid)
+    for bucket, ids in per_bucket.items():
+        assert ids == set(range(len(ids)))  # dense from 0
+    again = {
+        (r.doc_id, r.bucket, r.batch_in_bucket)
+        for r in sampling.length_bucketed_batches(
+            d.repartition(3), batch_size=8, bucket_width=32
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.bucket, r.batch_in_bucket) for r in rows}
