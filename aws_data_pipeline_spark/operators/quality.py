@@ -229,3 +229,136 @@ def psi_drift(
     return j.select(
         "bin", "n_base", "n_curr", contrib.alias("psi_contribution")
     )
+
+
+def ks_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between a baseline and
+    a current slice of one numeric column — the nonparametric sibling of
+    :func:`psi_drift`: no binning choice, sensitive to ANY distributional
+    difference (location, scale, shape), the textbook two-sample test a
+    drift monitor runs when it cannot assume the deciles tell the story.
+
+    ``D = max over x of |ECDF_base(x) - ECDF_curr(x)|``, evaluated exactly
+    at every distinct observed value. Output: ONE row —
+    (ks_stat, at_value, n_base, n_curr), where ``at_value`` is the
+    smallest value attaining the (9-dp-snapped) maximum, so the row is a
+    deterministic pure function of the two slices.
+
+    Determinism (oracle contract): per-value cohort counts and their
+    prefix sums are exact integers; each ECDF value is ONE int/int double
+    division (exactly rounded, bit-identical cross-engine); their
+    difference and ``abs`` are single IEEE ops; the statistic snaps to
+    9 dp before the argmax so engines agree on ties, and ``at_value``
+    breaks remaining ties ascending.
+
+    Scale shape: one shuffle groups the union by value (map-side
+    combine), then the ECDFs come from :func:`~aws_data_pipeline_spark.
+    operators.windows.global_prefix_sum` — the distributed scan, never an
+    ``Exchange SinglePartition`` window — and the argmax is a bounded
+    TakeOrdered. The cohort totals ride along with the prefix-sum offset
+    pass, so the whole statistic costs two jobs over distinct values.
+    """
+    from aws_data_pipeline_spark.operators.windows import global_prefix_sum
+
+    u = (
+        base.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("v"), F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionByName(
+            curr.where(F.col(col).isNotNull()).select(
+                F.col(col).alias("v"), F.lit(0).alias("ca"), F.lit(1).alias("cb")
+            )
+        )
+    )
+    per_v = u.groupBy("v").agg(
+        F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb")
+    )
+    cum, totals = global_prefix_sum(
+        per_v, [F.col("v").asc()], ["ca", "cb"], num_partitions=num_partitions
+    )
+    na, nb = totals["ca"], totals["cb"]
+    if na == 0 or nb == 0:
+        raise ValueError(f"ks_drift: empty cohort (n_base={na}, n_curr={nb})")
+    stat = F.round(
+        F.abs(
+            F.col("cum_ca").cast("double") / F.lit(float(na))
+            - F.col("cum_cb").cast("double") / F.lit(float(nb))
+        ),
+        9,
+    )
+    return (
+        cum.select(
+            stat.alias("ks_stat"),
+            F.col("v").alias("at_value"),
+            F.lit(na).cast("long").alias("n_base"),
+            F.lit(nb).cast("long").alias("n_curr"),
+        )
+        .orderBy(F.col("ks_stat").desc(), F.col("at_value").asc())
+        .limit(1)
+    )
+
+
+def chisq_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Chi-squared homogeneity contributions between a baseline and a
+    current slice of one CATEGORICAL column — the drift monitor for the
+    columns :func:`psi_drift`/:func:`ks_drift` cannot see (event types,
+    status codes, language tags): did the category mix shift between
+    snapshots?
+
+    Standard 2xC contingency machinery: per category, expected counts
+    under homogeneity are ``row_total * cohort_total / grand_total`` and
+    the contribution is ``(obs - exp)^2 / exp`` summed over both cohorts.
+    Output: one row per observed category — (category, n_base, n_curr,
+    chisq_contribution) — so the scalar statistic (their sum, df = C-1)
+    never depends on a cross-engine float-sum order; callers compare the
+    sum against the chi-squared critical value for their alert threshold.
+
+    Determinism (oracle contract): all counts exact integers; each
+    expected count is one double multiply + divide of exactly-represented
+    ints; the contribution chain is a fixed sequence of IEEE ops snapped
+    to 9 dp at the end — bit-identical cross-engine.
+
+    Scale shape: one count aggregation per side (map-side combine on a
+    low-cardinality key), category-sized full-outer join, two broadcast
+    one-row totals — nothing data-sized shuffles beyond the two counts.
+    """
+    bc = (
+        base.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count("*").alias("n_base"))
+    )
+    cc = (
+        curr.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count("*").alias("n_curr"))
+    )
+    tot_b = bc.agg(F.sum("n_base").cast("long").alias("tb"))
+    tot_c = cc.agg(F.sum("n_curr").cast("long").alias("tc"))
+    j = (
+        bc.join(cc, "category", "full_outer")
+        .na.fill({"n_base": 0, "n_curr": 0})
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_c))
+    )
+    row_tot = (F.col("n_base") + F.col("n_curr")).cast("double")
+    grand = (F.col("tb") + F.col("tc")).cast("double")
+    e_b = row_tot * F.col("tb").cast("double") / grand
+    e_c = row_tot * F.col("tc").cast("double") / grand
+    term_b = (F.col("n_base").cast("double") - e_b) * (
+        F.col("n_base").cast("double") - e_b
+    ) / e_b
+    term_c = (F.col("n_curr").cast("double") - e_c) * (
+        F.col("n_curr").cast("double") - e_c
+    ) / e_c
+    contrib = F.round(term_b + term_c, 9)
+    return j.select(
+        "category", "n_base", "n_curr", contrib.alias("chisq_contribution")
+    )

@@ -163,6 +163,75 @@ def _global_row_number_with_total(
     return out, acc
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_cols: Sequence[str],
+    out_prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Distributed exact prefix sums over a GLOBAL total order — the scale
+    path for ``SUM(x) OVER (ORDER BY ...)`` with no PARTITION BY, which
+    Spark plans as ``Exchange SinglePartition`` + a one-task WindowExec
+    (the whole frame through one core at 100 TB). The classic parallel
+    scan, expressed with the same three declarative steps as
+    :func:`global_row_number`:
+
+    1. ``repartitionByRange`` on the order keys (boundary-pinning
+       ``localCheckpoint`` — see :func:`global_row_number` for why);
+    2. LOCAL running sums within each range partition (WindowExec
+       partitioned by ``spark_partition_id()`` — parallel);
+    3. one bounded collect of per-partition column totals (one row per
+       range partition) -> cumulative offsets, broadcast-joined back.
+
+    ``value_cols`` must be integral (or decimal) so the sums are exact and
+    order-of-evaluation independent; ``order_by`` must be a total order.
+    Returns ``(df_with_cums, grand_totals)`` — each ``value_cols`` entry
+    gains an ``{out_prefix}{col}`` long column, and ``grand_totals`` maps
+    each value column to its full-frame sum (already paid for by the
+    offset pass — callers needing "the total" never run a second job).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = df.repartitionByRange(n, *order_by).localCheckpoint(eager=True)
+    part = part.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part
+    for c in value_cols:
+        local = local.withColumn(
+            f"__l_{c}", F.sum(F.col(c)).over(w).cast("long")
+        )
+    counts = {
+        r["__pid"]: r
+        for r in part.groupBy("__pid")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in value_cols])
+        .collect()
+    }  # bounded: one row per range partition
+    offsets: list[tuple] = []
+    acc = {c: 0 for c in value_cols}
+    for pid in range(n):
+        offsets.append((pid, *[acc[c] for c in value_cols]))
+        row = counts.get(pid)
+        if row is not None:
+            for c in value_cols:
+                acc[c] += row[c] or 0
+    schema = ", ".join(
+        ["__pid int"] + [f"__off_{c} long" for c in value_cols]
+    )
+    off = F.broadcast(spark.createDataFrame(offsets, schema=schema))
+    out = local.join(off, "__pid")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            (F.col(f"__l_{c}") + F.col(f"__off_{c}")).cast("long"),
+        ).drop(f"__l_{c}", f"__off_{c}")
+    return out.drop("__pid"), acc
+
+
 def global_ntile(
     df: DataFrame,
     k: int,

@@ -226,3 +226,147 @@ def dq_psi_price_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("x")
     )
     return quality.psi_drift(base, curr, "x", bins=10, approx=True)
+
+
+@register(
+    "dq_ks_price_drift",
+    demoted=True,
+    # the oracle replays the WHOLE exact chain: per-distinct-value cohort
+    # counts, integer prefix sums over the value order, the one int/int
+    # ECDF division per side, the 9-dp-snapped argmax with the value
+    # tiebreak — every float op a fixed IEEE sequence, so the single
+    # output row value-hashes cross-engine
+    sql="""
+    WITH a AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_totalprice IS NOT NULL
+    ), b AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE year(o_orderdate) = 2000 AND o_totalprice IS NOT NULL
+    ), u AS (
+      SELECT v, 1 AS ca, 0 AS cb FROM a
+      UNION ALL
+      SELECT v, 0 AS ca, 1 AS cb FROM b
+    ), per_v AS (
+      SELECT v, CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      FROM u GROUP BY v
+    ), cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_ca,
+             CAST(SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cb
+      FROM per_v
+    ), tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS na,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS nb
+    )
+    SELECT round(abs(CAST(cum_ca AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(cum_cb AS DOUBLE) / CAST(nb AS DOUBLE)), 9)
+             AS ks_stat,
+           v AS at_value,
+           na AS n_base,
+           nb AS n_curr
+    FROM cum CROSS JOIN tot
+    ORDER BY ks_stat DESC, at_value ASC
+    LIMIT 1
+    """,
+)
+def dq_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic of o_totalprice
+    between the 1996 and 2000 order cohorts (the dq_psi_price_drift
+    cohort pair) — the binning-free nonparametric drift monitor: D = max
+    |ECDF diff| over every distinct price, with the attaining value and
+    both cohort sizes in the one output row. The ECDFs come from the
+    distributed global prefix sum (operators/windows.py::
+    global_prefix_sum — range-repartition scan, never an Exchange
+    SinglePartition window), so the exact statistic survives 100 TB.
+
+    Born round 10, demoted-with-full-oracle (the hard_negative_topk
+    growth path: local hash parity from birth, promotable when a window
+    slot frees). Demoted: the drift-monitor capability's driver signal is
+    carried by dq_psi_price_drift (hash-green r8/r10 window, same cohort
+    pair) and the distributed-global-window machinery's by
+    customer_spend_quartiles (global_ntile, hash-green r9)."""
+    o = T(spark, sf_dir, "orders")
+    base = o.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_totalprice").alias("x")
+    )
+    curr = o.where(F.year("o_orderdate") == 2000).select(
+        F.col("o_totalprice").alias("x")
+    )
+    return quality.ks_drift(base, curr, "x")
+
+
+@register(
+    "dq_chisq_event_type_drift",
+    demoted=True,
+    # per-category contingency contributions: counts exact, each expected
+    # count ONE double multiply+divide of exactly-represented ints, the
+    # contribution a fixed IEEE sequence snapped to 9 dp — the scalar
+    # statistic is the consumer's sum, so no cross-engine float-sum order
+    # ever enters the hashed output
+    sql="""
+    WITH b AS (
+      SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_base
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND event_type IS NOT NULL
+      GROUP BY event_type
+    ), c AS (
+      SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_curr
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND event_type IS NOT NULL
+      GROUP BY event_type
+    ), tb AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb FROM b),
+       tc AS (SELECT CAST(SUM(n_curr) AS BIGINT) AS tc FROM c),
+    j AS (
+      SELECT COALESCE(b.category, c.category) AS category,
+             COALESCE(n_base, 0) AS n_base,
+             COALESCE(n_curr, 0) AS n_curr
+      FROM b FULL OUTER JOIN c USING (category)
+    )
+    SELECT category, n_base, n_curr,
+           round(
+             (CAST(n_base AS DOUBLE)
+              - CAST(n_base + n_curr AS DOUBLE) * CAST(tb AS DOUBLE)
+                / CAST(tb + tc AS DOUBLE))
+             * (CAST(n_base AS DOUBLE)
+                - CAST(n_base + n_curr AS DOUBLE) * CAST(tb AS DOUBLE)
+                  / CAST(tb + tc AS DOUBLE))
+             / (CAST(n_base + n_curr AS DOUBLE) * CAST(tb AS DOUBLE)
+                / CAST(tb + tc AS DOUBLE))
+             +
+             (CAST(n_curr AS DOUBLE)
+              - CAST(n_base + n_curr AS DOUBLE) * CAST(tc AS DOUBLE)
+                / CAST(tb + tc AS DOUBLE))
+             * (CAST(n_curr AS DOUBLE)
+                - CAST(n_base + n_curr AS DOUBLE) * CAST(tc AS DOUBLE)
+                  / CAST(tb + tc AS DOUBLE))
+             / (CAST(n_base + n_curr AS DOUBLE) * CAST(tc AS DOUBLE)
+                / CAST(tb + tc AS DOUBLE)),
+           9) AS chisq_contribution
+    FROM j CROSS JOIN tb CROSS JOIN tc
+    """,
+)
+def dq_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared homogeneity contributions of the event_type mix between
+    the first and second half of the events month (split at 2024-01-16) —
+    the categorical drift monitor PSI/KS cannot express: did the
+    click/view/purchase/signup/error composition shift between cohorts?
+    One row per category (exact counts + 9-dp contribution); the scalar
+    statistic is the consumer's sum against the df=C-1 critical value.
+
+    Born round 10, demoted-with-full-oracle. Demoted: the drift-monitor
+    capability's driver signal is carried by dq_psi_price_drift
+    (hash-green r8/r10 window) and the categorical-contingency counting
+    shape by cube_priority_status (hash-green r9)."""
+    e = T(spark, sf_dir, "events")
+    base = e.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp")).select(
+        F.col("event_type").alias("x")
+    )
+    curr = e.where(F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).select(
+        F.col("event_type").alias("x")
+    )
+    return quality.chisq_drift(base, curr, "x")

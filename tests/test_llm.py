@@ -2144,3 +2144,60 @@ def test_registry_hard_negative_ivfsq8_runs(spark, sf_dir):
         ).collect()
     }
     assert got <= all_band and len(got) > 0
+
+
+def test_ks_drift_exact_statistic_and_degenerate_cases(spark):
+    """ks_drift on planted samples equals the numpy-exact two-sample D
+    (max |ECDF diff| over pooled distinct values, smallest attaining value
+    reported); identical slices give exactly 0; an empty cohort raises."""
+    import numpy as np
+    import pytest
+
+    from aws_data_pipeline_spark.operators.quality import ks_drift
+
+    a_vals = [float((i * 13) % 50) for i in range(300)]
+    b_vals = [float((i * 7) % 50) + 10.0 for i in range(200)]
+    a = spark.createDataFrame([(v,) for v in a_vals], "x double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "x double")
+    row = ks_drift(a, b, "x").collect()[0]
+    av, bv = np.sort(np.array(a_vals)), np.sort(np.array(b_vals))
+    pooled = np.unique(np.concatenate([av, bv]))
+    fa = np.searchsorted(av, pooled, side="right") / len(av)
+    fb = np.searchsorted(bv, pooled, side="right") / len(bv)
+    d = np.round(np.abs(fa - fb), 9)
+    assert row.ks_stat == d.max()
+    assert row.at_value == pooled[int(np.argmax(d))]  # argmax -> first max
+    assert (row.n_base, row.n_curr) == (300, 200)
+
+    same = ks_drift(a, a, "x").collect()[0]
+    assert same.ks_stat == 0.0
+
+    empty = spark.createDataFrame([], "x double")
+    with pytest.raises(ValueError, match="empty cohort"):
+        ks_drift(a, empty, "x")
+
+
+def test_chisq_drift_contributions(spark):
+    """chisq_drift: identical category mixes give all-zero contributions; a
+    planted shift gives the hand-computed 2xC chi-squared terms; a category
+    absent from one cohort contributes its full expected mass."""
+    from aws_data_pipeline_spark.operators.quality import chisq_drift
+
+    base = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "x string"
+    )
+    same = chisq_drift(base, base, "x").collect()
+    assert {r.chisq_contribution for r in same} == {0.0}
+
+    curr = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 60 + [("d",)] * 20, "x string"
+    )
+    rows = {r.category: r for r in chisq_drift(base, curr, "x").collect()}
+    assert set(rows) == {"a", "b", "c", "d"}
+    # hand-check one cell: category c, n_base=20 n_curr=0, row_tot=20,
+    # tb=100 tc=100 -> e_b=10, e_c=10, contribution = 10 + 10 = 20
+    assert rows["c"].n_base == 20 and rows["c"].n_curr == 0
+    assert rows["c"].chisq_contribution == 20.0
+    assert rows["d"].chisq_contribution == 20.0  # mirror case
+    total = sum(r.chisq_contribution for r in rows.values())
+    assert total > 9.488  # chi2 critical value at df=3, alpha=0.05

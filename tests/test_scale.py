@@ -706,3 +706,26 @@ def test_global_row_number_deterministic_across_reruns(spark):
     assert [r["rn"] for r in sorted(a, key=lambda r: (r["v"], r["id"]))] == list(
         range(1, 501)
     )
+
+
+def test_global_prefix_sum_matches_single_partition_window(spark):
+    """global_prefix_sum == SUM OVER (ORDER BY ...) on the one-task global
+    window (exact, order-total), while its plan never contains an Exchange
+    SinglePartition; the grand totals ride along with the offset pass."""
+    from pyspark.sql import Window
+
+    from aws_data_pipeline_spark.operators.windows import global_prefix_sum
+
+    rows = [(i, (i * 7919) % 97, ((i * 31) % 5) + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got, totals = global_prefix_sum(df, order, ["w"], num_partitions=8)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum_w", F.sum("w").over(w))
+    assert sorted(got.collect()) == sorted(want.collect())
+    assert totals == {"w": sum(r[2] for r in rows)}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # determinism: different range-partition counts, same assignment
+    again, _ = global_prefix_sum(df, order, ["w"], num_partitions=13)
+    assert sorted(got.collect()) == sorted(again.collect())
