@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1855,12 +1856,16 @@ def sq8_encode(
     scales: list[float],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, codes) with ``codes[d] = clamp(floor((x_d - min_d)/scale_d +
-    0.5), 0, 255)`` as smallint — 1 byte of information per dimension
-    (parquet bit-packs the narrow range), a 4-8× scan-payload cut vs the
-    raw float vectors. A constant dimension (scale 0) encodes as 0 and
-    reconstructs to its min. Pure codegen: two literal stat arrays + one
+    """(id, codes[, extra...]) with ``codes[d] = clamp(floor((x_d -
+    min_d)/scale_d + 0.5), 0, 255)`` as smallint — 1 byte of information
+    per dimension (parquet bit-packs the narrow range), a 4-8× scan-payload
+    cut vs the raw float vectors. A constant dimension (scale 0) encodes as
+    0 and reconstructs to its min. ``extra_cols`` carries payload columns
+    (filter attributes) through to the codes rows — the vector-DB trick
+    that lets a filtered search prune the compressed scan without joining
+    back to the source table. Pure codegen: two literal stat arrays + one
     indexed transform, no Python in the path."""
     mn, sc = _sq8_params(mins, scales)
     codes = F.transform(
@@ -1880,7 +1885,9 @@ def sq8_encode(
         )
         .cast("smallint"),
     )
-    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+    return df.select(
+        F.col(id_col).alias("id"), codes.alias("codes"), *extra_cols
+    )
 
 
 def sq8_reconstruct(codes: Column, mins: list[float], scales: list[float]) -> Column:
@@ -1999,6 +2006,7 @@ def build_sq8_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     force_new_version: bool = False,
+    payload_cols: Sequence[str] = (),
 ) -> None:
     """Persist an SQ8 index: ``path/vectors`` (id, v — the exact re-rank
     side), ``path/codes`` (id, codes — the smallint scan side),
@@ -2006,19 +2014,33 @@ def build_sq8_index(
     (build-time count for retrain-due accounting). Like PQ codebooks the
     stats are DATA-FITTED and must be stored: append-time encoding uses
     the stored ranges or codes would be incomparable across batches.
+
+    ``payload_cols`` stores filter attributes alongside BOTH sub-tables
+    (the vector-DB payload pattern — FAISS IDSelector / filtered-HNSW
+    territory): :func:`sq8_topk_filtered` then prunes the compressed
+    codes scan with an ordinary parquet-pushed predicate instead of
+    joining back to the source table. Appends and retrains carry the
+    payload through (schema discovered from the stored vectors), and the
+    unfiltered probes are unaffected — they select (id, codes) / (id, v)
+    explicitly, so parquet column pruning never reads the payload.
+
     Crash contract is build_pq_index's verbatim: meta LAST on a fresh
     build; a rebuild (or ``force_new_version``) lands in a new version
     directory and flips the pointer in one marker create, so probes
     mid-rebuild serve the old (codes, stats) pair."""
     spark = corpus.sparkSession
     root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
-    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        *payload_cols,
+    )
     v.write.mode("overwrite").parquet(f"{root}/vectors")
     stored = spark.read.parquet(f"{root}/vectors")
     mins, scales = sq8_train_stats(stored, vec_col="v")
-    sq8_encode(stored, mins, scales, id_col="id", vec_col="v").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/codes")
+    sq8_encode(
+        stored, mins, scales, id_col="id", vec_col="v", extra_cols=payload_cols
+    ).write.mode("overwrite").parquet(f"{root}/codes")
     spark.createDataFrame(
         [(i, mins[i], scales[i]) for i in range(len(mins))],
         "pos int, mn double, sc double",
@@ -2054,16 +2076,29 @@ def append_to_sq8_index(
     """Idempotently append vectors under the STORED stats (fixed on
     append, like PQ codebooks): out-of-range values saturate to code
     0/255 — bounded per-dim error until :func:`sq8_retrain_due` notices
-    the range drift and the owner retrains. Anti-join crash-backfill
-    shape is append_to_pq_index's verbatim: each sub-table derives its
-    own append set, so a crash between the two writes backfills on
-    re-run and re-appends are no-ops."""
+    the range drift and the owner retrains. A payload-carrying index
+    (built with ``payload_cols``) requires the same columns on the
+    appended frame — discovered from the stored vectors schema, so the
+    caller never restates them. Anti-join crash-backfill shape is
+    append_to_pq_index's verbatim: each sub-table derives its own append
+    set, so a crash between the two writes backfills on re-run and
+    re-appends are no-ops."""
     spark = df.sparkSession
     path = index_root(spark, path)  # ONE resolution for artifacts + writes
     mins, scales = _sq8_stats_at(spark, path)
-    nv = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    stored_vecs = spark.read.parquet(f"{path}/vectors")
+    payload = [c for c in stored_vecs.columns if c not in ("id", "v")]
+    missing_payload = [c for c in payload if c not in df.columns]
+    if missing_payload:
+        raise ValueError(
+            f"append_to_sq8_index: the index stores payload columns "
+            f"{payload} but the appended frame lacks {missing_payload}"
+        )
+    nv = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"), *payload
+    )
     missing_vecs = nv.join(
-        spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
+        stored_vecs.select("id"), "id", "left_anti"
     ).localCheckpoint(eager=True)  # write target is also an anti-join input
     if not missing_vecs.isEmpty():
         missing_vecs.write.mode("append").parquet(f"{path}/vectors")
@@ -2074,9 +2109,9 @@ def append_to_sq8_index(
         .localCheckpoint(eager=True)
     )
     if not pending.isEmpty():
-        sq8_encode(pending, mins, scales, id_col="id", vec_col="v").write.mode(
-            "append"
-        ).parquet(f"{path}/codes")
+        sq8_encode(
+            pending, mins, scales, id_col="id", vec_col="v", extra_cols=payload
+        ).write.mode("append").parquet(f"{path}/codes")
 
 
 def sq8_range_drift(spark, path: str) -> DataFrame:
@@ -2142,15 +2177,20 @@ def sq8_retrain_due(
 def retrain_sq8_index(spark, path: str) -> dict[str, int]:
     """Refit the per-dimension ranges on the index's OWN vectors and
     re-encode — the append lifecycle's endpoint, never rescanning the
-    source corpus. Versioned atomic swap via ``force_new_version``
-    (probes mid-retrain serve the old pair; crash leaves it active)."""
+    source corpus. Payload columns (a ``payload_cols`` build) ride the
+    vectors table through the rebuild. Versioned atomic swap via
+    ``force_new_version`` (probes mid-retrain serve the old pair; crash
+    leaves it active)."""
     root = index_root(spark, path)
+    stored = spark.read.parquet(f"{root}/vectors")
+    payload = [c for c in stored.columns if c not in ("id", "v")]
     vecs = (
-        spark.read.parquet(f"{root}/vectors")
-        .select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+        stored.select(
+            F.col("id").alias("vec_id"), F.col("v").alias("embedding"), *payload
+        )
         .localCheckpoint(eager=True)  # post-commit cleanup deletes these files
     )
-    build_sq8_index(vecs, path, force_new_version=True)
+    build_sq8_index(vecs, path, force_new_version=True, payload_cols=payload)
     return {"n_vectors": vecs.count()}
 
 
@@ -2182,6 +2222,65 @@ def sq8_topk_indexed(
         mins=mins,
         scales=scales,
         corpus_codes=codes,
+        rerank=rerank,
+    )
+
+
+def sq8_topk_filtered(
+    spark,
+    queries: DataFrame,
+    path: str,
+    where: Column | str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Attribute-FILTERED top-k via the persisted SQ8 index — the
+    vector-DB "filtered search" capability (FAISS IDSelector, the payload
+    filter every serving stack needs): per query, the top-k among ONLY
+    the corpus vectors satisfying ``where``, a predicate over the payload
+    columns the index was built with (``build_sq8_index(...,
+    payload_cols=...)``).
+
+    This is PRE-filtering: the predicate prunes the compressed codes scan
+    BEFORE ranking, so the result is exactly the top-k of the matching
+    subset — post-filtering a top-k of the full corpus (the naive
+    composition) returns FEWER than k, or misses matches entirely when
+    the filter is selective. And because the payload lives in the codes
+    rows, the filter is an ordinary parquet-pushed predicate on the
+    3.7×-compressed scan (PushedFilters in the plan — asserted in
+    tests), never a join back to the source table: at 100 TB the scan
+    reads only the row groups whose payload statistics can match.
+
+    Ranking semantics are :func:`sq8_topk`'s (exact query vs dequantized
+    corpus under the STORED stats, ties by neighbor id; optional exact
+    re-rank of the top ``rerank`` from the vectors table — the re-rank
+    join touches full vectors for the candidate sliver only)."""
+    root = index_root(spark, path)
+    mins, scales = _sq8_stats_at(spark, root)
+    codes = spark.read.parquet(f"{root}/codes")
+    pred = F.expr(where) if isinstance(where, str) else where
+    payload = [c for c in codes.columns if c not in ("id", "codes")]
+    if not payload:
+        raise ValueError(
+            "sq8_topk_filtered: the index at {!r} stores no payload columns "
+            "— build it with build_sq8_index(..., payload_cols=[...]) so "
+            "the filter can prune the codes scan".format(path)
+        )
+    filtered = codes.filter(pred).select("id", "codes")
+    corpus = spark.read.parquet(f"{root}/vectors").select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    return sq8_topk(
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        corpus,
+        k=k,
+        mins=mins,
+        scales=scales,
+        corpus_codes=filtered,
         rerank=rerank,
     )
 

@@ -1238,6 +1238,105 @@ def _ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
     return _ensure_memo(spark, sf_dir, "sq8", state, _do)
 
 
+def _ensure_sq8f_index(spark: SparkSession, sf_dir: str) -> str:
+    """Payload-carrying SQ8 index (label stored beside vectors AND codes —
+    build_sq8_index(payload_cols=["label"])) for the filtered-search
+    entry. Same steady-state recipe as _ensure_sq8_index: BUILD from the
+    simulated existing corpus (vec_id % 10 != 7) so the stored quantizer
+    is the build slice's, then APPEND the new batch under the stored
+    ranges (payload schema discovered from the index); same source-state
+    staleness marker and memo."""
+    from aws_data_pipeline_spark.sources.parquet import index_has
+
+    idx = _warehouse_index_path(sf_dir, "sq8f_index")
+    e = T(spark, sf_dir, "embeddings")
+    state = _src_state(spark, sf_dir, "embeddings")
+
+    def _do() -> str:
+        fresh = (
+            index_has(spark, idx, "codes")
+            and index_has(spark, idx, "meta")
+            and _src_marker_fresh(spark, idx, state)
+        )
+        if not fresh:
+            similarity.build_sq8_index(
+                e.filter(F.col("vec_id") % 10 != 7), idx,
+                payload_cols=["label"],
+            )
+            similarity.append_to_sq8_index(
+                e.filter(F.col("vec_id") % 10 == 7), idx
+            )
+            _write_src_marker(spark, idx, state)
+        return idx
+
+    return _ensure_memo(spark, sf_dir, "sq8f", state, _do)
+
+
+@register(
+    "embedding_ann_sq8_filtered",
+    demoted=True,
+    # full value oracle THROUGH the persisted payload index: the stored
+    # quantizer is deterministically the build slice's (vec_id % 10 != 7)
+    # per-dim min/max, appends encode under it, and every encode/
+    # reconstruct op is an exactly-rounded double op — so DuckDB replays
+    # the dequantized vectors bit-for-bit, applies the same label
+    # predicate, and ranks match (ties by neighbor id)
+    sql="""
+    WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+    dims AS (
+      SELECT pos, min(v) AS mn, (max(v) - min(v)) / 255 AS sc
+      FROM (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos
+            FROM base WHERE vec_id % 10 != 7)
+      GROUP BY pos
+    ),
+    recon AS (
+      SELECT vec_id,
+             list(CASE WHEN sc = 0 THEN mn
+                       ELSE mn + least(255, greatest(0, floor((v - mn) / sc + 0.5))) * sc
+                  END ORDER BY pos) AS r
+      FROM (SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+            FROM base) x
+      JOIN dims USING (pos)
+      GROUP BY vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.e, c.r) DESC, c.vec_id ASC
+             ) AS rank
+      FROM base q
+      JOIN recon c ON c.vec_id != q.vec_id
+      JOIN base cb ON cb.vec_id = c.vec_id
+      WHERE q.vec_id < 10 AND cb.label = 2
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_ann_sq8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED ANN through the persisted payload-carrying SQ8
+    index: per query, the exact top-5 among ONLY label=2 corpus vectors —
+    the vector-DB filtered-search capability (FAISS IDSelector / payload
+    filters). PRE-filtering semantics: the label predicate prunes the
+    compressed codes scan (parquet-pushed, plan-asserted in test_scale)
+    BEFORE ranking, so a ~10%-selective filter still returns a full
+    top-5; post-filtering an unfiltered top-5 would return ~0.5 matches.
+    The only filtered-ANN family with a FULL value oracle: the stored
+    quantizer is the build slice's deterministic min/max, so DuckDB
+    replays the dequantized ranking bit-for-bit under the same predicate.
+
+    Born round 10, demoted-with-full-oracle (the hard_negative_topk
+    growth path: local hash parity from birth, promotable when a window
+    slot frees). Demoted: the SQ8 value-chain driver signal is carried by
+    embedding_ann_sq8 (hash-green r8/r10 window) and the persisted-index
+    probe shape by embedding_ann_sq8_indexed (rows-ran r9)."""
+    idx = _ensure_sq8f_index(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.sq8_topk_filtered(
+        spark, queries, idx, where="label = 2", k=5, rerank=None
+    )
+
+
 @register("embedding_ann_sq8_indexed", sql=None)
 def embedding_ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the PERSISTED SQ8 index — the scan touches only the

@@ -1481,3 +1481,75 @@ def test_ingest_start_gc_collects_superseded_versions(spark, tmp_path):
         map(tuple, S.ivf_topk_indexed(spark, q, ivf, k=3, nprobe=2).collect())
     )
     assert after == before
+
+
+def test_sq8_filtered_search_prefilters_and_survives_lifecycle(
+    spark, sf_dir, tmp_path
+):
+    """Filtered search through a payload-carrying SQ8 index: (a) result ==
+    brute-force top-k over ONLY the matching subset (pre-filter
+    semantics) while post-filtering an unfiltered top-k of the same depth
+    returns strictly fewer matches; (b) appends carry the payload
+    (discovered from the index, appended matches become reachable) and an
+    appended frame missing the payload raises; (c) retrain preserves the
+    payload and the probe's rows; (d) an index built WITHOUT payload
+    raises a build-instruction error."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "sq8_payload")
+    S.build_sq8_index(base, idx, payload_cols=["label"])
+
+    with pytest.raises(ValueError, match="lacks \\['label'\\]"):
+        S.append_to_sq8_index(batch.drop("label"), idx)
+    S.append_to_sq8_index(batch, idx)
+
+    queries = e.filter(F.col("vec_id") < 5)
+    got = S.sq8_topk_filtered(spark, queries, idx, where="label = 2", k=5)
+    got_rows = {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()}
+
+    # pre-filter reference: the SAME sq8 ranking over only label=2 rows
+    mins, scales = S.read_sq8_stats(spark, idx)
+    subset = e.filter(F.col("label") == 2)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk(
+            queries, subset, k=5, mins=mins, scales=scales
+        ).collect()
+    }
+    assert got_rows == want
+    # every query reaches a FULL top-5 despite the ~10% filter; appended
+    # (vec_id % 10 == 7) label-2 vectors are reachable through the index
+    per_q = {}
+    for q, n, _ in got_rows:
+        per_q.setdefault(q, set()).add(n)
+    assert all(len(v) == 5 for v in per_q.values())
+    # post-filtering the unfiltered top-5 keeps only label-2 survivors —
+    # strictly fewer rows than the pre-filtered full top-5
+    unfiltered = S.sq8_topk_indexed(spark, queries, idx, k=5, rerank=None)
+    lab = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    post = unfiltered.join(lab, "neighbor_id").filter(F.col("label") == 2)
+    assert post.count() < len(got_rows)
+
+    # retrain preserves payload and probe rows (same vectors, refit stats
+    # == stored stats here since ranges are data-determined by the union)
+    S.retrain_sq8_index(spark, idx)
+    again = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_filtered(
+            spark, queries, idx, where="label = 2", k=5
+        ).collect()
+    }
+    mins2, scales2 = S.read_sq8_stats(spark, idx)
+    if (mins2, scales2) == (mins, scales):
+        assert again == got_rows
+
+    # an index without payload refuses the filtered probe with guidance
+    bare = str(tmp_path / "sq8_bare")
+    S.build_sq8_index(base, bare)
+    with pytest.raises(ValueError, match="payload_cols"):
+        S.sq8_topk_filtered(spark, queries, bare, where="label = 2", k=5)

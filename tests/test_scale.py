@@ -729,3 +729,33 @@ def test_global_prefix_sum_matches_single_partition_window(spark):
     # determinism: different range-partition counts, same assignment
     again, _ = global_prefix_sum(df, order, ["w"], num_partitions=13)
     assert sorted(got.collect()) == sorted(again.collect())
+
+
+def test_sq8_filtered_probe_pushes_payload_predicate(spark, sf_dir, tmp_path):
+    """The filtered-ANN scale claim: the payload predicate reaches the
+    parquet scan of the COMPRESSED codes table (PushedFilters — row
+    groups whose label statistics can't match are never read), and the
+    plan never joins back to the source embeddings table for the
+    filter."""
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "sq8_pushdown")
+    S.build_sq8_index(e, idx, payload_cols=["label"])
+    queries = e.filter(F.col("vec_id") < 3)
+    df = S.sq8_topk_filtered(spark, queries, idx, where="label = 2", k=5)
+    # formatted explain: per-scan PushedFilters sections, no line
+    # truncation (executedPlan().toString() clips scan metadata at
+    # spark.sql.maxMetadataStringLength)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scans = plan.split("Scan parquet")
+    codes_scans = [s for s in scans if f"{idx}/codes" in s]
+    assert codes_scans, "no codes-table scan in the filtered probe plan"
+    assert all("EqualTo(label,2)" in s for s in codes_scans)
+    # the corpus side of the ranking is the index, never a join back to
+    # the source embeddings parquet: the only source scan is the bounded
+    # queries side (vec_id < 3 pushed)
+    src_scans = [s for s in scans if "embeddings.parquet" in s]
+    assert all("LessThan(vec_id,3)" in s for s in src_scans)
