@@ -1420,3 +1420,25 @@ def remove_duplicate_spans(
         (F.size("__t") - F.size(kept)).cast("int").alias("n_removed_tokens"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+def delete_from_lsh_text_index(
+    spark, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Erase documents from a persisted MinHash-LSH text index (shingle
+    sets + all band rows; meta carried — the permutation parameters are
+    document-independent, so survivor signatures never change). The
+    embedding families' deletion shape reused verbatim
+    (operators/similarity.py::_delete_ids_versioned): anti-join rewrite
+    into a fresh VERSION, probes mid-delete serve the old generation, a
+    crash leaves it active; idempotent; returns documents removed."""
+    from aws_data_pipeline_spark.operators.similarity import (
+        _delete_ids_versioned,
+    )
+
+    return _delete_ids_versioned(
+        spark, path, ids, id_col,
+        data_subs={"sets": "doc", "bands": "doc"},
+        copy_subs=("meta",),
+        primary="sets",
+    )

@@ -2888,3 +2888,243 @@ def hard_negative_topk_ivfsq8(
         .filter((F.round("sim", 9) >= lo) & (F.round("sim", 9) < hi))
     )
     return _topk_by_sim(exact.drop("qv", "cv"), k)
+
+
+# --------------------------------------------------------------------------
+# Deletion — the lifecycle verb the build/append/retrain trio lacked.
+# GDPR-style erasure ("forget these vectors") must reach EVERY persisted
+# artifact that stores the vector or anything derived from it: the raw
+# vectors tables, compressed codes, LSH band rows, IVF cell postings, and
+# any derived cell-codes layout. Two shapes, matching the store designs:
+#   - anti-join rewrite into a fresh VERSION for the unpartitioned index
+#     families (SQ8/PQ/LSH) — the retrain swap protocol reused verbatim,
+#     so probes mid-delete serve the old generation and a crash leaves it
+#     active; quantizer stats/codebooks/meta are COPIED, not refit
+#     (survivor codes are unchanged — deletion must not re-rank anyone);
+#   - partition-pruned copy-on-write for the IVF postings (hive-
+#     partitioned by cell): only the cells that CONTAIN doomed ids are
+#     rewritten — delete_from_zone's contract, O(touched cells) at 100 TB.
+# All deletes are idempotent (anti-joins of absent ids are no-ops) and
+# return the number of rows actually removed so callers can audit.
+# --------------------------------------------------------------------------
+
+
+def _delete_ids_versioned(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    data_subs: dict[str, str],
+    copy_subs: tuple[str, ...],
+    primary: str,
+) -> int:
+    """Shared anti-join-into-new-version delete for unpartitioned index
+    families. ``data_subs`` maps each id-bearing sub-table to its id
+    column; ``copy_subs`` are carried verbatim; ``primary`` (a data_subs
+    key) is where the deleted-row count is measured. No-op (no version
+    churn) when none of the ids are present."""
+    root, new_v, old_root = _resolve_build_root(spark, path, True)
+    src = old_root if old_root is not None else path
+    doomed = F.broadcast(ids.select(F.col(id_col).alias("__del_id")).distinct())
+    n_deleted = (
+        spark.read.parquet(f"{src}/{primary}")
+        .join(
+            doomed,
+            F.col(data_subs[primary]) == F.col("__del_id"),
+            "left_semi",
+        )
+        .count()
+    )
+    if n_deleted == 0:
+        return 0
+    for sub, sub_id in data_subs.items():
+        (
+            spark.read.parquet(f"{src}/{sub}")
+            .join(doomed, F.col(sub_id) == F.col("__del_id"), "left_anti")
+            .write.mode("overwrite")
+            .parquet(f"{root}/{sub}")
+        )
+    for sub in copy_subs:
+        spark.read.parquet(f"{src}/{sub}").write.mode("overwrite").parquet(
+            f"{root}/{sub}"
+        )
+    _finish_index_build(
+        spark, path, new_v, old_root, tuple(data_subs) + copy_subs
+    )
+    return n_deleted
+
+
+def delete_from_sq8_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Erase vectors from a persisted SQ8 index (vectors + codes rows;
+    stats/meta carried — the stored quantizer is FIXED on delete exactly
+    as it is on append, so survivor codes and every probe ranking are
+    unchanged). Versioned atomic swap; idempotent; returns rows removed."""
+    return _delete_ids_versioned(
+        spark, path, ids, id_col,
+        data_subs={"vectors": "id", "codes": "id"},
+        copy_subs=("stats", "meta"),
+        primary="vectors",
+    )
+
+
+def delete_from_pq_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Erase vectors from a persisted PQ index (vectors + codes; stored
+    codebooks/meta carried — survivor codes unchanged). Versioned swap;
+    idempotent; returns rows removed."""
+    return _delete_ids_versioned(
+        spark, path, ids, id_col,
+        data_subs={"vectors": "id", "codes": "id"},
+        copy_subs=("codebooks", "meta"),
+        primary="vectors",
+    )
+
+
+def delete_from_embedding_lsh_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Erase vectors from a persisted hyperplane-LSH index (vectors + all
+    band rows; meta carried — the seeded hyperplanes are id-independent).
+    Versioned swap; idempotent; returns vector rows removed."""
+    return _delete_ids_versioned(
+        spark, path, ids, id_col,
+        data_subs={"vectors": "id", "bands": "id"},
+        copy_subs=("meta",),
+        primary="vectors",
+    )
+
+
+def delete_from_ivf_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Erase vectors from a persisted IVF index — the partition-pruned
+    shape: one ids-only column scan locates the cells holding doomed ids
+    (bounded: |ids| rows out), then ONLY those ``cell=`` partitions are
+    rewritten copy-on-write (``delete_from_zone`` — emptied cells'
+    directories dropped explicitly, so a probe can never resurface a
+    fully-erased cell). Centroids and the build histogram are untouched:
+    deletion shrinks cells, and :func:`ivf_index_drift` measures GROWTH
+    against the build baseline, so the retrain trigger stays meaningful.
+    In-place and idempotent like the appends (a crash mid-rewrite re-runs
+    to the same state); returns rows removed."""
+    from aws_data_pipeline_spark.sources.parquet import delete_from_zone
+
+    root = index_root(spark, path)
+    doomed = F.broadcast(ids.select(F.col(id_col).alias("__del_id")).distinct())
+    located = (
+        spark.read.parquet(f"{root}/corpus")
+        .select("neighbor_id", "cell")  # ids-only read: column pruning
+        .join(doomed, F.col("neighbor_id") == F.col("__del_id"), "left_semi")
+        .localCheckpoint(eager=True)  # rewrite target is also this scan's src
+    )
+    n_deleted = located.count()
+    if n_deleted == 0:
+        return 0
+    delete_from_zone(
+        spark,
+        f"{root}/corpus",
+        located,
+        key_cols=["neighbor_id"],
+        partition_cols=["cell"],
+    )
+    return n_deleted
+
+
+# --------------------------------------------------------------------------
+# MMR — Maximal Marginal Relevance diversified re-ranking (Carbonell &
+# Goldstein 1998), the serving-side complement of the ANN families: a
+# retrieval stack that returns the k NEAREST neighbors of a query often
+# returns k paraphrases of one passage; MMR re-ranks a bounded candidate
+# set so each pick balances query relevance against redundancy with what
+# is already picked. greedy: pick argmax over remaining candidates of
+#   lambda * sim(q, d)  -  (1 - lambda) * max over selected s of sim(d, s)
+# --------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    spark,
+    queries: DataFrame,
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lambda_: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k: greedy MMR over each query's candidate set.
+
+    ``candidates`` is any ANN family's output — (query_id, neighbor_id[,
+    rank]) with ranks deeper than the final ``k`` (the usual recipe: ANN
+    at ``scan_k`` ≈ 3-10×k, MMR down to k) — so this composes behind
+    :func:`brute_force_topk`, every ``*_topk_indexed``, or
+    :func:`sq8_topk_filtered` unchanged. Output: (query_id, neighbor_id,
+    mmr_rank) with mmr_rank 1..k in pick order.
+
+    Scale shape: vectors join in by id (broadcast queries, candidate-
+    sliver semi-join on the corpus — never a corpus scan beyond the id
+    join), then ONE ``applyInPandas`` over query_id groups runs the
+    greedy loop — each group is the bounded candidate set (scan_k rows),
+    the documented Python-unavoidable case (a data-dependent sequential
+    argmax k deep), Arrow-batched, embarrassingly parallel across
+    queries. Cosines snap to 9 dp before comparisons with id-ascending
+    tie-breaks, so results are partitioning- and engine-independent;
+    ``lambda_ = 1`` reduces exactly to similarity ranking (pytest-pinned).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cand = (
+        candidates.select("query_id", "neighbor_id")
+        .join(cv, "neighbor_id")  # candidate sliver only
+        .join(q, "query_id")
+    )
+    lam = float(lambda_)
+    kk = int(k)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        order = np.argsort(ids)  # id-ascending base order for tie-breaks
+        ids = ids[order]
+        m = np.stack(pdf["cv"].to_numpy()[order])
+        qv = np.asarray(pdf["qv"].iloc[0])
+        mn = np.linalg.norm(m, axis=1) * np.linalg.norm(qv)
+        qsim = np.round(np.divide(m @ qv, mn, out=np.zeros(len(ids)), where=mn != 0), 9)
+        nrm = np.linalg.norm(m, axis=1)
+        denom = np.outer(nrm, nrm)
+        psim = np.round(
+            np.divide(m @ m.T, denom, out=np.zeros_like(denom), where=denom != 0), 9
+        )
+        selected: list[int] = []
+        red = np.full(len(ids), -np.inf)  # max sim to the selected set
+        remaining = np.ones(len(ids), dtype=bool)
+        while remaining.any() and len(selected) < kk:
+            score = np.where(
+                np.isinf(red), lam * qsim, lam * qsim - (1 - lam) * red
+            )
+            score = np.where(remaining, np.round(score, 9), -np.inf)
+            j = int(np.argmax(score))  # argmax takes the FIRST max: min id
+            selected.append(j)
+            remaining[j] = False
+            red = np.maximum(red, psim[:, j])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        pick, schema="query_id long, neighbor_id long, mmr_rank int"
+    )

@@ -386,3 +386,105 @@ def incremental_corpus_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def forget_documents(
+    spark: SparkSession,
+    ids: DataFrame,
+    corpus_path: str | None = None,
+    index_path: str | None = None,
+    kgram_index_path: str | None = None,
+    id_col: str = "doc_id",
+    gc_superseded: bool = True,
+) -> dict[str, int]:
+    """GDPR-style erasure across the text estate the ingest loop
+    maintains — the document twin of
+    :func:`streaming.embeddings.forget_vectors`: remove ``ids`` from the
+    MinHash-LSH index, rebuild the k-gram span index from the SURVIVING
+    corpus, erase the bucketed corpus zone last, and collect the
+    superseded index generations (they still hold the doomed rows).
+
+    The k-gram index stores DISTINCT hashes with no per-document
+    provenance (that anonymity is its size story — see
+    ``dedup.build_kgram_index``), so per-document deletion is not
+    expressible on it: a hash shared with a surviving document must
+    stay, and nothing records the sharing. Erasure therefore REBUILDS it
+    from the surviving corpus (an O(corpus tokens) pass — the inherent
+    cost of erasing from a provenance-free fingerprint set), through the
+    same versioned swap as any rebuild. The surviving corpus is computed
+    by anti-join BEFORE the zone is touched, so the ordering contract
+    (corpus zone LAST — it is the ingest loop's idempotency authority)
+    still holds and a crash anywhere re-runs to completion.
+
+    Returns per-surface removed-row counts (``kgram_rebuilt`` reports the
+    surviving-document count fed to the rebuild) for the erasure audit."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        delete_from_zone,
+        gc_index_versions,
+        index_has,
+        index_root,
+        zone_bucket_count,
+        zone_exists,
+    )
+
+    out: dict[str, int] = {}
+    doomed = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    if index_path is not None and index_has(spark, index_path, "sets"):
+        out["lsh"] = dedup.delete_from_lsh_text_index(
+            spark, index_path, doomed
+        )
+    if (
+        kgram_index_path is not None
+        and corpus_path is not None
+        and index_has(spark, kgram_index_path, "hashes")
+        and zone_exists(spark, corpus_path)
+    ):
+        meta_k = (
+            spark.read.parquet(
+                f"{index_root(spark, kgram_index_path)}/meta"
+            )
+            .collect()[0]
+            .k
+        )
+        survivors = (
+            spark.read.parquet(corpus_path)
+            .join(doomed, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)  # rebuild target feeds on the zone
+        )
+        dedup.build_kgram_index(
+            survivors, kgram_index_path, k=meta_k, force_new_version=True
+        )
+        out["kgram_rebuilt"] = survivors.count()
+    if corpus_path is not None and zone_exists(spark, corpus_path):
+        nb = zone_bucket_count(spark, corpus_path)
+        if nb is not None:
+            keyed = doomed.withColumn(
+                "bucket", F.pmod(F.col("doc_id"), F.lit(nb)).cast("int")
+            )
+            n = (
+                spark.read.parquet(corpus_path)
+                .select("doc_id")
+                .join(doomed, "doc_id", "left_semi")
+                .count()
+            )
+            delete_from_zone(
+                spark, corpus_path, keyed,
+                key_cols=["doc_id"], partition_cols=["bucket"],
+            )
+            out["corpus"] = n
+        else:  # legacy unbucketed zone: one-partition COW rewrite
+            cur = spark.read.parquet(corpus_path)
+            surv = cur.join(doomed, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            out["corpus"] = cur.count() - surv.count()
+            if out["corpus"] > 0:
+                surv.write.mode("overwrite").parquet(corpus_path)
+    if gc_superseded:
+        for p, subs in (
+            (index_path, ("sets", "bands", "meta")),
+            (kgram_index_path, ("hashes", "meta")),
+        ):
+            if p is not None and zone_exists(spark, p):
+                gc_index_versions(spark, p, subs)
+    return out

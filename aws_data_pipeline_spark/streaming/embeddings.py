@@ -363,3 +363,150 @@ def incremental_embedding_ingest(
         similarity.build_ivfpq_cell_codes(
             spark, ivf_index_path, pq_index_path, ivfpq_cell_codes_path
         )
+
+
+def forget_vectors(
+    spark: SparkSession,
+    ids: DataFrame,
+    corpus_path: str | None = None,
+    index_path: str | None = None,
+    ivf_index_path: str | None = None,
+    pq_index_path: str | None = None,
+    sq8_index_path: str | None = None,
+    ivfpq_cell_codes_path: str | None = None,
+    id_col: str = "vec_id",
+    gc_superseded: bool = True,
+) -> dict[str, int]:
+    """GDPR-style erasure across the WHOLE embedding estate the ingest
+    loop maintains: remove ``ids`` from the bucketed corpus zone and from
+    every persisted index family, refresh the derived cell-codes layout
+    (which still CONTAINS the erased codes until rebuilt — for erasure
+    the rebuild is mandatory, not a freshness nicety), and — by default —
+    collect the superseded index generations the versioned-swap deletes
+    keep for in-flight readers, since a kept generation still holds the
+    doomed rows. Set ``gc_superseded=False`` only when probes in other
+    sessions may hold pre-flip scans AND a later owner-scheduled
+    ``gc_index_versions`` pass is guaranteed. The deletion twin of
+    :func:`incremental_embedding_ingest` — same parameter names, same
+    owner cadence (run between ingests).
+
+    Order matters for crash safety: indexes first, corpus LAST. The
+    corpus zone is the ingest loop's idempotency authority (its anti-join
+    decides what is "new"), so erasing it first and crashing before the
+    index deletes would let a re-delivered vector re-enter the corpus
+    while stale index rows still advertise the old one. Every step is
+    idempotent (anti-joins / partition-pruned rewrites of absent ids are
+    no-ops), so a crash anywhere re-runs to completion.
+
+    Corpus-zone pruning: the zone is hive-partitioned by
+    ``bucket = pmod(vec_id, N)`` (fan-out from the zone's ``_buckets``
+    marker), so each doomed id names its partition arithmetically — the
+    rewrite touches O(buckets hit), never the full zone; a legacy
+    unbucketed zone falls back to a single-partition rewrite.
+
+    Returns per-surface deleted-row counts for the erasure audit log."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        delete_from_zone,
+        gc_index_versions,
+        index_has,
+        index_root,
+        qualified_path,
+        zone_bucket_count,
+        zone_exists,
+    )
+
+    out: dict[str, int] = {}
+    doomed = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    if index_path is not None and index_has(spark, index_path, "vectors"):
+        out["lsh"] = similarity.delete_from_embedding_lsh_index(
+            spark, index_path, doomed
+        )
+    if ivf_index_path is not None and index_has(spark, ivf_index_path, "corpus"):
+        out["ivf"] = similarity.delete_from_ivf_index(
+            spark, ivf_index_path, doomed
+        )
+    if pq_index_path is not None and index_has(spark, pq_index_path, "codes"):
+        out["pq"] = similarity.delete_from_pq_index(
+            spark, pq_index_path, doomed
+        )
+    if sq8_index_path is not None and index_has(spark, sq8_index_path, "codes"):
+        out["sq8"] = similarity.delete_from_sq8_index(
+            spark, sq8_index_path, doomed
+        )
+    # derived layout: the erased codes LIVE in it until it is rebuilt from
+    # the now-clean sources, so the rebuild is part of the erasure. The
+    # layout is codes-GENERIC (PQ or SQ8 composes) — its OWN meta records
+    # which codes index it was built from; discover the source there
+    # instead of guessing, or a two-family estate would rebuild the layout
+    # against the wrong index and every later probe would reject it
+    if ivfpq_cell_codes_path is not None and ivf_index_path is not None:
+        cc_root = index_root(spark, ivfpq_cell_codes_path)
+        codes_src = None
+        if zone_exists(spark, f"{cc_root}/meta"):
+            stored = spark.read.parquet(f"{cc_root}/meta").collect()[0].pq_root
+            for cand in (pq_index_path, sq8_index_path):
+                if cand is None:
+                    continue
+                q = qualified_path(spark, cand)
+                if stored == q or stored.startswith(f"{q}/v"):
+                    codes_src = cand
+                    break
+        else:
+            # half-built layout (no committed meta): unambiguous only
+            # with a single candidate
+            cands = [p for p in (pq_index_path, sq8_index_path) if p]
+            codes_src = cands[0] if len(cands) == 1 else None
+        if codes_src is None:
+            raise ValueError(
+                "forget_vectors: cannot determine which codes index the "
+                f"cell-codes layout at {ivfpq_cell_codes_path!r} composes "
+                "— rebuild it explicitly with build_ivfpq_cell_codes(ivf, "
+                "<codes index>, path) to complete the erasure"
+            )
+        if (
+            index_has(spark, ivf_index_path, "centroids")
+            and index_has(spark, codes_src, "meta")
+            and not similarity.ivfpq_cell_codes_current(
+                spark, ivfpq_cell_codes_path, ivf_index_path, codes_src
+            )
+        ):
+            similarity.build_ivfpq_cell_codes(
+                spark, ivf_index_path, codes_src, ivfpq_cell_codes_path
+            )
+    if gc_superseded:
+        # the kept pre-delete generations still hold the doomed rows
+        for p, subs in (
+            (index_path, ("vectors", "bands", "meta")),
+            (pq_index_path, ("vectors", "codes", "codebooks", "meta")),
+            (sq8_index_path, ("vectors", "codes", "stats", "meta")),
+            # the rebuilt layout's kept generation holds erased codes too
+            (ivfpq_cell_codes_path, ("codes", "meta")),
+        ):
+            if p is not None and zone_exists(spark, p):
+                gc_index_versions(spark, p, subs)
+    if corpus_path is not None and zone_exists(spark, corpus_path):
+        nb = zone_bucket_count(spark, corpus_path)
+        if nb is not None:
+            keyed = doomed.withColumn(
+                "bucket", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+            )
+            n = (
+                spark.read.parquet(corpus_path)
+                .select("vec_id")
+                .join(doomed, "vec_id", "left_semi")
+                .count()
+            )
+            delete_from_zone(
+                spark, corpus_path, keyed,
+                key_cols=["vec_id"], partition_cols=["bucket"],
+            )
+            out["corpus"] = n
+        else:  # legacy unbucketed zone: one-partition COW rewrite
+            cur = spark.read.parquet(corpus_path)
+            surv = cur.join(doomed, "vec_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+            out["corpus"] = cur.count() - surv.count()
+            if out["corpus"] > 0:
+                surv.write.mode("overwrite").parquet(corpus_path)
+    return out

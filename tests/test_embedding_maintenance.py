@@ -1553,3 +1553,117 @@ def test_sq8_filtered_search_prefilters_and_survives_lifecycle(
     S.build_sq8_index(base, bare)
     with pytest.raises(ValueError, match="payload_cols"):
         S.sq8_topk_filtered(spark, queries, bare, where="label = 2", k=5)
+
+
+def test_forget_vectors_erases_every_surface(spark, sf_dir, tmp_path):
+    """GDPR erasure across the whole estate: after forget_vectors the
+    doomed ids are gone from the corpus zone, the LSH bands/vectors, the
+    IVF cell postings (only touched cells rewritten), the PQ and SQ8
+    vectors/codes, and the rebuilt cell-codes layout; survivors stay
+    fully reachable (an exhaustive probe returns exactly them); stored
+    quantizers are untouched so survivor rankings never change; a second
+    forget of the same ids is a complete no-op."""
+    import glob
+    import os
+
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        index_root,
+        record_zone_bucket_count,
+    )
+    from aws_data_pipeline_spark.streaming.embeddings import forget_vectors
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_total = e.count()
+    base = str(tmp_path / "estate")
+    corpus = f"{base}/corpus"
+    lsh, ivf, pq, sq8 = (f"{base}/{x}" for x in ("lsh", "ivf", "pq", "sq8"))
+    cc = f"{base}/cell_codes"
+    record_zone_bucket_count(spark, corpus, 8)
+    e.withColumn("bucket", F.pmod("vec_id", F.lit(8)).cast("int")).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(corpus)
+    S.build_embedding_lsh_index(e, lsh)
+    S.build_ivf_index(e, ivf, n_cells=8)
+    S.build_pq_index(e, pq)
+    S.build_sq8_index(e, sq8)
+    S.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
+    stats_before = S.read_sq8_stats(spark, sq8)
+
+    doomed_ids = [3, 17, 42]
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+    # cells the doomed ids do NOT live in must not be rewritten
+    placed = dict(
+        spark.read.parquet(f"{index_root(spark, ivf)}/corpus")
+        .select("neighbor_id", "cell")
+        .collect()
+    )
+    doomed_cells = {placed[i] for i in doomed_ids}
+    untouched_cell = next(c for c in set(placed.values()) if c not in doomed_cells)
+    files_before = sorted(
+        glob.glob(f"{index_root(spark, ivf)}/corpus/cell={untouched_cell}/*.parquet")
+    )
+
+    out = forget_vectors(
+        spark, doomed, corpus_path=corpus, index_path=lsh,
+        ivf_index_path=ivf, pq_index_path=pq, sq8_index_path=sq8,
+        ivfpq_cell_codes_path=cc,
+    )
+    assert out == {"lsh": 3, "ivf": 3, "pq": 3, "sq8": 3, "corpus": 3}
+
+    # every surface clean; survivors intact
+    def ids_at(path, col):
+        return {r[0] for r in spark.read.parquet(path).select(col).collect()}
+
+    survivors = set(range(n_total)) - set(doomed_ids)
+    assert ids_at(corpus, "vec_id") == survivors
+    for idx, sub, col in (
+        (lsh, "vectors", "id"), (lsh, "bands", "id"),
+        (ivf, "corpus", "neighbor_id"),
+        (pq, "vectors", "id"), (pq, "codes", "id"),
+        (sq8, "vectors", "id"), (sq8, "codes", "id"),
+        (cc, "codes", "id"),
+    ):
+        got = ids_at(f"{index_root(spark, idx)}/{sub}", col)
+        assert got == survivors, f"{idx}/{sub} kept doomed ids"
+    # untouched IVF cell: same physical files (partition-pruned rewrite)
+    assert (
+        sorted(
+            glob.glob(
+                f"{index_root(spark, ivf)}/corpus/cell={untouched_cell}/*.parquet"
+            )
+        )
+        == files_before
+    )
+    # quantizer untouched: survivor rankings can never change
+    assert S.read_sq8_stats(spark, sq8) == stats_before
+    # exhaustive probe reaches exactly the survivors, none of the doomed
+    q = e.filter(F.col("vec_id") == 0)
+    reached = {
+        r.neighbor_id
+        for r in S.sq8_topk_indexed(
+            spark, q, sq8, k=n_total, rerank=None
+        ).collect()
+    }
+    assert reached == survivors - {0}
+    # composed probe through the rebuilt layout is clean too
+    got_cc = S.ivfsq8_topk_indexed(
+        spark, q, ivf, sq8, k=10, nprobe=8, cell_codes_path=cc
+    )
+    assert not {r.neighbor_id for r in got_cc.collect()} & set(doomed_ids)
+    # COMPLETE on-disk erasure: the versioned-swap deletes keep a
+    # superseded generation for in-flight readers, but that generation
+    # still holds the doomed rows — the default gc collects it, so no
+    # non-active version directory survives anywhere in the estate
+    for idx in (lsh, pq, sq8, cc):
+        vdirs = [d for d in glob.glob(f"{idx}/v*") if os.path.isdir(d)]
+        assert len(vdirs) <= 1, f"{idx}: superseded generation kept {vdirs}"
+    # idempotent: a second forget removes nothing anywhere
+    again = forget_vectors(
+        spark, doomed, corpus_path=corpus, index_path=lsh,
+        ivf_index_path=ivf, pq_index_path=pq, sq8_index_path=sq8,
+        ivfpq_cell_codes_path=cc,
+    )
+    assert again == {"lsh": 0, "ivf": 0, "pq": 0, "sq8": 0, "corpus": 0}

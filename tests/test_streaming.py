@@ -778,3 +778,87 @@ def test_text_ingest_start_gc_collects_superseded_versions(spark, tmp_path):
         for r in dedup.neardup_against_index(spark, new, index, threshold=0.8).collect()
     }
     assert after == before and before  # non-trivial probe, identical
+
+
+def test_forget_documents_erases_text_estate(spark, sf_dir, tmp_path):
+    """The text-side erasure twin: after forget_documents the doomed
+    doc_ids are gone from the LSH sets/bands and the bucketed corpus
+    zone; the provenance-free k-gram index is REBUILT from the surviving
+    corpus (hashes unique to doomed docs vanish, shared hashes stay — the
+    rebuilt set equals a from-scratch build on survivors); an index probe
+    can no longer match a doomed document; gc leaves <=1 version dir per
+    index; a second forget is a no-op."""
+    import glob
+    import os
+
+    from aws_data_pipeline_spark.operators import dedup
+    from aws_data_pipeline_spark.sources.parquet import (
+        index_root,
+        record_zone_bucket_count,
+    )
+    from aws_data_pipeline_spark.streaming.corpus import forget_documents
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    base = str(tmp_path / "textestate")
+    corpus, lsh, kgram = (f"{base}/{x}" for x in ("corpus", "lsh", "kgram"))
+    record_zone_bucket_count(spark, corpus, 8)
+    docs.withColumn("bucket", F.pmod("doc_id", F.lit(8)).cast("int")).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(corpus)
+    dedup.build_lsh_text_index(docs, lsh)
+    dedup.build_kgram_index(docs, kgram, k=8)
+
+    doomed_ids = [5, 23, 41]
+    doomed = spark.createDataFrame([(i,) for i in doomed_ids], "doc_id long")
+    out = forget_documents(
+        spark, doomed, corpus_path=corpus, index_path=lsh,
+        kgram_index_path=kgram,
+    )
+    assert out["lsh"] == 3 and out["corpus"] == 3
+    assert out["kgram_rebuilt"] == 57
+
+    survivors = {r.doc_id for r in docs.collect()} - set(doomed_ids)
+    got_corpus = {
+        r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
+    }
+    assert got_corpus == survivors
+    for sub in ("sets", "bands"):
+        got = {
+            r.doc
+            for r in spark.read.parquet(
+                f"{index_root(spark, lsh)}/{sub}"
+            ).collect()
+        }
+        assert got == survivors, f"lsh/{sub} kept doomed ids"
+    # kgram rebuild == from-scratch build on survivors (hash-set identity)
+    fresh = str(tmp_path / "kgram_fresh")
+    dedup.build_kgram_index(
+        docs.join(doomed, "doc_id", "left_anti"), fresh, k=8
+    )
+    h = lambda p: {
+        r.h
+        for r in spark.read.parquet(f"{index_root(spark, p)}/hashes").collect()
+    }
+    assert h(kgram) == h(fresh)
+    # a doomed document re-presented probes the LSH index and finds NO
+    # match (its own entry is gone); a surviving duplicate still matches
+    doomed_doc = docs.filter(F.col("doc_id") == 5)
+    assert dedup.neardup_against_index(
+        spark, doomed_doc, lsh, threshold=0.99
+    ).isEmpty()
+    surv_doc = docs.filter(F.col("doc_id") == 6)
+    assert not dedup.neardup_against_index(
+        spark, surv_doc, lsh, threshold=0.99
+    ).isEmpty()  # self-match at threshold 0.99: its entry is still there
+    for idx in (lsh, kgram):
+        vdirs = [d for d in glob.glob(f"{idx}/v*") if os.path.isdir(d)]
+        assert len(vdirs) <= 1, f"{idx}: superseded generation kept {vdirs}"
+    again = forget_documents(
+        spark, doomed, corpus_path=corpus, index_path=lsh,
+        kgram_index_path=kgram,
+    )
+    assert again["lsh"] == 0 and again["corpus"] == 0
