@@ -2201,3 +2201,78 @@ def test_chisq_drift_contributions(spark):
     assert rows["d"].chisq_contribution == 20.0  # mirror case
     total = sum(r.chisq_contribution for r in rows.values())
     assert total > 9.488  # chi2 critical value at df=3, alpha=0.05
+
+
+def test_mmr_rerank_diversifies_and_reduces_to_similarity(spark):
+    """MMR semantics on planted geometry: two tight clusters near the
+    query plus an off-axis point — plain top-3 returns the three cluster-A
+    clones; MMR at lambda=0.5 picks one representative per cluster before
+    the second clone; lambda=1 reduces exactly to similarity ranking; a
+    numpy reference model reproduces the picks; determinism across
+    repartitions."""
+    import numpy as np
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.10, 0.0]),      # cluster A (closest to q)
+        (2, [0.99, 0.11, 0.0]),      # A clone
+        (3, [0.99, 0.12, 0.0]),      # A clone
+        (4, [0.80, -0.55, 0.0]),     # cluster B
+        (5, [0.80, -0.56, 0.0]),     # B clone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    cand = S.brute_force_topk(q, df, k=5)  # all 5 candidates, ranked
+
+    plain = [
+        r.neighbor_id
+        for r in S.mmr_rerank(spark, q, cand, df, k=3, lambda_=1.0)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    top3 = [
+        r.neighbor_id for r in cand.filter(F.col("rank") <= 3).orderBy("rank").collect()
+    ]
+    assert plain == top3 == [1, 2, 3]  # lambda=1 == similarity ranking
+
+    div = [
+        r.neighbor_id
+        for r in S.mmr_rerank(spark, q, cand, df, k=3, lambda_=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert div[0] == 1  # first pick is always the most relevant
+    assert div[1] in (4, 5)  # second pick jumps clusters (A clones redundant)
+
+    # numpy reference model over the same rounded-9dp greedy
+    vecs = {i: np.array(v) for i, v in rows}
+    qv = vecs[0]
+    cands = [1, 2, 3, 4, 5]
+    sim = lambda a, b: round(
+        float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 9
+    )
+    def mmr_score(c, selected):
+        if not selected:  # first pick: pure relevance (redundancy is -inf)
+            return round(0.5 * sim(qv, vecs[c]), 9)
+        red = max(sim(vecs[c], vecs[s]) for s in selected)
+        return round(0.5 * sim(qv, vecs[c]) - 0.5 * red, 9)
+
+    selected, remaining = [], list(cands)
+    while remaining and len(selected) < 3:
+        best = max(remaining, key=lambda c: (mmr_score(c, selected), -c))
+        selected.append(best)
+        remaining.remove(best)
+    assert div == selected
+
+    # partitioning independence
+    again = [
+        r.neighbor_id
+        for r in S.mmr_rerank(
+            spark, q, cand.repartition(7), df.repartition(5), k=3, lambda_=0.5
+        )
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert again == div
