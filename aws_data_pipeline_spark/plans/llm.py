@@ -3284,6 +3284,89 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_topk(queries, e, k=3, lo=0.25, hi=0.45)
 
 
+@register(
+    "mmr_diversified_topk",
+    demoted=True,
+    # the oracle replays the WHOLE chain: raw-cosine top-20 candidates
+    # (the embedding_cosine_topk rank convention), 9-dp-snapped query and
+    # pairwise cosines, then the greedy MMR fixpoint itself as a
+    # recursive CTE — each step's argmax re-expressed as arg_max over an
+    # EXACT integer key (round(score*1e9) sits in [-1e9, 1e9] so the
+    # *1e7 - id encoding is exact BIGINT arithmetic and reproduces the
+    # (rounded score desc, id asc) pick order; ids are < 1e7 at every sf)
+    sql="""
+    WITH RECURSIVE
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cand AS (
+      SELECT query_id, neighbor_id AS c,
+             round(list_cosine_similarity(qe, ce), 9) AS qsim
+      FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               q.e AS qe, n.e AS ce,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.e, n.e) DESC,
+                          n.vec_id ASC) AS r
+        FROM base q JOIN base n ON n.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE r <= 20
+    ),
+    pair AS (
+      SELECT a.query_id, a.c AS c1, b.c AS c2,
+             round(list_cosine_similarity(x.e, y.e), 9) AS psim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.c != b.c
+      JOIN base x ON x.vec_id = a.c JOIN base y ON y.vec_id = b.c
+    ),
+    sel AS (
+      SELECT query_id, CAST([] AS BIGINT[]) AS picked, 0 AS step
+      FROM (SELECT DISTINCT query_id FROM cand)
+      UNION ALL
+      SELECT s.query_id,
+             list_append(s.picked,
+               arg_max(CAST(c.c AS BIGINT),
+                 CAST(round(
+                   CASE WHEN len(s.picked) = 0 THEN 0.5 * c.qsim
+                        ELSE 0.5 * c.qsim - 0.5 * (
+                          SELECT max(p.psim) FROM pair p
+                          WHERE p.query_id = s.query_id AND p.c1 = c.c
+                            AND list_contains(s.picked, p.c2))
+                   END * 1e9) AS BIGINT) * 10000000 - c.c)),
+             s.step + 1
+      FROM sel s JOIN cand c
+        ON c.query_id = s.query_id AND NOT list_contains(s.picked, c.c)
+      WHERE s.step < 5
+      GROUP BY s.query_id, s.picked, s.step
+    )
+    SELECT query_id, unnest(picked) AS neighbor_id,
+           CAST(generate_subscripts(picked, 1) AS INTEGER) AS mmr_rank
+    FROM sel WHERE step = 5
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (Carbonell-Goldstein): exact top-20
+    candidates per query, greedily re-ranked to 5 picks balancing query
+    relevance against redundancy with what is already picked
+    (lambda=0.5) — the serving-side step that keeps a RAG context window
+    from being five paraphrases of one passage. The greedy loop runs in
+    one Arrow-batched applyInPandas over bounded per-query groups
+    (operators/similarity.py::mmr_rerank — the documented
+    Python-unavoidable case); cosines snap to 9 dp with id tie-breaks, so
+    the ITERATIVE algorithm itself value-hashes cross-engine: the DuckDB
+    twin replays the greedy fixpoint as a recursive CTE, one of the few
+    iterative oracles in the registry (neardup_clusters' recursive-CTE
+    precedent).
+
+    Born round 10, demoted-with-full-oracle (the hard_negative_topk
+    growth path: local hash parity from birth, promotable when a window
+    slot frees). Demoted: the exact-cosine candidate chain's driver
+    signal is carried by hard_negative_topk (hash-green r9, the identical
+    broadcast-scan ranking) and the iterative-fixpoint shape by
+    neardup_clusters (hash-green r7/r10 window)."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    cand = similarity.brute_force_topk(queries, e, k=20)
+    return similarity.mmr_rerank(spark, queries, cand, e, k=5, lambda_=0.5)
+
+
 @register("hard_negative_topk_indexed", sql=None, demoted=True)
 def hard_negative_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining through the persisted SQ8 index — the 100 TB

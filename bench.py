@@ -93,6 +93,8 @@ HEADLINE = [
     "text_neardup_index_probe",  # persisted corpus LSH index probe (build excluded:
                                  # the warm-up rep builds it once; timed reps read it)
     "incremental_duplicate_spans",  # batch vs persisted k-gram index (same contract)
+    "embedding_ann_sq8_filtered",  # payload pre-filter pushed into the codes scan
+    "dq_ks_price_drift",         # exact KS via the distributed global prefix sum
     # bpe_merges deliberately NOT headline: 16 inherently-sequential training
     # rounds (~11 s at sf0.1) would dominate the suite total without being a
     # per-query throughput signal; its cost profile is recorded in SHUFFLES.md
