@@ -203,6 +203,17 @@ def psi_drift(
 
     bc = binned(base, "n_base")
     cc = binned(curr, "n_curr")
+    return psi_from_binned(bc, cc, floor=floor)
+
+
+def psi_from_binned(
+    bc: DataFrame, cc: DataFrame, floor: float = 1e-6
+) -> DataFrame:
+    """PSI contributions from two ALREADY-BINNED count frames — (bin,
+    n_base) and (bin, n_curr). The tail of :func:`psi_drift`, exposed so
+    a caller holding PRE-COMPUTED baseline bin counts (the streaming
+    drift monitor's stored baseline) pays only the current side's
+    binning. Same fixed-point snapping, same output schema."""
     tot_b = bc.agg(F.sum("n_base").alias("tb"))
     tot_c = cc.agg(F.sum("n_curr").alias("tc"))
     j = (
@@ -228,6 +239,24 @@ def psi_drift(
     )
     return j.select(
         "bin", "n_base", "n_curr", contrib.alias("psi_contribution")
+    )
+
+
+def bin_against_edges(
+    df: DataFrame, col: str, edges: list[float], n_alias: str
+) -> DataFrame:
+    """(bin, count) of one numeric column against FIXED edges (bin =
+    #edges <= x, psi_drift's membership rule) — map-side only: the edges
+    are a literal array, so at 100 TB this is a scan-stage projection +
+    one combinable count. The streaming monitor's per-batch half."""
+    x = F.col(col).cast("double")
+    es = F.array(*[F.lit(float(e)) for e in edges])
+    b = F.size(F.filter(es, lambda e: x >= e))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias(n_alias))
     )
 
 
@@ -340,6 +369,14 @@ def chisq_drift(
         .groupBy(F.col(col).alias("category"))
         .agg(F.count("*").alias("n_curr"))
     )
+    return chisq_from_counts(bc, cc)
+
+
+def chisq_from_counts(bc: DataFrame, cc: DataFrame) -> DataFrame:
+    """Chi-squared contributions from two ALREADY-COUNTED category frames
+    — (category, n_base) and (category, n_curr). The tail of
+    :func:`chisq_drift`, exposed for callers holding a stored baseline
+    (the streaming drift monitor). Same snapping, same output schema."""
     tot_b = bc.agg(F.sum("n_base").cast("long").alias("tb"))
     tot_c = cc.agg(F.sum("n_curr").cast("long").alias("tc"))
     j = (
@@ -362,3 +399,57 @@ def chisq_drift(
     return j.select(
         "category", "n_base", "n_curr", contrib.alias("chisq_contribution")
     )
+
+
+def build_drift_baseline(
+    df: DataFrame,
+    path: str,
+    value_col: str | None = None,
+    cat_col: str | None = None,
+    bins: int = 10,
+) -> None:
+    """Persist a drift-monitoring BASELINE: the one full pass over a
+    reference cohort that every later (batch or streaming) drift check
+    amortizes. Stores, per requested column kind:
+
+    - ``path/edges`` (pos, e) + ``path/value_bins`` (bin, n_base): the
+      ``bins``-quantile edges of ``value_col`` and the baseline's own bin
+      counts — a later cohort then bins MAP-SIDE against the literal
+      edges (:func:`bin_against_edges`) and PSI costs one combinable
+      count + a bins-sized join (:func:`psi_from_binned`);
+    - ``path/categories`` (category, n_base): exact category counts of
+      ``cat_col`` for :func:`chisq_from_counts`;
+    - ``path/meta``: bins + column names (a monitor pointed at the wrong
+      column fails loudly, not with a silently-empty join).
+
+    The baseline is a snapshot artifact, rebuilt wholesale when the
+    reference cohort changes (plain overwrite — monitors read it at run
+    start, not per batch)."""
+    if value_col is None and cat_col is None:
+        raise ValueError("build_drift_baseline: give value_col or cat_col")
+    spark = df.sparkSession
+    if value_col is not None:
+        fr = [i / bins for i in range(1, bins)]
+        es = df.agg(
+            F.percentile(F.col(value_col), F.array(*[F.lit(f) for f in fr])).alias(
+                "es"
+            )
+        ).collect()[0]["es"]
+        spark.createDataFrame(
+            [(i, float(e)) for i, e in enumerate(es)], "pos int, e double"
+        ).write.mode("overwrite").parquet(f"{path}/edges")
+        bin_against_edges(df, value_col, list(es), "n_base").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/value_bins")
+    if cat_col is not None:
+        (
+            df.where(F.col(cat_col).isNotNull())
+            .groupBy(F.col(cat_col).alias("category"))
+            .agg(F.count("*").alias("n_base"))
+            .write.mode("overwrite")
+            .parquet(f"{path}/categories")
+        )
+    spark.createDataFrame(
+        [(bins, value_col, cat_col)],
+        "bins int, value_col string, cat_col string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")

@@ -862,3 +862,75 @@ def test_forget_documents_erases_text_estate(spark, sf_dir, tmp_path):
         kgram_index_path=kgram,
     )
     assert again["lsh"] == 0 and again["corpus"] == 0
+
+
+def test_incremental_drift_monitor_scores_batches_against_baseline(
+    spark, sf_dir, tmp_path
+):
+    """Streaming drift monitoring end-to-end: a baseline built on the 1996
+    order cohort; batch 1 = more 1996-like data (no drift: psi tiny, no
+    alert), batch 2 = the 2000 cohort shifted (psi over the 0.2 line,
+    alert true); the categorical side mirrors with order priorities. The
+    per-batch PSI equals the batch-twin psi_drift computed against the
+    same stored edges; crash re-delivery of a scored batch appends no
+    duplicate metrics row."""
+    from aws_data_pipeline_spark.operators import quality as Q
+    from aws_data_pipeline_spark.streaming.quality import (
+        incremental_drift_monitor,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.where(F.year("o_orderdate") == 1996)
+    b = str(tmp_path / "baseline")
+    Q.build_drift_baseline(
+        base, b, value_col="o_totalprice", cat_col="o_orderpriority", bins=10
+    )
+
+    src = str(tmp_path / "incoming")
+    metrics = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: a same-distribution slice (1997 — TPC-H-ish prices are
+    # stationary across years)
+    o.where(F.year("o_orderdate") == 1997).write.mode("append").parquet(src)
+    incremental_drift_monitor(spark, src, b, metrics, ckpt)
+    # batch 2: a genuinely shifted cohort (prices doubled)
+    o.where(F.year("o_orderdate") == 2000).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    ).write.mode("append").parquet(src)
+    incremental_drift_monitor(spark, src, b, metrics, ckpt)
+
+    rows = {
+        r.batch_id: r
+        for r in spark.read.parquet(metrics).collect()
+    }
+    assert len(rows) == 2
+    calm, drifted = rows[min(rows)], rows[max(rows)]
+    assert calm.psi < 0.2 and not calm.psi_alert
+    assert drifted.psi > 0.2 and drifted.psi_alert
+    assert calm.chisq is not None and drifted.chisq is not None
+
+    # the monitor's psi == the batch twin against the same stored edges
+    edges = [
+        r.e
+        for r in sorted(
+            spark.read.parquet(f"{b}/edges").collect(), key=lambda r: r.pos
+        )
+    ]
+    bc = spark.read.parquet(f"{b}/value_bins")
+    cc = Q.bin_against_edges(
+        o.where(F.year("o_orderdate") == 1997), "o_totalprice", edges, "n_curr"
+    )
+    want = (
+        Q.psi_from_binned(bc, cc).agg(F.sum("psi_contribution")).collect()[0][0]
+    )
+    assert calm.psi == float(want)
+
+    # re-delivery: wipe the checkpoint so the runner replays everything;
+    # scored batch ids are skipped, no duplicate rows land
+    import shutil
+
+    shutil.rmtree(ckpt)
+    incremental_drift_monitor(spark, src, b, metrics, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(metrics).count() == len(
+        {r for r in spark.read.parquet(metrics).select("batch_id").collect()}
+    )
