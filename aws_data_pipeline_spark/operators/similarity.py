@@ -2321,6 +2321,7 @@ def _probe_cells(spark, q: DataFrame, ivf_root: str, nprobe: int):
 def _cell_candidates(
     spark, probed: DataFrame, cells, coarse_root: str, codes_root: str,
     cc_root: str | None,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, codes) candidates restricted PER QUERY to
     its probed cells — the FAISS inverted-list candidate stage shared by
@@ -2330,16 +2331,37 @@ def _cell_candidates(
     PartitionFilters + runtime DPP on the probed ``cell=`` partitions of
     the compressed codes, no per-id hash join; without, the two-index
     path — cell-pruned (neighbor_id, cell) from the coarse corpus, codes
-    hash-joined on id."""
+    hash-joined on id.
+
+    ``where`` composes ATTRIBUTE PRE-FILTERING with the cell pruning
+    (the full 100 TB filtered-search shape: PartitionFilters on ``cell=``
+    × parquet-pushed payload predicate on the compressed codes): it
+    evaluates over the payload columns the codes index was built with
+    (``build_sq8_index/build_pq_index(payload_cols=...)`` — carried into
+    the cell-codes posting by ``build_ivfpq_cell_codes`` automatically),
+    and candidates are restricted BEFORE ranking, never post-filtered.
+    A predicate against a payload-less index raises with build guidance."""
+    pred = F.expr(where) if isinstance(where, str) else where
+
+    def _require_payload(df: DataFrame, root: str) -> None:
+        extra = [c for c in df.columns if c not in ("id", "codes", "cell")]
+        if pred is not None and not extra:
+            raise ValueError(
+                f"filtered composed search: the codes at {root!r} store no "
+                "payload columns — build the codes index with "
+                "payload_cols=[...] (and rebuild the cell-codes layout) "
+                "so the filter can prune the scan"
+            )
+
     if cc_root is not None:
+        posting = spark.read.parquet(f"{cc_root}/codes")
+        _require_payload(posting, cc_root)
+        posting = posting.filter(F.col("cell").isin(cells))
+        if pred is not None:
+            posting = posting.filter(pred)
         return (
             F.broadcast(probed)
-            .join(
-                spark.read.parquet(f"{cc_root}/codes")
-                .filter(F.col("cell").isin(cells))
-                .withColumnRenamed("id", "neighbor_id"),
-                "cell",
-            )
+            .join(posting.withColumnRenamed("id", "neighbor_id"), "cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", "codes")
         )
@@ -2354,10 +2376,12 @@ def _cell_candidates(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
+    codes = spark.read.parquet(f"{codes_root}/codes")
+    _require_payload(codes, codes_root)
+    if pred is not None:
+        codes = codes.filter(pred)
     return cand.join(
-        spark.read.parquet(f"{codes_root}/codes").withColumnRenamed(
-            "id", "neighbor_id"
-        ),
+        codes.select("id", "codes").withColumnRenamed("id", "neighbor_id"),
         "neighbor_id",
     )
 
@@ -2375,6 +2399,7 @@ def ivfpq_topk_indexed(
     cell_codes_path: str | None = None,
     cell_codes_verified: bool = False,
     codebooks: list[list[list[float]]] | None = None,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """FAISS IVF-PQ composed over the two persisted indexes as a
     first-class search (previously only a test recipe): rank centroids
@@ -2417,7 +2442,14 @@ def ivfpq_topk_indexed(
     registry's _composed_roots cache); ``codebooks`` passes pre-read PQ
     codebooks (must be :func:`read_pq_codebooks` of ``pq_index_path``'s
     resolved root — tiny, cacheable driver-side) so repeated probes skip
-    the codebook collect."""
+    the codebook collect.
+
+    ``where`` composes attribute PRE-FILTERING with the cell pruning
+    (see :func:`_cell_candidates`): the predicate evaluates over payload
+    columns the codes index stores (``payload_cols`` build) and prunes
+    candidates BEFORE ADC ranking — PartitionFilters on ``cell=`` ×
+    parquet-pushed payload predicate, the full 100 TB filtered-search
+    shape."""
     ivf_root = index_root(spark, ivf_index_path)
     pq_root = index_root(spark, pq_index_path)
     # staleness gate FIRST: the designed loud failure must fire before the
@@ -2440,7 +2472,9 @@ def ivfpq_topk_indexed(
     )
     probed, cells = _probe_cells(spark, q, ivf_root, nprobe)
     qlut = _pq_query_luts(q, books, id_type)
-    cand_codes = _cell_candidates(spark, probed, cells, ivf_root, pq_root, cc_root)
+    cand_codes = _cell_candidates(
+        spark, probed, cells, ivf_root, pq_root, cc_root, where=where
+    )
     # shared ADC tail — one place for the LUT join + scoring expression, so
     # the two candidate paths cannot drift (the row-identity test's claim)
     scored = cand_codes.join(F.broadcast(qlut), "query_id").withColumn(
@@ -2601,6 +2635,7 @@ def ivfsq8_topk_indexed(
     cell_codes_path: str | None = None,
     cell_codes_verified: bool = False,
     stats: tuple[list[float], list[float]] | None = None,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """FAISS IVF+SQ8 composed over the two persisted indexes — the
     standard billion-scale serving config (FAISS's ``IVF<n>,SQ8``): cell
@@ -2617,7 +2652,8 @@ def ivfsq8_topk_indexed(
     (``cell_codes_verified``, pre-read ``stats`` = (mins, scales) from
     :func:`_sq8_stats_at` of the resolved root): same contract as
     :func:`ivfpq_topk_indexed` — only for callers whose verification is
-    keyed on corpus state."""
+    keyed on corpus state. ``where`` composes attribute pre-filtering
+    with the cell pruning, as in :func:`ivfpq_topk_indexed`."""
     ivf_root = index_root(spark, ivf_index_path)
     sq8_root = index_root(spark, sq8_index_path)
     # staleness gate FIRST, before the eager probe pays compute (same
@@ -2642,7 +2678,7 @@ def ivfsq8_topk_indexed(
         spark, q.select("query_id", "qv"), ivf_root, nprobe
     )
     cand_codes = _cell_candidates(
-        spark, probed, cells, ivf_root, sq8_root, cc_root
+        spark, probed, cells, ivf_root, sq8_root, cc_root, where=where
     )
     scored = (
         cand_codes.withColumn(

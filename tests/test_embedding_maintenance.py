@@ -1667,3 +1667,78 @@ def test_forget_vectors_erases_every_surface(spark, sf_dir, tmp_path):
         ivfpq_cell_codes_path=cc,
     )
     assert again == {"lsh": 0, "ivf": 0, "pq": 0, "sq8": 0, "corpus": 0}
+
+
+def test_composed_filtered_search_prunes_cells_and_payload(
+    spark, sf_dir, tmp_path
+):
+    """Filtered search through the COMPOSED IVF-SQ8 path: with nprobe =
+    n_cells (no cell loss) the filtered composed probe is row-identical
+    to the flat filtered SQ8 probe (same codes, same stored stats, same
+    predicate); with nprobe < n_cells the plan carries BOTH prunings —
+    cell= PartitionFilters and the label predicate pushed onto the
+    cell-codes scan; a predicate against a payload-less layout raises
+    with build guidance."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    base = str(tmp_path / "composed")
+    ivf, sq8, cc = (f"{base}/{x}" for x in ("ivf", "sq8", "cc"))
+    S.build_ivf_index(e, ivf, n_cells=8)
+    S.build_sq8_index(e, sq8, payload_cols=["label"])
+    S.build_ivfpq_cell_codes(spark, ivf, sq8, cc)
+    # the payload column rides into the cell-codes posting automatically
+    assert "label" in spark.read.parquet(
+        f"{S.index_root(spark, cc)}/codes"
+    ).columns
+
+    q = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivfsq8_topk_indexed(
+            spark, q, ivf, sq8, k=5, nprobe=8, rerank=None,
+            cell_codes_path=cc, where="label = 2",
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.sq8_topk_filtered(
+            spark, q, sq8, where="label = 2", k=5, rerank=None
+        ).collect()
+    }
+    assert got == want and len(got) == 25
+
+    # nprobe < n_cells: both prunings visible in the executed plan
+    df = S.ivfsq8_topk_indexed(
+        spark, q, ivf, sq8, k=5, nprobe=2, rerank=None,
+        cell_codes_path=cc, where="label = 2",
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    cc_scans = [s_ for s_ in plan.split("Scan parquet") if "/cc" in s_]
+    assert cc_scans and all("EqualTo(label,2)" in s_ for s_ in cc_scans)
+    assert all("PartitionFilters" in s_ and "cell" in s_ for s_ in cc_scans)
+    # the two-index fallback path prunes the codes scan the same way
+    df2 = S.ivfsq8_topk_indexed(
+        spark, q, ivf, sq8, k=5, nprobe=2, rerank=None, where="label = 2"
+    )
+    plan2 = df2._sc._jvm.PythonSQLUtils.explainString(
+        df2._jdf.queryExecution(), "formatted"
+    )
+    code_scans = [s_ for s_ in plan2.split("Scan parquet") if "/codes" in s_]
+    assert code_scans and any("EqualTo(label,2)" in s_ for s_ in code_scans)
+
+    # payload-less layout refuses the predicate with guidance
+    sq8_bare, cc_bare = f"{base}/sq8_bare", f"{base}/cc_bare"
+    S.build_sq8_index(e, sq8_bare)
+    S.build_ivfpq_cell_codes(spark, ivf, sq8_bare, cc_bare)
+    with pytest.raises(ValueError, match="payload_cols"):
+        S.ivfsq8_topk_indexed(
+            spark, q, ivf, sq8_bare, k=5, nprobe=2, rerank=None,
+            cell_codes_path=cc_bare, where="label = 2",
+        ).collect()
