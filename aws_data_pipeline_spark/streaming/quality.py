@@ -91,6 +91,16 @@ def incremental_drift_monitor(
                 return  # at-least-once re-delivery: already scored
         n_rows = batch.count()
         psi = psi_alert = chisq = chisq_alert = None
+        if n_rows == 0:
+            # an empty batch carries no distribution: scoring it would
+            # floor every current-side proportion to 1e-6 and "alert" on
+            # nothing — record the empty batch with null metrics instead
+            sess.createDataFrame(
+                [(batch_id, 0, None, None, None, None)],
+                "batch_id long, n_rows long, psi double, psi_alert boolean, "
+                "chisq double, chisq_alert boolean",
+            ).write.mode("append").parquet(metrics_path)
+            return
         if edges is not None:
             bc = sess.createDataFrame(base_bins, "bin int, n_base long")
             cc = quality.bin_against_edges(
