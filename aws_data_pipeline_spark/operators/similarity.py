@@ -1625,6 +1625,7 @@ def build_pq_index(
     seed: int = 42,
     max_train: int = 16384,
     force_new_version: bool = False,
+    payload_cols: Sequence[str] = (),
 ) -> None:
     """Persist a PQ index: ``path/vectors`` (id, v — the exact re-rank
     side), ``path/codes`` (id, codes — the 8-byte ADC scan side),
@@ -1639,18 +1640,30 @@ def build_pq_index(
     directory and flips the pointer last — probes and appends keep
     reading one internally-consistent (codes, codebooks) pair throughout,
     and a crash mid-rebuild leaves the old version active (no
-    new-codes-under-old-codebooks state is ever visible)."""
+    new-codes-under-old-codebooks state is ever visible).
+
+    ``payload_cols`` stores filter attributes beside both sub-tables
+    (build_sq8_index's payload pattern — the encoder's (id, codes)
+    output joins the payload back by id, keeping the Arrow UDF schema
+    untouched), so the composed filtered searches can prune PQ-coded
+    scans the same way they prune SQ8 ones; appends and retrains carry
+    the payload through, unfiltered probes never read it."""
     spark = corpus.sparkSession
     root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
-    v = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    v = corpus.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        *payload_cols,
+    )
     v.write.mode("overwrite").parquet(f"{root}/vectors")
     stored = spark.read.parquet(f"{root}/vectors")
     books = train_pq_codebooks(
         stored, vec_col="v", m=m, ks=ks, seed=seed, max_train=max_train
     )
-    pq_encode(stored, books, id_col="id", vec_col="v").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/codes")
+    codes = pq_encode(stored, books, id_col="id", vec_col="v")
+    if payload_cols:
+        codes = codes.join(stored.select("id", *payload_cols), "id")
+    codes.write.mode("overwrite").parquet(f"{root}/codes")
     spark.createDataFrame(
         [
             (j, c, books[j][c])
@@ -1713,9 +1726,19 @@ def append_to_pq_index(
     spark = df.sparkSession
     path = index_root(spark, path)  # ONE resolution for artifacts + writes
     books = _pq_codebooks_at(spark, path)
-    nv = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    stored_vecs = spark.read.parquet(f"{path}/vectors")
+    payload = [c for c in stored_vecs.columns if c not in ("id", "v")]
+    missing_payload = [c for c in payload if c not in df.columns]
+    if missing_payload:
+        raise ValueError(
+            f"append_to_pq_index: the index stores payload columns "
+            f"{payload} but the appended frame lacks {missing_payload}"
+        )
+    nv = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"), *payload
+    )
     missing_vecs = nv.join(
-        spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
+        stored_vecs.select("id"), "id", "left_anti"
     ).localCheckpoint(eager=True)  # write target is also an anti-join input
     if not missing_vecs.isEmpty():
         missing_vecs.write.mode("append").parquet(f"{path}/vectors")
@@ -1726,9 +1749,10 @@ def append_to_pq_index(
         .localCheckpoint(eager=True)
     )
     if not pending.isEmpty():
-        pq_encode(pending, books, id_col="id", vec_col="v").write.mode(
-            "append"
-        ).parquet(f"{path}/codes")
+        codes = pq_encode(pending, books, id_col="id", vec_col="v")
+        if payload:
+            codes = codes.join(pending.select("id", *payload), "id")
+        codes.write.mode("append").parquet(f"{path}/codes")
 
 
 def pq_retrain_due(spark, path: str, growth_factor: float = 2.0) -> bool:
@@ -1759,9 +1783,12 @@ def retrain_pq_index(spark, path: str, max_train: int = 16384) -> dict[str, int]
     codebooks."""
     root = index_root(spark, path)
     meta = spark.read.parquet(f"{root}/meta").collect()[0]
+    stored = spark.read.parquet(f"{root}/vectors")
+    payload = [c for c in stored.columns if c not in ("id", "v")]
     vecs = (
-        spark.read.parquet(f"{root}/vectors")
-        .select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+        stored.select(
+            F.col("id").alias("vec_id"), F.col("v").alias("embedding"), *payload
+        )
         .localCheckpoint(eager=True)  # post-commit cleanup deletes these files
     )
     build_pq_index(
@@ -1772,6 +1799,7 @@ def retrain_pq_index(spark, path: str, max_train: int = 16384) -> dict[str, int]
         seed=meta.seed,
         max_train=max_train,
         force_new_version=True,
+        payload_cols=payload,
     )
     return {"n_vectors": vecs.count(), "m": meta.m, "ks": meta.ks}
 
@@ -2280,6 +2308,49 @@ def sq8_topk_filtered(
         k=k,
         mins=mins,
         scales=scales,
+        corpus_codes=filtered,
+        rerank=rerank,
+    )
+
+
+def pq_topk_filtered(
+    spark,
+    queries: DataFrame,
+    path: str,
+    where: Column | str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank: int | None = 40,
+) -> DataFrame:
+    """Attribute-FILTERED top-k via the persisted PQ index —
+    :func:`sq8_topk_filtered`'s shape over the 32×-compressed codes:
+    the payload predicate prunes the 8-byte-code scan (parquet-pushed)
+    BEFORE ADC ranking, so the result is the exact top-k of the matching
+    subset; the optional exact re-rank reads full vectors for the
+    candidate sliver only. Requires a ``payload_cols`` build."""
+    root = index_root(spark, path)
+    books = _pq_codebooks_at(spark, root)
+    codes = spark.read.parquet(f"{root}/codes")
+    pred = F.expr(where) if isinstance(where, str) else where
+    payload = [c for c in codes.columns if c not in ("id", "codes")]
+    if not payload:
+        raise ValueError(
+            "pq_topk_filtered: the index at {!r} stores no payload columns "
+            "— build it with build_pq_index(..., payload_cols=[...]) so "
+            "the filter can prune the codes scan".format(path)
+        )
+    filtered = codes.filter(pred).select("id", "codes")
+    corpus = spark.read.parquet(f"{root}/vectors").select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    return pq_topk(
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        corpus,
+        books,
+        k=k,
         corpus_codes=filtered,
         rerank=rerank,
     )

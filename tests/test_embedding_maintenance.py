@@ -1742,3 +1742,62 @@ def test_composed_filtered_search_prunes_cells_and_payload(
             spark, q, ivf, sq8_bare, k=5, nprobe=2, rerank=None,
             cell_codes_path=cc_bare, where="label = 2",
         ).collect()
+
+
+def test_pq_payload_filtered_search_and_lifecycle(spark, sf_dir, tmp_path):
+    """PQ payload symmetry with SQ8: a payload_cols build stores the
+    filter attribute beside vectors AND codes (joined back around the
+    Arrow encoder), pq_topk_filtered pre-filters the compressed scan and
+    equals the resident pq_topk over only the matching subset under the
+    same stored codebooks; appends discover and carry the payload
+    (missing-payload append raises); retrain preserves it; the composed
+    IVF-PQ search takes the same where= through the cell-codes layout."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "pq_payload")
+    S.build_pq_index(base, idx, payload_cols=["label"])
+    with pytest.raises(ValueError, match="lacks \\['label'\\]"):
+        S.append_to_pq_index(batch.drop("label"), idx)
+    S.append_to_pq_index(batch, idx)
+
+    queries = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk_filtered(
+            spark, queries, idx, where="label = 2", k=5, rerank=None
+        ).collect()
+    }
+    books = S.read_pq_codebooks(spark, idx)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.pq_topk(
+            queries, e.filter(F.col("label") == 2), books, k=5, rerank=None
+        ).collect()
+    }
+    assert got == want and len(got) == 25
+
+    S.retrain_pq_index(spark, idx)
+    root = S.index_root(spark, idx)
+    assert "label" in spark.read.parquet(f"{root}/codes").columns
+    assert "label" in spark.read.parquet(f"{root}/vectors").columns
+
+    # composed IVF-PQ filtered search through the cell-codes layout
+    ivf, cc = str(tmp_path / "ivf"), str(tmp_path / "cc")
+    S.build_ivf_index(e, ivf, n_cells=8)
+    S.build_ivfpq_cell_codes(spark, ivf, idx, cc)
+    comp = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivfpq_topk_indexed(
+            spark, queries, ivf, idx, k=5, nprobe=8, rerank=None,
+            cell_codes_path=cc, where="label = 2",
+        ).collect()
+    }
+    lab = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    assert comp and all(lab[n] == 2 for _, n in comp)
