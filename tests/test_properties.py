@@ -829,3 +829,127 @@ def test_sq8_derived_slack_bounds_adc_error(seed, n, dim, spread):
         sim = float(q @ v / (qn * vn))
         asim = float(q @ r / (qn * rn))
         assert abs(asim - sim) <= 2.0 * E / rn + 1e-9
+
+
+@given(
+    a_vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    b_vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+@_SETTINGS
+def test_ks_drift_matches_numpy_model(spark, a_vals, b_vals, parts):
+    """ks_drift == the numpy-exact two-sample D over arbitrary integer
+    samples and arbitrary range-partition counts (the statistic is a
+    pure function of the two multisets, never of the partitioning)."""
+    import numpy as np
+
+    from aws_data_pipeline_spark.operators.quality import ks_drift
+
+    a = spark.createDataFrame([(float(v),) for v in a_vals], "x double")
+    b = spark.createDataFrame([(float(v),) for v in b_vals], "x double")
+    row = ks_drift(a, b, "x", num_partitions=parts).collect()[0]
+    av, bv = np.sort(np.array(a_vals, float)), np.sort(np.array(b_vals, float))
+    pooled = np.unique(np.concatenate([av, bv]))
+    fa = np.searchsorted(av, pooled, side="right") / len(av)
+    fb = np.searchsorted(bv, pooled, side="right") / len(bv)
+    d = np.round(np.abs(fa - fb), 9)
+    assert row.ks_stat == d.max()
+    assert row.at_value == pooled[int(np.argmax(d))]
+    assert (row.n_base, row.n_curr) == (len(a_vals), len(b_vals))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=500),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+@_SETTINGS
+def test_global_prefix_sum_matches_python_model(spark, rows, parts):
+    """global_prefix_sum over an arbitrary frame (duplicate order keys
+    allowed — the id tiebreak totalizes) equals the sequential prefix sum
+    at every row, for any range-partition count; grand totals match."""
+    from aws_data_pipeline_spark.operators.windows import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v, w) for i, (v, w) in enumerate(rows)], "id long, v long, w long"
+    )
+    out, totals = global_prefix_sum(
+        df, [F.col("v").asc(), F.col("id").asc()], ["w"], num_partitions=parts
+    )
+    got = {
+        r.id: r.cum_w
+        for r in out.collect()
+    }
+    acc = 0
+    for i, (v, w) in sorted(enumerate(rows), key=lambda t: (t[1][0], t[0])):
+        acc += w
+        assert got[i] == acc
+    assert totals == {"w": sum(w for _, w in rows)}
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ).filter(lambda t: any(t)),
+        min_size=3,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_mmr_rerank_matches_greedy_model(spark, vecs, k):
+    """mmr_rerank == the sequential greedy model over arbitrary integer
+    geometry (integer components keep every dot product exact, so the
+    9-dp-snapped scores are bit-identical between the vectorized operator
+    and the scalar model; zero vectors excluded — their cosine is 0 by
+    the operator's guarded divide)."""
+    import numpy as np
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    cand = S.brute_force_topk(q, df, k=len(rows))
+    got = [
+        r.neighbor_id
+        for r in S.mmr_rerank(spark, q, cand, df, k=k, lambda_=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+
+    V = {i: np.array(v, float) for i, v in rows}
+    qv = V[0]
+    cand_ids = sorted(
+        {r.neighbor_id for r in cand.collect()}
+    )
+
+    def sim(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / (na * nb)), 9) if na and nb else 0.0
+
+    selected, remaining = [], list(cand_ids)
+    while remaining and len(selected) < k:
+        def score(c):
+            if not selected:
+                return round(0.5 * sim(qv, V[c]), 9)
+            red = max(sim(V[c], V[s]) for s in selected)
+            return round(0.5 * sim(qv, V[c]) - 0.5 * red, 9)
+        best = max(remaining, key=lambda c: (score(c), -c))
+        selected.append(best)
+        remaining.remove(best)
+    assert got == selected
