@@ -203,3 +203,43 @@ def range_join_bucketed(
         *[F.col(f"l.{c}").alias(c) for c in left_cols],
         *[F.col(f"r.{c}").alias(f"{right_prefix}{c}") for c in right_cols],
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    top: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnosis — the measurement that decides between a
+    plain shuffle join, :func:`salted_join`, and AQE's skew split: the
+    ``top`` heaviest key values with their row counts, share of the
+    table, and the ratio to a perfectly-uniform key's share. One
+    map-side-combinable count + a bounded TakeOrdered — safe to run on
+    the full fact table.
+
+    Reading it: ``uniform_ratio`` is ``share * n_distinct_keys`` — how
+    many times heavier this key is than the uniform expectation. A top
+    key whose ``share`` approaches ``1 / spark.sql.shuffle.partitions``
+    will dominate one reduce task; that is the threshold where salting
+    (or AQE skew-join, which needs the 5x-median default factor
+    exceeded) starts paying. The output is DATA (the caller's planning
+    input), deterministic (count desc, then key asc) — a dashboardable
+    audit, not a side effect."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("nkeys")
+    )
+    share = F.col("n").cast("double") / F.col("t").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *keys,
+            "n",
+            F.round(share, 9).alias("share"),
+            F.round(share * F.col("nkeys").cast("double"), 6).alias(
+                "uniform_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top)
+    )

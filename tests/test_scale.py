@@ -759,3 +759,27 @@ def test_sq8_filtered_probe_pushes_payload_predicate(spark, sf_dir, tmp_path):
     # queries side (vec_id < 3 pushed)
     src_scans = [s for s in scans if "embeddings.parquet" in s]
     assert all("LessThan(vec_id,3)" in s for s in src_scans)
+
+
+def test_skew_report_surfaces_planted_hot_key(spark):
+    """skew_report: a planted 50%-share key leads the report with the
+    right count/share/uniform-ratio; a uniform key space reports ratios
+    near 1; the plan is one aggregation + a bounded TakeOrdered (no
+    data-sized global sort)."""
+    from aws_data_pipeline_spark.operators.joins import skew_report
+
+    rows = [(0, i) for i in range(500)] + [
+        (1 + (i % 100), i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, payload long")
+    rep = skew_report(df, ["k"], top=5).collect()
+    hot = rep[0]
+    assert hot.k == 0 and hot.n == 500 and hot.share == 0.5
+    assert hot.uniform_ratio == 50.5  # 0.5 share x 101 distinct keys
+    uniform = spark.createDataFrame(
+        [(i % 100, i) for i in range(1000)], "k long, payload long"
+    )
+    urep = skew_report(uniform, ["k"], top=3).collect()
+    assert all(abs(r.uniform_ratio - 1.0) < 1e-6 for r in urep)
+    plan = skew_report(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
