@@ -3032,7 +3032,10 @@ def _delete_ids_versioned(
     churn) when none of the ids are present."""
     root, new_v, old_root = _resolve_build_root(spark, path, True)
     src = old_root if old_root is not None else path
-    doomed = F.broadcast(ids.select(F.col(id_col).alias("__del_id")).distinct())
+    # no broadcast hint: a routine GDPR batch is tiny (AQE broadcasts it
+    # on its own), but a cohort-scale erasure can be tens of millions of
+    # ids — forcing the hint would pin that on the driver
+    doomed = ids.select(F.col(id_col).alias("__del_id")).distinct()
     n_deleted = (
         spark.read.parquet(f"{src}/{primary}")
         .join(
@@ -3120,7 +3123,7 @@ def delete_from_ivf_index(
     from aws_data_pipeline_spark.sources.parquet import delete_from_zone
 
     root = index_root(spark, path)
-    doomed = F.broadcast(ids.select(F.col(id_col).alias("__del_id")).distinct())
+    doomed = ids.select(F.col(id_col).alias("__del_id")).distinct()  # AQE sizes the join
     located = (
         spark.read.parquet(f"{root}/corpus")
         .select("neighbor_id", "cell")  # ids-only read: column pruning
