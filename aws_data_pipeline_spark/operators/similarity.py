@@ -760,9 +760,13 @@ def build_ivf_index(
     seed: int = 42,
     train_fraction: float | None = None,
     force_new_version: bool = False,
+    payload_cols: Sequence[str] = (),
 ) -> None:
     """Persist an IVF index: corpus assigned to k-means cells, written
-    partitioned by cell, plus the centroid table.
+    partitioned by cell, plus the centroid table. ``payload_cols`` stores
+    filter attributes in the cell partitions (the SQ8/PQ payload
+    pattern), so :func:`ivf_topk_indexed` can pre-filter its cell-pruned
+    scan with ``where=``; appends and retrains carry the payload.
 
     Build once, query many: the training pass and the full-corpus assignment
     happen here; every later query batch reads ONLY its probed cell
@@ -780,7 +784,9 @@ def build_ivf_index(
         corpus, id_col, vec_col, n_cells, seed, train_fraction
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        *payload_cols,
     )
     assigned = c.withColumn("cell", nearest_cell(F.col("cv"), centroids))
     # STATIC overwrite, overriding the session's dynamic default: a
@@ -819,10 +825,14 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    where: Column | str | None = None,
 ) -> DataFrame:
     """Search a persisted IVF index: rank centroids per query, read ONLY the
     probed cell partitions (literal ``cell IN (...)`` filter -> partition
-    pruning at the parquet source), exact cosine within them.
+    pruning at the parquet source), exact cosine within them. ``where``
+    pre-filters the cell-pruned scan on payload columns (a
+    ``payload_cols`` build — raises with build guidance otherwise), so
+    the result is the exact per-cell top-k of the matching subset.
 
     The probed-cell set is collected to the driver — it is at most
     ``nprobe * |query batch|`` small integers, and turning it into a literal
@@ -847,8 +857,22 @@ def ivf_topk_indexed(
         .select("query_id", "qv", "cell")
     )
     cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
-    assigned = spark.read.parquet(f"{index_path}/corpus").filter(
-        F.col("cell").isin(cells)
+    assigned = spark.read.parquet(f"{index_path}/corpus")
+    if where is not None:
+        pred = F.expr(where) if isinstance(where, str) else where
+        payload = [
+            c for c in assigned.columns if c not in ("neighbor_id", "cv", "cell")
+        ]
+        if not payload:
+            raise ValueError(
+                "filtered IVF search: the index at {!r} stores no payload "
+                "columns — build it with build_ivf_index(..., "
+                "payload_cols=[...]) so the filter can prune the cell "
+                "scan".format(index_path)
+            )
+        assigned = assigned.filter(pred)
+    assigned = assigned.filter(F.col("cell").isin(cells)).select(
+        "neighbor_id", "cv", "cell"
     )
     scored = (
         F.broadcast(probed)
@@ -1060,8 +1084,21 @@ def append_to_ivf_index(
             key=lambda r: r.cell,
         )
     ]
+    payload = [
+        c
+        for c in spark.read.parquet(f"{path}/corpus").columns
+        if c not in ("neighbor_id", "cv", "cell")
+    ]
+    missing_payload = [c for c in payload if c not in df.columns]
+    if missing_payload:
+        raise ValueError(
+            f"append_to_ivf_index: the index stores payload columns "
+            f"{payload} but the appended frame lacks {missing_payload}"
+        )
     nv = df.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        *payload,
     )
     assigned = nv.withColumn("cell", nearest_cell(F.col("cv"), cents))
     assigned = assigned.localCheckpoint(eager=True)  # assign once, probe twice
@@ -1278,10 +1315,13 @@ def retrain_ivf_index(
     # the rebuild writes a NEW version dir, so reading the active root
     # lazily would be safe — but the post-commit cleanup deletes these
     # files, so materialize anyway before the build consumes them twice
+    stored = spark.read.parquet(f"{index_root(spark, path)}/corpus")
+    payload = [c for c in stored.columns if c not in ("neighbor_id", "cv", "cell")]
     vecs = (
-        spark.read.parquet(f"{index_root(spark, path)}/corpus")
-        .select(
-            F.col("neighbor_id").alias("vec_id"), F.col("cv").alias("embedding")
+        stored.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("cv").alias("embedding"),
+            *payload,
         )
         .localCheckpoint(eager=True)
     )
@@ -1292,6 +1332,7 @@ def retrain_ivf_index(
         seed=seed,
         train_fraction=train_fraction,
         force_new_version=True,
+        payload_cols=payload,
     )
     return {"n_vectors": current, "n_cells": n_cells}
 

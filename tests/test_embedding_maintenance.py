@@ -1801,3 +1801,60 @@ def test_pq_payload_filtered_search_and_lifecycle(spark, sf_dir, tmp_path):
     }
     lab = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
     assert comp and all(lab[n] == 2 for _, n in comp)
+
+
+def test_ivf_payload_filtered_search_and_lifecycle(spark, sf_dir, tmp_path):
+    """IVF payload symmetry: payload_cols ride the cell partitions
+    (build), appends discover and carry them (missing-payload append
+    raises), retrain preserves them through the re-cell, and
+    ivf_topk_indexed(where=) pre-filters the cell-pruned scan — at
+    nprobe=n_cells (no cell loss) the filtered probe equals brute force
+    over only the matching subset."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators import similarity as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    base = e.filter(F.col("vec_id") % 10 != 7)
+    batch = e.filter(F.col("vec_id") % 10 == 7)
+    idx = str(tmp_path / "ivf_payload")
+    S.build_ivf_index(base, idx, n_cells=8, payload_cols=["label"])
+    with pytest.raises(ValueError, match="lacks \\['label'\\]"):
+        S.append_to_ivf_index(spark, batch.drop("label"), idx)
+    S.append_to_ivf_index(spark, batch, idx)
+
+    queries = e.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_topk_indexed(
+            spark, queries, idx, k=5, nprobe=8, where="label = 2"
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.brute_force_topk(
+            queries, e.filter(F.col("label") == 2), k=5
+        ).collect()
+    }
+    assert got == want and len(got) == 25
+
+    S.retrain_ivf_index(spark, idx)
+    root = S.index_root(spark, idx)
+    assert "label" in spark.read.parquet(f"{root}/corpus").columns
+    # post-retrain filtered full-probe still equals the brute-force subset
+    again = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in S.ivf_topk_indexed(
+            spark, queries, idx, k=5,
+            nprobe=len(spark.read.parquet(f"{root}/centroids").collect()),
+            where="label = 2",
+        ).collect()
+    }
+    assert again == want
+
+    bare = str(tmp_path / "ivf_bare")
+    S.build_ivf_index(base, bare, n_cells=8)
+    with pytest.raises(ValueError, match="payload_cols"):
+        S.ivf_topk_indexed(spark, queries, bare, k=5, where="label = 2")
