@@ -3279,3 +3279,56 @@ def mmr_rerank(
     return cand.groupBy("query_id").applyInPandas(
         pick, schema="query_id long, neighbor_id long, mmr_rank int"
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Retrieval-quality metrics per query — the evaluation harness for
+    any ANN family against an exact baseline: ``results`` and ``truth``
+    are both (query_id, neighbor_id, rank) frames (any ``*_topk`` output
+    here), and the output is one row per query —
+    (query_id, hits, recall_at_k, mrr) where ``hits`` counts result
+    neighbors present in the truth top-``k``, ``recall_at_k`` =
+    hits / min(k, |truth_k|), and ``mrr`` is the reciprocal of the best
+    (lowest) result rank holding a true top-``k`` neighbor (0.0 when
+    none do — the convention that keeps the column total-ordered).
+
+    Determinism (oracle contract): counts are exact; recall is one
+    int/int division; mrr is 1/rank of an exact integer — every value a
+    single exactly-rounded IEEE op, so the frame value-hashes
+    cross-engine. Scale shape: one equi-join on (query_id, neighbor_id)
+    + one grouped aggregate — evaluation costs no more than the search
+    it grades."""
+    t = truth.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    tsize = t.groupBy("query_id").agg(F.count("*").alias("__tk"))
+    r = results.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    joined = (
+        r.join(t, ["query_id", "neighbor_id"], "left")
+        .na.fill({"__hit": 0})
+        .groupBy("query_id")
+        .agg(
+            F.sum("__hit").cast("long").alias("hits"),
+            F.min(F.when(F.col("__hit") == 1, F.col("rank"))).alias("__best"),
+        )
+    )
+    return (
+        joined.join(tsize, "query_id")
+        .select(
+            "query_id",
+            "hits",
+            (
+                F.col("hits").cast("double")
+                / F.least(F.lit(k), F.col("__tk")).cast("double")
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("__best").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+        )
+    )

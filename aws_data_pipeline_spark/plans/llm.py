@@ -3452,3 +3452,97 @@ def accent_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_marks_removed"
         ),
     )
+
+
+@register(
+    "ann_recall_sq8",
+    demoted=True,
+    # the oracle replays BOTH ranking chains (exact cosine truth, the
+    # bit-reproducible SQ8 dequantized ranking) and then the metric
+    # arithmetic itself — hit counts exact, recall one int/int division,
+    # mrr the reciprocal of an exact integer rank — so the evaluation
+    # frame value-hashes cross-engine end-to-end
+    sql="""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dims AS (
+      SELECT pos, min(v) AS mn, (max(v) - min(v)) / 255 AS sc
+      FROM (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM base)
+      GROUP BY pos
+    ),
+    recon AS (
+      SELECT vec_id,
+             list(CASE WHEN sc = 0 THEN mn
+                       ELSE mn + least(255, greatest(0, floor((v - mn) / sc + 0.5))) * sc
+                  END ORDER BY pos) AS r
+      FROM (SELECT vec_id, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+            FROM base) x
+      JOIN dims USING (pos)
+      GROUP BY vec_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id ASC
+               ) AS rank
+        FROM base q JOIN base c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    res AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.e, c.r) DESC, c.vec_id ASC
+               ) AS rank
+        FROM base q JOIN recon c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    tsize AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS tk
+              FROM truth GROUP BY query_id),
+    j AS (
+      SELECT r.query_id, r.rank,
+             CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM res r LEFT JOIN truth t
+        ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+    ),
+    agg AS (
+      SELECT query_id, CAST(SUM(hit) AS BIGINT) AS hits,
+             MIN(CASE WHEN hit = 1 THEN rank END) AS best
+      FROM j GROUP BY query_id
+    )
+    SELECT query_id, hits,
+           CAST(hits AS DOUBLE) / CAST(least(5, tk) AS DOUBLE) AS recall_at_k,
+           COALESCE(1.0 / CAST(best AS DOUBLE), 0.0) AS mrr
+    FROM agg JOIN tsize USING (query_id)
+    """,
+)
+def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class query: per-query
+    recall@5 and MRR of the SQ8 ANN ranking against the exact cosine
+    baseline (operators/similarity.py::retrieval_metrics) — the harness
+    that turns 'is the compressed index good enough?' into a monitored
+    number instead of a one-off pytest. SQ8 is the family whose SEARCH
+    PATH is bit-reproducible, so this is the rare case where an
+    evaluation of an ANN method has a FULL value oracle: DuckDB replays
+    the truth ranking, the dequantized ranking, and the metric
+    arithmetic.
+
+    Born round 10, demoted-with-full-oracle. Demoted: the SQ8 ranking
+    chain's driver signal is carried by embedding_ann_sq8 (hash-green
+    r8/r10 window) and the exact-baseline chain by hard_negative_topk
+    (hash-green r9); recall floors for every other family stay pinned in
+    pytest + evidence/ANN_COMPARISON.md."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    state = _src_state(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, state)
+    if key not in _SQ8_STATS:
+        for old in [kk for kk in _SQ8_STATS if kk[:2] == key[:2]]:
+            _SQ8_STATS.pop(old)
+        _SQ8_STATS[key] = similarity.sq8_train_stats(e)
+    mins, scales = _SQ8_STATS[key]
+    truth = similarity.brute_force_topk(queries, e, k=5)
+    res = similarity.sq8_topk(queries, e, k=5, mins=mins, scales=scales)
+    return similarity.retrieval_metrics(res, truth, k=5)

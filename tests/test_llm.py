@@ -2276,3 +2276,30 @@ def test_mmr_rerank_diversifies_and_reduces_to_similarity(spark):
         .collect()
     ]
     assert again == div
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """retrieval_metrics on a crafted case: full hit, partial hit with the
+    first true neighbor at rank 3 (mrr = 1/3), zero hits (mrr 0.0), and a
+    truth set smaller than k (recall denominator = |truth|, not k)."""
+    from aws_data_pipeline_spark.operators.similarity import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1), (4, 40, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2),          # q1: both truth rows hit
+            (2, 99, 1), (2, 98, 2), (2, 20, 3),  # q2: first hit at rank 3
+            (3, 77, 1), (3, 78, 2),          # q3: no hits
+            (4, 40, 1), (4, 41, 2),          # q4: truth has ONE row (< k)
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {r.query_id: r for r in retrieval_metrics(results, truth, k=5).collect()}
+    assert (got[1].hits, got[1].recall_at_k, got[1].mrr) == (2, 1.0, 1.0)
+    assert (got[2].hits, got[2].mrr) == (1, 1.0 / 3.0)
+    assert got[2].recall_at_k == 0.5
+    assert (got[3].hits, got[3].recall_at_k, got[3].mrr) == (0, 0.0, 0.0)
+    assert (got[4].hits, got[4].recall_at_k, got[4].mrr) == (1, 1.0, 1.0)
