@@ -953,3 +953,47 @@ def test_mmr_rerank_matches_greedy_model(spark, vecs, k):
         selected.append(best)
         remaining.remove(best)
     assert got == selected
+
+
+@given(
+    doomed=st.sets(st.integers(min_value=0, max_value=40), max_size=12),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_delete_from_sq8_index_matches_set_model(
+    spark, tmp_path_factory, doomed
+):
+    """delete_from_sq8_index over an arbitrary id set (absent ids, the
+    empty set, everything): removed-count == |present ∩ doomed|, both
+    sub-tables hold exactly the survivor set afterwards, the stored
+    quantizer is untouched, and a repeat delete removes zero. The empty
+    intersection is also a NO-OP structurally — no version flip."""
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.sources.parquet import index_active_version
+
+    tmp = tmp_path_factory.mktemp("sq8del")
+    rows = [
+        (i, [float((i * 13 + d * 7) % 10) for d in range(6)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp / "idx")
+    S.build_sq8_index(df, idx)
+    stats = S.read_sq8_stats(spark, idx)
+    present = {i for i, _ in rows}
+    ids = spark.createDataFrame([(i,) for i in sorted(doomed)] or [(None,)],
+                                "vec_id long").where(F.col("vec_id").isNotNull())
+    v_before = index_active_version(spark, idx)
+    n = S.delete_from_sq8_index(spark, idx, ids)
+    assert n == len(present & doomed)
+    root = S.index_root(spark, idx)
+    surv = present - doomed
+    for sub in ("vectors", "codes"):
+        got = {r.id for r in spark.read.parquet(f"{root}/{sub}").collect()}
+        assert got == surv, f"{sub} mismatch"
+    assert S.read_sq8_stats(spark, idx) == stats
+    if n == 0:
+        assert index_active_version(spark, idx) == v_before  # no churn
+    assert S.delete_from_sq8_index(spark, idx, ids) == 0
