@@ -3296,12 +3296,24 @@ def retrieval_metrics(
     (lowest) result rank holding a true top-``k`` neighbor (0.0 when
     none do — the convention that keeps the column total-ordered).
 
+    ``ndcg`` is the binary-gain NDCG@k: DCG sums ``1/log2(rank+1)`` over
+    hit positions, IDCG over the ideal prefix ``1..min(k, |truth_k|)``.
+
     Determinism (oracle contract): counts are exact; recall is one
-    int/int division; mrr is 1/rank of an exact integer — every value a
-    single exactly-rounded IEEE op, so the frame value-hashes
-    cross-engine. Scale shape: one equi-join on (query_id, neighbor_id)
-    + one grouped aggregate — evaluation costs no more than the search
-    it grades."""
+    int/int division; mrr is 1/rank of an exact integer; each NDCG
+    discount snaps to 9-dp UNITS (``round(1e9/log2(p+1))`` as int) and
+    the two sums run in exact integer arithmetic, so no float-sum order
+    ever enters the output — every emitted value is a single
+    exactly-rounded IEEE op over exact integers, and the frame
+    value-hashes cross-engine. Scale shape: one equi-join on
+    (query_id, neighbor_id) + one grouped aggregate — evaluation costs
+    no more than the search it grades."""
+
+    def _units(p: Column) -> Column:
+        return F.round(F.lit(1e9) / F.log2(p.cast("double") + F.lit(1.0))).cast(
+            "long"
+        )
+
     t = truth.filter(F.col("rank") <= k).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
@@ -3316,7 +3328,19 @@ def retrieval_metrics(
         .agg(
             F.sum("__hit").cast("long").alias("hits"),
             F.min(F.when(F.col("__hit") == 1, F.col("rank"))).alias("__best"),
+            F.sum(
+                F.when(F.col("__hit") == 1, _units(F.col("rank"))).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("__dcg_u"),
         )
+    )
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("__tk"))),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + _units(p),
     )
     return (
         joined.join(tsize, "query_id")
@@ -3330,5 +3354,8 @@ def retrieval_metrics(
             F.coalesce(
                 F.lit(1.0) / F.col("__best").cast("double"), F.lit(0.0)
             ).alias("mrr"),
+            (
+                F.col("__dcg_u").cast("double") / ideal.cast("double")
+            ).alias("ndcg"),
         )
     )

@@ -3509,12 +3509,19 @@ def accent_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT query_id, CAST(SUM(hit) AS BIGINT) AS hits,
-             MIN(CASE WHEN hit = 1 THEN rank END) AS best
+             MIN(CASE WHEN hit = 1 THEN rank END) AS best,
+             CAST(SUM(CASE WHEN hit = 1 THEN
+               CAST(round(1000000000.0 / log2(CAST(rank AS DOUBLE) + 1.0))
+                    AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_u
       FROM j GROUP BY query_id
     )
     SELECT query_id, hits,
            CAST(hits AS DOUBLE) / CAST(least(5, tk) AS DOUBLE) AS recall_at_k,
-           COALESCE(1.0 / CAST(best AS DOUBLE), 0.0) AS mrr
+           COALESCE(1.0 / CAST(best AS DOUBLE), 0.0) AS mrr,
+           CAST(dcg_u AS DOUBLE) / CAST(
+             list_sum(list_transform(generate_series(1, least(5, tk)),
+               p -> CAST(round(1000000000.0 / log2(CAST(p AS DOUBLE) + 1.0))
+                         AS BIGINT))) AS DOUBLE) AS ndcg
     FROM agg JOIN tsize USING (query_id)
     """,
 )

@@ -2303,3 +2303,11 @@ def test_retrieval_metrics_hand_computed(spark):
     assert got[2].recall_at_k == 0.5
     assert (got[3].hits, got[3].recall_at_k, got[3].mrr) == (0, 0.0, 0.0)
     assert (got[4].hits, got[4].recall_at_k, got[4].mrr) == (1, 1.0, 1.0)
+    # ndcg via the 9-dp-unit discounts: u(p) = round(1e9/log2(p+1))
+    import math
+
+    u = lambda p: round(1e9 / math.log2(p + 1))
+    assert got[1].ndcg == 1.0  # perfect order -> DCG == IDCG
+    assert got[2].ndcg == float(u(3)) / float(u(1) + u(2))
+    assert got[3].ndcg == 0.0
+    assert got[4].ndcg == 1.0  # single truth row hit at rank 1
