@@ -1858,3 +1858,46 @@ def test_ivf_payload_filtered_search_and_lifecycle(spark, sf_dir, tmp_path):
     S.build_ivf_index(base, bare, n_cells=8)
     with pytest.raises(ValueError, match="payload_cols"):
         S.ivf_topk_indexed(spark, queries, bare, k=5, where="label = 2")
+
+
+def test_forget_vectors_legacy_zone_and_ambiguous_layout(spark, sf_dir, tmp_path):
+    """Branch coverage for the erasure composition: (a) a LEGACY
+    unbucketed corpus zone falls back to the one-partition COW rewrite
+    (correct counts, survivors intact); (b) with BOTH a PQ and an SQ8
+    candidate and a cell-codes layout whose meta is missing (half-built),
+    forget_vectors refuses with the explicit-rebuild error instead of
+    guessing a codes source."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators import similarity as S
+    from aws_data_pipeline_spark.streaming.embeddings import forget_vectors
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = str(tmp_path / "legacy_corpus")  # no _buckets marker
+    e.write.mode("overwrite").parquet(corpus)
+    doomed = spark.createDataFrame([(1,), (2,), (9999,)], "vec_id long")
+    out = forget_vectors(spark, doomed, corpus_path=corpus)
+    assert out == {"corpus": 2}  # 9999 absent
+    got = {r.vec_id for r in spark.read.parquet(corpus).collect()}
+    assert got == {r.vec_id for r in e.collect()} - {1, 2}
+    # repeat: structural no-op (no write when nothing matches)
+    assert forget_vectors(spark, doomed, corpus_path=corpus) == {"corpus": 0}
+
+    ivf, pq, sq8 = (str(tmp_path / x) for x in ("ivf", "pq", "sq8"))
+    S.build_ivf_index(e, ivf, n_cells=4)
+    S.build_pq_index(e, pq)
+    S.build_sq8_index(e, sq8)
+    cc = str(tmp_path / "cc_halfbuilt")
+    # half-built layout: codes dir exists, no meta
+    spark.range(1).write.mode("overwrite").parquet(f"{cc}/codes")
+    with pytest.raises(ValueError, match="rebuild it explicitly"):
+        forget_vectors(
+            spark,
+            doomed,
+            ivf_index_path=ivf,
+            pq_index_path=pq,
+            sq8_index_path=sq8,
+            ivfpq_cell_codes_path=cc,
+        )

@@ -934,3 +934,47 @@ def test_incremental_drift_monitor_scores_batches_against_baseline(
     assert spark.read.parquet(metrics).count() == len(
         {r for r in spark.read.parquet(metrics).select("batch_id").collect()}
     )
+
+
+def test_drift_monitor_chisq_alert_and_empty_batch(spark, sf_dir, tmp_path):
+    """The categorical alert line and the empty-batch guard: a planted
+    category-mix shift crosses a caller-supplied chi-squared critical
+    value (alert true); a batch of only-null categories records null
+    metrics and never alerts (an empty distribution must not score)."""
+    from aws_data_pipeline_spark.operators import quality as Q
+    from aws_data_pipeline_spark.streaming.quality import (
+        incremental_drift_monitor,
+    )
+
+    base = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "cat string"
+    )
+    b = str(tmp_path / "baseline")
+    Q.build_drift_baseline(base, b, cat_col="cat")
+
+    src = str(tmp_path / "incoming")
+    metrics = str(tmp_path / "metrics")
+    ckpt = str(tmp_path / "ck")  # ONE checkpoint: batch ids advance
+    # batch 1: flipped mix — chisq over the df=1 critical value 3.841
+    spark.createDataFrame([("a",)] * 10 + [("b",)] * 90, "cat string").write.mode(
+        "append"
+    ).parquet(src)
+    incremental_drift_monitor(
+        spark, src, b, metrics, ckpt, chisq_threshold=3.841
+    )
+    # batch 2: all-null categories -> n_rows > 0 but no scorable values;
+    # the monitor records the batch without metrics rather than alerting
+    spark.createDataFrame([(None,)] * 5, "cat string").write.mode(
+        "append"
+    ).parquet(src)
+    incremental_drift_monitor(
+        spark, src, b, metrics, ckpt, chisq_threshold=3.841
+    )
+    rows = sorted(
+        spark.read.parquet(metrics).collect(), key=lambda r: r.batch_id
+    )
+    assert len(rows) == 2
+    assert rows[0].chisq > 3.841 and rows[0].chisq_alert
+    assert rows[0].psi is None  # no value_col in this baseline
+    assert rows[1].n_rows == 5 and rows[1].chisq is None
+    assert not rows[1].chisq_alert  # null metrics never alert
