@@ -13,7 +13,7 @@ decisions baked in:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -661,3 +661,60 @@ def finish_index_build(
 
 def copy_zone(spark, src: str, dst: str) -> None:
     spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+
+
+def expire_zone_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str],
+    keep: Callable[[tuple], bool],
+) -> list[tuple]:
+    """Retention-policy expiry: drop every hive partition of ``path``
+    whose key tuple fails ``keep`` — the policy-driven sibling of the
+    GDPR delete verbs (erasure removes named rows; retention removes
+    aged partitions wholesale). Metadata-only: partition keys come from
+    one directory listing (values UNESCAPED via Spark's own rule, so
+    ``keep`` sees the logical values a scan would), doomed directories
+    are removed whole — no data file is ever read or rewritten, which is
+    the entire point of partitioning by retention age at 100 TB.
+
+    ``keep`` receives the STRING partition values in ``partition_cols``
+    order (hive directory values are strings; cast in the predicate —
+    e.g. ``lambda t: int(t[0]) >= 2024``). Returns the dropped tuples
+    (empty when nothing aged out — a cron no-op). Idempotent: re-runs
+    see no matching directories. Readers racing an expiry see either
+    the partition or its absence, never a partial file (directory
+    removal is not atomic per file, so schedule expiry like compaction:
+    in the owner's quiet window, with ignoreMissingFiles for scans that
+    may overlap it)."""
+    jvm = spark._jvm
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+
+    def level(dirs: list, col: str) -> list:
+        out = []
+        for d, vals in dirs:
+            for st in fs.listStatus(d):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                if not name.startswith(f"{col}="):
+                    continue
+                raw = name[len(col) + 1 :]
+                out.append(
+                    (st.getPath(), vals + (esc.unescapePathName(raw),))
+                )
+        return out
+
+    dirs = [(root, ())]
+    for c in partition_cols:
+        dirs = level(dirs, c)
+    dropped = []
+    for d, vals in dirs:
+        if not keep(vals):
+            fs.delete(d, True)
+            dropped.append(vals)
+    return sorted(dropped)

@@ -394,3 +394,49 @@ def test_zorder_clusters_date_string_dims(spark, tmp_path):
     zs, ls = mean_span(zpath, "s"), mean_span(lpath, "s")
     assert ls > 0.8 * s_full
     assert zs < 0.6 * ls
+
+
+def test_expire_zone_partitions_drops_aged_dirs_only(spark, tmp_path):
+    """Retention expiry: partitions failing the keep predicate are removed
+    whole (directory level, no data reads), survivors' FILES are
+    byte-identical afterwards, escaped partition values round-trip
+    through the predicate unescaped, an empty match is a no-op, and
+    re-runs are idempotent."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_spark.sources.parquet import expire_zone_partitions
+
+    zone = str(tmp_path / "zone")
+    df = spark.createDataFrame(
+        [(y, m, i) for y in (2023, 2024) for m in (1, 2) for i in range(5)],
+        "year int, month int, v long",
+    )
+    df.write.partitionBy("year", "month").parquet(zone)
+    before = sorted(glob.glob(f"{zone}/year=2024/month=1/*.parquet"))
+
+    dropped = expire_zone_partitions(
+        spark, zone, ["year", "month"],
+        keep=lambda t: (int(t[0]), int(t[1])) >= (2024, 1),
+    )
+    assert dropped == [("2023", "1"), ("2023", "2")]
+    got = spark.read.parquet(zone)
+    assert got.count() == 10 and got.agg(F.min("year")).collect()[0][0] == 2024
+    assert sorted(glob.glob(f"{zone}/year=2024/month=1/*.parquet")) == before
+    # idempotent; nothing else ages out
+    assert expire_zone_partitions(
+        spark, zone, ["year", "month"],
+        keep=lambda t: (int(t[0]), int(t[1])) >= (2024, 1),
+    ) == []
+
+    # escaped string partition values reach the predicate unescaped
+    z2 = str(tmp_path / "zone2")
+    spark.createDataFrame(
+        [("a b", 1), ("c:d", 2)], "src string, v long"
+    ).write.partitionBy("src").parquet(z2)
+    dropped2 = expire_zone_partitions(
+        spark, z2, ["src"], keep=lambda t: t[0] != "c:d"
+    )
+    assert dropped2 == [("c:d",)]
+    assert {r.src for r in spark.read.parquet(z2).collect()} == {"a b"}
