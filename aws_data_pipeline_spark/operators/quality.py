@@ -420,14 +420,24 @@ def build_drift_baseline(
     - ``path/categories`` (category, n_base): exact category counts of
       ``cat_col`` for :func:`chisq_from_counts`;
     - ``path/meta``: bins + column names (a monitor pointed at the wrong
-      column fails loudly, not with a silently-empty join).
+      column fails loudly, not with a silently-empty join), plus
+      ``baseline_id`` — an md5 content fingerprint over every stored
+      artifact (params, edges, bin counts, category counts). Monitors
+      stamp the id into each metrics row, so a baseline REBUILT
+      mid-history with different edges or counts is visible in the
+      metrics zone itself: rows scored under different regimes carry
+      different ids, and a byte-identical rebuild (same cohort, same
+      params) correctly keeps the same id.
 
     The baseline is a snapshot artifact, rebuilt wholesale when the
     reference cohort changes (plain overwrite — monitors read it at run
     start, not per batch)."""
     if value_col is None and cat_col is None:
         raise ValueError("build_drift_baseline: give value_col or cat_col")
+    import hashlib
+
     spark = df.sparkSession
+    fp = hashlib.md5(repr((bins, value_col, cat_col)).encode())
     if value_col is not None:
         fr = [i / bins for i in range(1, bins)]
         es = df.agg(
@@ -438,18 +448,31 @@ def build_drift_baseline(
         spark.createDataFrame(
             [(i, float(e)) for i, e in enumerate(es)], "pos int, e double"
         ).write.mode("overwrite").parquet(f"{path}/edges")
-        bin_against_edges(df, value_col, list(es), "n_base").write.mode(
+        # the bin counts are ≤ bins+1 rows — collect once so the stored
+        # artifact and the fingerprint are computed from the same pass
+        vb = sorted(
+            (int(r["bin"]), int(r["n_base"]))
+            for r in bin_against_edges(df, value_col, list(es), "n_base")
+            .collect()
+        )
+        spark.createDataFrame(vb, "bin int, n_base long").write.mode(
             "overwrite"
         ).parquet(f"{path}/value_bins")
+        fp.update(repr([float(e) for e in es]).encode())
+        fp.update(repr(vb).encode())
     if cat_col is not None:
-        (
-            df.where(F.col(cat_col).isNotNull())
+        cats = sorted(
+            (r["category"], int(r["n_base"]))
+            for r in df.where(F.col(cat_col).isNotNull())
             .groupBy(F.col(cat_col).alias("category"))
             .agg(F.count("*").alias("n_base"))
-            .write.mode("overwrite")
-            .parquet(f"{path}/categories")
+            .collect()
         )
+        spark.createDataFrame(
+            cats, "category string, n_base long"
+        ).write.mode("overwrite").parquet(f"{path}/categories")
+        fp.update(repr(cats).encode())
     spark.createDataFrame(
-        [(bins, value_col, cat_col)],
-        "bins int, value_col string, cat_col string",
+        [(bins, value_col, cat_col, fp.hexdigest())],
+        "bins int, value_col string, cat_col string, baseline_id string",
     ).write.mode("overwrite").parquet(f"{path}/meta")

@@ -772,6 +772,7 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_decontamination",
+    demoted=True,
     sql="""
     SELECT t.vec_id, t.label,
            EXISTS(
@@ -789,7 +790,13 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine 0.45 of any benchmark vector (vec_id < 10) are flagged — the
     embedding-space sibling of the 8-gram overlap check, catching
     paraphrase-level contamination. Benchmark side broadcasts; boolean
-    flags only, so no float re-verification is needed."""
+    flags only, so no float re-verification is needed.
+
+    Demoted r11 (hash-green r10; full oracle stays in the pytest replica)
+    to seat mmr_diversified_topk under the cap: the broadcast-scan exact
+    cosine chain is carried by the promoted MMR entry's candidate stage
+    and by hard_negative_topk, and the decontamination capability's
+    driver seat stays with benchmark_decontamination (the 8-gram twin)."""
     e = T(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") < 10)
     train = e.filter(F.col("vec_id") >= 10)
@@ -1059,7 +1066,7 @@ def _ensure_pq_index(
     return _ensure_memo(spark, sf_dir, f"pq_{m}_{ks}", state, _do)
 
 
-@register("embedding_ann_pq_indexed", sql=None)
+@register("embedding_ann_pq_indexed", sql=None, demoted=True)
 def embedding_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the PERSISTED product-quantization index — the on-disk
     100 TB shape: the ADC scan reads ONLY ``codes`` (8 bytes/vector, the
@@ -1070,7 +1077,14 @@ def embedding_ann_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the append-maintained index — the IVF-indexed pattern
     (embedding_ann_ivf_indexed) applied to the PQ family. Identical rows
     to the resident embedding_ann_pq under the same codebooks
-    (tests/test_llm.py)."""
+    (tests/test_llm.py).
+
+    Demoted r11 (rows-ran r8) to seat hard_negative_topk_indexed under
+    the rows-only cap: the persisted-PQ-index probe signal is carried by
+    embedding_ann_ivfpq (rows-ran r9 — the composed search probes the
+    SAME stored codebooks and ADC chain), mirroring the r10
+    embedding_ann_ivf_indexed→embedding_ann_ivfsq8 precedent; the
+    resident/persisted row-identity stays pytest-pinned."""
     idx = _ensure_pq_index(spark, sf_dir, m=8, ks=16)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -1274,7 +1288,6 @@ def _ensure_sq8f_index(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "embedding_ann_sq8_filtered",
-    demoted=True,
     # full value oracle THROUGH the persisted payload index: the stored
     # quantizer is deterministically the build slice's (vec_id % 10 != 7)
     # per-dim min/max, appends encode under it, and every encode/
@@ -1324,11 +1337,13 @@ def embedding_ann_sq8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer is the build slice's deterministic min/max, so DuckDB
     replays the dequantized ranking bit-for-bit under the same predicate.
 
-    Born round 10, demoted-with-full-oracle (the hard_negative_topk
-    growth path: local hash parity from birth, promotable when a window
-    slot frees). Demoted: the SQ8 value-chain driver signal is carried by
-    embedding_ann_sq8 (hash-green r8/r10 window) and the persisted-index
-    probe shape by embedding_ann_sq8_indexed (rows-ran r9)."""
+    Born round 10 demoted-with-full-oracle, promoted r11 (VERDICT r10
+    item 3): entered the oracled registry by demoting quality_median_filter
+    (whose broadcast-threshold gate signal quality_winsorized_by_source
+    and customer_spend_quartiles carry) — the slot goes to the filtered-
+    search capability no registered entry exercised; together with
+    ann_recall_sq8 this keeps the SQ8 value chain driver-oracled after
+    embedding_ann_sq8's demotion; cap held at 100."""
     idx = _ensure_sq8f_index(spark, sf_dir)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -1361,6 +1376,7 @@ _SQ8_STATS: dict = {}
 
 @register(
     "embedding_ann_sq8",
+    demoted=True,
     sql="""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     dims AS (
@@ -1399,7 +1415,14 @@ def embedding_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructed vectors bit-for-bit and ranks match (ties by neighbor
     id, the _topk_by_sim contract). Ranks only in the output, the
     embedding_cosine_topk precedent. Recall vs brute force and the
-    payload cut are pinned in pytest."""
+    payload cut are pinned in pytest.
+
+    Demoted r11 (hash-green r8/r10; full oracle stays in the pytest
+    replica) to seat ann_recall_sq8 under the cap: the promoted
+    evaluation entry runs THIS resident sq8_topk chain verbatim (same
+    _SQ8_STATS cache, same ranking) plus the exact baseline — a strict
+    superset of this entry's driver signal; embedding_ann_sq8_filtered
+    (also promoted r11) keeps the persisted-SQ8 probe oracled."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     # train-once cache (the _pq_corpus discipline): stats are 2 doubles
@@ -1546,6 +1569,7 @@ def quality_winsorized_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_median_filter",
+    demoted=True,
     sql="""
     WITH t AS (
       SELECT doc_id,
@@ -1571,7 +1595,14 @@ def quality_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality gate: documents at or above the corpus median
     quality score. One scan to score, a one-row median aggregate broadcast
     back as the threshold (the corpus never shuffles); at 100 TB the same
-    operator runs with approx_percentile (``approx=True``)."""
+    operator runs with approx_percentile (``approx=True``).
+
+    Demoted r11 (hash-green r10; full oracle stays in the pytest replica)
+    to seat embedding_ann_sq8_filtered under the cap: the exact-quantile
+    broadcast-threshold machinery is carried by
+    quality_winsorized_by_source (per-group percentile scale, oracled)
+    and customer_spend_quartiles (global quantiles, oracled), and the
+    quality-score expression by text_quality_scores."""
     d = T(spark, sf_dir, "documents")
     return text.quality_median_filter(d)
 
@@ -1871,6 +1902,7 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "training_shard_assignments",
+    demoted=True,
     # both hashes are 60-bit md5 prefixes, so the oracle recomputes the
     # EXACT shard routing and within-shard order — the audited property is
     # cross-engine reproducibility of the training data order itself
@@ -1893,7 +1925,14 @@ def training_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle into 8 training shards: hash
     routing + independent-hash within-shard order — examples arrive in an
     order uncorrelated with collection order, reproducible bit-for-bit in
-    any engine (md5 variant registered; xxhash64 is the hot path)."""
+    any engine (md5 variant registered; xxhash64 is the hot path).
+
+    Demoted r11 (hash-green r10; full oracle stays in the pytest replica)
+    to seat length_bucketed_batches under the cap: the promoted entry
+    runs the identical distributed global-row-number assignment machinery
+    (per-bucket total order → integer-division groups), and the md5
+    hash-routing signal stays driver-oracled in
+    dataset_split_assignments_portable."""
     from aws_data_pipeline_spark.operators import sampling
 
     d = T(spark, sf_dir, "documents")
@@ -2339,7 +2378,6 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "length_bucketed_batches",
-    demoted=True,
     sql="""
     SELECT doc_id, n_tokens,
            CAST(n_tokens // 32 AS INTEGER) AS bucket,
@@ -2363,11 +2401,13 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark side ranks through the distributed global row_number, never
     a data-sized single-partition window.
 
-    Born round 10, demoted-with-full-oracle (the hard_negative_topk
-    growth path: local hash parity + hostile-partition sweep from birth,
-    promotable when a window slot frees). Demoted: the batching/packing
-    capability's driver signal is carried by sequence_packing (hash-green
-    r9) and the token-count expression by token_counts (hash-green r9)."""
+    Born round 10 demoted-with-full-oracle, promoted r11 (VERDICT r10
+    item 3): entered the oracled registry by demoting
+    training_shard_assignments, whose distributed global-row-number
+    assignment machinery this query runs identically (per-bucket total
+    order → integer-division groups) while dataset_split_assignments_
+    portable keeps the md5 hash-routing signal driver-oracled; cap held
+    at 100."""
     from aws_data_pipeline_spark.operators import sampling
 
     return sampling.length_bucketed_batches(
@@ -3286,7 +3326,6 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mmr_diversified_topk",
-    demoted=True,
     # the oracle replays the WHOLE chain: raw-cosine top-20 candidates
     # (the embedding_cosine_topk rank convention), 9-dp-snapped query and
     # pairwise cosines, then the greedy MMR fixpoint itself as a
@@ -3355,28 +3394,32 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative oracles in the registry (neardup_clusters' recursive-CTE
     precedent).
 
-    Born round 10, demoted-with-full-oracle (the hard_negative_topk
-    growth path: local hash parity from birth, promotable when a window
-    slot frees). Demoted: the exact-cosine candidate chain's driver
-    signal is carried by hard_negative_topk (hash-green r9, the identical
-    broadcast-scan ranking) and the iterative-fixpoint shape by
-    neardup_clusters (hash-green r7/r10 window)."""
+    Born round 10 demoted-with-full-oracle, promoted r11 (VERDICT r10
+    item 3): entered the oracled registry by demoting
+    embedding_decontamination, whose cosine-threshold-join chain this
+    query's candidate stage subsumes (same broadcast-scan exact cosine)
+    while benchmark_decontamination keeps the decontamination
+    capability's driver seat; cap held at 100."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     cand = similarity.brute_force_topk(queries, e, k=20)
     return similarity.mmr_rerank(spark, queries, cand, e, k=5, lambda_=0.5)
 
 
-@register("hard_negative_topk_indexed", sql=None, demoted=True)
+@register("hard_negative_topk_indexed", sql=None)
 def hard_negative_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining through the persisted SQ8 index — the 100 TB
     path the exact miner's docstring names: the band candidates come from
     a slack-widened ADC filter over the smallint codes (3.7× smaller
     scan), full vectors are read only for the capped candidate sliver,
-    the band re-applied exactly. Demoted rows-only from birth (the exact
-    twin hard_negative_topk carries the full value oracle — promoted r9);
+    the band re-applied exactly. Rows-only (the exact twin
+    hard_negative_topk carries the full value oracle — promoted r9);
     brute-force-equality on the planted fixture and the registry pair's
-    row identity pinned in tests/test_llm.py."""
+    row identity pinned in tests/test_llm.py. Seated r11 as the miner
+    trio's first driver signal (VERDICT r10 item 4, the rows-seat queue's
+    head) by demoting embedding_ann_pq_indexed, whose persisted-PQ-index
+    probe signal embedding_ann_ivfpq carries (same stored codebooks and
+    ADC chain through the composed probe); rows-only cap held at 12."""
     idx = _ensure_sq8_index(spark, sf_dir)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -3456,7 +3499,6 @@ def accent_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_recall_sq8",
-    demoted=True,
     # the oracle replays BOTH ranking chains (exact cosine truth, the
     # bit-reproducible SQ8 dequantized ranking) and then the metric
     # arithmetic itself — hit counts exact, recall one int/int division,
@@ -3536,11 +3578,13 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truth ranking, the dequantized ranking, and the metric
     arithmetic.
 
-    Born round 10, demoted-with-full-oracle. Demoted: the SQ8 ranking
-    chain's driver signal is carried by embedding_ann_sq8 (hash-green
-    r8/r10 window) and the exact-baseline chain by hard_negative_topk
-    (hash-green r9); recall floors for every other family stay pinned in
-    pytest + evidence/ANN_COMPARISON.md."""
+    Born round 10 demoted-with-full-oracle, promoted r11 (VERDICT r10
+    item 3): entered the oracled registry by demoting embedding_ann_sq8,
+    whose resident sq8_topk chain this evaluation runs VERBATIM (same
+    train-stats cache, same ranking) alongside the exact baseline and the
+    metric arithmetic — a strict superset of the demoted entry's signal;
+    recall floors for every other family stay pinned in pytest +
+    evidence/ANN_COMPARISON.md; cap held at 100."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     state = _src_state(spark, sf_dir, "embeddings")

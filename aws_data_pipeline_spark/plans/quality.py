@@ -80,6 +80,7 @@ def dq_rule_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_duplicate_order_lines",
+    demoted=True,
     sql="""
     SELECT l_orderkey, l_linenumber, COUNT(*) AS occurrences
     FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
@@ -87,7 +88,12 @@ def dq_rule_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_duplicate_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-uniqueness audit on lineitem's natural key (orderkey, linenumber)
-    — clean data yields zero rows, and the oracle confirms exactly that."""
+    — clean data yields zero rows, and the oracle confirms exactly that.
+
+    Demoted r11 (hash-green r10; full oracle stays in the pytest replica)
+    to seat dq_chisq_event_type_drift under the cap: the key-grouped
+    duplicate-detection signal is carried by dedup_by_key and
+    dedup_exact_text (both oracled, same groupBy-key HAVING shape)."""
     return quality.duplicate_keys(
         T(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
     )
@@ -146,6 +152,7 @@ def dq_zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_psi_price_drift",
+    demoted=True,
     sql="""
     WITH base AS (
       SELECT o_totalprice AS x FROM orders
@@ -193,7 +200,13 @@ def dq_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapped to 9-dp units, contributions to 6-dp
     (operators/quality.py::psi_drift). Registered r8 (was
     demoted-from-birth r7) — entered in tumbling_window_counts's slot,
-    cap held at 100."""
+    cap held at 100.
+
+    Demoted r11 (hash-green r8/r10; full oracle stays in the pytest
+    replica, the approx twin keeps its error-bound test) to seat
+    dq_ks_price_drift under the cap: the numeric-drift signal on this
+    exact cohort pair is carried by the promoted KS entry, which monitors
+    the same column binning-free."""
     o = T(spark, sf_dir, "orders")
     base = o.where(F.year("o_orderdate") == 1996).select(
         F.col("o_totalprice").alias("x")
@@ -216,8 +229,10 @@ def dq_psi_price_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible (no DuckDB twin by design), so the value evidence is the
     error-bound pytest (tests/test_llm.py::
     test_psi_drift_approx_error_bound) pinning |approx - exact| total
-    PSI; the exact twin dq_psi_price_drift (hash-green r8) carries the
-    driver signal for the shared binning/contribution chain."""
+    PSI; the exact twin dq_psi_price_drift (hash-green r8/r10, demoted
+    r11 with its full oracle intact) pins the shared binning/contribution
+    chain in the pytest replica, and the cohort pair's driver drift
+    signal is carried by dq_ks_price_drift (promoted r11)."""
     o = T(spark, sf_dir, "orders")
     base = o.where(F.year("o_orderdate") == 1996).select(
         F.col("o_totalprice").alias("x")
@@ -230,7 +245,6 @@ def dq_psi_price_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_ks_price_drift",
-    demoted=True,
     # the oracle replays the WHOLE exact chain: per-distinct-value cohort
     # counts, integer prefix sums over the value order, the one int/int
     # ECDF division per side, the 9-dp-snapped argmax with the value
@@ -284,12 +298,11 @@ def dq_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_prefix_sum — range-repartition scan, never an Exchange
     SinglePartition window), so the exact statistic survives 100 TB.
 
-    Born round 10, demoted-with-full-oracle (the hard_negative_topk
-    growth path: local hash parity from birth, promotable when a window
-    slot frees). Demoted: the drift-monitor capability's driver signal is
-    carried by dq_psi_price_drift (hash-green r8/r10 window, same cohort
-    pair) and the distributed-global-window machinery's by
-    customer_spend_quartiles (global_ntile, hash-green r9)."""
+    Born round 10 demoted-with-full-oracle, promoted r11 (VERDICT r10
+    item 3): entered the oracled registry by demoting dq_psi_price_drift,
+    whose numeric-drift signal on this exact cohort pair this query now
+    carries (binning-free, so strictly less tuning surface); cap held at
+    100."""
     o = T(spark, sf_dir, "orders")
     base = o.where(F.year("o_orderdate") == 1996).select(
         F.col("o_totalprice").alias("x")
@@ -302,7 +315,6 @@ def dq_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_chisq_event_type_drift",
-    demoted=True,
     # per-category contingency contributions: counts exact, each expected
     # count ONE double multiply+divide of exactly-represented ints, the
     # contribution a fixed IEEE sequence snapped to 9 dp — the scalar
@@ -358,10 +370,12 @@ def dq_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     One row per category (exact counts + 9-dp contribution); the scalar
     statistic is the consumer's sum against the df=C-1 critical value.
 
-    Born round 10, demoted-with-full-oracle. Demoted: the drift-monitor
-    capability's driver signal is carried by dq_psi_price_drift
-    (hash-green r8/r10 window) and the categorical-contingency counting
-    shape by cube_priority_status (hash-green r9)."""
+    Born round 10 demoted-with-full-oracle, promoted r11 (VERDICT r10
+    item 3): entered the oracled registry by demoting
+    dq_duplicate_order_lines, whose key-audit driver signal is carried by
+    dedup_by_key / dedup_exact_text (the same key-grouped duplicate
+    detection, both oracled) — the DQ seat goes to the categorical drift
+    capability no remaining entry covered; cap held at 100."""
     e = T(spark, sf_dir, "events")
     base = e.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp")).select(
         F.col("event_type").alias("x")

@@ -682,11 +682,23 @@ def expire_zone_partitions(
     order (hive directory values are strings; cast in the predicate —
     e.g. ``lambda t: int(t[0]) >= 2024``). Returns the dropped tuples
     (empty when nothing aged out — a cron no-op). Idempotent: re-runs
-    see no matching directories. Readers racing an expiry see either
-    the partition or its absence, never a partial file (directory
-    removal is not atomic per file, so schedule expiry like compaction:
-    in the owner's quiet window, with ignoreMissingFiles for scans that
-    may overlap it)."""
+    see no matching directories (the tombstone write is an overwrite).
+
+    Racing readers: directory removal is not atomic per file, so a scan
+    overlapping an expiry can hit missing files mid-read. BEFORE each
+    doomed directory is removed, a zero-byte tombstone is written under
+    ``path/_expired/<partition dirs>/_expiring`` (the ``_``-prefixed
+    root is invisible to partition discovery, so scans never pick it
+    up) and it PERSISTS after the removal — a reader that trips on a
+    vanished file can check :func:`expired_tombstones` and distinguish
+    deliberate expiry from corruption in every window state: tombstone
+    present + directory present (removal in flight or about to start),
+    tombstone present + directory gone (expired), tombstone absent +
+    files missing (actual corruption — page someone). Overlapping scans
+    should also set ``spark.sql.files.ignoreMissingFiles`` so an
+    in-flight expiry degrades to a partial read instead of an abort;
+    the quiet-window scheduling discipline still applies, the tombstone
+    makes violations diagnosable instead of mysterious."""
     jvm = spark._jvm
     esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     root = jvm.org.apache.hadoop.fs.Path(path)
@@ -715,6 +727,57 @@ def expire_zone_partitions(
     dropped = []
     for d, vals in dirs:
         if not keep(vals):
+            # tombstone FIRST: from this point until the delete commits,
+            # and forever after, readers can attribute missing files to
+            # retention expiry (see the race-window note above). The
+            # relative partition path is rebuilt from the escaped values
+            # (escape∘unescape is identity on hive dir names), so the
+            # tombstone key round-trips exactly.
+            rel = "/".join(
+                f"{c}={esc.escapePathName(v)}"
+                for c, v in zip(partition_cols, vals)
+            )
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/_expired/{rel}/_expiring"
+            )
+            fs.create(marker, True).close()
             fs.delete(d, True)
             dropped.append(vals)
     return sorted(dropped)
+
+
+def expired_tombstones(
+    spark: SparkSession, path: str, partition_cols: Sequence[str]
+) -> list[tuple]:
+    """List the retention tombstones under ``path/_expired`` as logical
+    partition-value tuples (unescaped, ``partition_cols`` order) — the
+    reader-side half of :func:`expire_zone_partitions`' race contract: a
+    scan that hit missing files checks membership here to distinguish
+    deliberate expiry from corruption. One directory listing, no data
+    file reads."""
+    jvm = spark._jvm
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/_expired")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    dirs = [(root, ())]
+    for c in partition_cols:
+        out = []
+        for d, vals in dirs:
+            for st in fs.listStatus(d):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                if not name.startswith(f"{c}="):
+                    continue
+                raw = name[len(c) + 1 :]
+                out.append(
+                    (st.getPath(), vals + (esc.unescapePathName(raw),))
+                )
+        dirs = out
+    return sorted(
+        vals
+        for d, vals in dirs
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{d.toString()}/_expiring"))
+    )

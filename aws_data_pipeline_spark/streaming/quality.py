@@ -46,7 +46,14 @@ def incremental_drift_monitor(
       (:func:`chisq_from_counts` — a categories-sized join).
 
     The metrics row is (batch_id, n_rows, psi, psi_alert, chisq,
-    chisq_alert) — nulls for the kind the baseline lacks.
+    chisq_alert, baseline_id) — nulls for the kind the baseline lacks.
+    ``baseline_id`` is the baseline's stored content fingerprint
+    (build_drift_baseline's md5 over params + edges + counts): a
+    baseline rebuilt mid-history with different edges silently mixes
+    scoring regimes otherwise, so every row records WHICH baseline
+    scored it and the zone's history is self-describing (rows from
+    before the stamp existed read as null — visibly pre-fingerprint,
+    never misattributed).
     ``psi_threshold`` defaults to the canonical 0.2 "investigate" level;
     ``chisq_threshold`` is the caller's critical value for df = C-1 (no
     universal default — it depends on the category count), None = never
@@ -59,6 +66,9 @@ def incremental_drift_monitor(
     mid-run is picked up by the NEXT run, the snapshot discipline
     build_drift_baseline documents."""
     meta = spark.read.parquet(f"{baseline_path}/meta").collect()[0]
+    # baselines written before the fingerprint existed have no column:
+    # score them normally, stamp null (visible as "pre-fingerprint")
+    baseline_id = getattr(meta, "baseline_id", None)
     edges: list[float] | None = None
     base_bins: list[tuple] | None = None
     base_cats: list[tuple] | None = None
@@ -96,9 +106,9 @@ def incremental_drift_monitor(
             # floor every current-side proportion to 1e-6 and "alert" on
             # nothing — record the empty batch with null metrics instead
             sess.createDataFrame(
-                [(batch_id, 0, None, None, None, None)],
+                [(batch_id, 0, None, None, None, None, baseline_id)],
                 "batch_id long, n_rows long, psi double, psi_alert boolean, "
-                "chisq double, chisq_alert boolean",
+                "chisq double, chisq_alert boolean, baseline_id string",
             ).write.mode("append").parquet(metrics_path)
             return
         if edges is not None:
@@ -134,9 +144,10 @@ def incremental_drift_monitor(
                 and chisq > chisq_threshold
             )
         sess.createDataFrame(
-            [(batch_id, n_rows, psi, psi_alert, chisq, chisq_alert)],
+            [(batch_id, n_rows, psi, psi_alert, chisq, chisq_alert,
+              baseline_id)],
             "batch_id long, n_rows long, psi double, psi_alert boolean, "
-            "chisq double, chisq_alert boolean",
+            "chisq double, chisq_alert boolean, baseline_id string",
         ).write.mode("append").parquet(metrics_path)
 
     (

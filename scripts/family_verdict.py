@@ -1,0 +1,162 @@
+"""Per-FAMILY bench verdict against round envelopes — the r10 verdict's
+ANN-flag closeout mechanism (item 2), generalized.
+
+The driver benches once per round; a single run in a shared sandbox sits
+somewhere inside that round's machine-load envelope, so comparing two
+driver singletons flags ambient drift (the r10 `embedding_ann_*` scare:
+driver r9 landed in the fast tail, driver r10 in the loaded tail, 1.35-
+1.67x apparent movement while nineteen in-round runs showed the family at
+or below r9 levels). This script publishes the comparison the verdict
+rule actually wants, per query family:
+
+- ENVELOPE per round = min of run-mins / median of run-medians / max of
+  run-maxes over every ``evidence/bench_r{N}_run*.json`` of that round
+  (the preflight envelope rule, scoped per query);
+- the DRIVER number of a round is graded against BOTH its own round's
+  envelope and the previous round's: ``in-envelope`` when its median is
+  at or under envelope-max x (1+slack); FLAG only when even the driver
+  min exceeds the envelope max by more than slack — the bench_compare
+  interval rule with the envelope as baseline;
+- a family verdict: NOISE-CLOSED when every family query is in-envelope,
+  REGRESSION-SUSPECT listing the flagged queries otherwise (exit 1).
+
+Driver BENCH files whose JSON line was tail-truncated (``parsed: null``)
+are recovered by regex over the surviving dispersion blocks — queries
+whose block was cut are reported as absent, not silently skipped.
+
+Usage:
+  python scripts/family_verdict.py [--family embedding_ann_]
+      [--rounds 9 10 11] [--driver-round 10] [--slack 0.15]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+
+def round_envelope(rnd: int) -> dict[str, dict]:
+    """Merge every in-round run of a round into per-query envelopes."""
+    env: dict[str, dict] = {}
+    for path in sorted(glob.glob(f"evidence/bench_r{rnd}_run*.json")):
+        d = json.load(open(path))
+        disp = d.get("dispersion", {})
+        for q, sec in d.get("queries", {}).items():
+            b = disp.get(q, {"min": sec, "median": sec, "max": sec})
+            e = env.setdefault(
+                q, {"min": b["min"], "max": b["max"], "medians": []}
+            )
+            e["min"] = min(e["min"], b["min"])
+            e["max"] = max(e["max"], b["max"])
+            e["medians"].append(b["median"])
+    for e in env.values():
+        ms = sorted(e.pop("medians"))
+        e["med"] = ms[len(ms) // 2]
+    return env
+
+
+def driver_numbers(rnd: int) -> dict[str, dict]:
+    """Per-query dispersion from the driver's BENCH_r{N}.json, recovering
+    from tail truncation when the wrapper's parsed field is null."""
+    path = f"BENCH_r{rnd:02d}.json"
+    if not os.path.exists(path):
+        return {}
+    d = json.load(open(path))
+    parsed = d.get("parsed")
+    if parsed:
+        disp = parsed.get("dispersion", {})
+        return {
+            q: disp.get(q, {"min": s, "median": s, "max": s})
+            for q, s in parsed["queries"].items()
+        }
+    out: dict[str, dict] = {}
+    for m in re.finditer(
+        r'"([a-z0-9_]+)": \{"min": ([0-9.]+), "median": ([0-9.]+), '
+        r'"max": ([0-9.]+), "reps": (\d+)\}',
+        d.get("tail") or "",
+    ):
+        out[m.group(1)] = {
+            "min": float(m.group(2)),
+            "median": float(m.group(3)),
+            "max": float(m.group(4)),
+            "reps": int(m.group(5)),
+        }
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="embedding_ann_")
+    ap.add_argument("--rounds", type=int, nargs="+", default=[9, 10, 11])
+    ap.add_argument("--driver-round", type=int, default=10)
+    ap.add_argument("--slack", type=float, default=0.15)
+    args = ap.parse_args()
+    os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+
+    envs = {r: round_envelope(r) for r in args.rounds}
+    drv = driver_numbers(args.driver_round)
+    prev = max((r for r in args.rounds if r < args.driver_round), default=None)
+
+    fam = sorted(
+        q
+        for q in set().union(*(e.keys() for e in envs.values() if e), drv)
+        if q.startswith(args.family)
+    )
+    if not fam:
+        print(f"no queries match family prefix {args.family!r}")
+        return 1
+
+    flagged = []
+    hdr = f"{'query':34s} " + " ".join(
+        f"r{r} env[min,med,max]".rjust(22) for r in args.rounds
+    )
+    print(hdr + f"  driver r{args.driver_round}  verdict")
+    for q in fam:
+        cells = []
+        for r in args.rounds:
+            e = envs[r].get(q)
+            cells.append(
+                f"[{e['min']:.2f},{e['med']:.2f},{e['max']:.2f}]".rjust(22)
+                if e
+                else "-".rjust(22)
+            )
+        db = drv.get(q)
+        if db is None:
+            verdict, dtxt = "absent(truncated)", "-"
+        else:
+            dtxt = f"{db['median']:.2f}"
+            own = envs.get(args.driver_round, {}).get(q)
+            pre = envs.get(prev, {}).get(q) if prev else None
+            ref = own or pre
+            if ref is None:
+                verdict = "no-envelope"
+            elif db["min"] > ref["max"] * (1 + args.slack):
+                verdict = "FLAG"
+                flagged.append(q)
+            elif db["median"] <= ref["max"] * (1 + args.slack):
+                verdict = "in-envelope"
+            else:
+                verdict = "tail-only(min inside)"
+        print(f"{q:34s} " + " ".join(cells) + f"  {dtxt:>9s}  {verdict}")
+
+    fam_name = args.family.rstrip("_")
+    if flagged:
+        print(
+            f"\nFAMILY {fam_name}: REGRESSION-SUSPECT — driver min exceeds "
+            f"the round envelope max by >{args.slack:.0%} for: "
+            + ", ".join(flagged)
+        )
+        return 1
+    print(
+        f"\nFAMILY {fam_name}: NOISE-CLOSED — every driver number sits "
+        f"inside its round's in-round envelope (+{args.slack:.0%})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

