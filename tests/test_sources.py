@@ -497,3 +497,171 @@ def test_expiry_tombstones_distinguish_expiry_from_corruption(
     ).write.partitionBy("src").parquet(z2)
     expire_zone_partitions(spark, z2, ["src"], keep=lambda t: t[0] != "c:d")
     assert expired_tombstones(spark, z2, ["src"]) == [("c:d",)]
+
+
+def test_zone_snapshots_pin_repeatable_reads(spark, tmp_path):
+    """Manifest-pinned time travel: a snapshot read returns the zone
+    exactly as of the snapshot (appends invisible, partition columns
+    intact), ids are monotonic, the latest-by-default read follows new
+    snapshots, the pinned-file union covers every committed snapshot,
+    and manifest retention drops oldest-first."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(2023, i) for i in range(4)], "year int, v long"
+    ).write.partitionBy("year").parquet(zone)
+
+    s1 = S.snapshot_zone(spark, zone)
+    assert s1 == 1 and S.snapshot_ids(spark, zone) == [1]
+
+    spark.createDataFrame(
+        [(2024, i) for i in range(3)], "year int, v long"
+    ).write.mode("append").partitionBy("year").parquet(zone)
+    s2 = S.snapshot_zone(spark, zone)
+    assert s2 == 2
+
+    old = S.read_zone_snapshot(spark, zone, s1)
+    assert old.count() == 4
+    # hive partition columns survive the explicit file-list scan
+    assert set(old.columns) == {"v", "year"}
+    assert old.agg(F.max("year")).collect()[0][0] == 2023
+    assert S.read_zone_snapshot(spark, zone, s2).count() == 7
+    assert S.read_zone_snapshot(spark, zone).count() == 7  # latest default
+    # the whole-zone scan and the pinned scan agree row-for-row
+    assert sorted(
+        map(tuple, S.read_zone_snapshot(spark, zone, s2).collect())
+    ) == sorted(map(tuple, spark.read.parquet(zone).collect()))
+
+    pinned = S.snapshot_pinned_files(spark, zone)
+    assert any(p.startswith("year=2023/") for p in pinned)
+    assert any(p.startswith("year=2024/") for p in pinned)
+
+    assert S.expire_snapshots(spark, zone, keep_last=1) == [1]
+    assert S.snapshot_ids(spark, zone) == [2]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown snapshot id 1"):
+        S.read_zone_snapshot(spark, zone, 1)
+
+
+def test_broken_snapshots_attribute_expiry_vs_rewrite(spark, tmp_path):
+    """The attribution contract: a snapshot broken by retention expiry
+    names the tombstoned files as 'expired'; one broken by an in-place
+    rewrite (compaction/erasure class) reports 'rewritten-or-corrupt';
+    an intact snapshot keeps reading after OTHER partitions expire."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        compact_zone,
+        expire_zone_partitions,
+    )
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(y, i) for y in (2023, 2024) for i in range(4)],
+        "year int, v long",
+    ).write.partitionBy("year").parquet(zone)
+    s1 = S.snapshot_zone(spark, zone)
+
+    # expire 2023 -> the snapshot breaks, attributably
+    expire_zone_partitions(
+        spark, zone, ["year"], keep=lambda t: int(t[0]) >= 2024
+    )
+    with pytest.raises(S.SnapshotBrokenError) as ei:
+        S.read_zone_snapshot(spark, zone, s1)
+    assert ei.value.snapshot_id == s1
+    assert ei.value.broken and all(
+        why == "expired" and rel.startswith("year=2023/")
+        for rel, why in ei.value.broken.items()
+    )
+
+    # a fresh snapshot of the post-expiry state reads fine...
+    s2 = S.snapshot_zone(spark, zone)
+    assert S.read_zone_snapshot(spark, zone, s2).count() == 4
+    # ...until an in-place compaction rewrites its files
+    compact_zone(spark, zone, partition_by=["year"])
+    with pytest.raises(S.SnapshotBrokenError) as ei2:
+        S.read_zone_snapshot(spark, zone, s2)
+    assert all(
+        why == "rewritten-or-corrupt" for why in ei2.value.broken.values()
+    )
+    # the zone itself is fine — only the pinned generation is gone
+    assert spark.read.parquet(zone).count() == 4
+
+
+def test_empty_zone_snapshot_and_crash_orphan(spark, tmp_path):
+    """Edge states: an empty zone snapshots (recordable state) but reading
+    it is an explicit error, not an empty-schema scan; a crash between
+    manifest write and ptr commit leaves an invisible orphan that the
+    next snapshot does not collide with."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame([(1,)], "v long").write.parquet(zone)
+    s1 = S.snapshot_zone(spark, zone)
+
+    # simulate the crash: manifest for s2 written, ptr never committed
+    spark.createDataFrame(
+        [("x.parquet", 1)], "file string, length long"
+    ).write.parquet(f"{zone}/_snapshots/s{s1 + 1}/manifest")
+    assert S.snapshot_ids(spark, zone) == [s1]  # orphan invisible
+    # note: the next snapshot_zone re-uses the orphan's slot via
+    # mode("overwrite") — ids come from committed ptr markers only
+    s2 = S.snapshot_zone(spark, zone)
+    assert s2 == s1 + 1 and S.snapshot_ids(spark, zone) == [s1, s2]
+    assert S.read_zone_snapshot(spark, zone, s2).count() == 1
+
+    # a zone with no committed data files (nothing ever written) still
+    # snapshots — "the corpus was empty then" is recordable — but
+    # reading that snapshot is an explicit error, not an empty scan
+    empty = str(tmp_path / "empty")
+    sid = S.snapshot_zone(spark, empty)
+    with pytest.raises(ValueError, match="pinned an empty zone"):
+        S.read_zone_snapshot(spark, empty, sid)
+
+
+def test_snapshot_diff_reads_only_the_appended_batch(spark, tmp_path):
+    """Incremental consumption via snapshot deltas: with a snapshot after
+    each producer run, the (from, to] diff scan returns exactly the
+    appended rows (partition columns intact), the empty delta is an
+    explicit probe-first error, and the three-way union of deltas equals
+    the latest snapshot."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+
+    zone = str(tmp_path / "zone")
+    batches = [
+        [(2023, 0), (2023, 1)],
+        [(2024, 2)],
+        [(2024, 3), (2025, 4)],
+    ]
+    sids = []
+    for b in batches:
+        spark.createDataFrame(b, "year int, v long").write.mode(
+            "append"
+        ).partitionBy("year").parquet(zone)
+        sids.append(S.snapshot_zone(spark, zone))
+
+    d12 = S.read_zone_snapshot_diff(spark, zone, sids[0], sids[1])
+    assert sorted((r.year, r.v) for r in d12.collect()) == batches[1]
+    d23 = S.read_zone_snapshot_diff(spark, zone, sids[1], sids[2])
+    assert sorted((r.year, r.v) for r in d23.collect()) == batches[2]
+    assert set(d23.columns) == {"v", "year"}
+
+    assert S.snapshot_diff_files(spark, zone, sids[2], sids[2]) == []
+    with pytest.raises(ValueError, match="differ by no files"):
+        S.read_zone_snapshot_diff(spark, zone, sids[2], sids[2])
+
+    # batch1 + delta12 + delta23 == the full latest snapshot
+    full = sorted(
+        (r.year, r.v)
+        for r in S.read_zone_snapshot(spark, zone, sids[2]).collect()
+    )
+    assert full == sorted(batches[0] + batches[1] + batches[2])
