@@ -3597,3 +3597,85 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = similarity.brute_force_topk(queries, e, k=5)
     res = similarity.sq8_topk(queries, e, k=5, mins=mins, scales=scales)
     return similarity.retrieval_metrics(res, truth, k=5)
+
+
+# -- Cross-table fuzzy linkage (provenance attribution) --------------------
+
+
+@register(
+    "provenance_fuzzy_link",
+    demoted=True,
+    # full value oracle: both sides' shingle universes are deterministic
+    # string sets, the hot-shingle cap mirrors exactly, the Jaccard is one
+    # int/int division (exactly-rounded IEEE — the ngram_jaccard_pairs
+    # precedent), and ranks break ties on the corpus id
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), snip AS (
+      -- Spark slice(t, 4, 20) = 1-based start 4, length 20 = elements
+      -- 4..23; DuckDB list_slice is 1-based inclusive on both ends
+      SELECT doc_id AS snippet_id, list_slice(t, 4, 23) AS t
+      FROM toks WHERE doc_id % 7 = 3
+    ), q_sh AS (
+      SELECT DISTINCT snippet_id,
+             array_to_string(list_slice(t, g.g, g.g + 2), ' ') AS shingle
+      FROM snip, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 2
+    ), c_sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, g.g, g.g + 2), ' ') AS shingle
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 2
+    ), hot AS (
+      SELECT shingle FROM c_sh GROUP BY shingle HAVING count(*) > 1000
+    ), qk AS (
+      SELECT * FROM q_sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), ck AS (
+      SELECT * FROM c_sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), nq AS (
+      SELECT snippet_id, count(*) AS n FROM qk GROUP BY 1
+    ), nc AS (
+      SELECT doc_id, count(*) AS n FROM ck GROUP BY 1
+    ), inter AS (
+      SELECT q.snippet_id, c.doc_id, count(*) AS i
+      FROM qk q JOIN ck c USING (shingle) GROUP BY 1, 2
+    )
+    SELECT snippet_id, doc_id, rank, jaccard FROM (
+      SELECT i.snippet_id, i.doc_id,
+             i.i / CAST(nq.n + nc.n - i.i AS DOUBLE) AS jaccard,
+             CAST(row_number() OVER (PARTITION BY i.snippet_id
+               ORDER BY i.i / CAST(nq.n + nc.n - i.i AS DOUBLE) DESC,
+                        i.doc_id ASC) AS INTEGER) AS rank
+      FROM inter i
+      JOIN nq ON nq.snippet_id = i.snippet_id
+      JOIN nc ON nc.doc_id = i.doc_id
+    ) WHERE rank <= 3
+    """,
+)
+def provenance_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance attribution as cross-table fuzzy linkage
+    (operators/linkage.py::fuzzy_link): a 20-token excerpt is cut from
+    every 7th document (tokens 4-23 — a lossy quote with no doc identity
+    attached), and the linker recovers which corpus document each excerpt
+    came from by exact 3-gram-shingle Jaccard over inverted-index
+    candidates — the eval-set provenance / quote-attribution /
+    takedown-matching primitive. Top-3 matches per snippet with ranks and
+    exact scores; candidates only materialize where a shingle is shared
+    (equi-join on hashed shingles, hot-shingle cap 1000), never O(n²)
+    across the frames.
+
+    Born round 11, demoted-with-full-oracle (the standing growth path:
+    local hash parity from birth, promotable when a window slot frees).
+    Demoted: the shingle/inverted-index chain's driver signal is carried
+    by ngram_jaccard_pairs (same index shape, symmetric case) and the
+    top-k-per-group window by topk_orders_per_customer."""
+    from aws_data_pipeline_spark.operators import linkage
+    from aws_data_pipeline_spark.operators.text import tokens as _tok
+
+    d = T(spark, sf_dir, "documents")
+    snippets = d.filter(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("snippet_id"),
+        F.array_join(F.slice(_tok(F.col("text")), 4, 20), " ").alias("text"),
+    )
+    return linkage.fuzzy_link(
+        snippets, d, "snippet_id", "doc_id", k=3, top=3, max_bucket=1000
+    )
