@@ -1032,3 +1032,125 @@ def test_drift_metrics_rows_carry_baseline_identity(spark, tmp_path):
         spark.read.parquet(metrics).select("baseline_id").distinct().count()
         == 2
     )
+
+
+def _cdc_rows(spark, zone):
+    return sorted(
+        (r.id, r.v, r._seq, r.year)
+        for r in spark.read.parquet(zone).collect()
+    )
+
+
+def test_cdc_apply_collapses_guards_and_tombstones(spark, tmp_path):
+    """The CDC sink's three disorder guarantees, each planted: (1) within
+    a batch, multiple events per key collapse to the highest sequence
+    before the zone is touched; (2) a stale cross-batch event (seq at or
+    below the zone row's) is dropped, not applied; (3) a delete leaves a
+    tombstone, so a later-replayed OLDER upsert cannot resurrect the
+    deleted row. Counts report what was applied vs dropped."""
+    from aws_data_pipeline_spark.streaming.cdc import apply_cdc_batch
+
+    zone = str(tmp_path / "zone")
+    schema = "id long, v string, year int, _op string, _seq long"
+
+    # batch 1: key 1 updated twice in-batch (seq 2 wins), key 2 inserted
+    b1 = spark.createDataFrame(
+        [
+            (1, "a0", 2024, "upsert", 1),
+            (1, "a1", 2024, "upsert", 2),
+            (2, "b0", 2024, "upsert", 1),
+        ],
+        schema,
+    )
+    got = apply_cdc_batch(b1, zone, ["id"], ["year"])
+    assert got == {"upserts": 2, "deletes": 0, "stale_dropped": 0}
+    assert _cdc_rows(spark, zone) == [(1, "a1", 2, 2024), (2, "b0", 1, 2024)]
+
+    # batch 2: key 1 deleted (seq 3); key 2 stale update (seq 1 again)
+    b2 = spark.createDataFrame(
+        [(1, None, 2024, "delete", 3), (2, "b-stale", 2024, "upsert", 1)],
+        schema,
+    )
+    got = apply_cdc_batch(b2, zone, ["id"], ["year"])
+    assert got == {"upserts": 0, "deletes": 1, "stale_dropped": 1}
+    assert _cdc_rows(spark, zone) == [(2, "b0", 1, 2024)]
+
+    # replay an OLDER upsert for the deleted key: the tombstone (seq 3)
+    # outranks it — no resurrection
+    replay = spark.createDataFrame(
+        [(1, "a1", 2024, "upsert", 2)], schema
+    )
+    got = apply_cdc_batch(replay, zone, ["id"], ["year"])
+    assert got == {"upserts": 0, "deletes": 0, "stale_dropped": 1}
+    assert _cdc_rows(spark, zone) == [(2, "b0", 1, 2024)]
+
+    # a genuinely NEWER upsert for the deleted key re-creates it
+    newer = spark.createDataFrame(
+        [(1, "a2", 2024, "upsert", 4)], schema
+    )
+    apply_cdc_batch(newer, zone, ["id"], ["year"])
+    assert _cdc_rows(spark, zone) == [(1, "a2", 4, 2024), (2, "b0", 1, 2024)]
+
+    # unknown op fails loudly
+    import pytest
+
+    bad = spark.createDataFrame([(9, "x", 2024, "update", 9)], schema)
+    with pytest.raises(ValueError, match="_op must be one of"):
+        apply_cdc_batch(bad, zone, ["id"], ["year"])
+
+
+def test_cdc_stream_checkpoint_loss_replay_is_effect_idempotent(
+    spark, tmp_path
+):
+    """apply_change_stream end-to-end: two producer runs apply through a
+    checkpoint; wiping the checkpoint re-delivers EVERYTHING and changes
+    nothing (sequence guard + tombstones = exactly-once effects on
+    at-least-once delivery); tombstone retention keeps the guard small
+    without re-opening the resurrection window at the horizon."""
+    import shutil
+
+    from aws_data_pipeline_spark.streaming.cdc import (
+        apply_change_stream,
+        expire_cdc_tombstones,
+    )
+
+    changes = str(tmp_path / "changes")
+    zone = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string, year int, _op string, _seq long"
+
+    spark.createDataFrame(
+        [
+            (1, "a", 2024, "upsert", 1),
+            (2, "b", 2024, "upsert", 2),
+            (3, "c", 2025, "upsert", 3),
+        ],
+        schema,
+    ).write.mode("append").parquet(changes)
+    apply_change_stream(spark, changes, zone, ["id"], ["year"], ckpt)
+
+    spark.createDataFrame(
+        [(2, None, 2024, "delete", 4), (3, "c2", 2025, "upsert", 5)],
+        schema,
+    ).write.mode("append").parquet(changes)
+    apply_change_stream(spark, changes, zone, ["id"], ["year"], ckpt)
+
+    want = [(1, "a", 1, 2024), (3, "c2", 5, 2025)]
+    assert _cdc_rows(spark, zone) == want
+
+    # checkpoint loss: full replay, identical end state
+    shutil.rmtree(ckpt)
+    apply_change_stream(
+        spark, changes, zone, ["id"], ["year"], str(tmp_path / "ckpt2")
+    )
+    assert _cdc_rows(spark, zone) == want
+
+    # expire tombstones below the replay horizon, then replay again:
+    # still no resurrection (the deleted key's tombstone seq 4 >= horizon)
+    kept = expire_cdc_tombstones(spark, zone, min_seq_keep=4, partition_cols=["year"])
+    assert kept == 1
+    shutil.rmtree(str(tmp_path / "ckpt2"))
+    apply_change_stream(
+        spark, changes, zone, ["id"], ["year"], str(tmp_path / "ckpt3")
+    )
+    assert _cdc_rows(spark, zone) == want
