@@ -476,3 +476,57 @@ def build_drift_baseline(
         [(bins, value_col, cat_col, fp.hexdigest())],
         "bins int, value_col string, cat_col string, baseline_id string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def volume_anomalies(
+    df: DataFrame,
+    bucket: Column,
+    out_bucket: str = "bucket",
+    k_num: int = 5,
+    k_den: int = 1,
+) -> DataFrame:
+    """Ingest-volume anomaly detection: per-bucket row counts flagged
+    against the robust median/MAD envelope — "did Tuesday's feed arrive
+    half-empty (or double)?", the DQ check that catches upstream loss and
+    duplication BEFORE value-level rules can see anything wrong. Median +
+    MAD rather than mean + stddev because volume anomalies are exactly
+    the contamination that wrecks moment statistics: one dead day drags
+    the mean toward itself and inflates sigma until nothing flags
+    (breakdown point 0 vs the median pair's 50%).
+
+    A bucket flags when ``deviation * k_den > k_num * mad`` with
+    ``deviation = |n_rows - median|`` — the threshold is the exact
+    rational ``k_num/k_den`` in MAD units (default 5 MADs ~ 3.4 sigma
+    under normality; no 1.4826 consistency constant ever enters the
+    comparison). Every quantity is exact: counts are longs, the two
+    medians interpolate at most one midpoint (halves/quarters — exactly
+    representable doubles for any count below 2^51), and the comparison
+    multiplies by small integers — so flags are bit-identical across
+    engines and partitionings, the zscore_outlier_counts posture for the
+    robust pair.
+
+    Shape: one grouped count (the only data-sized shuffle), then both
+    medians over the BUCKET-COUNT frame — domain-bounded (days/months),
+    the sanctioned tiny-frame class — each broadcast back as a 1-row
+    frame (the skew_report totals pattern). Output: (bucket, n_rows,
+    med, deviation, mad, is_anomaly) for every bucket, flags-as-data.
+    """
+    counts = df.groupBy(bucket.alias(out_bucket)).agg(
+        F.count("*").alias("n_rows")
+    )
+    med = counts.agg(F.percentile("n_rows", F.lit(0.5)).alias("med"))
+    d = counts.crossJoin(F.broadcast(med)).withColumn(
+        "deviation", F.abs(F.col("n_rows") - F.col("med"))
+    )
+    mad = d.agg(F.percentile("deviation", F.lit(0.5)).alias("mad"))
+    return d.crossJoin(F.broadcast(mad)).select(
+        out_bucket,
+        "n_rows",
+        "med",
+        "deviation",
+        "mad",
+        (
+            F.col("deviation") * F.lit(int(k_den))
+            > F.lit(int(k_num)) * F.col("mad")
+        ).alias("is_anomaly"),
+    )

@@ -384,3 +384,45 @@ def dq_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("x")
     )
     return quality.chisq_drift(base, curr, "x")
+
+
+@register(
+    "dq_ingest_volume_anomalies",
+    demoted=True,
+    # exact end-to-end: counts are integers, the two medians interpolate
+    # at most one midpoint (exactly-representable halves/quarters), and
+    # the flag multiplies by small integers — no consistency constant,
+    # no float accumulation anywhere, so every column value-hashes
+    sql="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), m AS (
+      SELECT quantile_cont(n_rows, 0.5) AS med FROM c
+    ), d AS (
+      SELECT bucket, n_rows, med, abs(n_rows - med) AS deviation
+      FROM c CROSS JOIN m
+    ), md AS (
+      SELECT quantile_cont(deviation, 0.5) AS mad FROM d
+    )
+    SELECT bucket, n_rows, med, deviation, mad,
+           (deviation * 1 > 5 * mad) AS is_anomaly
+    FROM d CROSS JOIN md
+    """,
+)
+def dq_ingest_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-feed volume flagged against the robust median/MAD
+    envelope (operators/quality.py::volume_anomalies — 5 MADs, exact
+    rational comparison): the arrived-half-empty / arrived-twice ingest
+    check value-level DQ rules cannot see. One grouped count is the only
+    data-sized shuffle; both medians run over the day-bounded count frame
+    and broadcast back as 1-row frames.
+
+    Born round 11, demoted-with-full-oracle (the standing growth path).
+    Demoted: the conditional-aggregate DQ shape's driver signal is
+    carried by dq_rule_violations_lineitem and the robust-statistic
+    flagging by dq_zscore_outlier_counts (both oracled)."""
+    e = T(spark, sf_dir, "events")
+    return quality.volume_anomalies(
+        e.where(F.col("ts").isNotNull()), F.to_date("ts")
+    )

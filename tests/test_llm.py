@@ -408,7 +408,9 @@ def test_registry_pq_resident_equals_persisted(spark, sf_dir):
     }
     b = {
         tuple(r)
-        for r in reg["embedding_ann_pq_indexed"].spark_fn(spark, sf_dir).collect()
+        for r in DEMOTED["embedding_ann_pq_indexed"]  # demoted r11
+        .spark_fn(spark, sf_dir)
+        .collect()
     }
     assert a == b and len(a) > 0
 
@@ -2072,7 +2074,7 @@ def test_registry_hard_negative_indexed_pair(spark, sf_dir):
     }
     indexed = {
         tuple(r)
-        for r in DEMOTED["hard_negative_topk_indexed"]
+        for r in reg["hard_negative_topk_indexed"]  # seated r11
         .spark_fn(spark, sf_dir)
         .collect()
     }
@@ -2376,3 +2378,29 @@ def test_fuzzy_link_hot_shingle_cap_keeps_jaccard_honest(spark):
         queries, corpus, "qid", "doc_id", k=3, top=5, max_bucket=None
     ).collect()
     assert {r.doc_id for r in full if r.qid == 101} == {0, 1, 2, 3, 4}
+
+
+def test_volume_anomalies_median_mad_semantics(spark):
+    """Planted feed-volume anomalies: a half-empty day and a doubled day
+    flag against the median/MAD envelope while ordinary jitter does not;
+    the robust pair itself matches the hand-computed values exactly (the
+    whole point: one dead day must not drag the center the way a mean
+    would)."""
+    from aws_data_pipeline_spark.operators.quality import volume_anomalies
+
+    counts = {0: 98, 1: 99, 2: 100, 3: 100, 4: 101, 5: 102, 6: 5, 7: 300}
+    rows = [(b,) for b, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "day int")
+    out = {
+        r.bucket: r
+        for r in volume_anomalies(df, F.col("day"), out_bucket="bucket")
+        .collect()
+    }
+    assert len(out) == 8
+    # med = median(98,99,100,100,101,102,5,300) = 100 (middle pair 100,100)
+    # deviations sorted: 0,0,1,1,2,2,95,200 -> mad = (1+2)/2 = 1.5
+    assert all(r.med == 100.0 and r.mad == 1.5 for r in out.values())
+    assert out[6].deviation == 95.0 and out[7].deviation == 200.0
+    assert {b for b, r in out.items() if r.is_anomaly} == {6, 7}
+    # threshold is exact: a deviation of exactly 5*mad must NOT flag
+    assert not (7.5 * 1 > 5 * 1.5)
