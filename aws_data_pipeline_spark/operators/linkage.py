@@ -79,13 +79,45 @@ def fuzzy_link(
     snippet shingle it contains and ranks at or near the top — provenance
     attribution is this operator applied to (snippets, corpus).
     """
-    # deliberately NOT cached despite multiple consumers: the exploded
-    # index is ~k tokens per input token — materializing it costs more
-    # than recomputing the tokenize+explode inside each consumer's
-    # codegen stage (interleaved same-session A/B at sf0.1, 4 reps:
-    # cached 2.9-3.3 s vs uncached 2.4-3.2 s, uncached ahead every rep).
-    # dedup.jaccard_pairs caches its POST-aggregation buckets, which are
-    # small; there is no analogous small reuse frame here.
+    jac = _scored_pairs(queries, corpus, query_id, corpus_id, text_col,
+                        k, threshold, max_bucket)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("jaccard").desc(), F.col("__cid").asc()
+    )
+    return (
+        jac.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "rank",
+            "jaccard",
+        )
+    )
+
+
+def _scored_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(__qid, __cid, jaccard) for every candidate pair sharing a kept
+    shingle — the shared core of :func:`fuzzy_link` (per-query top-k) and
+    :func:`mutual_best_match` (one-to-one), which rank the SAME symmetric
+    scores in one and two directions respectively."""
+    # the exploded indexes are deliberately NOT cached despite multiple
+    # consumers: an index is ~k tokens per input token — materializing it
+    # costs more than recomputing the tokenize+explode inside each
+    # consumer's codegen stage (interleaved same-session A/B at sf0.1,
+    # 4 reps: cached 2.9-3.3 s vs uncached 2.4-3.2 s, uncached ahead
+    # every rep). dedup.jaccard_pairs caches its POST-aggregation
+    # buckets, which are small; the only analogous small frame here is
+    # the hot-postings cap below.
     q_idx = _side_index(queries, query_id, text_col, k, "__qid")
     c_idx = _side_index(corpus, corpus_id, text_col, k, "__cid")
     if max_bucket is not None:
@@ -124,16 +156,52 @@ def fuzzy_link(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    w = Window.partitionBy("__qid").orderBy(
+    return jac.select("__qid", "__cid", "jaccard")
+
+
+def mutual_best_match(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.0,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """ONE-TO-ONE entity resolution: the pairs where each side is the
+    other's single best match — A's top corpus row is B AND B's top query
+    row is A (ties broken by the opposite id, both directions). The
+    symmetric-Jaccard pair frame is computed ONCE; the two directions are
+    two windows over it, so mutuality costs one extra shuffle, not a
+    second linkage pass.
+
+    Mutual-best is the standard high-precision decision rule for record
+    linkage (each output row consumes both its endpoints, so the result
+    is a partial matching by construction — no greedy global assignment
+    loop, no iteration): rows that are merely *somebody's* best but not
+    mutually so (a duplicate-rich corpus where three queries all point at
+    one record) drop out instead of producing many-to-one merges.
+    Unmatched rows on either side are absent — no-match is no evidence,
+    the fuzzy_link stance. Output: (query_id, corpus_id, jaccard).
+    """
+    jac = _scored_pairs(
+        queries, corpus, query_id, corpus_id, text_col, k, threshold,
+        max_bucket,
+    )
+    wq = Window.partitionBy("__qid").orderBy(
         F.col("jaccard").desc(), F.col("__cid").asc()
     )
+    wc = Window.partitionBy("__cid").orderBy(
+        F.col("jaccard").desc(), F.col("__qid").asc()
+    )
     return (
-        jac.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top)
+        jac.withColumn("__rq", F.row_number().over(wq))
+        .withColumn("__rc", F.row_number().over(wc))
+        .filter((F.col("__rq") == 1) & (F.col("__rc") == 1))
         .select(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
-            "rank",
             "jaccard",
         )
     )

@@ -3679,3 +3679,80 @@ def provenance_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkage.fuzzy_link(
         snippets, d, "snippet_id", "doc_id", k=3, top=3, max_bucket=1000
     )
+
+
+@register(
+    "entity_resolution_mutual_pairs",
+    demoted=True,
+    # the provenance_fuzzy_link oracle with BOTH ranking directions: the
+    # pair frame is symmetric-Jaccard, so mutual-best is two row_numbers
+    # over the same exact scores — every float a single int/int division
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), snip AS (
+      SELECT doc_id AS snippet_id, list_slice(t, 4, 23) AS t
+      FROM toks WHERE doc_id % 7 = 3
+    ), q_sh AS (
+      SELECT DISTINCT snippet_id,
+             array_to_string(list_slice(t, g.g, g.g + 2), ' ') AS shingle
+      FROM snip, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 2
+    ), c_sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, g.g, g.g + 2), ' ') AS shingle
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 2
+    ), hot AS (
+      SELECT shingle FROM c_sh GROUP BY shingle HAVING count(*) > 1000
+    ), qk AS (
+      SELECT * FROM q_sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), ck AS (
+      SELECT * FROM c_sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), nq AS (
+      SELECT snippet_id, count(*) AS n FROM qk GROUP BY 1
+    ), nc AS (
+      SELECT doc_id, count(*) AS n FROM ck GROUP BY 1
+    ), inter AS (
+      SELECT q.snippet_id, c.doc_id, count(*) AS i
+      FROM qk q JOIN ck c USING (shingle) GROUP BY 1, 2
+    ), scored AS (
+      SELECT i.snippet_id, i.doc_id,
+             i.i / CAST(nq.n + nc.n - i.i AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN nq ON nq.snippet_id = i.snippet_id
+      JOIN nc ON nc.doc_id = i.doc_id
+    )
+    SELECT snippet_id, doc_id, jaccard FROM (
+      SELECT snippet_id, doc_id, jaccard,
+             row_number() OVER (PARTITION BY snippet_id
+               ORDER BY jaccard DESC, doc_id ASC) AS rq,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, snippet_id ASC) AS rc
+      FROM scored
+    ) WHERE rq = 1 AND rc = 1
+    """,
+)
+def entity_resolution_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-TO-ONE record linkage over the provenance pair frame
+    (operators/linkage.py::mutual_best_match): a snippet↔document pair
+    survives only when each side is the other's single best match — the
+    high-precision decision rule that yields a partial matching by
+    construction (a near-duplicate-rich corpus cannot produce
+    three-snippets-one-record merges the way per-query top-1 can). The
+    symmetric pair frame is computed once; mutuality is a second window,
+    not a second linkage pass.
+
+    Born round 11, demoted-with-full-oracle (the standing growth path).
+    Demoted: the pair-scoring chain's driver signal is carried by
+    ngram_jaccard_pairs and the bidirectional-window shape by
+    topk_orders_per_customer."""
+    from aws_data_pipeline_spark.operators import linkage
+    from aws_data_pipeline_spark.operators.text import tokens as _tok
+
+    d = T(spark, sf_dir, "documents")
+    snippets = d.filter(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("snippet_id"),
+        F.array_join(F.slice(_tok(F.col("text")), 4, 20), " ").alias("text"),
+    )
+    return linkage.mutual_best_match(
+        snippets, d, "snippet_id", "doc_id", k=3, max_bucket=1000
+    )

@@ -2404,3 +2404,45 @@ def test_volume_anomalies_median_mad_semantics(spark):
     assert {b for b, r in out.items() if r.is_anomaly} == {6, 7}
     # threshold is exact: a deviation of exactly 5*mad must NOT flag
     assert not (7.5 * 1 > 5 * 1.5)
+
+
+def test_mutual_best_match_is_one_to_one_and_high_precision(spark):
+    """The mutual-best decision rule on a planted many-to-one geometry:
+    three near-identical queries all best-match ONE corpus record, but
+    only the mutually-best pair survives (the corpus record's own best
+    query), so the output is a partial matching — every id appears at
+    most once on its side; a clean 1:1 pair elsewhere links normally."""
+    from aws_data_pipeline_spark.operators.linkage import (
+        fuzzy_link,
+        mutual_best_match,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [
+            # three variants of record 1; qid 10 is the closest (exact)
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "alpha beta gamma delta epsilon"),
+            (12, "alpha beta gamma delta"),
+            # clean 1:1 partner for record 2
+            (20, "one two three four five six"),
+        ],
+        "qid long, text string",
+    )
+    # per-query top-1 produces the many-to-one merge mutuality prevents
+    link = fuzzy_link(queries, corpus, "qid", "doc_id", k=3, top=1)
+    assert {r.qid: r.doc_id for r in link.collect()} == {
+        10: 1, 11: 1, 12: 1, 20: 2,
+    }
+    out = mutual_best_match(queries, corpus, "qid", "doc_id", k=3)
+    got = {(r.qid, r.doc_id) for r in out.collect()}
+    assert got == {(10, 1), (20, 2)}
+    rows = out.collect()
+    assert len({r.qid for r in rows}) == len(rows)
+    assert len({r.doc_id for r in rows}) == len(rows)
