@@ -772,3 +772,84 @@ def strip_accents(
         )
 
     return df.withColumn(out_col, _fold(F.col(text_col)))
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information: the token
+    pairs that co-occur far more than their marginals predict ("new
+    york", "machine learning") — the vocabulary-building / phrase-mining
+    primitive (word2vec's phrase pass, Church & Hanks 1990):
+
+        pmi(a,b) = ln( p(ab) / (p(a) p(b)) )
+                 = ln( ((c_ab / B) / (c_a / N)) / (c_b / N) )
+
+    with c_* exact corpus counts, N total tokens, B total bigrams.
+    ``min_count`` drops the low-frequency pairs PMI notoriously inflates
+    (a hapax pair has near-maximal PMI by construction); ``top`` bounds
+    the output to the strongest collocations.
+
+    Determinism (oracle contract): every count is an exact long; the
+    probability ratio is four correctly-rounded double divisions in a
+    FIXED order (mirrored in the SQL twin), and the one ``ln`` snaps to
+    9-dp units — the psi/logprob recipe — with (w1, w2) tie-breaks on
+    the rank.
+
+    Scale shape: one bigram explode + two grouped counts (the unigram
+    frame joins back on each side — vocabulary-sized equi-joins, AQE
+    decides the strategy); the two totals broadcast as a 1-row frame;
+    the global top-``top`` is a distributed TakeOrdered, and ranks are
+    assigned over the ≤``top``-row result (the sanctioned tiny-frame
+    window class) — never a data-sized single-partition window.
+    """
+    t = F.col("__t")
+    pair = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    wide = widen_narrow_input(df)
+    toks = wide.select(tokens(F.col(text_col)).alias("__t"))
+    bg = toks.select(F.explode(pair).alias("b")).select("b.w1", "b.w2")
+    uni = toks.select(F.explode(t).alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    tot = ucnt.agg(F.sum("cu").alias("n")).crossJoin(
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c").alias("b"))
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # the fixed IEEE sequence, mirrored verbatim in the oracle:
+    # ((c/B) / (cu1/N)) / (cu2/N), then the 9-dp ln snap
+    ratio = (
+        (F.col("c") / F.col("b")) / (F.col("cu1") / F.col("n"))
+    ) / (F.col("cu2") / F.col("n"))
+    scored = (
+        bcnt.filter(F.col("c") >= min_count)
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_ab"),
+            (F.round(F.log(ratio) * F.lit(1e9)).cast("long").cast("double")
+             / F.lit(1e9)).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    head = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return head.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -3756,3 +3756,63 @@ def entity_resolution_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     return linkage.mutual_best_match(
         snippets, d, "snippet_id", "doc_id", k=3, max_bucket=1000
     )
+
+
+@register(
+    "collocation_pmi_scores",
+    demoted=True,
+    # counts exact; the probability ratio is four correctly-rounded
+    # double divisions in the SAME fixed order as the Spark expression;
+    # the one ln snaps to 9-dp units (the psi/logprob recipe); ranks
+    # tie-break on the pair
+    sql="""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS t FROM documents
+    ), u AS (
+      SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cu FROM u GROUP BY w
+    ), n AS (
+      SELECT CAST(sum(cu) AS BIGINT) AS n FROM ucnt
+    ), bg AS (
+      SELECT t[g.g] AS w1, t[g.g + 1] AS w2
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 1
+    ), bcnt AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+    ), b AS (
+      SELECT CAST(sum(c) AS BIGINT) AS b FROM bcnt
+    ), scored AS (
+      SELECT w1, w2, c AS n_ab,
+             CAST(CAST(round(ln(
+               ((CAST(c AS DOUBLE) / b.b) / (CAST(u1.cu AS DOUBLE) / n.n))
+               / (CAST(u2.cu AS DOUBLE) / n.n)
+             ) * 1000000000.0) AS BIGINT) AS DOUBLE) / 1000000000.0 AS pmi
+      FROM bcnt
+      JOIN ucnt u1 ON u1.w = w1
+      JOIN ucnt u2 ON u2.w = w2
+      CROSS JOIN n CROSS JOIN b
+      WHERE c >= 5
+    )
+    SELECT w1, w2, n_ab, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
+                AS INTEGER) AS rank
+    FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def collocation_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by 9-dp-snapped PMI with min count 5
+    (operators/text.py::collocation_pmi) — the phrase-mining primitive
+    (word2vec's phrase pass): token pairs co-occurring far above their
+    marginals. Global top-k is a distributed TakeOrdered; ranks are
+    assigned over the 50-row result, never a data-sized single-partition
+    window.
+
+    Born round 11, demoted-with-full-oracle (the standing growth path).
+    Demoted: the bigram counting chain's driver signal is carried by
+    bigram_logprob_scores (identical explode + count tables) and the
+    snapped-ln discipline by dq_psi_price_drift's replica tests."""
+    from aws_data_pipeline_spark.operators import text as tx
+
+    return tx.collocation_pmi(T(spark, sf_dir, "documents"))

@@ -2446,3 +2446,41 @@ def test_mutual_best_match_is_one_to_one_and_high_precision(spark):
     rows = out.collect()
     assert len({r.qid for r in rows}) == len(rows)
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_collocation_pmi_ranks_true_collocation_first(spark):
+    """Planted collocation geometry: a pair that ONLY occurs together
+    ('san francisco') outranks an equally frequent pair whose members
+    also occur apart ('the cat') — the marginals discount PMI exists to
+    apply; values match the Python model evaluating the identical IEEE
+    expression sequence, and the hapax guard drops sub-min_count pairs."""
+    import math
+
+    from aws_data_pipeline_spark.operators.text import collocation_pmi
+
+    # PMI sorts by c_ab/(c_a*c_b) at fixed totals: san-francisco's
+    # members occur ONLY together (5/25), cat-and's also apart (5/50),
+    # the-cat's doubly so (5/150) — a strict planted order
+    docs = (
+        [("san francisco",)] * 5
+        + [("the cat sat",)] * 5
+        + [("the dog sat",)] * 5
+        + [("cat and the",)] * 5
+        + [("rare pair",)] * 2  # below min_count: must not appear
+    )
+    df = spark.createDataFrame(docs, "text string")
+    out = {(r.w1, r.w2): r for r in collocation_pmi(df, min_count=5).collect()}
+    assert ("rare", "pair") not in out
+    assert all(r.n_ab >= 5 for r in out.values())
+
+    # python model: same counts, same float-op order, same 9-dp snap
+    N, B = 59, 37
+    def model(c, ca, cb):
+        return round(math.log(((c / B) / (ca / N)) / (cb / N)) * 1e9) / 1e9
+
+    assert out[("san", "francisco")].pmi == model(5, 5, 5)
+    assert out[("the", "cat")].pmi == model(5, 15, 10)
+    assert out[("san", "francisco")].pmi > out[("the", "cat")].pmi
+    by_rank = sorted(out.values(), key=lambda r: r.rank)
+    assert (by_rank[0].w1, by_rank[0].w2) == ("san", "francisco")
+    assert [r.rank for r in by_rank] == list(range(1, len(by_rank) + 1))
