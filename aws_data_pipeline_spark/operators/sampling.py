@@ -727,3 +727,33 @@ def length_bucketed_batches(
         )
         .select(id_col, "n_tokens", "bucket", "batch_in_bucket")
     )
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    train_end,
+    test_start,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL split: train strictly before ``train_end``,
+    test at or after ``test_start``, and the [train_end, test_start)
+    EMBARGO gap dropped entirely — the time-series complement of the
+    near-dup cluster split (leakage_safe_split handles content leakage;
+    this handles temporal leakage: rows adjacent in time share
+    autocorrelated state, and features computed with any lookback reach
+    across a gapless boundary — the purged/embargoed walk-forward rule
+    from financial ML, de Prado 2018). Pure row-local projection: one
+    scan, no shuffle; the split column is deterministic in the row's own
+    timestamp, so re-runs and re-partitionings assign identically.
+    Null timestamps are dropped (no temporal position, no split)."""
+    ts = F.col(ts_col)
+    return (
+        df.where(ts.isNotNull())
+        .withColumn(
+            "split",
+            F.when(ts < F.lit(train_end).cast("timestamp"), F.lit("train"))
+            .when(ts >= F.lit(test_start).cast("timestamp"), F.lit("test"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .where(F.col("split").isNotNull())
+    )

@@ -62,3 +62,42 @@ def redact_pii(
         out = out.withColumn(f"n_{name}", c.cast("long"))
         total = c if total is None else total + c
     return out.withColumn("n_redactions", total.cast("long"))
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Per-combination k-anonymity audit over quasi-identifier columns:
+    each (quasi-tuple) with its row count and an ``at_risk`` flag when
+    fewer than ``k`` rows share it — the re-identification risk measure
+    that text-level PII scrubbing cannot see (scrubbing removes direct
+    identifiers; a unique nation+segment+birth-year COMBINATION
+    re-identifies without any of them). Flags are data, the DQ stance:
+    the release decision reads this frame. One grouped count — the
+    fact's single shuffle — and an exact-integer comparison, so the risk
+    set is bit-identical across engines."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").alias("n_rows")
+    ).withColumn("at_risk", F.col("n_rows") < F.lit(int(k)))
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Suppression-based k-anonymity enforcement: drop every row whose
+    quasi-identifier combination has fewer than ``k`` peers, so each
+    released row hides among at least k-1 others. Suppression (not
+    generalization) keeps the operator deterministic and value-exact —
+    generalization hierarchies are a policy input, and a wrong hierarchy
+    silently under-anonymizes; rows removed here are recoverable from
+    the source zone. Shape: the audit's grouped count joined back as a
+    semi-join on the safe combinations — two shuffles on the quasi key,
+    no broadcast assumption (quasi-cardinality is data-dependent, AQE
+    decides)."""
+    safe = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= F.lit(int(k)))
+        .select(*quasi_cols)
+    )
+    return df.join(safe, list(quasi_cols), "left_semi")

@@ -3816,3 +3816,67 @@ def collocation_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_pipeline_spark.operators import text as tx
 
     return tx.collocation_pmi(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "k_anonymity_customer_audit",
+    demoted=True,
+    # exact integer counts and comparison — the whole frame value-hashes
+    sql="""
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(*) < 10 AS at_risk
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier pair (operators/scrub.py::k_anonymity_audit, k=10):
+    combinations with fewer than 10 peers re-identify through linkage
+    even after direct-identifier scrubbing — the release-gate measure
+    beside pii_redaction_stats' text scrubbing. Flags are data; the
+    suppression verb k_anonymize enforces them.
+
+    Born round 11, demoted-with-full-oracle (the standing growth path).
+    Demoted: the grouped-count-plus-flag shape's driver signal is carried
+    by cube_priority_status and dq_rule_violations_lineitem."""
+    from aws_data_pipeline_spark.operators import scrub
+
+    return scrub.k_anonymity_audit(
+        T(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
+@register(
+    "temporal_split_embargo_events",
+    demoted=True,
+    # a pure row-local projection of exact timestamp comparisons — every
+    # row's assignment value-hashes
+    sql="""
+    SELECT event_id, ts,
+           CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+                ELSE 'test' END AS split
+    FROM events
+    WHERE ts IS NOT NULL
+      AND (ts < TIMESTAMP '2024-01-20' OR ts >= TIMESTAMP '2024-01-25')
+    """,
+)
+def temporal_split_embargo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split of the event stream: train before Jan 20,
+    test from Jan 25, the five-day embargo dropped
+    (operators/sampling.py::temporal_split_embargo) — the time-series
+    leakage guard the content-based splits cannot express: without the
+    gap, any feature with a lookback window reaches across the boundary.
+    One scan, zero shuffle, assignment deterministic in the row's own
+    timestamp.
+
+    Born round 11, demoted-with-full-oracle (the standing growth path).
+    Demoted: the split-assignment capability's driver signal is carried
+    by dataset_split_assignments_portable (hash routing) and
+    leakage_safe_splits (content routing); the timestamp-predicate
+    surface by sessionize_events."""
+    from aws_data_pipeline_spark.operators import sampling
+
+    e = T(spark, sf_dir, "events")
+    return sampling.temporal_split_embargo(
+        e, "ts", "2024-01-20", "2024-01-25"
+    ).select("event_id", "ts", "split")

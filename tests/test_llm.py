@@ -2484,3 +2484,67 @@ def test_collocation_pmi_ranks_true_collocation_first(spark):
     by_rank = sorted(out.values(), key=lambda r: r.rank)
     assert (by_rank[0].w1, by_rank[0].w2) == ("san", "francisco")
     assert [r.rank for r in by_rank] == list(range(1, len(by_rank) + 1))
+
+
+def test_k_anonymize_suppresses_small_cohorts_only(spark):
+    """Suppression semantics: rows in under-k quasi-identifier cohorts
+    drop, every surviving cohort has >= k rows, survivors are
+    byte-identical input rows (no generalization), and the audit frame's
+    flags name exactly the suppressed combinations."""
+    from aws_data_pipeline_spark.operators.scrub import (
+        k_anonymity_audit,
+        k_anonymize,
+    )
+
+    rows = (
+        [(30, "A", i) for i in range(5)]
+        + [(30, "B", i) for i in range(2)]   # under k=3: suppressed
+        + [(40, "A", i) for i in range(3)]
+        + [(50, "C", 0)]                     # singleton: suppressed
+    )
+    df = spark.createDataFrame(rows, "nation int, seg string, payload int")
+    audit = {
+        (r.nation, r.seg): r
+        for r in k_anonymity_audit(df, ["nation", "seg"], k=3).collect()
+    }
+    assert {c for c, r in audit.items() if r.at_risk} == {(30, "B"), (50, "C")}
+    assert audit[(30, "A")].n_rows == 5 and not audit[(30, "A")].at_risk
+
+    safe = k_anonymize(df, ["nation", "seg"], k=3)
+    got = sorted(map(tuple, safe.collect()))
+    assert got == sorted(
+        [(30, "A", i) for i in range(5)] + [(40, "A", i) for i in range(3)]
+    )
+    sizes = safe.groupBy("nation", "seg").count().collect()
+    assert all(r["count"] >= 3 for r in sizes)
+
+
+def test_temporal_split_embargo_purges_the_gap(spark):
+    """The embargo contract: train strictly before the boundary, test at
+    or after test_start, NOTHING from the gap (the leakage window a
+    lookback feature would otherwise straddle), null timestamps absent,
+    and the edge instants land on the documented sides."""
+    from aws_data_pipeline_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-10 00:00:00"),
+            (2, "2024-01-19 23:59:59"),
+            (3, "2024-01-20 00:00:00"),  # embargo start: dropped
+            (4, "2024-01-22 12:00:00"),  # inside embargo: dropped
+            (5, "2024-01-24 23:59:59"),  # last embargo instant: dropped
+            (6, "2024-01-25 00:00:00"),  # test_start edge: test
+            (7, "2024-02-01 00:00:00"),
+            (8, None),
+        ],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.id: r.split
+        for r in temporal_split_embargo(
+            df, "ts", "2024-01-20", "2024-01-25"
+        ).collect()
+    }
+    assert out == {1: "train", 2: "train", 6: "test", 7: "test"}
