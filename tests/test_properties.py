@@ -997,3 +997,130 @@ def test_delete_from_sq8_index_matches_set_model(
     if n == 0:
         assert index_active_version(spark, idx) == v_before  # no churn
     assert S.delete_from_sq8_index(spark, idx, ids) == 0
+
+
+# -- CDC apply vs an in-memory model (round 11) ----------------------------
+
+CDC_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # key
+        st.integers(min_value=2023, max_value=2024),    # partition year
+        st.sampled_from(["upsert", "delete"]),
+        st.integers(min_value=0, max_value=60),         # payload
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(events=CDC_EVENTS, batch_splits=st.integers(min_value=1, max_value=4),
+       replay_batch=st.integers(min_value=0, max_value=3))
+@_SETTINGS
+def test_cdc_apply_matches_dict_model_under_replay(
+    spark, tmp_path_factory, events, batch_splits, replay_batch
+):
+    """apply_cdc_batch against the obvious in-memory model: for ANY event
+    sequence (unique ascending sequences), ANY batching of it, and ANY
+    single-batch replay injected afterwards, the zone equals the model
+    that applies events in sequence order once — replays change nothing
+    (the sequence guard + tombstones), and the model never sees batching
+    at all."""
+    from aws_data_pipeline_spark.streaming.cdc import apply_cdc_batch
+
+    zone = str(tmp_path_factory.mktemp("cdc") / "zone")
+    seq_events = [
+        (key, year, op, payload, seq + 1)
+        for seq, (key, year, op, payload) in enumerate(events)
+    ]
+    # model: last event per (key, year) wins because sequences ascend
+    model: dict[tuple, tuple] = {}
+    for key, year, op, payload, seq in seq_events:
+        if op == "upsert":
+            model[(key, year)] = (payload, seq)
+        else:
+            model.pop((key, year), None)
+
+    n = max(1, len(seq_events) // batch_splits)
+    batches = [
+        seq_events[i : i + n] for i in range(0, len(seq_events), n)
+    ]
+    schema = "id long, v long, year int, _op string, _seq long"
+    for b in batches:
+        bdf = spark.createDataFrame(
+            [(k, p, y, op, s) for k, y, op, p, s in b], schema
+        )
+        apply_cdc_batch(bdf, zone, ["id"], ["year"])
+    # replay one earlier batch verbatim (at-least-once delivery)
+    rb = batches[min(replay_batch, len(batches) - 1)]
+    stats = apply_cdc_batch(
+        spark.createDataFrame(
+            [(k, p, y, op, s) for k, y, op, p, s in rb], schema
+        ),
+        zone,
+        ["id"],
+        ["year"],
+    )
+    assert stats["upserts"] == 0 and stats["deletes"] == 0
+
+    from aws_data_pipeline_spark.sources.parquet import zone_exists
+
+    got = (
+        {
+            (r.id, r.year): (r.v, r._seq)
+            for r in spark.read.parquet(zone).collect()
+        }
+        if zone_exists(spark, zone)
+        else {}
+    )
+    assert got == model
+
+
+# -- fuzzy_link vs a set model (round 11) ----------------------------------
+
+SMALL_DOCS = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=2), min_size=3, max_size=9
+).map(lambda words: " ".join(words))
+
+
+@given(
+    corpus=st.lists(SMALL_DOCS, min_size=1, max_size=6),
+    queries=st.lists(SMALL_DOCS, min_size=1, max_size=3),
+)
+@_SETTINGS
+def test_fuzzy_link_matches_python_set_model(spark, corpus, queries):
+    """fuzzy_link against the direct set model: for ANY tiny corpora the
+    returned (pair, jaccard) set equals Python computing distinct
+    2-token shingles and |∩|/|∪| per cross pair — same division, same
+    absent-when-no-overlap rule — and the per-query rank-1 rows are the
+    model's argmax with the id tie-break."""
+    from aws_data_pipeline_spark.operators.linkage import fuzzy_link
+
+    def sh(text):
+        toks = text.lower().split(" ")
+        return {
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        } if len(toks) >= 2 else set()
+
+    c = {i: sh(t) for i, t in enumerate(corpus)}
+    q = {100 + i: sh(t) for i, t in enumerate(queries)}
+    expect = {}
+    for qid, qs in q.items():
+        cands = []
+        for cid, cs in c.items():
+            inter = len(qs & cs)
+            if inter:
+                cands.append((inter / (len(qs) + len(cs) - inter), -cid, cid))
+        if cands:
+            j, _, cid = max(cands)
+            expect[qid] = (cid, j)
+
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(queries, start=100)],
+        "qid long, text string",
+    )
+    cdf = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    out = fuzzy_link(qdf, cdf, "qid", "doc_id", k=2, top=1, max_bucket=None)
+    got = {r.qid: (r.doc_id, r.jaccard) for r in out.collect()}
+    assert got == expect
