@@ -745,7 +745,24 @@ def temporal_split_embargo(
     from financial ML, de Prado 2018). Pure row-local projection: one
     scan, no shuffle; the split column is deterministic in the row's own
     timestamp, so re-runs and re-partitionings assign identically.
-    Null timestamps are dropped (no temporal position, no split)."""
+    Null timestamps are dropped (no temporal position, no split).
+
+    ``train_end <= test_start`` is validated up front (one empty-range
+    job): transposed bounds would otherwise label rows at/after
+    test_start as 'train' via the first-when-wins CASE — the exact
+    leakage this operator exists to prevent — and an unparseable bound
+    would silently cast to null and drop every row."""
+    spark = df.sparkSession
+    bounds = spark.range(1).select(
+        F.lit(train_end).try_cast("timestamp").alias("a"),
+        F.lit(test_start).try_cast("timestamp").alias("b"),
+    ).collect()[0]
+    if bounds.a is None or bounds.b is None or bounds.a > bounds.b:
+        raise ValueError(
+            "temporal_split_embargo needs parseable train_end <= "
+            f"test_start; got {train_end!r} -> {bounds.a}, "
+            f"{test_start!r} -> {bounds.b}"
+        )
     ts = F.col(ts_col)
     return (
         df.where(ts.isNotNull())

@@ -822,10 +822,11 @@ def collocation_pmi(
     bg = toks.select(F.explode(pair).alias("b")).select("b.w1", "b.w2")
     uni = toks.select(F.explode(t).alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    # B = total bigram occurrences = a plain row count of the bigram
+    # frame (one map-side-combinable agg) — NOT a second data-sized
+    # groupBy of the pair frame summed away afterwards
     tot = ucnt.agg(F.sum("cu").alias("n")).crossJoin(
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c"))
-        .agg(F.sum("c").alias("b"))
+        bg.agg(F.count("*").alias("b"))
     )
     bcnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     # the fixed IEEE sequence, mirrored verbatim in the oracle:

@@ -65,7 +65,6 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_data_pipeline_spark.sources.parquet import (
     _create_marker,
     _max_numeric_marker,
-    expired_tombstones,
     qualified_path,
 )
 
@@ -156,6 +155,29 @@ def _manifest(spark: SparkSession, path: str, snap_id: int) -> dict[str, int]:
     return {r.file: int(r.length) for r in rows}
 
 
+def _tombstoned_relpaths(spark: SparkSession, path: str) -> set[str]:
+    """Escaped relative partition paths with an ``_expiring`` marker under
+    ``path/_expired`` — one recursive walk of the (tiny) tombstone tree,
+    paths taken verbatim from the marker locations so they compare
+    byte-for-byte against pinned data-file directory prefixes."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/_expired")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return set()
+    qroot = fs.makeQualified(root)
+    base = qroot.toUri().getPath().rstrip("/")
+    out: set[str] = set()
+    it = fs.listFiles(qroot, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName() != "_expiring":
+            continue
+        rel = st.getPath().getParent().toUri().getPath()[len(base) :]
+        out.add(rel.lstrip("/"))
+    return out
+
+
 def read_zone_snapshot(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -178,37 +200,20 @@ def read_zone_snapshot(
     pinned = _manifest(spark, path, snapshot_id)
     current = _committed_files(spark, path)
     broken: dict[str, str] = {}
-    tombstoned: set[str] | None = None  # partition-dir prefixes, lazy
+    tombstoned: set[str] | None = None  # escaped partition relpaths, lazy
     for rel, length in pinned.items():
         if current.get(rel) == length:
             continue
         if tombstoned is None:
-            # one listing of the tombstone tree, only when needed; depth
-            # from the pinned path (partition dirs = components before
-            # the file name)
-            parts = rel.split("/")[:-1]
-            cols = [p.split("=", 1)[0] for p in parts]
-            tombstoned = {
-                "/".join(
-                    f"{c}={v}" for c, v in zip(cols, vals)
-                )
-                for vals in ([] if not cols else expired_tombstones(
-                    spark, path, cols
-                ))
-            }
-            # NB: tombstone values are UNESCAPED; pinned rel paths are
-            # escaped dir names. Re-compare through the escaped form.
-            esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.\
-                ExternalCatalogUtils
-            tombstoned = {
-                "/".join(
-                    seg.split("=", 1)[0]
-                    + "="
-                    + esc.escapePathName(seg.split("=", 1)[1])
-                    for seg in t.split("/")
-                )
-                for t in tombstoned
-            }
+            # one listing of the tombstone tree, only when needed. The
+            # set holds ESCAPED relative partition paths read straight
+            # off the marker files' locations — never inferred from one
+            # broken file's shape (a root-level broken file would infer
+            # zero partition columns and misattribute every expired
+            # partitioned file) and never round-tripped through
+            # unescape/re-escape (values containing '/' or '=' would
+            # corrupt a string-joined key).
+            tombstoned = _tombstoned_relpaths(spark, path)
         pdir = "/".join(rel.split("/")[:-1])
         broken[rel] = (
             "expired" if pdir and pdir in tombstoned

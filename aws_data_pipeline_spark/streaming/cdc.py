@@ -95,7 +95,16 @@ def apply_cdc_batch(
     upserts/deletes and dropped stale events. The zone's rows carry
     ``seq_col``; ``op_col`` never lands in the zone."""
     spark = batch.sparkSession
-    bad = batch.filter(~F.col(op_col).isin(*_OPS)).limit(1).collect()
+    # null ops must fail here too: a null passes a bare ~isin() (null
+    # predicate -> filtered as not-true on BOTH the guard and the apply
+    # filters), so the event would silently match neither verb and vanish
+    bad = (
+        batch.filter(
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*_OPS)
+        )
+        .limit(1)
+        .collect()
+    )
     if bad:
         raise ValueError(
             f"{op_col} must be one of {_OPS}; saw {bad[0][op_col]!r}"

@@ -51,9 +51,14 @@ def incremental_drift_monitor(
     (build_drift_baseline's md5 over params + edges + counts): a
     baseline rebuilt mid-history with different edges silently mixes
     scoring regimes otherwise, so every row records WHICH baseline
-    scored it and the zone's history is self-describing (rows from
-    before the stamp existed read as null — visibly pre-fingerprint,
-    never misattributed).
+    scored it and the zone's history is self-describing. Schema note
+    for zones that span the column's introduction: parquet schema
+    sampling reads ONE footer, so a consumer of a mixed-generation zone
+    must read with ``mergeSchema`` (``read_zone(..,
+    merge_schema=True)``) to surface ``baseline_id`` across all files —
+    pre-stamp rows then read as null (visibly pre-fingerprint, never
+    misattributed); a plain read of such a zone may sample an old
+    footer and not see the column at all. Fresh zones need nothing.
     ``psi_threshold`` defaults to the canonical 0.2 "investigate" level;
     ``chisq_threshold`` is the caller's critical value for df = C-1 (no
     universal default — it depends on the category count), None = never

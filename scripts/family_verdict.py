@@ -12,13 +12,20 @@ rule actually wants, per query family:
 - ENVELOPE per round = min of run-mins / median of run-medians / max of
   run-maxes over every ``evidence/bench_r{N}_run*.json`` of that round
   (the preflight envelope rule, scoped per query);
-- the DRIVER number of a round is graded against BOTH its own round's
-  envelope and the previous round's: ``in-envelope`` when its median is
-  at or under envelope-max x (1+slack); FLAG only when even the driver
-  min exceeds the envelope max by more than slack — the bench_compare
-  interval rule with the envelope as baseline;
-- a family verdict: NOISE-CLOSED when every family query is in-envelope,
-  REGRESSION-SUSPECT listing the flagged queries otherwise (exit 1).
+- the DRIVER number of a round is graded against its OWN round's
+  envelope (falling back to the previous round's when the own round has
+  no runs): ``in-envelope`` when its median is at or under envelope-max
+  x (1+slack); FLAG only when even the driver min exceeds that envelope
+  max by more than slack — the bench_compare interval rule with the
+  envelope as baseline;
+- a CROSS-ROUND arm that the own-round grading cannot express: when
+  both rounds have envelopes and the own round's envelope MIN exceeds
+  the previous round's envelope MAX by more than slack, the whole round
+  moved with disjoint intervals — a code-attributed regression no
+  matter where the driver singleton landed (``ROUND-REGRESSED``);
+- a family verdict: NOISE-CLOSED when every family query is in-envelope
+  and no query round-regressed; REGRESSION-SUSPECT listing the flagged
+  queries otherwise (exit 1).
 
 Driver BENCH files whose JSON line was tail-truncated (``parsed: null``)
 are recovered by regex over the surviving dispersion blocks — queries
@@ -125,12 +132,12 @@ def main() -> int:
                 else "-".rjust(22)
             )
         db = drv.get(q)
+        own = envs.get(args.driver_round, {}).get(q)
+        pre = envs.get(prev, {}).get(q) if prev else None
         if db is None:
             verdict, dtxt = "absent(truncated)", "-"
         else:
             dtxt = f"{db['median']:.2f}"
-            own = envs.get(args.driver_round, {}).get(q)
-            pre = envs.get(prev, {}).get(q) if prev else None
             ref = own or pre
             if ref is None:
                 verdict = "no-envelope"
@@ -141,6 +148,11 @@ def main() -> int:
                 verdict = "in-envelope"
             else:
                 verdict = "tail-only(min inside)"
+        # the cross-round arm: both envelopes present and disjoint past
+        # slack -> the ROUND regressed, independent of the driver number
+        if own and pre and own["min"] > pre["max"] * (1 + args.slack):
+            verdict += " ROUND-REGRESSED"
+            flagged.append(q)
         print(f"{q:34s} " + " ".join(cells) + f"  {dtxt:>9s}  {verdict}")
 
     fam_name = args.family.rstrip("_")

@@ -2548,3 +2548,22 @@ def test_temporal_split_embargo_purges_the_gap(spark):
         ).collect()
     }
     assert out == {1: "train", 2: "train", 6: "test", 7: "test"}
+
+
+def test_temporal_split_embargo_rejects_bad_bounds(spark):
+    """Transposed or unparseable bounds raise up front instead of
+    silently labeling post-boundary rows 'train' (first-when-wins CASE)
+    or dropping everything via a null cast."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00")], "id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="train_end <= test_start"):
+        temporal_split_embargo(df, "ts", "2024-03-01", "2024-02-01")
+    with pytest.raises(ValueError, match="parseable"):
+        temporal_split_embargo(df, "ts", "not-a-date", "2024-02-01")

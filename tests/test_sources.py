@@ -665,3 +665,53 @@ def test_snapshot_diff_reads_only_the_appended_batch(spark, tmp_path):
         for r in S.read_zone_snapshot(spark, zone, sids[2]).collect()
     )
     assert full == sorted(batches[0] + batches[1] + batches[2])
+
+
+def test_snapshot_attribution_with_mixed_depth_and_escaped_values(
+    spark, tmp_path
+):
+    """Attribution must come from the tombstone tree itself, not from one
+    broken file's inferred shape: a zone with BOTH a root-level file and
+    hive partitions, where the root file is rewritten and a partition
+    (with an escaping-hostile value) is expired, reports each breakage
+    with its own cause."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        expire_zone_partitions,
+    )
+
+    # partitioned side, with a value that hive-escapes (':')
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [("a:b", 1), ("keep", 2)], "src string, v long"
+    ).write.partitionBy("src").parquet(zone)
+    # root-level file beside the partitions (mixed-depth zones are
+    # degenerate but must not corrupt attribution for everyone else)
+    spark.createDataFrame([(99,)], "v long").write.mode("append").parquet(
+        zone
+    )
+    sid = S.snapshot_zone(spark, zone)
+
+    expire_zone_partitions(spark, zone, ["src"], keep=lambda t: t[0] != "a:b")
+    # rewrite the root-level file (same name space, new bytes): delete
+    # one root parquet file to simulate the rewritten/corrupt class
+    import glob as g
+    import os
+
+    root_files = [
+        p for p in g.glob(f"{zone}/*.parquet") if os.path.isfile(p)
+    ]
+    os.remove(root_files[0])
+
+    with pytest.raises(S.SnapshotBrokenError) as ei:
+        S.read_zone_snapshot(spark, zone, sid)
+    causes = {}
+    for rel, why in ei.value.broken.items():
+        causes.setdefault(why, []).append(rel)
+    assert all(r.startswith("src=a%3Ab/") for r in causes["expired"])
+    assert all("/" not in r for r in causes["rewritten-or-corrupt"])
+    assert len(causes["rewritten-or-corrupt"]) == 1

@@ -1154,3 +1154,21 @@ def test_cdc_stream_checkpoint_loss_replay_is_effect_idempotent(
         spark, changes, zone, ["id"], ["year"], str(tmp_path / "ckpt3")
     )
     assert _cdc_rows(spark, zone) == want
+
+
+def test_cdc_null_op_fails_loudly(spark, tmp_path):
+    """A null op must raise, not vanish: a bare ~isin() guard passes null
+    predicates, the collapse would then prefer the null-op row (nulls
+    sort first on the op tie-break), and the event would match neither
+    apply filter — a silently lost change (the review finding this test
+    pins)."""
+    import pytest
+
+    from aws_data_pipeline_spark.streaming.cdc import apply_cdc_batch
+
+    batch = spark.createDataFrame(
+        [(1, "a", 2024, None, 2), (1, "b", 2024, "upsert", 1)],
+        "id long, v string, year int, _op string, _seq long",
+    )
+    with pytest.raises(ValueError, match="_op must be one of"):
+        apply_cdc_batch(batch, str(tmp_path / "zone"), ["id"], ["year"])
