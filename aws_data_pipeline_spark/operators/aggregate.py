@@ -342,3 +342,113 @@ def winsorized_scale(
             ),
         }
     ).drop(qlo, qhi)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST-activity
+    period, then, per (cohort, period-offset), how many came back — the
+    standard product-analytics retention curve ("of the Jan-3 cohort,
+    what fraction was active 7 days later?"), a shape none of the
+    single-grain aggregates express. Output: (cohort, period_offset,
+    n_active, n_cohort, retention) with retention one exact int/int
+    division; offset 0 always has n_active == n_cohort (every user is
+    active in their own first period — a free self-check the oracle
+    hashes too).
+
+    ``grain``: ``day`` or ``week`` (weeks truncate to Mondays, Spark's
+    and DuckDB's shared convention). Null users/timestamps are excluded
+    (no identity or no time → no cohort).
+
+    Scale shape: one distinct-activity projection (user, period) — the
+    only data-sized shuffle — an all-MIN aggregate for cohorts, a
+    cohort-sized join back (AQE decides; user-cardinality sized), and a
+    final grouped count. No window over raw events at all.
+    """
+    if grain not in ("day", "week"):
+        raise ValueError(f"grain must be 'day' or 'week', got {grain!r}")
+    period = (
+        F.to_date(F.date_trunc("week", F.col(ts_col)))
+        if grain == "week"
+        else F.to_date(F.col(ts_col))
+    )
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("__u"), period.alias("__p"))
+    active = base.distinct()
+    first = active.groupBy("__u").agg(F.min("__p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("n_cohort")
+    )
+    step = 7 if grain == "week" else 1
+    ret = (
+        active.join(first, "__u")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("__p"), F.col("cohort")) / F.lit(step))
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort").select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active") / F.col("n_cohort").cast("double")).alias(
+            "retention"
+        ),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order transition matrix of the event stream: per
+    (from_type, to_type), how many consecutive same-user event pairs
+    stepped that way, with the row-normalized transition probability —
+    the general flow analysis behind every "where do users go after X?"
+    question (the funnel queries count FIXED sequences; this is the full
+    Markov estimate). Each user's first event has no predecessor and
+    contributes no pair.
+
+    ``tiebreak_col`` must make (ts, tiebreak) a total order per user —
+    the lag is otherwise partitioning-dependent (the sessionize_events
+    determinism rule). Probabilities are exact int/int divisions against
+    the from-type row total.
+
+    Scale shape: one per-user window (partitioned by user — parallel,
+    never a global sort), one grouped count to the C×C matrix
+    (domain-bounded), and the row totals re-derived from the matrix
+    itself (a C-row aggregate, broadcast back) — the raw stream shuffles
+    once for the window and once for the count.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .withColumn("__prev", F.lag(type_col).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.col("__tot").cast("double")).alias("p"),
+    )

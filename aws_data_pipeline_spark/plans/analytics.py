@@ -1205,3 +1205,89 @@ def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("yr").alias("valid_to_year"),
         F.count("*").alias("n_years"),
     ).drop("grp")
+
+
+@register(
+    "cohort_retention_daily",
+    demoted=True,
+    # counts exact; retention one int/int division; the week/day trunc
+    # conventions are the engines' shared ones
+    sql="""
+    WITH base AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), first AS (
+      SELECT u, MIN(p) AS cohort FROM base GROUP BY u
+    ), sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      FROM first GROUP BY cohort
+    ), ret AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, b.p) AS INTEGER)
+               AS period_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM base b JOIN first f USING (u)
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, r.period_offset, r.n_active, s.n_cohort,
+           r.n_active / CAST(s.n_cohort AS DOUBLE) AS retention
+    FROM ret r JOIN sizes s ON s.cohort = r.cohort
+    """,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over the event stream
+    (operators/aggregate.py::cohort_retention): users bucketed by
+    first-active day; per (cohort, day-offset), returning-user counts
+    and the exact retention fraction — the product-analytics curve no
+    single-grain aggregate expresses. Offset 0 equals the cohort size by
+    construction (hashed by the oracle too).
+
+    Born round 11, demoted-with-full-oracle (the standing growth path).
+    Demoted: the distinct-activity/grouped-count chain's driver signal
+    is carried by customer_insights and sessionize_events."""
+    from aws_data_pipeline_spark.operators.aggregate import cohort_retention
+
+    return cohort_retention(T(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "event_transition_matrix",
+    demoted=True,
+    # the lag rides a per-user total order (ts, event_id); counts exact,
+    # probabilities one int/int division each
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ) AS prev_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           p.n / CAST(t.tot AS DOUBLE) AS p
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream
+    (operators/aggregate.py::event_transitions): per (from, to)
+    event-type pair, consecutive same-user step counts and row-normalized
+    probabilities — the general "where do users go next" flow estimate
+    behind the fixed-sequence funnels. Lag rides the (ts, event_id)
+    per-user total order, so the matrix is partitioning-independent.
+
+    Born round 11, demoted-with-full-oracle (the standing growth path).
+    Demoted: the per-key lag/window chain's driver signal is carried by
+    order_sequence_windows and funnel_view_click_purchase."""
+    from aws_data_pipeline_spark.operators.aggregate import event_transitions
+
+    return event_transitions(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )

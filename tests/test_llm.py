@@ -2567,3 +2567,71 @@ def test_temporal_split_embargo_rejects_bad_bounds(spark):
         temporal_split_embargo(df, "ts", "2024-03-01", "2024-02-01")
     with pytest.raises(ValueError, match="parseable"):
         temporal_split_embargo(df, "ts", "not-a-date", "2024-02-01")
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Planted cohort geometry: two cohorts with known comeback patterns
+    — the triangle's counts and exact fractions match by hand, offset 0
+    always equals the cohort size, and a user's multiple events in one
+    period count once."""
+    from aws_data_pipeline_spark.operators.aggregate import cohort_retention
+
+    rows = [
+        # cohort 2024-01-01: users 1,2,3; user 1 returns day1+day2,
+        # user 2 returns day2 (twice that day: distinct), user 3 never
+        (1, "2024-01-01 08:00:00"), (1, "2024-01-02 08:00:00"),
+        (1, "2024-01-03 08:00:00"),
+        (2, "2024-01-01 09:00:00"), (2, "2024-01-03 09:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        (3, "2024-01-01 10:00:00"),
+        # cohort 2024-01-02: user 4 only
+        (4, "2024-01-02 11:00:00"), (4, "2024-01-03 11:00:00"),
+        (None, "2024-01-01 00:00:00"),  # no identity, no cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (str(r.cohort), r.period_offset): (r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (3, 3, 1.0),
+        ("2024-01-01", 1): (1, 3, 1 / 3),
+        ("2024-01-01", 2): (2, 3, 2 / 3),
+        ("2024-01-02", 0): (1, 1, 1.0),
+        ("2024-01-02", 1): (1, 1, 1.0),
+    }
+
+
+def test_event_transitions_hand_computed(spark):
+    """Planted flows: per-user consecutive pairs count with the
+    (ts, tiebreak) total order, first events contribute nothing, and
+    each from-row's probabilities are exact fractions summing to 1."""
+    from aws_data_pipeline_spark.operators.aggregate import event_transitions
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view", 1),
+        (1, "2024-01-01 00:01:00", "click", 2),
+        (1, "2024-01-01 00:02:00", "buy", 3),
+        (2, "2024-01-01 00:00:00", "view", 4),
+        (2, "2024-01-01 00:01:00", "click", 5),
+        (2, "2024-01-01 00:02:00", "view", 6),
+        # same-timestamp tie decided by event_id: view(7) then click(8)
+        (3, "2024-01-01 00:00:00", "view", 7),
+        (3, "2024-01-01 00:00:00", "click", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transitions(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    assert out == {
+        ("view", "click"): (3, 1.0),
+        ("click", "buy"): (1, 0.5),
+        ("click", "view"): (1, 0.5),
+    }
