@@ -211,6 +211,7 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_orders_per_customer",
+    demoted=True,
     sql="""
     SELECT o_custkey AS customer_id, o_orderkey, o_totalprice, rank FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -224,7 +225,14 @@ def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k via row_number with a total order (tie-break on the
-    unique key) — deterministic, single shuffle, no global sort."""
+    unique key) — deterministic, single shuffle, no global sort.
+
+    Demoted r12 (hash-green r11, full oracle stays in the pytest replica)
+    to seat event_transition_matrix under the named-demotion rule: the
+    rank-top-k-per-group WindowGroupLimit shape's driver signal is
+    carried by provenance_fuzzy_link (promoted r12 — its rank<=3 per
+    snippet is this exact window) beside customer_spend_quartiles'
+    ranking surface and q15/q18's top-k shapes."""
     o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     out = windows.topk_per_group(
         o,
@@ -1209,7 +1217,6 @@ def scd2_customer_segment_history(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "cohort_retention_daily",
-    demoted=True,
     # counts exact; retention one int/int division; the week/day trunc
     # conventions are the engines' shared ones
     sql="""
@@ -1242,9 +1249,11 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-grain aggregate expresses. Offset 0 equals the cohort size by
     construction (hashed by the oracle too).
 
-    Born round 11, demoted-with-full-oracle (the standing growth path).
-    Demoted: the distinct-activity/grouped-count chain's driver signal
-    is carried by customer_insights and sessionize_events."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule, demoting daily_aggregations — whose 6-aggregate
+    day-grain bundle is the SAME operator (aggregate.py::grain_bundle)
+    multi_grain_rollup_hierarchical keeps driver-visible at every
+    grain."""
     from aws_data_pipeline_spark.operators.aggregate import cohort_retention
 
     return cohort_retention(T(spark, sf_dir, "events"), "user_id", "ts")
@@ -1252,7 +1261,6 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_transition_matrix",
-    demoted=True,
     # the lag rides a per-user total order (ts, event_id); counts exact,
     # probabilities one int/int division each
     sql="""
@@ -1283,9 +1291,12 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the fixed-sequence funnels. Lag rides the (ts, event_id)
     per-user total order, so the matrix is partitioning-independent.
 
-    Born round 11, demoted-with-full-oracle (the standing growth path).
-    Demoted: the per-key lag/window chain's driver signal is carried by
-    order_sequence_windows and funnel_view_click_purchase."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule (paired with topk_orders_per_customer's demotion
+    — provenance_fuzzy_link now carries that rank-top-k window shape).
+    This entry's per-key (ts, id)-ordered lag window sits beside
+    order_sequence_windows' navigation bundle and sessionize_events'
+    gap sessions in the registered window-function estate."""
     from aws_data_pipeline_spark.operators.aggregate import event_transitions
 
     return event_transitions(

@@ -47,6 +47,7 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
+    demoted=True,
     sql="""
     WITH toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -75,7 +76,14 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard >= 0.8 near-duplicate pairs via inverted-index
-    join — pairs only materialize where a shingle is shared, never O(n²)."""
+    join — pairs only materialize where a shingle is shared, never O(n²).
+
+    Demoted r12 (hash-green r9, full oracle stays in the pytest replica)
+    to seat provenance_fuzzy_link under the named-demotion rule: the
+    promoted linkage pair (provenance_fuzzy_link +
+    entity_resolution_mutual_pairs) runs this SAME hashed-shingle
+    inverted-index / hot-cap / exact-Jaccard chain verbatim as its
+    candidate stage, so the chain's driver signal is carried there."""
     d = T(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
 
@@ -280,6 +288,7 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "length_quantiles_by_source",
+    demoted=True,
     sql="""
     WITH ranked AS (
       SELECT source, n_chars,
@@ -298,7 +307,14 @@ def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-length distribution profile per source — exact nearest-rank
     quantiles (the oracle-checkable twin of the percentile_approx sketch,
-    whose rank error tests/test_llm.py bounds against this on real data)."""
+    whose rank error tests/test_llm.py bounds against this on real data).
+
+    Demoted r12 (hash-green r9, full oracle stays in the pytest replica)
+    to seat entity_resolution_mutual_pairs under the named-demotion rule:
+    the per-source exact-quantile machinery's driver signal is carried by
+    quality_winsorized_by_source (oracled — the same grouped nearest-rank
+    quantiles feeding its winsorization clamps) beside
+    customer_spend_quartiles' ntile surface."""
     from aws_data_pipeline_spark.operators.aggregate import grouped_quantiles
 
     d = T(spark, sf_dir, "documents")
@@ -961,11 +977,18 @@ def embedding_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_indexed(spark, queries, idx, k=5, nprobe=4)
 
 
-@register("embedding_ann_lsh", sql=None)
+@register("embedding_ann_lsh", sql=None, demoted=True)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (4 planes):
     exact cosine ranking within the query's bucket only. Recall measured
-    against brute force in tests/test_llm.py."""
+    against brute force in tests/test_llm.py.
+
+    Demoted r12 to seat dq_psi_price_drift_approx (the r12 rows-seat
+    queue's second head, VERDICT r11 item 6) — the candidate demotion
+    the registry notes have named since r11: the hyperplane band-bucket
+    candidate stage runs verbatim inside embedding_neardup_pairs
+    (oracled, registered), and the in-bucket exact-cosine ANN ranking
+    stays recall-pytested every run."""
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.ann_topk_lsh(queries, e, k=5, n_planes=4)
@@ -2927,6 +2950,7 @@ def stratified_sample_assignments_portable(
 
 @register(
     "bigram_logprob_scores",
+    demoted=True,
     sql="""
     WITH toks AS (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -2965,13 +2989,21 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM fluency scores (0.75·ML bigram + 0.25·add-1
     unigram, corpus-self fit — every scored transition is observed, so no
     unseen-event branch). 9-dp fixed-point transition sums, mirrored
-    final divisions — the whole score value-hashes against the oracle."""
+    final divisions — the whole score value-hashes against the oracle.
+
+    Demoted r12 (hash-green r9, full oracle stays in the pytest replica)
+    to seat collocation_pmi_scores under the named-demotion rule: the
+    promoted PMI entry runs the identical explode + bigram/unigram count
+    tables (log-ratio scoring of the same counts), so the bigram chain's
+    driver signal is carried there; the per-doc LM-scoring shape stays
+    registered via dsir_importance_weights."""
     d = T(spark, sf_dir, "documents")
     return text.bigram_logprob(d)
 
 
 @register(
     "split_leakage_audit",
+    demoted=True,
     sql="WITH "
     + _NEARDUP_CC_CTES
     + """, doc_split AS (
@@ -3021,7 +3053,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cluster-keyed is zero by construction (both endpoints share a
     component, hence a hash key); per-document leaks whenever a pair's
     ids straddle a bucket boundary — this query puts the number on the
-    risk leakage_safe_splits removes. Tiny output: two audit rows."""
+    risk leakage_safe_splits removes. Tiny output: two audit rows.
+
+    Demoted r12 (hash-green r9, full oracle stays in the pytest replica)
+    to seat temporal_split_embargo_events under the named-demotion rule:
+    the audit's pair-graph/collision chain is leakage_safe_splits' own
+    construction invariant (registered, oracled — cluster-keyed leakage
+    is zero by construction there), and the promoted embargo split adds
+    the temporal leakage guard this audit cannot see."""
     d = T(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(d, "doc_id", k=5, threshold=0.8)
     pairs = pairs.localCheckpoint()  # feeds both policies' joins
@@ -3142,6 +3181,7 @@ def markup_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "unicode_nfc_docs",
+    demoted=True,
     sql="""
     WITH t AS (
       SELECT doc_id, text || 'e' || chr(769) || chr(233) AS raw
@@ -3167,7 +3207,14 @@ def unicode_nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r8 item 3): entered the oracled registry by demoting
     text_repetition_stats (its repetition signal carried by
     gopher_quality_flags' unique_word_ratio/flag_repetition and the
-    bigram machinery by bigram_logprob_scores); cap held at 100."""
+    bigram machinery by bigram_logprob_scores); cap held at 100.
+
+    Demoted r12 (hash-green r11, full oracle stays in the pytest replica)
+    to seat dq_ingest_volume_anomalies under the named-demotion rule: the
+    UAX#15 normalization surface's driver signal is carried by
+    accent_stripped_docs (oracled — its NFD-decompose-drop-Mn fold rides
+    the same unicodedata/utf8proc machinery, byte-verified), with this
+    NFC path replayed verbatim every pytest run."""
     d = T(spark, sf_dir, "documents")
     raw = d.withColumn("raw", F.concat(F.col("text"), F.lit(
             # explicit escapes, not glyphs: an NFC-normalizing editor or
@@ -3206,7 +3253,7 @@ def _ivfsq8_roots(spark: SparkSession, sf_dir: str):
     )
 
 
-@register("embedding_ann_ivfsq8", sql=None)
+@register("embedding_ann_ivfsq8", sql=None, demoted=True)
 def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 via the composed IVF+SQ8 search (FAISS's standard
     billion-scale ``IVF<n>,SQ8`` config): cell pruning bounds the sweep,
@@ -3219,8 +3266,15 @@ def embedding_ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only (k-means + quantization — not SQL-expressible). Promoted
     from demoted at round 10 for its first-ever driver rows-ran signal
-    (the r9 verdict's seat plan): it had been the only capability whose
-    sole evidence was pytest. Value semantics remain pinned locally by
+    (the r9 verdict's seat plan); rows-ran r10.
+
+    Demoted r12 to seat hard_negative_topk_ivfsq8 (the r12 rows-seat
+    queue's head, VERDICT r11 item 6) under the named-demotion rule —
+    the r10/r11 composed-search-carries-index precedent inverted: the
+    promoted miner ensures the SAME (ivf, sq8, cell_codes) roots through
+    _ivfsq8_roots and runs this cell-pruned ADC search VERBATIM as its
+    candidate stage, so every driver run of the miner exercises this
+    search end-to-end. Value semantics remain pinned locally by
     embedding_ann_sq8's full value oracle (the SQ8 scoring chain) and
     test_embedding_maintenance::test_ivfsq8_indexed_composition."""
     (ivf, sq8, cc), stats = _ivfsq8_roots(spark, sf_dir)
@@ -3428,7 +3482,7 @@ def hard_negative_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hard_negative_topk_ivfsq8", sql=None, demoted=True)
+@register("hard_negative_topk_ivfsq8", sql=None)
 def hard_negative_topk_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining fully composed with the IVF inverted lists —
     candidates from the SAME cell-pruned posting stage every IVF-composed
@@ -3436,11 +3490,14 @@ def hard_negative_topk_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells of the compressed SQ8 codes), slack-widened ADC band filter,
     exact band verify on the capped sliver. Mining recall is bounded by
     cell recall like any IVF search (unprobed cells are unreachable by
-    design — the documented nprobe trade). Demoted rows-only from birth:
-    value signal carried by hard_negative_topk (exact twin, full oracle,
-    promoted r9) and the candidate stage by embedding_ann_ivfsq8;
-    full-coverage identity (nprobe = n_cells ⇒ rows == the exact miner's)
-    pinned in tests/test_llm.py."""
+    design — the documented nprobe trade). Born demoted rows-only;
+    PROMOTED r12 to the rows-only tail (the r12 seat queue's head,
+    VERDICT r11 item 6) by demoting embedding_ann_ivfsq8, whose
+    cell-pruned composed search runs VERBATIM as this entry's candidate
+    stage — the r10/r11 composed-search-carries-index precedent. Value
+    signal stays pinned by hard_negative_topk (exact twin, full oracle,
+    promoted r9); full-coverage identity (nprobe = n_cells ⇒ rows == the
+    exact miner's) pinned in tests/test_llm.py."""
     (ivf, sq8, cc), _stats = _ivfsq8_roots(spark, sf_dir)
     e = T(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -3604,7 +3661,6 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "provenance_fuzzy_link",
-    demoted=True,
     # full value oracle: both sides' shingle universes are deterministic
     # string sets, the hot-shingle cap mirrors exactly, the Jaccard is one
     # int/int division (exactly-rounded IEEE — the ngram_jaccard_pairs
@@ -3663,11 +3719,11 @@ def provenance_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equi-join on hashed shingles, hot-shingle cap 1000), never O(n²)
     across the frames.
 
-    Born round 11, demoted-with-full-oracle (the standing growth path:
-    local hash parity from birth, promotable when a window slot frees).
-    Demoted: the shingle/inverted-index chain's driver signal is carried
-    by ngram_jaccard_pairs (same index shape, symmetric case) and the
-    top-k-per-group window by topk_orders_per_customer."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule, demoting ngram_jaccard_pairs — the symmetric
+    single-table special case of this chain (same hashed-shingle
+    inverted index, same hot-shingle cap, same exact int/int Jaccard),
+    now run verbatim inside this entry's candidate stage."""
     from aws_data_pipeline_spark.operators import linkage
     from aws_data_pipeline_spark.operators.text import tokens as _tok
 
@@ -3683,7 +3739,6 @@ def provenance_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "entity_resolution_mutual_pairs",
-    demoted=True,
     # the provenance_fuzzy_link oracle with BOTH ranking directions: the
     # pair frame is symmetric-Jaccard, so mutual-best is two row_numbers
     # over the same exact scores — every float a single int/int division
@@ -3741,10 +3796,11 @@ def entity_resolution_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     symmetric pair frame is computed once; mutuality is a second window,
     not a second linkage pass.
 
-    Born round 11, demoted-with-full-oracle (the standing growth path).
-    Demoted: the pair-scoring chain's driver signal is carried by
-    ngram_jaccard_pairs and the bidirectional-window shape by
-    topk_orders_per_customer."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule (paired with length_quantiles_by_source's
+    demotion — quality_winsorized_by_source carries that exact-quantile
+    chain). The symmetric pair frame this entry ranks is
+    provenance_fuzzy_link's, registered beside it."""
     from aws_data_pipeline_spark.operators import linkage
     from aws_data_pipeline_spark.operators.text import tokens as _tok
 
@@ -3760,7 +3816,6 @@ def entity_resolution_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "collocation_pmi_scores",
-    demoted=True,
     # counts exact; the probability ratio is four correctly-rounded
     # double divisions in the SAME fixed order as the Spark expression;
     # the one ln snaps to 9-dp units (the psi/logprob recipe); ranks
@@ -3809,10 +3864,10 @@ def collocation_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned over the 50-row result, never a data-sized single-partition
     window.
 
-    Born round 11, demoted-with-full-oracle (the standing growth path).
-    Demoted: the bigram counting chain's driver signal is carried by
-    bigram_logprob_scores (identical explode + count tables) and the
-    snapped-ln discipline by dq_psi_price_drift's replica tests."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule, demoting bigram_logprob_scores — the identical
+    explode + bigram/unigram count tables scored by log-prob instead of
+    PMI; this entry now carries that chain's driver signal."""
     from aws_data_pipeline_spark.operators import text as tx
 
     return tx.collocation_pmi(T(spark, sf_dir, "documents"))
@@ -3820,7 +3875,6 @@ def collocation_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "k_anonymity_customer_audit",
-    demoted=True,
     # exact integer counts and comparison — the whole frame value-hashes
     sql="""
     SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3836,9 +3890,11 @@ def k_anonymity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside pii_redaction_stats' text scrubbing. Flags are data; the
     suppression verb k_anonymize enforces them.
 
-    Born round 11, demoted-with-full-oracle (the standing growth path).
-    Demoted: the grouped-count-plus-flag shape's driver signal is carried
-    by cube_priority_status and dq_rule_violations_lineitem."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule (paired with customer_insights_incremental_twin's
+    demotion — customer_insights carries that identical value contract).
+    The grouped-count-plus-flag shape stays beside cube_priority_status
+    and dq_rule_violations_lineitem."""
     from aws_data_pipeline_spark.operators import scrub
 
     return scrub.k_anonymity_audit(
@@ -3848,7 +3904,6 @@ def k_anonymity_customer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "temporal_split_embargo_events",
-    demoted=True,
     # a pure row-local projection of exact timestamp comparisons — every
     # row's assignment value-hashes
     sql="""
@@ -3869,11 +3924,11 @@ def temporal_split_embargo_events(spark: SparkSession, sf_dir: str) -> DataFrame
     One scan, zero shuffle, assignment deterministic in the row's own
     timestamp.
 
-    Born round 11, demoted-with-full-oracle (the standing growth path).
-    Demoted: the split-assignment capability's driver signal is carried
-    by dataset_split_assignments_portable (hash routing) and
-    leakage_safe_splits (content routing); the timestamp-predicate
-    surface by sessionize_events."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule, demoting split_leakage_audit — whose
+    cross-split-collision chain is leakage_safe_splits' own construction
+    invariant; this entry adds the temporal leakage guard the content
+    splits cannot express."""
     from aws_data_pipeline_spark.operators import sampling
 
     e = T(spark, sf_dir, "events")

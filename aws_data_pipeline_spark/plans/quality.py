@@ -217,7 +217,7 @@ def dq_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.psi_drift(base, curr, "x", bins=10)
 
 
-@register("dq_psi_price_drift_approx", sql=None, demoted=True)
+@register("dq_psi_price_drift_approx", sql=None)
 def dq_psi_price_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same PSI monitor through the 100 TB edge path:
     ``psi_drift(approx=True)`` swaps the exact full-sort decile edges for
@@ -225,9 +225,12 @@ def dq_psi_price_drift_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor snapshot-drift job would actually run (r8 verdict item
     7: the approx variant now has a registry surface, not just pytest).
 
-    Demoted rows-only from birth: sketch edges are not cross-engine
-    reproducible (no DuckDB twin by design), so the value evidence is the
-    error-bound pytest (tests/test_llm.py::
+    Born demoted rows-only; PROMOTED r12 to the rows-only tail (the
+    r12 seat queue's second head, VERDICT r11 item 6) by demoting
+    embedding_ann_lsh, whose hyperplane band-bucket candidate stage the
+    oracled embedding_neardup_pairs runs verbatim. Sketch edges are not
+    cross-engine reproducible (no DuckDB twin by design), so the value
+    evidence is the error-bound pytest (tests/test_llm.py::
     test_psi_drift_approx_error_bound) pinning |approx - exact| total
     PSI; the exact twin dq_psi_price_drift (hash-green r8/r10, demoted
     r11 with its full oracle intact) pins the shared binning/contribution
@@ -388,7 +391,6 @@ def dq_chisq_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_ingest_volume_anomalies",
-    demoted=True,
     # exact end-to-end: counts are integers, the two medians interpolate
     # at most one midpoint (exactly-representable halves/quarters), and
     # the flag multiplies by small integers — no consistency constant,
@@ -418,10 +420,12 @@ def dq_ingest_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized shuffle; both medians run over the day-bounded count frame
     and broadcast back as 1-row frames.
 
-    Born round 11, demoted-with-full-oracle (the standing growth path).
-    Demoted: the conditional-aggregate DQ shape's driver signal is
-    carried by dq_rule_violations_lineitem and the robust-statistic
-    flagging by dq_zscore_outlier_counts (both oracled)."""
+    Born round 11 demoted-with-full-oracle; PROMOTED r12 under the
+    named-demotion rule (paired with unicode_nfc_docs' demotion —
+    accent_stripped_docs carries that UAX#15 normalization surface).
+    The robust-flagging shape joins dq_zscore_outlier_counts (registered,
+    leading the r12 window per the displacement policy) with the
+    median/MAD form z-scores cannot express."""
     e = T(spark, sf_dir, "events")
     return quality.volume_anomalies(
         e.where(F.col("ts").isNotNull()), F.to_date("ts")

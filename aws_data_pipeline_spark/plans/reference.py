@@ -319,6 +319,7 @@ _AGG_SQL = f"""
 
 @register(
     "daily_aggregations",
+    demoted=True,
     sql=_AGG_SQL.format(
         month_part=(
             "CAST(month(o_orderdate) AS INTEGER) AS month,"
@@ -330,7 +331,14 @@ _AGG_SQL = f"""
 )
 def daily_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (reference silver_to_gold.py:20-32): the 6-aggregate bundle at
-    (year, month, day, customer) grain. One shuffle, partial+final hash agg."""
+    (year, month, day, customer) grain. One shuffle, partial+final hash agg.
+
+    Demoted r12 (hash-green r11, full oracle stays in the pytest replica)
+    to seat cohort_retention_daily under the named-demotion rule: the
+    SAME aggregate_transactions bundle stays driver-visible at every
+    grain — day included — via multi_grain_rollup_hierarchical (oracled,
+    registered), exactly as monthly_aggregations' r5 demotion rode this
+    entry."""
     o = derive.add_date_parts(T(spark, sf_dir, "orders"), "o_orderdate")
     out = agg_ops.aggregate_transactions(
         o,
@@ -408,7 +416,7 @@ def customer_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("o_custkey", "customer_id")
 
 
-@register("customer_insights_incremental_twin", sql=CUSTOMER_INSIGHTS_SQL)
+@register("customer_insights_incremental_twin", sql=CUSTOMER_INSIGHTS_SQL, demoted=True)
 def customer_insights_incremental_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalence proof for the incremental gold path
     (streaming/gold.py): the orders history split into two "micro-batches"
@@ -418,7 +426,15 @@ def customer_insights_incremental_twin(spark: SparkSession, sf_dir: str) -> Data
     streaming sink applies (gold.merge_states), then presented to the
     customer_insights contract — and checked against customer_insights'
     OWN oracle SQL, so the driver proves merged state ==
-    recompute-from-history. The HLL estimate is exact at the testdata's
+    recompute-from-history.
+
+    Demoted r12 (hash-green r10, full oracle stays in the pytest replica)
+    to seat k_anonymity_customer_audit under the named-demotion rule: by
+    construction this entry's value contract is IDENTICAL to
+    customer_insights (registered, oracled — the least-information pair
+    in the window), and the mergeable-state incremental path it proves
+    stays pinned by the streaming gold pytest suite plus this oracle's
+    every-run replica. The HLL estimate is exact at the testdata's
     per-customer active-day cardinalities (the sketch stays in exact
     coupon mode, far below its HLL-array promotion threshold); at 100 TB
     scale it is the documented ~2% estimate trade."""

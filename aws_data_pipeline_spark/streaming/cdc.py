@@ -47,7 +47,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.sources.parquet import (
+    commit_index_version,
     delete_from_zone,
+    gc_index_versions,
+    index_next_root,
+    index_root,
     merge_into_zone,
     read_partition_slice,
     zone_exists,
@@ -56,6 +60,17 @@ from aws_data_pipeline_spark.sources.parquet import (
 _TOMB = "_cdc_tombstones"
 
 _OPS = ("upsert", "delete")
+
+
+def _tomb_root(spark: SparkSession, zone_path: str) -> str:
+    """Active root of the zone's tombstone store. Fresh zones append
+    tombstones straight under ``zone/_cdc_tombstones`` (the unversioned
+    layout); the first :func:`expire_cdc_tombstones` flips the store to
+    the versioned pointer-marker layout (``_cdc_tombstones/v<N>`` +
+    ``_ptr``), after which every append/read resolves through the
+    committed marker — the same single-file-create commit idiom as the
+    maintained indexes, so expiry can never truncate the live set."""
+    return index_root(spark, f"{zone_path}/{_TOMB}")
 
 
 def _collapse(
@@ -125,10 +140,11 @@ def apply_cdc_batch(
                 spark, zone_path, touched, partition_cols
             ).select(*on, F.col(seq_col).alias("__known_seq"))
         )
-    if zone_exists(spark, f"{zone_path}/{_TOMB}"):
+    tomb = _tomb_root(spark, zone_path)
+    if zone_exists(spark, tomb):
         guards.append(
             read_partition_slice(
-                spark, f"{zone_path}/{_TOMB}", touched, partition_cols
+                spark, tomb, touched, partition_cols
             ).select(*on, F.col(seq_col).alias("__known_seq"))
         )
     fresh = ev
@@ -168,7 +184,7 @@ def apply_cdc_batch(
             )
         deletes.select(*on, seq_col).write.mode("append").partitionBy(
             *partition_cols
-        ).parquet(f"{zone_path}/{_TOMB}")
+        ).parquet(tomb)
     if n_up:
         if zone_exists(spark, zone_path):
             merge_into_zone(
@@ -226,14 +242,43 @@ def expire_cdc_tombstones(
     still carry — typically the checkpoint's committed low-watermark).
     Returns the number kept. A tombstone dropped too early re-opens the
     resurrection window for replays older than the horizon; one kept too
-    long costs a row in a pruned anti-join — expire conservatively."""
-    path = f"{zone_path}/{_TOMB}"
-    if not zone_exists(spark, path):
+    long costs a row in a pruned anti-join — expire conservatively.
+
+    Tombstones are a correctness guard, not derived data, so expiry is a
+    VERSIONED SWAP, never a truncate-then-overwrite: the kept set lands
+    in a fresh ``_cdc_tombstones/v<N>`` candidate directory and is
+    committed by the atomic single-marker-file create
+    (``commit_index_version``). A crash anywhere before the commit
+    leaves the full previous set being served — the failure mode where
+    an in-place overwrite would silently lose EVERY tombstone (not just
+    expired ones) and re-open the delete-resurrection window. Superseded
+    generations (and, after the first flip, the legacy unversioned
+    partition directories) are cleaned AFTER the commit; a crash between
+    commit and cleanup leaves inert extra files only."""
+    store = f"{zone_path}/{_TOMB}"
+    active = _tomb_root(spark, zone_path)
+    if not zone_exists(spark, active):
         return 0
-    t = spark.read.parquet(path)
+    t = spark.read.parquet(active)
     kept = t.filter(F.col(seq_col) >= min_seq_keep).localCheckpoint(eager=True)
     n = kept.count()
-    # rewrite keeps the partition layout so the per-batch guard read
-    # stays partition-pruned
-    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    candidate, version = index_next_root(spark, store)
+    # the candidate keeps the partition layout so the per-batch guard
+    # read stays partition-pruned; invisible to readers until the commit
+    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(candidate)
+    commit_index_version(spark, store, version)
+    # post-commit cleanup: superseded v<K> dirs, plus the unversioned
+    # legacy partition dirs left at the store root by the first flip
+    gc_index_versions(spark, store)
+    if active == store:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(store)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("_") or (
+                name.startswith("v") and name[1:].isdigit()
+            ):
+                continue
+            fs.delete(st.getPath(), True)
     return n

@@ -34,6 +34,13 @@ whose block was cut are reported as absent, not silently skipped.
 Usage:
   python scripts/family_verdict.py [--family embedding_ann_]
       [--rounds 9 10 11] [--driver-round 10] [--slack 0.15]
+  python scripts/family_verdict.py --name incremental_span
+      [--rounds 10 11 12] [--driver-round 11]
+
+``--family`` selects by name prefix; ``--queries`` (or a ``--name``d
+preset) selects an explicit list — the incremental/span family the r11
+verdict flagged spans several prefixes (splits, spans, probes, MMR), so
+a prefix cannot express it.
 """
 
 from __future__ import annotations
@@ -95,9 +102,26 @@ def driver_numbers(rnd: int) -> dict[str, dict]:
     return out
 
 
+# Named multi-prefix families — the checkpoint/many-job class the r11
+# verdict's conditional ruling covers (item 2): localCheckpoint-cut CC
+# fixpoints, span probes, and the bounded-applyInPandas MMR re-ranker.
+PRESETS = {
+    "incremental_span": [
+        "leakage_safe_splits",
+        "incremental_neardup_pairs",
+        "text_neardup_index_probe",
+        "incremental_duplicate_spans",
+        "duplicate_span_stats",
+        "mmr_diversified_topk",
+    ],
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="embedding_ann_")
+    ap.add_argument("--queries", nargs="+", default=None)
+    ap.add_argument("--name", choices=sorted(PRESETS), default=None)
     ap.add_argument("--rounds", type=int, nargs="+", default=[9, 10, 11])
     ap.add_argument("--driver-round", type=int, default=10)
     ap.add_argument("--slack", type=float, default=0.15)
@@ -108,13 +132,19 @@ def main() -> int:
     drv = driver_numbers(args.driver_round)
     prev = max((r for r in args.rounds if r < args.driver_round), default=None)
 
-    fam = sorted(
-        q
-        for q in set().union(*(e.keys() for e in envs.values() if e), drv)
-        if q.startswith(args.family)
-    )
+    if args.name:
+        args.queries = PRESETS[args.name]
+        args.family = args.name
+    seen = set().union(*(e.keys() for e in envs.values() if e), drv)
+    if args.queries:
+        fam = sorted(q for q in seen if q in set(args.queries))
+        absent = sorted(set(args.queries) - seen)
+        if absent:
+            print(f"note: no bench data anywhere for {absent}")
+    else:
+        fam = sorted(q for q in seen if q.startswith(args.family))
     if not fam:
-        print(f"no queries match family prefix {args.family!r}")
+        print(f"no queries match family {args.family!r}")
         return 1
 
     flagged = []

@@ -1156,6 +1156,77 @@ def test_cdc_stream_checkpoint_loss_replay_is_effect_idempotent(
     assert _cdc_rows(spark, zone) == want
 
 
+def test_cdc_tombstone_expiry_is_crash_safe_versioned_swap(spark, tmp_path):
+    """Expiry commits the kept set via the versioned single-marker swap:
+    a crash BEFORE the commit (planted here as a fully-written but
+    uncommitted candidate directory) leaves every live tombstone being
+    served — the in-place overwrite it replaces would have truncated the
+    store first and lost ALL tombstones at that point, silently
+    re-opening the delete-resurrection window. After a real expiry,
+    appends land in the committed version so later expiries see them."""
+    from aws_data_pipeline_spark.sources.parquet import index_root
+    from aws_data_pipeline_spark.streaming.cdc import (
+        _TOMB,
+        apply_cdc_batch,
+        expire_cdc_tombstones,
+    )
+
+    zone = str(tmp_path / "zone")
+    schema = "id long, v string, year int, _op string, _seq long"
+    apply_cdc_batch(
+        spark.createDataFrame(
+            [(1, "a", 2024, "upsert", 1), (2, "b", 2024, "upsert", 2)],
+            schema,
+        ),
+        zone, ["id"], ["year"],
+    )
+    apply_cdc_batch(
+        spark.createDataFrame(
+            [(1, None, 2024, "delete", 3), (2, None, 2024, "delete", 4)],
+            schema,
+        ),
+        zone, ["id"], ["year"],
+    )
+    store = f"{zone}/{_TOMB}"
+
+    # planted crash: candidate v1 fully written (empty kept set — the
+    # worst case) but NO marker ever created
+    spark.read.parquet(store).limit(0).write.partitionBy("year").parquet(
+        f"{store}/v1"
+    )
+    assert index_root(spark, store) == store  # uncommitted => old layout
+    # an old-sequence upsert replay still hits both tombstones
+    got = apply_cdc_batch(
+        spark.createDataFrame(
+            [(1, "zombie", 2024, "upsert", 2), (2, "zombie", 2024, "upsert", 3)],
+            schema,
+        ),
+        zone, ["id"], ["year"],
+    )
+    assert got == {"upserts": 0, "deletes": 0, "stale_dropped": 2}
+
+    # real expiry: horizon 4 keeps only key 2's tombstone; commit flips
+    # the store to a fresh version (the abandoned v1 is superseded)
+    assert expire_cdc_tombstones(spark, zone, 4, ["year"]) == 1
+    root = index_root(spark, store)
+    assert root != store
+    assert [tuple(r) for r in spark.read.parquet(root).select("id").collect()] == [(2,)]
+
+    # appends after the flip land in the committed version: a new delete
+    # is visible to the next expiry through the same resolved root
+    apply_cdc_batch(
+        spark.createDataFrame([(5, "e", 2024, "upsert", 7)], schema),
+        zone, ["id"], ["year"],
+    )
+    apply_cdc_batch(
+        spark.createDataFrame([(5, None, 2024, "delete", 8)], schema),
+        zone, ["id"], ["year"],
+    )
+    assert expire_cdc_tombstones(spark, zone, 5, ["year"]) == 1
+    kept = spark.read.parquet(index_root(spark, store))
+    assert [tuple(r) for r in kept.select("id", "_seq").collect()] == [(5, 8)]
+
+
 def test_cdc_null_op_fails_loudly(spark, tmp_path):
     """A null op must raise, not vanish: a bare ~isin() guard passes null
     predicates, the collapse would then prefer the null-op row (nulls
