@@ -407,6 +407,7 @@ def build_drift_baseline(
     value_col: str | None = None,
     cat_col: str | None = None,
     bins: int = 10,
+    max_categories: int = 100_000,
 ) -> None:
     """Persist a drift-monitoring BASELINE: the one full pass over a
     reference cohort that every later (batch or streaming) drift check
@@ -431,7 +432,14 @@ def build_drift_baseline(
 
     The baseline is a snapshot artifact, rebuilt wholesale when the
     reference cohort changes (plain overwrite — monitors read it at run
-    start, not per batch)."""
+    start, not per batch).
+
+    ``max_categories`` bounds the driver: the category table (and its
+    fingerprint) is collected once, which is the right shape for the
+    drift use case (chi-squared against a domain-bounded category set)
+    but a driver-memory trap if someone points ``cat_col`` at an id-like
+    column — that fails LOUDLY here, before any collect, with the
+    measured cardinality in the message."""
     if value_col is None and cat_col is None:
         raise ValueError("build_drift_baseline: give value_col or cat_col")
     import hashlib
@@ -461,12 +469,23 @@ def build_drift_baseline(
         fp.update(repr([float(e) for e in es]).encode())
         fp.update(repr(vb).encode())
     if cat_col is not None:
-        cats = sorted(
-            (r["category"], int(r["n_base"]))
-            for r in df.where(F.col(cat_col).isNotNull())
+        counted = (
+            df.where(F.col(cat_col).isNotNull())
             .groupBy(F.col(cat_col).alias("category"))
             .agg(F.count("*").alias("n_base"))
-            .collect()
+        )
+        # cardinality gate BEFORE any collect: one count over the
+        # already-aggregated frame (distributed), never the data
+        n_cats = counted.count()
+        if n_cats > max_categories:
+            raise ValueError(
+                f"build_drift_baseline: {cat_col!r} has {n_cats} distinct "
+                f"categories (> max_categories={max_categories}) — that is "
+                "an id-like column, not a drift category; pick a bounded "
+                "column or raise max_categories deliberately"
+            )
+        cats = sorted(
+            (r["category"], int(r["n_base"])) for r in counted.collect()
         )
         spark.createDataFrame(
             cats, "category string, n_base long"

@@ -317,6 +317,7 @@ def compact_zone(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Sequence[str] = (),
     dest: str | None = None,
+    respect_snapshots: bool = True,
 ) -> int:
     """Rewrite a zone into ~target-size files; returns the rewrite's task
     count (= file count for unpartitioned/sorted zones; a hive-partitioned
@@ -344,7 +345,28 @@ def compact_zone(
     ``path`` — the versioned-index swap path (see index_next_root /
     commit_index_version): the source stays readable throughout and no
     truncation ever happens.
+
+    ``respect_snapshots`` (default True): before an IN-PLACE rewrite,
+    consult ``snapshots.snapshot_pinned_files`` and COPY every pinned
+    live file into ``path/_retired/<rel>`` (idempotent, crash-safe —
+    copy-then-rewrite, never move), so every committed snapshot stays
+    readable after compaction: Iceberg-style safe time travel. The
+    retired copies are reclaimed by ``snapshots.gc_retired_files`` once
+    ``snapshots.expire_snapshots`` retires the pinning manifests. Pass
+    False for zones that never take snapshots (skips two metadata
+    walks) — a later snapshot read over files this compaction rewrote
+    then breaks LOUDLY with rewritten-or-corrupt attribution, the
+    documented pre-r12 contract.
     """
+    if respect_snapshots and dest is None:
+        from aws_data_pipeline_spark.sources import snapshots as _snaps
+
+        pinned = _snaps.snapshot_pinned_files(spark, path)
+        if pinned:
+            live = _snaps._committed_files(spark, path)
+            _snaps.retire_originals(
+                spark, path, sorted(pinned & set(live))
+            )
     df = read_zone(spark, path)
     out_path = dest if dest is not None else path
     if sort_by:
@@ -489,6 +511,7 @@ def delete_from_zone(
     keys: DataFrame,
     key_cols: Sequence[str],
     partition_cols: Sequence[str] = ("year", "month", "day"),
+    retire_snapshots: bool = False,
 ) -> int:
     """Copy-on-write delete; returns touched partition count. ``keys`` must
     carry ``partition_cols`` alongside ``key_cols`` (the caller knows where
@@ -501,6 +524,18 @@ def delete_from_zone(
     only replaces partitions PRESENT in the written frame, so a partition
     whose LAST row was deleted would otherwise keep its old files — its
     directory is removed via the filesystem instead.
+
+    Snapshot stance: this verb NEVER retires originals into
+    ``_retired`` — parking forgotten rows there would make an erasure
+    cosmetic. A snapshot pinning a rewritten file breaks loudly on its
+    next read (the GDPR-correct behavior). ``retire_snapshots=True``
+    additionally retires, in this same verb, every committed snapshot
+    pinning any file under the touched partitions — plus any retired
+    copies compaction previously parked there — via
+    ``snapshots.retire_pinning_snapshots``, so time travel to the
+    forgotten rows stops being OFFERED, not just stops working. Leave
+    it False for ordinary data amendment (CDC deletes), where a broken
+    old snapshot should be a loud signal, not a silent retirement.
     """
     touched = _touched_partitions(keys, partition_cols, "keys")
     if not touched:
@@ -538,6 +573,17 @@ def delete_from_zone(
         jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{segs}")
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
+    if retire_snapshots:
+        from aws_data_pipeline_spark.sources import snapshots as _snaps
+
+        rels = [
+            "/".join(
+                f"{c}={esc.escapePathName(str(v))}"
+                for c, v in zip(partition_cols, part)
+            )
+            for part in touched
+        ]
+        _snaps.retire_pinning_snapshots(spark, path, under=rels)
     return len(touched)
 
 

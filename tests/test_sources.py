@@ -582,8 +582,10 @@ def test_broken_snapshots_attribute_expiry_vs_rewrite(spark, tmp_path):
     # a fresh snapshot of the post-expiry state reads fine...
     s2 = S.snapshot_zone(spark, zone)
     assert S.read_zone_snapshot(spark, zone, s2).count() == 4
-    # ...until an in-place compaction rewrites its files
-    compact_zone(spark, zone, partition_by=["year"])
+    # ...until an in-place compaction that OPTS OUT of snapshot respect
+    # rewrites its files (the pre-r12 loud-break contract, still the
+    # right mode for never-snapshotted zones)
+    compact_zone(spark, zone, partition_by=["year"], respect_snapshots=False)
     with pytest.raises(S.SnapshotBrokenError) as ei2:
         S.read_zone_snapshot(spark, zone, s2)
     assert all(
@@ -715,3 +717,274 @@ def test_snapshot_attribution_with_mixed_depth_and_escaped_values(
     assert all(r.startswith("src=a%3Ab/") for r in causes["expired"])
     assert all("/" not in r for r in causes["rewritten-or-corrupt"])
     assert len(causes["rewritten-or-corrupt"]) == 1
+
+
+def test_compact_after_snapshot_keeps_time_travel(spark, tmp_path):
+    """VERDICT r11 item 4: snapshot-respecting compaction (the default)
+    parks pinned originals in _retired before rewriting, so the old
+    snapshot keeps reading its exact generation while the live zone
+    serves the compacted one; expire + gc reclaims the retired copies."""
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(y, i) for y in (2023, 2024) for i in range(6)],
+        "year int, v long",
+    ).repartition(3).write.partitionBy("year").parquet(zone)
+    before = sorted(
+        (r.year, r.v) for r in spark.read.parquet(zone).collect()
+    )
+    s1 = S.snapshot_zone(spark, zone)
+
+    compact_zone(spark, zone, partition_by=["year"])
+    # live zone: identical rows, compacted layout
+    assert sorted(
+        (r.year, r.v) for r in spark.read.parquet(zone).collect()
+    ) == before
+    # the old snapshot still reads its EXACT pinned generation (from
+    # _retired), partition columns intact
+    old = S.read_zone_snapshot(spark, zone, s1)
+    assert sorted((r.year, r.v) for r in old.collect()) == before
+    assert set(old.columns) == {"year", "v"}
+
+    # a post-compaction snapshot pins the live files; gc with both
+    # manifests alive reclaims nothing
+    s2 = S.snapshot_zone(spark, zone)
+    assert S.gc_retired_files(spark, zone) == []
+    # retiring the old manifest frees its retired copies
+    assert S.expire_snapshots(spark, zone, keep_last=1) == [s1]
+    removed = S.gc_retired_files(spark, zone)
+    assert removed and all(r.startswith("year=") for r in removed)
+    assert S.gc_retired_files(spark, zone) == []  # idempotent
+    assert S.read_zone_snapshot(spark, zone, s2).count() == 12
+
+
+def test_same_length_rewrite_detected_by_mtime(spark, tmp_path):
+    """ADVICE r11: name+length verification alone serves a same-length
+    in-place rewrite silently; the manifest now records mtime, so a
+    touched pinned file (simulated with utime — byte length unchanged)
+    breaks the snapshot loudly as rewritten-or-corrupt."""
+    import glob as g
+    import os
+
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(2024, i) for i in range(4)], "year int, v long"
+    ).write.partitionBy("year").parquet(zone)
+    sid = S.snapshot_zone(spark, zone)
+    assert S.read_zone_snapshot(spark, zone, sid).count() == 4
+
+    victim = g.glob(f"{zone}/year=2024/*.parquet")[0]
+    st = os.stat(victim)
+    os.utime(victim, (st.st_atime + 10, st.st_mtime + 10))
+    with pytest.raises(S.SnapshotBrokenError) as ei:
+        S.read_zone_snapshot(spark, zone, sid)
+    assert list(ei.value.broken.values()) == ["rewritten-or-corrupt"]
+
+
+def test_stale_tombstone_does_not_launder_corruption(spark, tmp_path):
+    """ADVICE r11: a partition expired, RE-INGESTED, pinned by a new
+    snapshot, and then genuinely damaged must attribute as
+    rewritten-or-corrupt — the old tombstone predates the snapshot and
+    cannot explain the loss. A fresh expiry (tombstone newer than the
+    snapshot) attributes as expired again."""
+    import time
+
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        expire_zone_partitions,
+    )
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(2023, 1), (2024, 2)], "year int, v long"
+    ).write.partitionBy("year").parquet(zone)
+    expire_zone_partitions(
+        spark, zone, ["year"], keep=lambda t: int(t[0]) >= 2024
+    )
+    time.sleep(0.05)  # distinct mtimes: tombstone strictly older
+
+    # re-ingest 2023, snapshot the re-ingested state
+    spark.createDataFrame([(2023, 3)], "year int, v long").write.mode(
+        "append"
+    ).partitionBy("year").parquet(zone)
+    sid = S.snapshot_zone(spark, zone)
+    assert S.read_zone_snapshot(spark, zone, sid).count() == 2
+
+    # genuine damage to the re-ingested partition: NOT expiry
+    import glob as g
+    import os
+
+    os.remove(g.glob(f"{zone}/year=2023/*.parquet")[0])
+    with pytest.raises(S.SnapshotBrokenError) as ei:
+        S.read_zone_snapshot(spark, zone, sid)
+    assert all(
+        why == "rewritten-or-corrupt" for why in ei.value.broken.values()
+    ), ei.value.broken
+
+    # a REAL second expiry refreshes the tombstone past the snapshot:
+    # the remaining 2024 pin breaks attributably as expired
+    time.sleep(0.05)
+    expire_zone_partitions(spark, zone, ["year"], keep=lambda t: False)
+    with pytest.raises(S.SnapshotBrokenError) as ei2:
+        S.read_zone_snapshot(spark, zone, sid)
+    assert ei2.value.broken["year=2024/" + sorted(
+        r.split("/", 1)[1] for r in ei2.value.broken if r.startswith("year=2024/")
+    )[0]] == "expired"
+
+
+def test_diff_verifies_like_snapshot_reads(spark, tmp_path):
+    """ADVICE r11: the diff read shares the snapshot read's verification
+    — a delta broken by post-snapshot retention expiry attributes
+    'expired' (not hardcoded corruption), and a delta whose files were
+    compacted away resolves from _retired instead of breaking."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        compact_zone,
+        expire_zone_partitions,
+    )
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame([(2023, 0)], "year int, v long").write.mode(
+        "append"
+    ).partitionBy("year").parquet(zone)
+    s1 = S.snapshot_zone(spark, zone)
+    spark.createDataFrame(
+        [(2024, 1), (2024, 2)], "year int, v long"
+    ).write.mode("append").partitionBy("year").parquet(zone)
+    s2 = S.snapshot_zone(spark, zone)
+
+    # compaction rewrites everything; the (s1, s2] delta resolves from
+    # the retired copies
+    compact_zone(spark, zone, partition_by=["year"])
+    d = S.read_zone_snapshot_diff(spark, zone, s1, s2)
+    assert sorted((r.year, r.v) for r in d.collect()) == [(2024, 1), (2024, 2)]
+
+    # deliberate expiry of the delta's partition AFTER s2: attributed
+    import time
+
+    time.sleep(0.05)
+    expire_zone_partitions(
+        spark, zone, ["year"], keep=lambda t: int(t[0]) != 2024
+    )
+    # the retired copies still serve the delta (expiry removed live
+    # dirs only), so ALSO retire them to expose the broken path
+    S.retire_pinning_snapshots(spark, zone, under=["year=2024"])
+    # s2's manifest is gone with the retirement — rebuild the scenario
+    # where the manifest survives but files are expired: fresh zone
+    zone2 = str(tmp_path / "zone2")
+    spark.createDataFrame([(2023, 0)], "year int, v long").write.mode(
+        "append"
+    ).partitionBy("year").parquet(zone2)
+    t1 = S.snapshot_zone(spark, zone2)
+    spark.createDataFrame([(2024, 1)], "year int, v long").write.mode(
+        "append"
+    ).partitionBy("year").parquet(zone2)
+    t2 = S.snapshot_zone(spark, zone2)
+    time.sleep(0.05)
+    expire_zone_partitions(
+        spark, zone2, ["year"], keep=lambda t: int(t[0]) != 2024
+    )
+    with pytest.raises(S.SnapshotBrokenError) as ei:
+        S.read_zone_snapshot_diff(spark, zone2, t1, t2)
+    assert all(why == "expired" for why in ei.value.broken.values())
+
+
+def test_erasure_retires_pinning_snapshots(spark, tmp_path):
+    """VERDICT r11 item 4 (erasure half): delete_from_zone with
+    retire_snapshots=True drops every snapshot pinning the touched
+    partitions AND the retired copies parked there — time travel to the
+    forgotten rows stops being offered; snapshots that pin nothing under
+    the touched partitions survive."""
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import (
+        compact_zone,
+        delete_from_zone,
+    )
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(2023, 1, "pii"), (2023, 2, "pii"), (2024, 3, "ok")],
+        "year int, id long, v string",
+    ).write.partitionBy("year").parquet(zone)
+    s1 = S.snapshot_zone(spark, zone)
+    compact_zone(spark, zone, partition_by=["year"])  # parks s1's files
+
+    # erase ALL 2023 rows (the partition empties), retiring s1
+    doomed = spark.createDataFrame([(1, 2023), (2, 2023)], "id long, year int")
+    delete_from_zone(
+        spark, zone, doomed, ["id"], ["year"], retire_snapshots=True
+    )
+    assert S.snapshot_ids(spark, zone) == []  # s1 pinned 2023 -> gone
+    assert s1 not in S.snapshot_ids(spark, zone)
+    # no retired copy under the scrubbed partition survives
+    import glob as g
+
+    assert g.glob(f"{zone}/_retired/year=2023/*") == []
+    assert sorted(
+        (r.year, r.id) for r in spark.read.parquet(zone).collect()
+    ) == [(2024, 3)]
+
+    # a post-erasure snapshot pins only 2024; erasing 2023 again (a
+    # replayed erasure) touches nothing it pins -> it survives
+    s2 = S.snapshot_zone(spark, zone)
+    delete_from_zone(
+        spark, zone,
+        spark.createDataFrame([(9, 2023)], "id long, year int"),
+        ["id"], ["year"], retire_snapshots=True,
+    )
+    assert S.snapshot_ids(spark, zone) == [s2]
+    assert S.read_zone_snapshot(spark, zone, s2).count() == 1
+
+
+def test_spark_side_snapshot_verification_path(spark, tmp_path):
+    """VERDICT r11 item 7: above the pinned-file bound the verification
+    compare runs as a Spark join (threshold forced to 0 here) — same
+    green reads, same retired resolution, same broken attribution as
+    the driver dict walk."""
+    import glob as g
+    import os
+
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(y, i) for y in (2023, 2024) for i in range(3)],
+        "year int, v long",
+    ).write.partitionBy("year").parquet(zone)
+    s1 = S.snapshot_zone(spark, zone)
+
+    got = S.read_zone_snapshot(spark, zone, s1, spark_verify_threshold=0)
+    assert sorted((r.year, r.v) for r in got.collect()) == [
+        (2023, 0), (2023, 1), (2023, 2), (2024, 0), (2024, 1), (2024, 2)
+    ]
+
+    # retired resolution through the join path
+    compact_zone(spark, zone, partition_by=["year"])
+    again = S.read_zone_snapshot(spark, zone, s1, spark_verify_threshold=0)
+    assert again.count() == 6
+
+    # broken detection + attribution through the join path: damage a
+    # retired copy (the only generation serving s1's 2023 files)
+    s2 = S.snapshot_zone(spark, zone)
+    victim = g.glob(f"{zone}/_retired/year=2023/*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(S.SnapshotBrokenError) as ei:
+        S.read_zone_snapshot(spark, zone, s1, spark_verify_threshold=0)
+    assert all(
+        why == "rewritten-or-corrupt" for why in ei.value.broken.values()
+    )
+    # the live snapshot is unaffected either way
+    assert S.read_zone_snapshot(spark, zone, s2, spark_verify_threshold=0).count() == 6

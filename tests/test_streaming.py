@@ -1034,6 +1034,27 @@ def test_drift_metrics_rows_carry_baseline_identity(spark, tmp_path):
     )
 
 
+def test_drift_baseline_rejects_id_like_category_columns(spark, tmp_path):
+    """ADVICE r11: the category table is a driver-side artifact, so an
+    id-like cat_col must fail loudly at the measured cardinality BEFORE
+    any collect — not exhaust driver memory on a 100-million-category
+    'baseline'."""
+    import pytest
+
+    from aws_data_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(50)], "v long, cat string")
+    with pytest.raises(ValueError, match="50 distinct categories"):
+        Q.build_drift_baseline(
+            df, str(tmp_path / "b"), cat_col="cat", max_categories=10
+        )
+    # a deliberate raise of the bound proceeds
+    Q.build_drift_baseline(
+        df, str(tmp_path / "b2"), cat_col="cat", max_categories=50
+    )
+    assert spark.read.parquet(f"{tmp_path}/b2/categories").count() == 50
+
+
 def _cdc_rows(spark, zone):
     return sorted(
         (r.id, r.v, r._seq, r.year)
