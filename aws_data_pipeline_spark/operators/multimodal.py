@@ -191,7 +191,7 @@ def sample_frames(
 
 # import-probed at module load: decode_real lights up automatically in an
 # environment that ships Pillow, with no code change
-# (re-probed r8, r9, r10 and r11 (2026-08-16): `pip install Pillow`
+# (re-probed r8, r9, r10, r11 and r12 (2026-08-16): `pip install Pillow`
 # still installs nothing from this sandbox (the resolver exits without
 # fetching a wheel) and PIL is not importable afterwards — the stub
 # below remains the honest path)

@@ -8,6 +8,7 @@ tests/test_streaming.py (availableNow + checkpoint resume).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.plans import register
 from aws_data_pipeline_spark.plans.common import T
@@ -121,3 +122,91 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_data_pipeline_spark.streaming.joins import click_purchase_pairs
 
     return click_purchase_pairs(T(spark, sf_dir, "events"))
+
+
+@register(
+    "cdc_apply_batch_fold",
+    demoted=True,
+    # the sink's collapse + sequence-guard fold as one plan: counts are
+    # exact, v is a verbatim column copy (no arithmetic), every winner is
+    # decided by integer seq comparison — the whole frame value-hashes
+    sql="""
+    WITH feed AS (
+      SELECT o_orderkey % 101 AS k,
+             o_orderkey AS seq,
+             o_totalprice AS v,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+                  ELSE 'upsert' END AS op,
+             o_orderkey % 2 AS b
+      FROM orders
+    ), s1 AS (
+      -- stored state after batch 0: per-key last writer (rows AND
+      -- delete tombstones both persist their sequence)
+      SELECT k, seq, v, op FROM (
+        SELECT k, seq, v, op,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM feed WHERE b = 0
+      ) WHERE rn = 1
+    ), c2 AS (
+      -- batch 1 collapsed within-batch
+      SELECT k, seq, v, op FROM (
+        SELECT k, seq, v, op,
+               row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM feed WHERE b = 1
+      ) WHERE rn = 1
+    ), f2 AS (
+      -- the sequence guard: strictly newer than the stored seq
+      SELECT c2.k, c2.seq, c2.v, c2.op
+      FROM c2 LEFT JOIN s1 USING (k)
+      WHERE s1.seq IS NULL OR c2.seq > s1.seq
+    ), merged AS (
+      SELECT k, seq, v, op FROM s1
+      UNION ALL
+      SELECT k, seq, v, op FROM f2
+    )
+    SELECT k, v, seq FROM (
+      SELECT k, seq, v, op,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM merged
+    ) WHERE rn = 1 AND op = 'upsert'
+    """,
+)
+def cdc_apply_batch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r11 item 5: the CDC apply sink's value semantics as a pure
+    plan the driver can hash — a deterministic change feed carved from
+    orders (key = orderkey mod 101, sequence = orderkey, every 7th event
+    a delete), split into two 'batches' by orderkey parity so batch 1
+    carries genuine stale replays (sequences below batch 0's stored
+    max). The fold runs the sink's OWN code: streaming/cdc.py::_collapse
+    for within-batch last-writer-wins (both batches and the final
+    merge-winner pick) and cdc.guard_fresh for the stored-sequence
+    guard — the exact expressions apply_cdc_batch executes against the
+    zone's (key, seq) projection, here against in-plan state instead of
+    parquet. Output: the final zone rows (k, v, seq), upserts only —
+    deletes and guard-dropped replays leave no row. The disk verb's
+    crash/replay/tombstone behavior stays pinned by the property tests;
+    this entry gives the collapse + guard fold driver-visible VALUE
+    evidence. Born demoted-with-full-oracle (the standing growth path),
+    queued for a future seat."""
+    from aws_data_pipeline_spark.streaming import cdc
+
+    o = T(spark, sf_dir, "orders")
+    feed = o.select(
+        (F.col("o_orderkey") % 101).alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        (F.col("o_orderkey") % 2).alias("b"),
+    )
+    s1 = cdc._collapse(
+        feed.filter(F.col("b") == 0).drop("b"), ["k"], [], "op", "seq"
+    )
+    c2 = cdc._collapse(
+        feed.filter(F.col("b") == 1).drop("b"), ["k"], [], "op", "seq"
+    )
+    known = s1.select("k", F.col("seq").alias("__known_seq"))
+    f2 = cdc.guard_fresh(c2, known, ["k"], "seq")
+    final = cdc._collapse(s1.unionByName(f2), ["k"], [], "op", "seq")
+    return final.filter(F.col("op") == "upsert").select("k", "v", "seq")

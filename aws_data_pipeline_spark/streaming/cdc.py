@@ -97,6 +97,29 @@ def _collapse(
     )
 
 
+def guard_fresh(
+    ev: DataFrame,
+    known: DataFrame,
+    on: Sequence[str],
+    seq_col: str,
+) -> DataFrame:
+    """The sequence guard as a pure plan: keep only events strictly newer
+    than the stored per-key sequence (``known``: ``on`` columns +
+    ``__known_seq``, possibly several rows per key — rows and tombstones
+    union here; the max wins). Shared by :func:`apply_cdc_batch` (disk
+    state) and the registry's value twin (in-plan state), so the driver
+    oracle exercises the same guard expression the sink applies."""
+    known = known.groupBy(*on).agg(F.max("__known_seq").alias("__known_seq"))
+    return (
+        ev.join(known, list(on), "left")
+        .filter(
+            F.col("__known_seq").isNull()
+            | (F.col(seq_col) > F.col("__known_seq"))
+        )
+        .drop("__known_seq")
+    )
+
+
 def apply_cdc_batch(
     batch: DataFrame,
     zone_path: str,
@@ -153,15 +176,7 @@ def apply_cdc_batch(
         known = guards[0]
         for g in guards[1:]:
             known = known.unionByName(g)
-        known = known.groupBy(*on).agg(F.max("__known_seq").alias("__known_seq"))
-        fresh = (
-            ev.join(known, on, "left")
-            .filter(
-                F.col("__known_seq").isNull()
-                | (F.col(seq_col) > F.col("__known_seq"))
-            )
-            .drop("__known_seq")
-        )
+        fresh = guard_fresh(ev, known, on, seq_col)
         fresh = fresh.localCheckpoint(eager=True)  # read before rewrite
         n_stale = ev.count() - fresh.count()
 
