@@ -452,3 +452,181 @@ def event_transitions(
         "n",
         (F.col("n") / F.col("__tot").cast("double")).alias("p"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    amount_col: str,
+    anchor: str,
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation — the classic marketing triad computed
+    exactly: per key, Recency (days from last activity to ``anchor``),
+    Frequency (activity count), Monetary (decimal-exact amount sum), each
+    scored into ``buckets`` quantile bands (1 = worst, ``buckets`` =
+    best) and combined into the standard named segments. ``anchor`` is a
+    caller-supplied literal date, never now(): the same history must
+    score identically forever (the injectable-clock rule).
+
+    Scores are EXACT SQL ntile semantics over total orders (metric,
+    key tie-break), computed by the distributed global-rank machinery
+    (operators/windows.py::global_ntile — range repartition + broadcast
+    offsets), never an unpartitioned ``Window.orderBy``: three ntiles
+    over a billion-customer frame would otherwise plan three
+    ``Exchange SinglePartition`` scans, the canonical WindowExec
+    scale-killer. One grouped aggregate over the raw frame is the only
+    data-sized shuffle; everything after runs on the key-level frame.
+
+    Segment rule (flags-as-data, the quality.py posture): champion
+    (R,F,M all in the top two bands), new (recent but infrequent),
+    at_risk (valuable but lapsed), lost (bottom bands), regular (the
+    rest) — deterministic CASE over the three scores.
+    """
+    from aws_data_pipeline_spark.operators.windows import global_ntile
+
+    base = (
+        df.where(F.col(key_col).isNotNull() & F.col(date_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.datediff(
+                F.lit(anchor).cast("date"), F.max(date_col)
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dsum(amount_col).alias("monetary"),
+        )
+    )
+    hi = buckets  # best band
+    scored = base
+    for metric, score, direction in (
+        # larger recency = staler = worse: DESC puts the stalest in band 1
+        ("recency_days", "r_score", "desc"),
+        ("frequency", "f_score", "asc"),
+        ("monetary", "m_score", "asc"),
+    ):
+        order = (
+            [F.col(metric).desc(), F.col(key_col).asc()]
+            if direction == "desc"
+            else [F.col(metric).asc(), F.col(key_col).asc()]
+        )
+        scored = global_ntile(scored, buckets, order, out_col=score)
+    r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    segment = (
+        F.when((r >= hi - 1) & (f >= hi - 1) & (m >= hi - 1), "champion")
+        .when((r >= hi - 1) & (f <= 2), "new")
+        .when((r <= 2) & ((f >= hi - 1) | (m >= hi - 1)), "at_risk")
+        .when((r <= 2) & (f <= 2) & (m <= 2), "lost")
+        .otherwise("regular")
+    )
+    return scored.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    )
+
+
+def event_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """Top event-type TRIGRAM paths: the most common three-step journeys
+    (``view > click > purchase``) across all users — funnel DISCOVERY,
+    where the funnel queries measure a path someone already named, this
+    surfaces which paths are worth naming. Consecutive same-user steps
+    under the (ts, tiebreak) total order; a user's last two events start
+    no trigram.
+
+    Scale shape: one per-user window (two leads over ONE shared sort —
+    Spark plans a single WindowExec), one domain-bounded grouped count
+    (≤ C³ rows), a distributed TakeOrdered global top-k, and ranks
+    assigned over the ``top``-row result only (the collocation_pmi
+    discipline — never a data-sized unpartitioned window).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    paths = (
+        # null types are dropped BEFORE the window (a null step is no
+        # step; and concat_ws would silently skip it where SQL || nulls
+        # the whole path — the filter keeps both engines on one meaning)
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.col(type_col).alias("s1"),
+            F.lead(type_col, 1).over(w).alias("s2"),
+            F.lead(type_col, 2).over(w).alias("s3"),
+        )
+        .where(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat_ws(" > ", "s1", "s2", "s3").alias("path"),
+            "n",
+        )
+    )
+    head = paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(top)
+    rw = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return head.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+def interarrival_stats(
+    df: DataFrame,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Inter-arrival time profile per event type: the seconds between
+    consecutive events of the same type, summarized as count, mean, and
+    exact nearest-rank p50/p95 — the feed-cadence fingerprint behind
+    SLA checks ("purchases arrive every ~40 s; 10 minutes of silence is
+    an incident") and the input a synthetic-load generator replays.
+    Gaps ride the (ts, tiebreak) total order per type, so the profile
+    is partitioning-independent; every gap is an exact integer
+    MICROsecond count (epoch-µs subtraction under the session's fixed
+    UTC — never a truncated-seconds diff, which would round differently
+    than any fractional-epoch engine), the mean is one bigint/double
+    IEEE division, and the quantiles are the grouped_quantiles exact
+    path over the gap frame.
+
+    Scale shape: one per-type window for the lag (C partitions — fine
+    for a bounded type domain; a single hot type at 100 TB is the
+    documented per-key-window trade every sessionization shares), then
+    C-sized aggregates.
+    """
+    w = Window.partitionBy(type_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lag_us = F.unix_micros(F.lag(F.col(ts_col)).over(w).cast("timestamp"))
+    gaps = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(type_col).alias("event_type"),
+            (us - lag_us).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    q = grouped_quantiles(gaps, ["event_type"], "gap_us", ps=(0.5, 0.95))
+    mean = gaps.groupBy("event_type").agg(
+        (F.sum("gap_us") / F.count("*").cast("double")).alias("mean_gap_us")
+    )
+    return q.join(mean, "event_type").select(
+        "event_type",
+        F.col("n_rows").alias("n_gaps"),
+        "mean_gap_us",
+        F.col("p50").alias("p50_us"),
+        F.col("p95").alias("p95_us"),
+    )

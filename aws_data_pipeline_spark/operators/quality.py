@@ -549,3 +549,49 @@ def volume_anomalies(
             > F.lit(int(k_num)) * F.col("mad")
         ).alias("is_anomaly"),
     )
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: Sequence[str],
+    pk_cols: Sequence[str],
+    relationship: str,
+) -> DataFrame:
+    """Referential-integrity audit as one row of flags-as-data: of the
+    child table's rows, how many have a matching parent key (orphans =
+    the difference, null FKs counted separately — a null FK is a
+    different defect than a dangling one). The DQ category value rules
+    and volume checks cannot see: every row can be individually valid
+    while the JOIN topology is broken (an ingest that loaded lineitems
+    before their orders, a purge that removed parents first).
+
+    Shape: the parent's distinct key projection joined left onto the
+    child's key projection, then one combinable aggregate — a plain
+    equi-join Catalyst/AQE sizes (broadcast when the parent key set is
+    small, shuffle otherwise); no collect, no window. Output columns:
+    relationship, n_child, n_null_fk, n_matched, n_orphans.
+    """
+    fk_null = None
+    for f in fk_cols:
+        c = F.col(f).isNull()
+        fk_null = c if fk_null is None else (fk_null | c)
+    pkeys = parent.select(*pk_cols).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    j = child.select(*fk_cols).join(
+        pkeys,
+        [F.col(f).eqNullSafe(F.col(p)) for f, p in zip(fk_cols, pk_cols)],
+        "left",
+    )
+    return j.agg(
+        F.lit(relationship).alias("relationship"),
+        F.count("*").alias("n_child"),
+        F.count(F.when(fk_null, 1)).alias("n_null_fk"),
+        F.count(F.when(~fk_null & F.col("__hit").isNotNull(), 1)).alias(
+            "n_matched"
+        ),
+        F.count(F.when(~fk_null & F.col("__hit").isNull(), 1)).alias(
+            "n_orphans"
+        ),
+    )

@@ -1302,3 +1302,152 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(
         T(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
     )
+
+
+@register(
+    "rfm_customer_segments",
+    demoted=True,
+    # everything exact: recency an integer day diff against a literal
+    # anchor, frequency a count, monetary the decimal-sum->one-double-cast
+    # (the customer_insights dsum convention), scores exact SQL ntile over
+    # (metric, key) total orders, segment a CASE over the three ints
+    sql="""
+    WITH base AS (
+      SELECT o_custkey AS customer_id,
+             CAST(date_diff('day', MAX(o_orderdate), DATE '1998-12-31')
+                  AS INTEGER) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), s AS (
+      SELECT *,
+        CAST(ntile(5) OVER (ORDER BY recency_days DESC, customer_id ASC)
+             AS INTEGER) AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency ASC, customer_id ASC)
+             AS INTEGER) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary ASC, customer_id ASC)
+             AS INTEGER) AS m_score
+      FROM base
+    )
+    SELECT customer_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND (f_score >= 4 OR m_score >= 4)
+                  THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+                  THEN 'lost'
+                ELSE 'regular' END AS segment
+    FROM s
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the customer base
+    (operators/aggregate.py::rfm_scores, anchor 1998-12-31, quintiles):
+    recency/frequency/monetary quintile scores and the standard named
+    segments (champion / new / at_risk / lost / regular) — the marketing
+    segmentation every CRM export asks of the order history, and a shape
+    (three exact global ntiles over one aggregate) none of the existing
+    window entries composes. All three ntiles run through the
+    distributed global-rank machinery (never Exchange SinglePartition).
+    Born round 12 demoted-with-full-oracle (the standing growth path),
+    queued for an r13 seat."""
+    from aws_data_pipeline_spark.operators.aggregate import rfm_scores
+
+    o = T(spark, sf_dir, "orders")
+    return rfm_scores(
+        o, "o_custkey", "o_orderdate", "o_totalprice", anchor="1998-12-31"
+    ).withColumnRenamed("o_custkey", "customer_id")
+
+
+@register(
+    "event_path_trigrams",
+    demoted=True,
+    # counts exact over a per-user total order; top-20 tie-broken on the
+    # path string; ranks assigned over the 20-row result
+    sql="""
+    WITH seq AS (
+      SELECT event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), p AS (
+      SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, n,
+           CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS INTEGER)
+             AS rank
+    FROM p ORDER BY n DESC, path ASC LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys through the event stream
+    (operators/aggregate.py::event_paths): funnel DISCOVERY — which
+    paths actually happen, before anyone names one to measure
+    (funnel_view_click_purchase measures; this surfaces). Two leads over
+    ONE shared per-user sort (a single WindowExec), a domain-bounded
+    trigram count, distributed TakeOrdered top-k, ranks over the 20-row
+    result only. Born round 12 demoted-with-full-oracle, queued for an
+    r13 seat."""
+    from aws_data_pipeline_spark.operators.aggregate import event_paths
+
+    return event_paths(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    demoted=True,
+    # gaps are exact integer microseconds under the fixed UTC session;
+    # the mean is one bigint-sum / double-count division mirrored in
+    # order; p50/p95 are the grouped_quantiles nearest-rank convention
+    sql="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+             )) AS gap_us
+      FROM events WHERE ts IS NOT NULL
+    ), gg AS (
+      SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+      FROM g WHERE gap_us IS NOT NULL
+    ), r AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY gap_us
+             ) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(gap_us) OVER (PARTITION BY event_type) AS s
+      FROM gg
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(s) AS DOUBLE) / MAX(n) AS mean_gap_us,
+           MAX(CASE WHEN rn = ceil(0.5 * n) THEN gap_us END) AS p50_us,
+           MAX(CASE WHEN rn = ceil(0.95 * n) THEN gap_us END) AS p95_us
+    FROM r GROUP BY event_type
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival profile
+    (operators/aggregate.py::interarrival_stats): exact microsecond gaps
+    between consecutive same-type events, summarized as count / mean /
+    nearest-rank p50 / p95 — the feed-cadence fingerprint behind SLA
+    alerting and synthetic-load replay, and the time-domain sibling of
+    dq_ingest_volume_anomalies' count-domain check. Born round 12
+    demoted-with-full-oracle, queued for an r13 seat."""
+    from aws_data_pipeline_spark.operators.aggregate import (
+        interarrival_stats,
+    )
+
+    return interarrival_stats(
+        T(spark, sf_dir, "events"), "event_type", "ts", "event_id"
+    )

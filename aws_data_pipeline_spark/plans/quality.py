@@ -430,3 +430,65 @@ def dq_ingest_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.volume_anomalies(
         e.where(F.col("ts").isNotNull()), F.to_date("ts")
     )
+
+
+@register(
+    "dq_referential_integrity",
+    demoted=True,
+    # pure integer counts over two left joins — the whole frame hashes
+    sql="""
+    WITH li AS (
+      SELECT 'lineitem->orders' AS relationship,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(CASE WHEN l.l_orderkey IS NULL THEN 1 END)
+                  AS BIGINT) AS n_null_fk,
+             CAST(COUNT(CASE WHEN l.l_orderkey IS NOT NULL
+                              AND o.o_orderkey IS NOT NULL THEN 1 END)
+                  AS BIGINT) AS n_matched,
+             CAST(COUNT(CASE WHEN l.l_orderkey IS NOT NULL
+                              AND o.o_orderkey IS NULL THEN 1 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+    ), oc AS (
+      SELECT 'orders->customer' AS relationship,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(CASE WHEN ord.o_custkey IS NULL THEN 1 END)
+                  AS BIGINT) AS n_null_fk,
+             CAST(COUNT(CASE WHEN ord.o_custkey IS NOT NULL
+                              AND c.c_custkey IS NOT NULL THEN 1 END)
+                  AS BIGINT) AS n_matched,
+             CAST(COUNT(CASE WHEN ord.o_custkey IS NOT NULL
+                              AND c.c_custkey IS NULL THEN 1 END)
+                  AS BIGINT) AS n_orphans
+      FROM orders ord
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON ord.o_custkey = c.c_custkey
+    )
+    SELECT * FROM li UNION ALL SELECT * FROM oc
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the medallion's two core edges
+    (operators/quality.py::referential_integrity): per relationship, the
+    child row count, null-FK count, matched count and orphan count — the
+    DQ category value rules and volume checks cannot see (every row
+    individually valid while the join topology is broken: lineitems
+    loaded before their orders, a purge that removed parents first).
+    Two equi-joins Catalyst/AQE sizes + one combinable aggregate each;
+    flags are data. Born round 12 demoted-with-full-oracle, queued for
+    an r13 seat."""
+    li = quality.referential_integrity(
+        T(spark, sf_dir, "lineitem"),
+        T(spark, sf_dir, "orders"),
+        ["l_orderkey"], ["o_orderkey"],
+        "lineitem->orders",
+    )
+    oc = quality.referential_integrity(
+        T(spark, sf_dir, "orders"),
+        T(spark, sf_dir, "customer"),
+        ["o_custkey"], ["c_custkey"],
+        "orders->customer",
+    )
+    return li.unionByName(oc)

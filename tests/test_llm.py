@@ -2635,3 +2635,114 @@ def test_event_transitions_hand_computed(spark):
         ("click", "buy"): (1, 0.5),
         ("click", "view"): (1, 0.5),
     }
+
+
+def test_rfm_scores_bands_and_segments(spark):
+    """Planted geometry: 10 customers with monotone recency/frequency/
+    monetary so every quintile band is predictable; the best customer is
+    a champion, the stalest+rarest a lost, and monetary matches the
+    decimal-exact sum convention."""
+    from aws_data_pipeline_spark.operators.aggregate import rfm_scores
+
+    rows = []
+    # customer k: (10 - k) orders, most recent on day k+1 of Jan 2024,
+    # amounts 100*(k+1) each — so k=9 is most recent but rarest/…
+    # instead plant independent monotone metrics: customer k has k+1
+    # orders, last order on 2024-01-(k+1), each worth 100.0*(k+1)
+    from datetime import date
+
+    for k in range(10):
+        for j in range(k + 1):
+            rows.append((k, date(2024, 1, k + 1), 100.0 * (k + 1)))
+    df = spark.createDataFrame(rows, "cust long, d date, amt double")
+    out = {
+        r.cust: r
+        for r in rfm_scores(
+            df, "cust", "d", "amt", anchor="2024-01-31"
+        ).collect()
+    }
+    assert len(out) == 10
+    # recency: cust 9 most recent (Jan 10 -> 21 days), cust 0 stalest
+    # (Jan 1 -> 30 days)
+    assert out[9].recency_days == 21 and out[0].recency_days == 30
+    # all three metrics are monotone in k -> every score is the same
+    # quintile band: k in {0,1} -> 1 ... {8,9} -> 5
+    for k, r in out.items():
+        band = k // 2 + 1
+        assert (r.r_score, r.f_score, r.m_score) == (band, band, band), (k, r)
+    assert out[9].segment == "champion" and out[8].segment == "champion"
+    assert out[0].segment == "lost" and out[1].segment == "lost"
+    assert out[5].segment == "regular"
+    # monetary: decimal-exact sum, one double cast
+    assert out[9].monetary == 100.0 * 10 * 10
+    assert out[9].frequency == 10
+
+
+def test_event_paths_trigram_discovery(spark):
+    """Planted journeys: the dominant 3-step path wins rank 1 with the
+    exact count; a user's trailing pair starts no trigram; null types
+    are dropped before the window (no phantom paths across them)."""
+    from datetime import datetime as dt
+
+    from aws_data_pipeline_spark.operators.aggregate import event_paths
+
+    rows = []
+    # three users walk view>click>buy; one walks view>click>view
+    for u, kinds in [
+        (1, ["view", "click", "buy"]),
+        (2, ["view", "click", "buy"]),
+        (3, ["view", "click", "buy", "view"]),
+        (4, ["view", "click", "view"]),
+        (5, ["view", None, "click", "buy"]),  # null dropped -> v>c>b
+    ]:
+        for i, k in enumerate(kinds):
+            rows.append((u, dt(2024, 1, 1, 0, i), k, i))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, k string, i long")
+    got = [
+        (r.path, r.n, r.rank)
+        for r in event_paths(df, "u", "ts", "k", "i").collect()
+    ]
+    assert got[0] == ("view > click > buy", 4, 1)
+    assert ("click > buy > view", 1, 2) in got
+    assert ("view > click > view", 1, 3) in got  # path-ASC tie-break
+    assert len(got) == 3
+
+
+def test_interarrival_stats_exact_microseconds(spark):
+    """Planted cadence: type A every 60s with one 600s hole, type B a
+    single event (no gap, absent) — mean/p50/p95 computed on exact µs."""
+    from datetime import datetime as dt, timedelta as td
+
+    from aws_data_pipeline_spark.operators.aggregate import (
+        interarrival_stats,
+    )
+
+    t0 = dt(2024, 1, 1)
+    rows = [("A", t0 + td(seconds=s), i) for i, s in enumerate([0, 60, 120, 720, 780])]
+    rows.append(("B", t0, 99))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i long")
+    out = {r.event_type: r for r in interarrival_stats(df, "k", "ts", "i").collect()}
+    assert set(out) == {"A"}
+    a = out["A"]
+    assert a.n_gaps == 4
+    # gaps: 60, 60, 600, 60 seconds -> mean 195 s, p50 (rank 2 of 4) 60 s,
+    # p95 (rank ceil(3.8)=4) 600 s
+    assert a.mean_gap_us == 195_000_000.0
+    assert a.p50_us == 60_000_000 and a.p95_us == 600_000_000
+
+
+def test_referential_integrity_counts_orphans_and_null_fks(spark):
+    """Planted topology: 2 matched children, 1 orphan, 1 null FK — each
+    lands in exactly one bucket and the row reconciles to n_child."""
+    from aws_data_pipeline_spark.operators.quality import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "c"), (None, "d")], "fk long, v string"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = referential_integrity(child, parent, ["fk"], ["pk"], "c->p").collect()[0]
+    assert (r.relationship, r.n_child, r.n_null_fk, r.n_matched, r.n_orphans) == (
+        "c->p", 4, 1, 2, 1
+    )
