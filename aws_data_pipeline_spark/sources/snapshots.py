@@ -583,12 +583,41 @@ def snapshot_diff_files(
     )
 
 
+def snapshot_lost_files(
+    spark: SparkSession, path: str, from_id: int, to_id: int
+) -> list[str]:
+    """Files pinned by ``from_id`` that ``to_id`` no longer pins at the
+    same (length, mtime) — non-empty means the zone was NOT append-only
+    between the snapshots (compaction / erasure / rewrite happened), so
+    a (from, to] diff may re-serve rewritten rows. The strict diff mode
+    refuses on this; probe it directly to decide between the strict and
+    at-least-once consumption modes."""
+    ids = snapshot_ids(spark, path)
+    for sid in (from_id, to_id):
+        if sid not in ids:
+            raise ValueError(f"unknown snapshot id {sid} for {path} (have {ids})")
+    before = _manifest(spark, path, from_id)
+    after = _manifest(spark, path, to_id)
+
+    def lost(rel: str, length: int, mtime: int | None) -> bool:
+        a = after.get(rel)
+        if a is None or a[0] != length:
+            return True
+        return a[1] is not None and mtime is not None and a[1] != mtime
+
+    return sorted(
+        rel for rel, (length, mtime) in before.items()
+        if lost(rel, length, mtime)
+    )
+
+
 def read_zone_snapshot_diff(
     spark: SparkSession,
     path: str,
     from_id: int,
     to_id: int,
     spark_verify_threshold: int = SPARK_VERIFY_THRESHOLD,
+    strict: bool = False,
 ) -> DataFrame:
     """Only the rows ADDED between two snapshots of an append-only zone —
     exactly-once incremental batch consumption WITHOUT a streaming
@@ -603,7 +632,25 @@ def read_zone_snapshot_diff(
     Verifies the delta files exactly like :func:`read_zone_snapshot` —
     same live/retired resolution, same tombstone-timestamp attribution
     on failure (a delta broken by post-snapshot retention expiry reports
-    ``expired``, not corruption)."""
+    ``expired``, not corruption).
+
+    ``strict=True`` makes the append-only assumption LOUD instead of
+    documented: the read REFUSES (ValueError naming the rewritten
+    files) whenever the from-manifest lost files by ``to_id`` — the
+    fingerprint of a rewrite between the snapshots — rather than
+    re-serving rewritten rows for the caller's idempotency key to
+    deduplicate. Use it for consumers with no such key."""
+    if strict:
+        gone = snapshot_lost_files(spark, path, from_id, to_id)
+        if gone:
+            some = ", ".join(gone[:5]) + ("…" if len(gone) > 5 else "")
+            raise ValueError(
+                f"strict diff s{from_id}..s{to_id} of {path} refused: the "
+                f"zone was rewritten between the snapshots ({len(gone)} "
+                f"file(s) pinned by s{from_id} lost by s{to_id}: {some}) — "
+                "rows in the delta may be re-served copies; consume with "
+                "an idempotency key (strict=False) or re-baseline"
+            )
     delta = snapshot_diff_files(spark, path, from_id, to_id)
     if not delta:
         raise ValueError(

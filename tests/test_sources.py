@@ -988,3 +988,39 @@ def test_spark_side_snapshot_verification_path(spark, tmp_path):
     )
     # the live snapshot is unaffected either way
     assert S.read_zone_snapshot(spark, zone, s2, spark_verify_threshold=0).count() == 6
+
+
+def test_strict_diff_refuses_rewritten_zones(spark, tmp_path):
+    """VERDICT r11 advisory 3: strict diff mode refuses a (from, to]
+    read when the from-manifest lost files by to — the rewrite
+    fingerprint — instead of re-serving rewritten rows; an append-only
+    history reads identically under both modes."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame([(2023, 0)], "year int, v long").write.mode(
+        "append"
+    ).partitionBy("year").parquet(zone)
+    s1 = S.snapshot_zone(spark, zone)
+    spark.createDataFrame([(2024, 1)], "year int, v long").write.mode(
+        "append"
+    ).partitionBy("year").parquet(zone)
+    s2 = S.snapshot_zone(spark, zone)
+    # append-only so far: strict and default agree
+    assert S.snapshot_lost_files(spark, zone, s1, s2) == []
+    assert (
+        S.read_zone_snapshot_diff(spark, zone, s1, s2, strict=True).count()
+        == 1
+    )
+
+    # a rewrite between s2 and s3 (compaction) recycles every file
+    compact_zone(spark, zone, partition_by=["year"])
+    s3 = S.snapshot_zone(spark, zone)
+    assert S.snapshot_lost_files(spark, zone, s2, s3)
+    with pytest.raises(ValueError, match="strict diff .* refused"):
+        S.read_zone_snapshot_diff(spark, zone, s2, s3, strict=True)
+    # the at-least-once mode still serves (idempotency-key consumers)
+    assert S.read_zone_snapshot_diff(spark, zone, s2, s3).count() == 2
