@@ -97,6 +97,7 @@ HEADLINE = [
     "dq_ks_price_drift",         # exact KS via the distributed global prefix sum
     "mmr_diversified_topk",      # greedy MMR re-rank (bounded applyInPandas groups)
     "provenance_fuzzy_link",     # cross-table linkage: shared-shingle equi-join + top-k
+    "rfm_customer_segments",     # three distributed global ntiles over one agg (r12)
     # bpe_merges deliberately NOT headline: 16 inherently-sequential training
     # rounds (~11 s at sf0.1) would dominate the suite total without being a
     # per-query throughput signal; its cost profile is recorded in SHUFFLES.md

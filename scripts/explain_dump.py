@@ -51,6 +51,15 @@ EXTRA = (
     # word TYPE, not per token)
     "mixture_resample_docs",
     "bpe_token_counts",
+    # round-12 births: the CDC fold must show broadcast/shuffle joins on
+    # the tiny collapsed frames (never cartesian); path trigrams ONE
+    # WindowExec for both leads; inter-arrival the per-type window + the
+    # grouped_quantiles exact path; referential integrity two AQE-sized
+    # joins + combinable aggregates
+    "cdc_apply_batch_fold",
+    "event_path_trigrams",
+    "event_interarrival_stats",
+    "dq_referential_integrity",
 )
 
 # queries whose JUDGED evidence is the runtime AQE choice, not the static

@@ -164,6 +164,17 @@ def main() -> int:
         db = drv.get(q)
         own = envs.get(args.driver_round, {}).get(q)
         pre = envs.get(prev, {}).get(q) if prev else None
+        # the reproduce-on-idle-hardware arm: envelopes of rounds AFTER
+        # the driver round (fresh runs, fresh code tree). A driver
+        # singleton above its own round's envelope whose NEXT round's
+        # in-round median sits back inside that envelope did not
+        # reproduce — the definition of a load-tail landing, not a plan
+        # regression (the r10 ANN ruling's evidence pattern, mechanized).
+        later = [
+            envs[r].get(q)
+            for r in args.rounds
+            if r > args.driver_round and envs.get(r, {}).get(q)
+        ]
         if db is None:
             verdict, dtxt = "absent(truncated)", "-"
         else:
@@ -172,8 +183,13 @@ def main() -> int:
             if ref is None:
                 verdict = "no-envelope"
             elif db["min"] > ref["max"] * (1 + args.slack):
-                verdict = "FLAG"
-                flagged.append(q)
+                if any(
+                    e["med"] <= ref["max"] * (1 + args.slack) for e in later
+                ):
+                    verdict = "driver-tail(later-round flat)"
+                else:
+                    verdict = "FLAG"
+                    flagged.append(q)
             elif db["median"] <= ref["max"] * (1 + args.slack):
                 verdict = "in-envelope"
             else:
