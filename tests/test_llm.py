@@ -1862,10 +1862,10 @@ def test_composed_roots_out_of_band_deletion_reensures(spark, sf_dir):
     import re
     import shutil
 
-    from aws_data_pipeline_spark.plans import llm as L
+    from aws_data_pipeline_spark.plans import DEMOTED, llm as L
     from aws_data_pipeline_spark.plans import load_registry
 
-    reg = load_registry()
+    reg = {**load_registry(), **DEMOTED}  # tier-agnostic (rotations move it)
     L._CC_ROOTS.clear()
     cold = {
         tuple(r)
@@ -2122,14 +2122,15 @@ def test_hard_negative_ivfsq8_full_coverage_equals_exact(spark, sf_dir, tmp_path
 
 
 def test_registry_hard_negative_ivfsq8_runs(spark, sf_dir):
-    """The demoted cell-pruned miner runs through the shared ivfsq8 root
-    seat and returns a subset of the exact miner's band pairs."""
+    """The cell-pruned miner (rows-only seat since r12) runs through the
+    shared ivfsq8 root seat and returns a subset of the exact miner's
+    band pairs."""
     from aws_data_pipeline_spark.plans import DEMOTED, load_registry
 
-    load_registry()  # populate DEMOTED
+    reg = {**load_registry(), **DEMOTED}  # tier-agnostic
     got = {
         (r.query_id, r.neighbor_id)
-        for r in DEMOTED["hard_negative_topk_ivfsq8"]
+        for r in reg["hard_negative_topk_ivfsq8"]
         .spark_fn(spark, sf_dir)
         .collect()
     }
@@ -2323,8 +2324,8 @@ def test_fuzzy_link_recovers_snippet_provenance(spark, sf_dir):
     to the twin, which is correct linkage behavior, not a miss)."""
     from aws_data_pipeline_spark.plans import DEMOTED, load_registry
 
-    load_registry()
-    rows = DEMOTED["provenance_fuzzy_link"].spark_fn(spark, sf_dir).collect()
+    reg = {**load_registry(), **DEMOTED}  # tier-agnostic
+    rows = reg["provenance_fuzzy_link"].spark_fn(spark, sf_dir).collect()
     top1 = {r.snippet_id: r.doc_id for r in rows if r.rank == 1}
     assert top1, "no snippet produced any match"
     hit = sum(1 for s, d in top1.items() if s == d)

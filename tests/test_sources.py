@@ -1024,3 +1024,63 @@ def test_strict_diff_refuses_rewritten_zones(spark, tmp_path):
         S.read_zone_snapshot_diff(spark, zone, s2, s3, strict=True)
     # the at-least-once mode still serves (idempotency-key consumers)
     assert S.read_zone_snapshot_diff(spark, zone, s2, s3).count() == 2
+
+
+def test_multi_table_publish_is_atomic_and_repeatable(spark, tmp_path):
+    """Multi-table atomic publish: readers of one publication id see one
+    coherent cross-table build — appends, snapshot-respecting
+    compaction, and NEWER publications do not move it; a torn publish
+    (manifest written, marker never created) is invisible; retention
+    expires old publications and reports the snapshot floor for the
+    zones' own retention."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources import publish as P
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    root = str(tmp_path)
+    zo = str(tmp_path / "gold_orders")
+    zc = str(tmp_path / "gold_custs")
+    spark.createDataFrame([(2024, 1, 10.0)], "year int, id long, amt double").write.partitionBy("year").parquet(zo)
+    spark.createDataFrame([(1, "gold")], "id long, tier string").write.parquet(zc)
+
+    p1 = P.publish_tables(spark, root, {"orders": zo, "custs": zc})
+    assert p1 == 1 and P.publication_ids(spark, root) == [1]
+    assert P.read_published(spark, root, "orders").count() == 1
+    assert P.read_published(spark, root, "custs").count() == 1
+
+    # the next build lands + compaction rewrites zone files: publication
+    # 1 still serves the OLD coherent view (retired-file fallback)
+    spark.createDataFrame([(2024, 2, 20.0)], "year int, id long, amt double").write.mode("append").partitionBy("year").parquet(zo)
+    spark.createDataFrame([(2, "silver")], "id long, tier string").write.mode("append").parquet(zc)
+    compact_zone(spark, zo, partition_by=["year"])
+    p2 = P.publish_tables(spark, root, {"orders": zo, "custs": zc})
+    assert P.read_published(spark, root, "orders", p1).count() == 1
+    assert P.read_published(spark, root, "custs", p1).count() == 1
+    assert P.read_published(spark, root, "orders", p2).count() == 2
+    assert P.read_published(spark, root, "orders").count() == 2  # latest
+
+    # torn publish: manifest for p3 exists, marker never created
+    spark.createDataFrame(
+        [("orders", zo, 99)], "table string, zone string, snapshot_id int"
+    ).write.parquet(f"{root}/_publications/p{p2 + 1}/manifest")
+    assert P.publication_ids(spark, root) == [p1, p2]  # invisible
+    with pytest.raises(ValueError, match="unknown publication id"):
+        P.read_published(spark, root, "orders", p2 + 1)
+    # the NEXT publish takes the orphan's slot (ids come from markers)
+    p3 = P.publish_tables(spark, root, {"orders": zo, "custs": zc})
+    assert p3 == p2 + 1
+
+    # unknown table fails loudly
+    with pytest.raises(ValueError, match="no table 'nope'"):
+        P.read_published(spark, root, "nope", p3)
+
+    # retention: drop p1, the snapshot floor shrinks accordingly
+    pinned_before = P.publication_pinned_snapshots(spark, root)
+    assert {zo, zc} == set(pinned_before)
+    assert P.expire_publications(spark, root, keep_last=2) == [p1]
+    assert P.publication_ids(spark, root) == [p2, p3]
+    pinned = P.publication_pinned_snapshots(spark, root)
+    assert pinned[zo] == {2, 3} and pinned[zc] == {2, 3}
+    with pytest.raises(ValueError, match="unknown publication id"):
+        P.read_published(spark, root, "orders", p1)
