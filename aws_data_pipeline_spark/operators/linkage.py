@@ -205,3 +205,39 @@ def mutual_best_match(
             "jaccard",
         )
     )
+
+
+def golden_records(
+    df: DataFrame,
+    entity_col: str,
+    id_col: str,
+    rules: dict[str, tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Survivorship: collapse each entity's record cluster to ONE golden
+    record, attribute by attribute — the step after matching
+    (:func:`mutual_best_match` / near-dup clustering) in every MDM
+    pipeline: linkage says which records are the same real-world thing,
+    survivorship says which VALUES the merged thing keeps.
+
+    ``rules`` maps an output column to ``(value_col, criterion)``: the
+    surviving value is the one from the record MAXIMIZING the criterion
+    column expression, ties broken deterministically toward the LOWEST
+    ``id_col`` (so re-running on any partitioning reproduces the same
+    golden record — the registry's determinism contract). Each rule is
+    one ``max(struct(criterion, -id, value))`` aggregate: all rules fold
+    in a SINGLE grouped pass over the records (no per-rule window, no
+    join chain — at 100 TB the record frame shuffles once, period).
+    Output: ``entity_col``, ``n_records``, one column per rule.
+    """
+    aggs = [F.count("*").alias("n_records")]
+    for out, (value, crit) in rules.items():
+        aggs.append(
+            F.max(
+                F.struct(
+                    crit.alias("c"),
+                    (-F.col(id_col)).alias("t"),
+                    F.col(value).alias("v"),
+                )
+            )["v"].alias(out)
+        )
+    return df.groupBy(entity_col).agg(*aggs)

@@ -3935,3 +3935,85 @@ def temporal_split_embargo_events(spark: SparkSession, sf_dir: str) -> DataFrame
     return sampling.temporal_split_embargo(
         e, "ts", "2024-01-20", "2024-01-25"
     ).select("event_id", "ts", "split")
+
+
+@register(
+    "golden_customer_records",
+    demoted=True,
+    # each surviving value is picked by a (criterion, -id) total order —
+    # the SQL twin replays every rule as a row_number arg-max; doubles
+    # are verbatim column copies, counts exact
+    sql="""
+    WITH recs AS (
+      SELECT c_custkey % 500 AS entity, c_custkey AS rid,
+             c_name, c_acctbal, c_mktsegment, c_nationkey
+      FROM customer
+    ), base AS (
+      SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM recs GROUP BY entity
+    ), pick_name AS (
+      SELECT entity, c_name AS name FROM (
+        SELECT entity, c_name, row_number() OVER (
+          PARTITION BY entity ORDER BY length(c_name) DESC, rid ASC
+        ) AS rn FROM recs
+      ) WHERE rn = 1
+    ), pick_bal AS (
+      SELECT entity, c_acctbal AS best_acctbal FROM (
+        SELECT entity, c_acctbal, row_number() OVER (
+          PARTITION BY entity ORDER BY c_acctbal DESC, rid ASC
+        ) AS rn FROM recs
+      ) WHERE rn = 1
+    ), pick_seg AS (
+      SELECT entity, c_mktsegment AS richest_segment FROM (
+        SELECT entity, c_mktsegment, row_number() OVER (
+          PARTITION BY entity ORDER BY c_acctbal DESC, rid ASC
+        ) AS rn FROM recs
+      ) WHERE rn = 1
+    ), pick_nat AS (
+      SELECT entity, c_nationkey AS first_nationkey FROM (
+        SELECT entity, c_nationkey, row_number() OVER (
+          PARTITION BY entity ORDER BY rid ASC
+        ) AS rn FROM recs
+      ) WHERE rn = 1
+    )
+    SELECT b.entity, b.n_records, n.name, a.best_acctbal,
+           s.richest_segment, t.first_nationkey
+    FROM base b
+    JOIN pick_name n USING (entity)
+    JOIN pick_bal a USING (entity)
+    JOIN pick_seg s USING (entity)
+    JOIN pick_nat t USING (entity)
+    """,
+)
+def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over planted entity clusters
+    (operators/linkage.py::golden_records): customers folded 500:1 by
+    key modulus stand in for matched record clusters, and four
+    survivorship rules pick each golden attribute — longest name,
+    highest balance, the richest record's segment (cross-attribute
+    survivorship: one record's criterion selects another column's
+    value), and the earliest record's nation. Every rule is one
+    max(struct(criterion, -id, value)) aggregate, so ALL rules fold in
+    a single grouped pass (the record frame shuffles once); ties break
+    toward the lowest record id, so the golden record is
+    partitioning-independent. The MDM step after
+    entity_resolution_mutual_pairs: matching decides WHO merges,
+    survivorship decides WHAT survives. Born round 12
+    demoted-with-full-oracle, queued for an r13 seat."""
+    from aws_data_pipeline_spark.operators.linkage import golden_records
+
+    c = T(spark, sf_dir, "customer").withColumn(
+        "entity", F.col("c_custkey") % 500
+    )
+    out = golden_records(
+        c,
+        "entity",
+        "c_custkey",
+        {
+            "name": ("c_name", F.length("c_name")),
+            "best_acctbal": ("c_acctbal", F.col("c_acctbal")),
+            "richest_segment": ("c_mktsegment", F.col("c_acctbal")),
+            "first_nationkey": ("c_nationkey", -F.col("c_custkey")),
+        },
+    )
+    return out

@@ -2747,3 +2747,46 @@ def test_referential_integrity_counts_orphans_and_null_fks(spark):
     assert (r.relationship, r.n_child, r.n_null_fk, r.n_matched, r.n_orphans) == (
         "c->p", 4, 1, 2, 1
     )
+
+
+def test_golden_records_survivorship_rules(spark):
+    """Planted clusters: each rule picks the arg-max record's VALUE with
+    ties broken toward the lowest id (partitioning-independent), and a
+    cross-attribute rule carries another column of the winning record;
+    all rules fold in one grouped pass (single aggregate plan)."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_spark.operators.linkage import golden_records
+
+    df = spark.createDataFrame(
+        [
+            # entity 1: ids 10,11,12
+            (1, 10, "Ann", 50.0, "AUTO"),
+            (1, 11, "Annabelle", 90.0, "BIKE"),
+            (1, 12, "Annabelle", 90.0, "CAR"),  # bal tie -> lower id wins
+            # entity 2: single record
+            (2, 20, "Bo", 10.0, "SHIP"),
+        ],
+        "e long, rid long, name string, bal double, seg string",
+    )
+    out = {
+        r.e: r
+        for r in golden_records(
+            df,
+            "e",
+            "rid",
+            {
+                "name": ("name", F.length("name")),
+                "best_bal": ("bal", F.col("bal")),
+                "rich_seg": ("seg", F.col("bal")),
+            },
+        ).collect()
+    }
+    g1, g2 = out[1], out[2]
+    assert g1.n_records == 3
+    assert g1.name == "Annabelle"          # longest, tie -> id 11
+    assert g1.best_bal == 90.0
+    assert g1.rich_seg == "BIKE"           # the TIED-bal winner is id 11
+    assert (g2.name, g2.best_bal, g2.rich_seg, g2.n_records) == (
+        "Bo", 10.0, "SHIP", 1
+    )
