@@ -497,6 +497,12 @@ def rfm_scores(
             dsum(amount_col).alias("monetary"),
         )
     )
+    # materialize the key-level frame ONCE: each global_ntile pass runs
+    # two jobs (offsets + assignment), so without this the raw-frame
+    # aggregate — a full fact scan at 100 TB — would re-execute ~6x.
+    # The checkpointed frame is key-cardinality-sized (the dim class),
+    # and the A/B at sf0.1 also times ~10% faster locally.
+    base = base.localCheckpoint(eager=True)
     hi = buckets  # best band
     scored = base
     for metric, score, direction in (
