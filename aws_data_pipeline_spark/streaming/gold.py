@@ -309,3 +309,93 @@ def read_customer_insights_incremental(
         "last_transaction_date",
         F.hll_sketch_estimate("days_sketch").alias("active_days_estimate"),
     )
+
+
+def refresh_insights_from_snapshot_diff(
+    spark: SparkSession, silver_path: str, gold_path: str
+) -> dict[str, int]:
+    """Snapshot-diff-driven refresh of the lifetime insights table —
+    incremental view maintenance WITHOUT a streaming checkpoint: the
+    batch-world sibling of :func:`incremental_customer_insights` for
+    estates where a cron'd job owns the cadence and the silver zone
+    already takes snapshots.
+
+    Mechanism, exactly-once by composition of the existing guards plus
+    one INTENT marker:
+
+    1. resolve the consumption boundary ``to``: an uncommitted intent
+       marker above the consumed id resumes THAT exact boundary (crash
+       recovery — see below); otherwise the newest existing snapshot
+       above the consumed id (producers that snapshot after each run are
+       consumed without creating more), else a fresh snapshot of the
+       zone now. The intent marker (``_inflight``) is written BEFORE
+       any merge.
+    2. read the (consumed, to] delta via
+       ``snapshots.read_zone_snapshot_diff(strict=True)`` — silver is
+       append-only by the medallion contract, and strict mode REFUSES a
+       rewritten zone rather than double-merging re-served rows into
+       state that, unlike an idempotency-keyed sink, would silently
+       double-count them (a compacted silver means re-baseline: rebuild
+       the gold table, then resume);
+    3. fold the delta to mergeable state and merge it with ``to`` as
+       the batch id — ``_merge_delta``'s replay guard makes the merge
+       idempotent per id;
+    4. commit the consumed marker (single file create). The intent
+       marker needs no cleanup: once ``inflight <= consumed`` it is
+       inert by the resume condition.
+
+    Crash anywhere: the retry resolves the SAME (consumed, to) boundary
+    through the intent marker — same delta, same batch id — so the
+    guard holds even if newer producer snapshots landed in between (a
+    fresh ``to`` on retry would change the batch id and defeat the
+    guard: the bug this marker exists to close; the in-between data is
+    simply the next refresh's delta). First run bootstraps from the
+    full pinned snapshot. Snapshot retention stays the zone owner's
+    job: keep at least the last consumed id (the return value says
+    which). Returns {"from": consumed id or 0, "to": boundary id,
+    "rows": delta rows merged}.
+    """
+    from aws_data_pipeline_spark.sources import snapshots as snaps
+    from aws_data_pipeline_spark.sources.parquet import (
+        _create_marker,
+        _max_numeric_marker,
+    )
+
+    table = f"{gold_path}/customer_insights_incremental"
+    consumed_dir = f"{table}/_consumed_snapshots"
+    inflight_dir = f"{table}/_inflight_snapshot"
+    frm = _max_numeric_marker(spark, consumed_dir)
+    inflight = _max_numeric_marker(spark, inflight_dir)
+    if inflight is not None and (frm is None or inflight > frm):
+        to_id = inflight  # resume the crashed attempt's exact boundary
+    else:
+        ids = snaps.snapshot_ids(spark, silver_path)
+        if ids and (frm is None or ids[-1] > frm):
+            to_id = ids[-1]  # consume the producers' newest boundary
+        else:
+            to_id = snaps.snapshot_zone(spark, silver_path)
+        _create_marker(spark, inflight_dir, to_id)
+    if frm is not None and (
+        frm == to_id
+        or not snaps.snapshot_diff_files(spark, silver_path, frm, to_id)
+    ):
+        _create_marker(spark, consumed_dir, to_id)
+        return {"from": frm, "to": to_id, "rows": 0}
+    if frm is None:
+        delta_rows = snaps.read_zone_snapshot(spark, silver_path, to_id)
+    else:
+        delta_rows = snaps.read_zone_snapshot_diff(
+            spark, silver_path, frm, to_id, strict=True
+        )
+    delta = (
+        _batch_state(delta_rows)
+        .withColumn("bucket", _bucket("customer_id"))
+        .persist()
+    )
+    try:
+        n = delta_rows.count()
+        _merge_delta(spark, delta, table, to_id)
+    finally:
+        delta.unpersist()
+    _create_marker(spark, consumed_dir, to_id)
+    return {"from": frm or 0, "to": to_id, "rows": n}

@@ -290,3 +290,79 @@ def test_hll_error_bound_past_dense_promotion(spark):
         assert sum(errs) / len(errs) <= 0.02, errs
     # exact fields are untouched by sketch mode
     assert all(r.txn_count == n_days for r in merged.collect())
+
+
+def test_refresh_from_snapshot_diff_matches_batch_and_replays_safely(
+    spark, tmp_path
+):
+    """Snapshot-diff-driven IVM: two refreshes over an appended silver
+    zone equal a full batch recompute; an empty refresh advances the
+    marker and merges nothing; a CRASH-REPLAY of the same snapshot id
+    (marker rolled back by hand) is idempotent by the batch-id guard;
+    a compacted silver is REFUSED by strict mode instead of
+    double-counted."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+    from aws_data_pipeline_spark.streaming.gold import (
+        read_customer_insights_incremental,
+        refresh_insights_from_snapshot_diff,
+    )
+
+    silver_path = str(tmp_path / "silver")
+    gold_path = str(tmp_path / "gold")
+
+    _stage_silver(spark, tmp_path, "r1", [_txn(i, 5) for i in range(40)])
+    got = refresh_insights_from_snapshot_diff(spark, silver_path, gold_path)
+    assert got["from"] == 0 and got["rows"] == 40
+
+    _stage_silver(spark, tmp_path, "r2", [_txn(i, 6) for i in range(100, 130)])
+    got2 = refresh_insights_from_snapshot_diff(spark, silver_path, gold_path)
+    assert got2["from"] == got["to"] and got2["rows"] == 30
+
+    def current():
+        return {
+            r.customer_id: (r.lifetime_transactions, r.lifetime_value)
+            for r in read_customer_insights_incremental(
+                spark, gold_path
+            ).collect()
+        }
+
+    silver = spark.read.parquet(silver_path)
+    expected = {
+        r.customer_id: (r.n, r.lv)
+        for r in silver.groupBy("customer_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("amount").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("lv"),
+        )
+        .collect()
+    }
+    assert current() == expected
+
+    # crash replay — the REACHABLE crash state: the merge landed
+    # (gold stamped with got2.to) but the consumed-marker commit never
+    # did. Roll the consumed marker back; the INTENT marker (still at
+    # got2.to) makes the retry resume the exact boundary with the SAME
+    # batch id, so the guard keeps every row verbatim — even though a
+    # newer producer snapshot could exist by then.
+    import os
+
+    table = f"{gold_path}/customer_insights_incremental"
+    os.remove(f"{table}/_consumed_snapshots/{got2['to']}")
+    replay = refresh_insights_from_snapshot_diff(spark, silver_path, gold_path)
+    assert replay["to"] == got2["to"] and replay["rows"] == 30
+    assert current() == expected  # idempotent by the stable batch id
+
+    # nothing new: marker advances, zero rows merged, state unchanged
+    got3 = refresh_insights_from_snapshot_diff(spark, silver_path, gold_path)
+    assert got3["rows"] == 0
+    assert current() == expected
+
+    # a rewritten silver (compaction) is refused loudly by strict mode
+    _stage_silver(spark, tmp_path, "r3", [_txn(i, 6) for i in range(200, 210)])
+    compact_zone(spark, silver_path, partition_by=["year", "month", "day"])
+    with pytest.raises(ValueError, match="strict diff .* refused"):
+        refresh_insights_from_snapshot_diff(spark, silver_path, gold_path)
