@@ -1353,7 +1353,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     window entries composes. All three ntiles run through the
     distributed global-rank machinery (never Exchange SinglePartition).
     Born round 12 demoted-with-full-oracle (the standing growth path),
-    queued for an r13 seat."""
+    queued for an r13 seat. Demoted at birth: the global-ntile ranking
+    chain's driver signal is carried by customer_spend_quartiles
+    (oracled — the same distributed global-rank operator)."""
     from aws_data_pipeline_spark.operators.aggregate import rfm_scores
 
     o = T(spark, sf_dir, "orders")
@@ -1395,7 +1397,9 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shared per-user sort (a single WindowExec), a domain-bounded
     trigram count, distributed TakeOrdered top-k, ranks over the 20-row
     result only. Born round 12 demoted-with-full-oracle, queued for an
-    r13 seat."""
+    r13 seat. Demoted at birth: the per-user sequence-window chain's
+    driver signal is carried by funnel_view_click_purchase and
+    sessionize_events (both oracled)."""
     from aws_data_pipeline_spark.operators.aggregate import event_paths
 
     return event_paths(
@@ -1443,7 +1447,10 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-rank p50 / p95 — the feed-cadence fingerprint behind SLA
     alerting and synthetic-load replay, and the time-domain sibling of
     dq_ingest_volume_anomalies' count-domain check. Born round 12
-    demoted-with-full-oracle, queued for an r13 seat."""
+    demoted-with-full-oracle, queued for an r13 seat. Demoted at birth:
+    the cadence-DQ seat's driver signal is carried by
+    dq_ingest_volume_anomalies and the per-key ordered-window chain by
+    event_transition_matrix (both oracled, both registered r12)."""
     from aws_data_pipeline_spark.operators.aggregate import (
         interarrival_stats,
     )

@@ -3999,7 +3999,10 @@ def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent. The MDM step after
     entity_resolution_mutual_pairs: matching decides WHO merges,
     survivorship decides WHAT survives. Born round 12
-    demoted-with-full-oracle, queued for an r13 seat."""
+    demoted-with-full-oracle, queued for an r13 seat. Demoted at birth:
+    the matched-cluster chain's driver signal is carried by
+    entity_resolution_mutual_pairs and the per-entity arg-max aggregate
+    shape by customer_insights (both oracled, registered r12)."""
     from aws_data_pipeline_spark.operators.linkage import golden_records
 
     c = T(spark, sf_dir, "customer").withColumn(

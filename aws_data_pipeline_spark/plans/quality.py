@@ -478,7 +478,9 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded before their orders, a purge that removed parents first).
     Two equi-joins Catalyst/AQE sizes + one combinable aggregate each;
     flags are data. Born round 12 demoted-with-full-oracle, queued for
-    an r13 seat."""
+    an r13 seat. Demoted at birth: the conditional-aggregate DQ shape's
+    driver signal is carried by dq_rule_violations_lineitem and the
+    anti-join topology by anti_join_dormant_customers (both oracled)."""
     li = quality.referential_integrity(
         T(spark, sf_dir, "lineitem"),
         T(spark, sf_dir, "orders"),

@@ -186,8 +186,10 @@ def cdc_apply_batch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes and guard-dropped replays leave no row. The disk verb's
     crash/replay/tombstone behavior stays pinned by the property tests;
     this entry gives the collapse + guard fold driver-visible VALUE
-    evidence. Born demoted-with-full-oracle (the standing growth path),
-    queued for a future seat."""
+    evidence. Born round 12 demoted-with-full-oracle, queued for a
+    future seat. Demoted at birth: the last-writer-wins-per-key window
+    shape's driver signal is carried by dedup_by_key (oracled), and the
+    disk sink's full behavior by the CDC pytest property suite."""
     from aws_data_pipeline_spark.streaming import cdc
 
     o = T(spark, sf_dir, "orders")
