@@ -636,3 +636,94 @@ def interarrival_stats(
         F.col("p50").alias("p50_us"),
         F.col("p95").alias("p95_us"),
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    from_type: str,
+    to_type: str,
+    window_seconds: int,
+    ps: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Conversion-latency distribution: for every ``from_type`` event
+    that converts (a same-user ``to_type`` event within
+    ``window_seconds``), the time to its FIRST conversion — summarized
+    as one row of count / mean / exact nearest-rank quantiles in
+    microseconds. The latency twin of the funnel: the funnel counts who
+    converts, this measures how fast ("p90 click-to-purchase is 7
+    minutes" is an SLA, a UX metric, and an attribution-window sanity
+    check in one number).
+
+    Exactness and scale discipline: the candidate join is the
+    stream-stream interval join's batch shape (equi-join on user + time
+    range residual — never a cartesian); first-conversion is a per-from
+    min; the GLOBAL quantiles ride the distributed global-rank
+    machinery (range repartition + broadcast offsets,
+    operators/windows.py) — a single-group ``grouped_quantiles`` would
+    sort the whole converting set in ONE partition, the WindowExec
+    scale-killer this module bans. Latencies are exact integer
+    microseconds; the mean is one sum/count IEEE division.
+    """
+    from aws_data_pipeline_spark.operators.windows import (
+        _global_row_number_with_total,
+    )
+
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    c = base.where(F.col(type_col) == from_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__cid"),
+        F.col(ts_col).alias("__cts"),
+    )
+    p = base.where(F.col(type_col) == to_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__pts"),
+    )
+    lat = (
+        c.join(p, "__u")
+        .where(
+            (F.col("__pts") > F.col("__cts"))
+            & (
+                F.col("__pts")
+                <= F.col("__cts") + F.expr(f"INTERVAL {window_seconds} SECOND")
+            )
+        )
+        .groupBy("__cid")
+        .agg(
+            (
+                F.min(F.unix_micros(F.col("__pts").cast("timestamp")))
+                - F.first(F.unix_micros(F.col("__cts").cast("timestamp")))
+            ).alias("latency_us")
+        )
+    )
+    ranked, n = _global_row_number_with_total(
+        lat, [F.col("latency_us").asc(), F.col("__cid").asc()], "__rn", None
+    )
+    import math
+
+    targets = {
+        _quantile_name(q): max(1, math.ceil(q * n)) for q in ps
+    }
+    picks = ranked.filter(
+        F.col("__rn").isin(*targets.values())
+    ).select("__rn", "latency_us")
+    agg = lat.agg(
+        F.count("*").alias("n_conversions"),
+        (F.sum("latency_us") / F.count("*").cast("double")).alias(
+            "mean_latency_us"
+        ),
+    )
+    for name, rn in targets.items():
+        agg = agg.crossJoin(
+            F.broadcast(
+                picks.filter(F.col("__rn") == rn)
+                .select(F.col("latency_us").alias(f"{name}_us"))
+                .limit(1)
+            )
+        )
+    return agg

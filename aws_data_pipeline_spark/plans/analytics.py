@@ -1458,3 +1458,66 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(
         T(spark, sf_dir, "events"), "event_type", "ts", "event_id"
     )
+
+
+@register(
+    "conversion_latency_stats",
+    demoted=True,
+    # latencies are exact integer microseconds; the mean is one
+    # bigint-sum / double-count division mirrored in order; quantiles
+    # are nearest-rank picks over the (latency, click-id) total order
+    sql="""
+    WITH c AS (
+      SELECT user_id AS u, event_id AS cid, ts AS cts FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+    ), p AS (
+      SELECT user_id AS u, ts AS pts FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+    ), lat AS (
+      SELECT cid,
+             MIN(epoch_us(pts)) - MIN(epoch_us(cts)) AS latency_us
+      FROM c JOIN p USING (u)
+      WHERE pts > cts AND pts <= cts + INTERVAL 10 MINUTE
+      GROUP BY cid
+    ), r AS (
+      SELECT latency_us,
+             row_number() OVER (ORDER BY latency_us ASC, cid ASC) AS rn,
+             count(*) OVER () AS n,
+             sum(latency_us) OVER () AS s
+      FROM lat
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+           CAST(MAX(s) AS DOUBLE) / MAX(n) AS mean_latency_us,
+           MAX(CASE WHEN rn = greatest(1, ceil(0.5 * n))
+                    THEN latency_us END) AS p50_us,
+           MAX(CASE WHEN rn = greatest(1, ceil(0.9 * n))
+                    THEN latency_us END) AS p90_us
+    FROM r
+    """,
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion-latency distribution
+    (operators/aggregate.py::conversion_latency, 10-minute window):
+    one row of count / mean / exact p50 / p90 in microseconds over each
+    converting click's FIRST purchase — the latency twin of the funnel
+    (who converts vs how fast), an SLA, a UX metric, and an
+    attribution-window sanity check in one number. The candidate join
+    is the stream-stream interval join's batch shape; the GLOBAL
+    quantiles ride the distributed global-rank machinery (range
+    repartition + broadcast offsets) — never a single-partition sort of
+    the converting set. Born round 12 demoted-with-full-oracle, queued
+    for an r13 seat. Demoted at birth: the interval-join chain's driver
+    signal is carried by click_purchase_attribution (oracled,
+    registered r12) and the global-rank machinery by
+    customer_spend_quartiles."""
+    from aws_data_pipeline_spark.operators.aggregate import (
+        conversion_latency,
+    )
+
+    return conversion_latency(
+        T(spark, sf_dir, "events"),
+        "user_id", "ts", "event_type", "event_id",
+        "click", "purchase", window_seconds=600,
+    )

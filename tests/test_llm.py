@@ -2790,3 +2790,41 @@ def test_golden_records_survivorship_rules(spark):
     assert (g2.name, g2.best_bal, g2.rich_seg, g2.n_records) == (
         "Bo", 10.0, "SHIP", 1
     )
+
+
+def test_conversion_latency_planted_geometry(spark):
+    """Planted conversions: user A converts twice (first purchase wins
+    per click), user B's purchase is outside the window, user C never
+    converts — count/mean/quantiles computed on exact microseconds."""
+    from datetime import datetime as dt, timedelta as td
+
+    from aws_data_pipeline_spark.operators.aggregate import (
+        conversion_latency,
+    )
+
+    t0 = dt(2024, 1, 1)
+    rows = [
+        # user 1: click 1 -> purchases at +30s (first) and +60s
+        (1, 10, "click", t0),
+        (1, 11, "purchase", t0 + td(seconds=30)),
+        (1, 12, "purchase", t0 + td(seconds=60)),
+        # user 1: click 2 -> purchase at +90s (only the later purchase
+        # is in ITS window: +60s event precedes it)
+        (1, 13, "click", t0 + td(seconds=45)),
+        # user 2: purchase 20 min after the click — outside 10 min
+        (2, 20, "click", t0),
+        (2, 21, "purchase", t0 + td(minutes=20)),
+        # user 3: click, no purchase
+        (3, 30, "click", t0),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, k string, ts timestamp")
+    out = conversion_latency(
+        df, "u", "ts", "k", "eid", "click", "purchase", 600
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # click 10 -> 30s; click 13 -> first purchase after it is +60s, 15s
+    assert r.n_conversions == 2
+    assert r.mean_latency_us == (30_000_000 + 15_000_000) / 2.0
+    assert r.p50_us == 15_000_000   # rank ceil(0.5*2)=1 of sorted {15s,30s}
+    assert r.p90_us == 30_000_000   # rank ceil(0.9*2)=2
