@@ -60,6 +60,12 @@ EXTRA = (
     "event_path_trigrams",
     "event_interarrival_stats",
     "dq_referential_integrity",
+    # late-r12 births: golden records must show ONE grouped aggregate
+    # (all survivorship rules fused — no per-rule window or join chain);
+    # conversion latency the interval equi-join + the global-rank range
+    # repartition (never a single-partition sort)
+    "golden_customer_records",
+    "conversion_latency_stats",
 )
 
 # queries whose JUDGED evidence is the runtime AQE choice, not the static
