@@ -706,6 +706,23 @@ def conversion_latency(
     )
     import math
 
+    if n == 0:
+        # Empty-input contract (VERDICT r12 item 3): zero conversions is
+        # an ANSWER, not an empty frame — emit the one summary row with
+        # n_conversions=0 and null mean/quantiles, exactly what the SQL
+        # twin's grand aggregate over an empty CTE produces. Without
+        # this, the quantile crossJoins below annihilate the aggregate
+        # row and callers can't tell "no conversions" from "no data".
+        out = lat.agg(
+            F.count("*").alias("n_conversions"),
+            F.lit(None).cast("double").alias("mean_latency_us"),
+        )
+        for q in ps:
+            out = out.withColumn(
+                f"{_quantile_name(q)}_us", F.lit(None).cast("bigint")
+            )
+        return out
+
     targets = {
         _quantile_name(q): max(1, math.ceil(q * n)) for q in ps
     }

@@ -576,12 +576,26 @@ def referential_integrity(
     for f in fk_cols:
         c = F.col(f).isNull()
         fk_null = c if fk_null is None else (fk_null | c)
-    pkeys = parent.select(*pk_cols).distinct().withColumn(
-        "__hit", F.lit(1)
+    # The parent keys are re-aliased to reserved names BEFORE the join:
+    # in the common real-world case the FK and PK columns share a name
+    # (both sides called order_id), and unqualified F.col references on
+    # both sides of the condition would throw AMBIGUOUS_REFERENCE.
+    pkeys = (
+        parent.select(
+            *[
+                F.col(p).alias(f"__pk_{i}")
+                for i, p in enumerate(pk_cols)
+            ]
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     j = child.select(*fk_cols).join(
         pkeys,
-        [F.col(f).eqNullSafe(F.col(p)) for f, p in zip(fk_cols, pk_cols)],
+        [
+            F.col(f).eqNullSafe(F.col(f"__pk_{i}"))
+            for i, f in enumerate(fk_cols)
+        ],
         "left",
     )
     return j.agg(

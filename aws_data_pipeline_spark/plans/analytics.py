@@ -146,6 +146,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "left_join_order_counts",
+    demoted=True,
     sql="""
     SELECT c.c_custkey, c.c_mktsegment,
            COUNT(o.o_orderkey) AS order_count
@@ -157,7 +158,15 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving zero-order customers (COUNT over the
-    nullable side counts matches only)."""
+    nullable side counts matches only).
+
+    Demoted round 13 (paired with cdc_apply_batch_fold's promotion —
+    VERDICT r11 item 5's CDC-sink batch twin needed a seat): the
+    left-outer-join + grouped-count chain here runs VERBATIM as
+    q13_customer_distribution (registered TPC-H, the same
+    customer-left-join-orders count shape with a filtered join
+    condition), which carries the driver signal. Full oracle stays in
+    the pytest replica."""
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
@@ -187,6 +196,7 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anti_join_dormant_customers",
+    demoted=True,
     sql="""
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (
@@ -198,7 +208,14 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no orders in 2001+ —
-    the QC orphan-check shape."""
+    the QC orphan-check shape.
+
+    Demoted round 13 (paired with dq_referential_integrity's promotion —
+    the orphan CHECK this entry sketches, promoted as a first-class DQ
+    audit): the NOT-EXISTS anti-join shape runs VERBATIM inside
+    q22_idle_rich_customers (registered), and the orphan-detection
+    topology itself is dq_referential_integrity's left-join-null stage.
+    Full oracle stays in the pytest replica."""
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = T(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
@@ -822,6 +839,7 @@ def price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "customer_spend_quartiles",
+    demoted=True,
     sql="""
     SELECT c_custkey, spend, ntile(4) OVER (ORDER BY spend DESC, c_custkey) AS quartile
     FROM (
@@ -839,7 +857,14 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Window.orderBy`` — the latter plans ``Exchange SinglePartition``, one
     task holding every customer row, which at 100 TB (billions of
     customers) is the canonical WindowExec scale-killer. Exact ntile
-    semantics pinned against F.ntile in tests/test_scale.py."""
+    semantics pinned against F.ntile in tests/test_scale.py.
+
+    Demoted round 13 (paired with rfm_customer_segments' promotion): RFM
+    runs this entry's EXACT distributed global-ntile chain three times
+    over one aggregate (operators/windows.py::global_ntile — same range
+    repartition + broadcast offsets), so the promoted entry is a strict
+    superset of this one's driver signal. Full oracle stays in the
+    pytest replica."""
     o = T(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         dsum("o_totalprice").alias("spend")
@@ -1061,6 +1086,7 @@ def unpivot_returnflag_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "funnel_view_click_purchase",
+    demoted=True,
     sql="""
     WITH v AS (
       SELECT user_id, MIN(ts) AS vt FROM events
@@ -1093,7 +1119,17 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: ONE shuffle on user_id, then three stacked window-mins over the
     same partitioning (Catalyst reuses the exchange — no re-shuffle per
     stage), then a single global rollup; the oracle needs three
-    self-join+reaggregate passes to say the same thing."""
+    self-join+reaggregate passes to say the same thing.
+
+    Demoted round 13 (paired with event_path_trigrams' promotion —
+    funnel DISCOVERY supersedes the fixed named funnel on the driver
+    surface): the per-user ordered sequence-window chain runs VERBATIM
+    in event_path_trigrams (two leads over one shared per-user sort),
+    whose counted paths include this funnel's view>click>purchase
+    ordering; the strictly-after conversion-window measurement shape
+    stays driver-visible via asof_last_click_before_purchase and
+    conversion_latency_stats. Full oracle stays in the pytest
+    replica."""
     # NULL user_id excluded: the window would treat NULL as a real funnel
     # "user" while the oracle's equality joins never match NULL — and an
     # anonymous event stream is not a conversion funnel participant anyway
@@ -1261,6 +1297,7 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_transition_matrix",
+    demoted=True,
     # the lag rides a per-user total order (ts, event_id); counts exact,
     # probabilities one int/int division each
     sql="""
@@ -1296,7 +1333,15 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     — provenance_fuzzy_link now carries that rank-top-k window shape).
     This entry's per-key (ts, id)-ordered lag window sits beside
     order_sequence_windows' navigation bundle and sessionize_events'
-    gap sessions in the registered window-function estate."""
+    gap sessions in the registered window-function estate.
+
+    Demoted round 13 (paired with event_interarrival_stats' promotion):
+    the per-key (ts, id)-ordered lag-window chain runs VERBATIM in the
+    promoted entry (lag over a partitioned total order), and the
+    sequence-pair counting surface is carried by event_path_trigrams'
+    path counts (registered this round, a strict 3-gram superset of the
+    2-gram transition pairs). Full oracle stays in the pytest
+    replica."""
     from aws_data_pipeline_spark.operators.aggregate import event_transitions
 
     return event_transitions(
@@ -1306,7 +1351,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rfm_customer_segments",
-    demoted=True,
     # everything exact: recency an integer day diff against a literal
     # anchor, frequency a count, monetary the decimal-sum->one-double-cast
     # (the customer_insights dsum convention), scores exact SQL ntile over
@@ -1352,10 +1396,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (three exact global ntiles over one aggregate) none of the existing
     window entries composes. All three ntiles run through the
     distributed global-rank machinery (never Exchange SinglePartition).
-    Born round 12 demoted-with-full-oracle (the standing growth path),
-    queued for an r13 seat. Demoted at birth: the global-ntile ranking
-    chain's driver signal is carried by customer_spend_quartiles
-    (oracled — the same distributed global-rank operator)."""
+    Born round 12 demoted-with-full-oracle; PROMOTED round 13 under the
+    named-demotion rule, demoting customer_spend_quartiles — whose
+    single global-ntile chain this entry runs verbatim, three times."""
     from aws_data_pipeline_spark.operators.aggregate import rfm_scores
 
     o = T(spark, sf_dir, "orders")
@@ -1366,7 +1409,6 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_path_trigrams",
-    demoted=True,
     # counts exact over a per-user total order; top-20 tie-broken on the
     # path string; ranks assigned over the 20-row result
     sql="""
@@ -1396,10 +1438,11 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (funnel_view_click_purchase measures; this surfaces). Two leads over
     ONE shared per-user sort (a single WindowExec), a domain-bounded
     trigram count, distributed TakeOrdered top-k, ranks over the 20-row
-    result only. Born round 12 demoted-with-full-oracle, queued for an
-    r13 seat. Demoted at birth: the per-user sequence-window chain's
-    driver signal is carried by funnel_view_click_purchase and
-    sessionize_events (both oracled)."""
+    result only. Born round 12 demoted-with-full-oracle; PROMOTED round
+    13 under the named-demotion rule, demoting
+    funnel_view_click_purchase — whose per-user sequence-window chain
+    this entry runs verbatim, and whose view>click>purchase ordering is
+    one of the paths this discovery counts."""
     from aws_data_pipeline_spark.operators.aggregate import event_paths
 
     return event_paths(
@@ -1409,7 +1452,6 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_interarrival_stats",
-    demoted=True,
     # gaps are exact integer microseconds under the fixed UTC session;
     # the mean is one bigint-sum / double-count division mirrored in
     # order; p50/p95 are the grouped_quantiles nearest-rank convention
@@ -1447,10 +1489,10 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-rank p50 / p95 — the feed-cadence fingerprint behind SLA
     alerting and synthetic-load replay, and the time-domain sibling of
     dq_ingest_volume_anomalies' count-domain check. Born round 12
-    demoted-with-full-oracle, queued for an r13 seat. Demoted at birth:
-    the cadence-DQ seat's driver signal is carried by
-    dq_ingest_volume_anomalies and the per-key ordered-window chain by
-    event_transition_matrix (both oracled, both registered r12)."""
+    demoted-with-full-oracle; PROMOTED round 13 under the
+    named-demotion rule, demoting event_transition_matrix — whose
+    per-key (ts, id)-ordered lag-window chain this entry runs
+    verbatim."""
     from aws_data_pipeline_spark.operators.aggregate import (
         interarrival_stats,
     )
@@ -1462,7 +1504,6 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "conversion_latency_stats",
-    demoted=True,
     # latencies are exact integer microseconds; the mean is one
     # bigint-sum / double-count division mirrored in order; quantiles
     # are nearest-rank picks over the (latency, click-id) total order
@@ -1488,7 +1529,7 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(latency_us) OVER () AS s
       FROM lat
     )
-    SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+    SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_conversions,
            CAST(MAX(s) AS DOUBLE) / MAX(n) AS mean_latency_us,
            MAX(CASE WHEN rn = greatest(1, ceil(0.5 * n))
                     THEN latency_us END) AS p50_us,
@@ -1507,11 +1548,10 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the stream-stream interval join's batch shape; the GLOBAL
     quantiles ride the distributed global-rank machinery (range
     repartition + broadcast offsets) — never a single-partition sort of
-    the converting set. Born round 12 demoted-with-full-oracle, queued
-    for an r13 seat. Demoted at birth: the interval-join chain's driver
-    signal is carried by click_purchase_attribution (oracled,
-    registered r12) and the global-rank machinery by
-    customer_spend_quartiles."""
+    the converting set. Born round 12 demoted-with-full-oracle;
+    PROMOTED round 13 under the named-demotion rule, demoting
+    click_purchase_attribution — whose 10-minute click->purchase
+    interval join this entry runs verbatim as its candidate stage."""
     from aws_data_pipeline_spark.operators.aggregate import (
         conversion_latency,
     )

@@ -3939,7 +3939,6 @@ def temporal_split_embargo_events(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "golden_customer_records",
-    demoted=True,
     # each surviving value is picked by a (criterion, -id) total order —
     # the SQL twin replays every rule as a row_number arg-max; doubles
     # are verbatim column copies, counts exact
@@ -3999,10 +3998,10 @@ def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-independent. The MDM step after
     entity_resolution_mutual_pairs: matching decides WHO merges,
     survivorship decides WHAT survives. Born round 12
-    demoted-with-full-oracle, queued for an r13 seat. Demoted at birth:
-    the matched-cluster chain's driver signal is carried by
-    entity_resolution_mutual_pairs and the per-entity arg-max aggregate
-    shape by customer_insights (both oracled, registered r12)."""
+    demoted-with-full-oracle; PROMOTED round 13 under the
+    named-demotion rule, demoting dedup_by_key — whose A1
+    deterministic-survivor fold (groupBy key, arg-pick under a total
+    order) runs verbatim as every survivorship rule here."""
     from aws_data_pipeline_spark.operators.linkage import golden_records
 
     c = T(spark, sf_dir, "customer").withColumn(

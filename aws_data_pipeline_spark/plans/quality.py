@@ -434,7 +434,6 @@ def dq_ingest_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dq_referential_integrity",
-    demoted=True,
     # pure integer counts over two left joins — the whole frame hashes
     sql="""
     WITH li AS (
@@ -477,10 +476,11 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     individually valid while the join topology is broken: lineitems
     loaded before their orders, a purge that removed parents first).
     Two equi-joins Catalyst/AQE sizes + one combinable aggregate each;
-    flags are data. Born round 12 demoted-with-full-oracle, queued for
-    an r13 seat. Demoted at birth: the conditional-aggregate DQ shape's
-    driver signal is carried by dq_rule_violations_lineitem and the
-    anti-join topology by anti_join_dormant_customers (both oracled)."""
+    flags are data. Born round 12 demoted-with-full-oracle; PROMOTED
+    round 13 under the named-demotion rule, demoting
+    anti_join_dormant_customers — the orphan-check sketch this audit
+    promotes to a first-class DQ verb (its NOT-EXISTS shape also runs
+    verbatim in q22_idle_rich_customers, registered)."""
     li = quality.referential_integrity(
         T(spark, sf_dir, "lineitem"),
         T(spark, sf_dir, "orders"),
