@@ -112,17 +112,24 @@ def zorder_cluster_zone(
     """Rewrite a zone clustered on the Z-order key of ``cols`` (domains
     taken from one min/max scan of the data). Same rewrite contract as
     ``compact_zone``: range-partition across ~target-size files, sort
-    within, truncate-then-overwrite (maintenance-window semantics for
-    unpartitioned zones — see compact_zone's docstring). The key column
-    is computational only and is dropped before the write; returns the
-    output task/file count.
+    within, then the in-place ``_compacting`` swap (the zone directory
+    is never truncated; ``_``-prefixed metadata trees survive — see
+    compact_zone's docstring). The key column is computational only and
+    is dropped before the write; returns the output task/file count.
 
     Non-numeric dimensions (date, timestamp, string) are routed through
     :func:`zorder_proxy` — an order-preserving numeric stand-in — so the
     common real-world keys cluster directly; genuinely proxy-less types
     still fail loudly there."""
-    from aws_data_pipeline_spark.sources.parquet import clustered_rewrite, read_zone
+    from aws_data_pipeline_spark.sources.parquet import (
+        clustered_rewrite,
+        complete_pending_compaction,
+        read_zone,
+    )
 
+    # heal any interrupted prior swap BEFORE reading: with a _SWAP_READY
+    # marker on disk the zone's live files may be mid-replacement
+    complete_pending_compaction(spark, path)
     df = read_zone(spark, path)
     proxies = [zorder_proxy(F.col(c), df.schema[c].dataType) for c in cols]
     stats = df.agg(

@@ -310,6 +310,121 @@ def delete_zone(spark: SparkSession, path: str) -> None:
         fs.delete(jpath, True)
 
 
+_COMPACT_TMP_DIR = "_compacting"
+_SWAP_READY_MARKER = "_SWAP_READY"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_text_file(spark: SparkSession, path: str, text: str) -> None:
+    jvm, jpath, fs = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def _read_text_file(spark: SparkSession, path: str) -> str:
+    jvm, jpath, fs = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return baos.toString("UTF-8")
+
+
+def _top_level_data_entries(spark: SparkSession, path: str) -> list[str]:
+    """Names of the zone's top-level DATA entries (files and hive dirs) —
+    everything a flat rewrite replaces; ``_``/``.``-prefixed metadata
+    trees (``_snapshots``, ``_retired``, ``_expired``, ``_compacting``,
+    ``_SUCCESS``) are never data."""
+    jvm, jpath, fs = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if not st.getPath().getName().startswith(("_", "."))
+    )
+
+
+def _finish_compaction_swap(spark: SparkSession, path: str) -> None:
+    """Second phase of the in-place swap: delete the old data entries the
+    ``_SWAP_READY`` marker names, move the compacted files up from
+    ``_compacting``, drop the temp dir. Every step is idempotent (skip
+    missing olds, overwrite at the destination), so a crash anywhere is
+    healed by re-running — which :func:`complete_pending_compaction`
+    does from the marker alone."""
+    jvm, root, fs = _hadoop_fs(spark, path)
+    tmp = f"{path}/{_COMPACT_TMP_DIR}"
+    olds = _read_text_file(spark, f"{tmp}/{_SWAP_READY_MARKER}").splitlines()
+    for rel in olds:
+        if not rel or rel.startswith(("_", ".", "/")) or ".." in rel:
+            continue  # never let a corrupt marker reach metadata trees
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    for st in fs.listStatus(tmp_path):
+        name = st.getPath().getName()
+        if name == _SWAP_READY_MARKER:
+            continue
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(st.getPath(), dst)
+    fs.delete(tmp_path, True)
+
+
+def complete_pending_compaction(spark: SparkSession, path: str) -> bool:
+    """Crash recovery for the in-place compaction swap. Returns True when
+    an interrupted swap was completed. Three states, all safe:
+    no ``_compacting`` dir — nothing pending; dir without the
+    ``_SWAP_READY`` marker — the compacted write never finished, the
+    live zone was never touched, discard the temp dir; dir WITH the
+    marker — the new files are complete on disk, finish the swap
+    (idempotent: already-deleted olds are skipped, already-moved files
+    are not in the temp dir anymore). ``compact_zone`` calls this at
+    entry, so "re-run the compaction" IS the recovery procedure."""
+    jvm, root, fs = _hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/{_COMPACT_TMP_DIR}")
+    if not fs.exists(tmp):
+        return False
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/{_COMPACT_TMP_DIR}/{_SWAP_READY_MARKER}"
+    )
+    if not fs.exists(marker):
+        fs.delete(tmp, True)
+        return False
+    _finish_compaction_swap(spark, path)
+    return True
+
+
+def _swap_overwrite(out: DataFrame, path: str) -> None:
+    """In-place flat rewrite that never truncates the zone directory:
+    write the compacted files to ``path/_compacting`` (invisible to
+    readers — ``_`` prefix), record the old data entries in a
+    ``_SWAP_READY`` marker, then delete-olds + move-news. The zone's
+    ``_``-prefixed metadata trees (``_snapshots``, ``_retired``,
+    ``_expired``) survive untouched, which is what keeps committed
+    snapshots readable across an UNPARTITIONED or clustered in-place
+    compaction (the partitioned branch gets this for free from dynamic
+    partition overwrite). Crash posture: before the marker exists the
+    live zone is untouched; after it exists the new data is fully on
+    disk and recovery completes the swap — strictly better than the old
+    truncate-then-write, whose crash window lost the zone outright."""
+    spark = out.sparkSession
+    olds = _top_level_data_entries(spark, path)
+    tmp = f"{path}/{_COMPACT_TMP_DIR}"
+    out.write.mode("overwrite").parquet(tmp)
+    _write_text_file(
+        spark, f"{tmp}/{_SWAP_READY_MARKER}", "\n".join(olds)
+    )
+    _finish_compaction_swap(spark, path)
+
+
 def compact_zone(
     spark: SparkSession,
     path: str,
@@ -329,9 +444,13 @@ def compact_zone(
     partition overwrite of the same path (only rewritten partitions are
     replaced; for PARTITIONED zones readers never see a partial state
     because parquet commits are atomic per partition directory — an
-    UNPARTITIONED zone is truncated before the new files commit, so crash
-    recovery there is "re-run the compaction", acceptable for derived
-    data and maintenance windows, not for a sole copy under live readers).
+    UNPARTITIONED or ``sort_by`` in-place rewrite goes through the
+    ``_compacting`` swap protocol instead: new files land in an
+    invisible temp dir first, a ``_SWAP_READY`` marker pins the commit
+    point, and re-running the compaction completes an interrupted swap
+    (``complete_pending_compaction``). The zone directory is never
+    truncated, so ``_snapshots``/``_retired``/``_expired`` metadata
+    trees always survive in-place compaction.
 
     ``sort_by``: cluster rows within each output file on these columns
     (range-partition across files + sortWithinPartitions inside them).
@@ -350,14 +469,22 @@ def compact_zone(
     consult ``snapshots.snapshot_pinned_files`` and COPY every pinned
     live file into ``path/_retired/<rel>`` (idempotent, crash-safe —
     copy-then-rewrite, never move), so every committed snapshot stays
-    readable after compaction: Iceberg-style safe time travel. The
-    retired copies are reclaimed by ``snapshots.gc_retired_files`` once
+    readable after compaction — on EVERY branch: partitioned (dynamic
+    overwrite leaves ``_`` trees alone) and unpartitioned/``sort_by``
+    in-place (the ``_compacting`` swap protocol above never deletes
+    ``_`` trees). Iceberg-style safe time travel. The retired copies
+    are reclaimed by ``snapshots.gc_retired_files`` once
     ``snapshots.expire_snapshots`` retires the pinning manifests. Pass
     False for zones that never take snapshots (skips two metadata
     walks) — a later snapshot read over files this compaction rewrote
     then breaks LOUDLY with rewritten-or-corrupt attribution, the
     documented pre-r12 contract.
     """
+    if dest is None:
+        # heal any interrupted prior swap BEFORE reading the zone — the
+        # marker means the previous compaction's files are complete on
+        # disk and only the delete/move half was cut short
+        complete_pending_compaction(spark, path)
     if respect_snapshots and dest is None:
         from aws_data_pipeline_spark.sources import snapshots as _snaps
 
@@ -374,9 +501,14 @@ def compact_zone(
     # size estimate from Spark's own scan statistics (no separate FS listing)
     est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n_files = max(1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes))
-    if out_path == path:
+    if out_path == path and partition_by:
         # materialize before overwriting the path we're reading (lineage
-        # through the input files would otherwise race the delete)
+        # through the input files would otherwise race the delete). Only
+        # the partitioned dynamic-overwrite branch needs this: the
+        # unpartitioned in-place branch writes to _compacting first, so
+        # its input files stay untouched until the new data is committed
+        # (and at 100 TB a localCheckpoint of the zone is impossible —
+        # the swap protocol is the scale path).
         df = df.localCheckpoint(eager=True)
     if partition_by:
         # salt alongside the partition columns: hashing by them ALONE
@@ -392,12 +524,14 @@ def compact_zone(
             .repartition(n_files, *partition_by, F.col("__salt"))
             .drop("__salt")
         )
+        writer = out.write.mode("overwrite").partitionBy(*partition_by)
+        writer.parquet(out_path)
+        return n_files
+    out = df.repartition(n_files)
+    if out_path == path:
+        _swap_overwrite(out, path)
     else:
-        out = df.repartition(n_files)
-    writer = out.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(out_path)
+        out.write.mode("overwrite").parquet(out_path)
     return n_files
 
 
@@ -412,28 +546,28 @@ def clustered_rewrite(
     """The ONE clustered-rewrite mechanic (shared by ``compact_zone``'s
     sorted branch and ``functions.zorder.zorder_cluster_zone``):
     range-partition into ~target-size files, sort within each so every
-    row group's min/max is tight, truncate-overwrite ``path``.
+    row group's min/max is tight, rewrite ``path``.
     ``drop_cols`` lets a caller sort on a computed key (e.g. a Z-order
-    key) without persisting it. Same crash posture as compact_zone's
-    unpartitioned branch WHEN rewriting in place: the overwrite truncates
-    before committing — maintenance-window semantics, re-run on crash.
-    With ``dest`` set (the versioned-index swap), the source is never
-    touched and no truncation happens."""
+    key) without persisting it. In-place rewrites go through the
+    ``_compacting`` swap protocol (see ``_swap_overwrite``): the zone
+    directory is never truncated, ``_``-prefixed metadata trees
+    (``_snapshots``/``_retired``) survive, and a crash is healed by
+    re-running (``complete_pending_compaction``). With ``dest`` set
+    (the versioned-index swap), the source is never touched."""
     out_path = dest if dest is not None else path
     est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n_files = max(
         1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes)
     )
-    if out_path == path:
-        # materialize before overwriting the path being read (lineage
-        # through the input files would otherwise race the delete)
-        df = df.localCheckpoint(eager=True)
     out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
     for c in drop_cols:
         out = out.drop(c)
-    out.write.mode("overwrite").parquet(out_path)
+    if out_path == path:
+        _swap_overwrite(out, path)
+    else:
+        out.write.mode("overwrite").parquet(out_path)
     return n_files
 
 

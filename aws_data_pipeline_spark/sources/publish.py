@@ -28,9 +28,23 @@ catalog mechanic re-expressed over the repo's own idioms:
   :func:`publication_pinned_snapshots` is the ordering contract with
   per-zone snapshot retention: a zone snapshot referenced by a live
   publication must outlive it, so expire publications FIRST, then pass
-  each zone's still-referenced ids a floor when calling its
-  ``expire_snapshots`` (keep at least those), then
-  ``gc_retired_files``.
+  each zone's still-referenced ids as the ``keep_ids`` floor of its
+  ``expire_snapshots``, then ``gc_retired_files``.
+  :func:`gc_published_estate` IS that procedure as one verb — calling
+  the three steps by hand in the wrong order is exactly the breakage
+  the floor exists to prevent, so retention should normally go through
+  the composed verb.
+
+Consistency contract: ``publish_tables`` snapshots the N zones
+SEQUENTIALLY, so the atomicity is at the COMMIT — readers see either
+the whole old publication or the whole new one, never a mix, and the
+committed view is repeatable forever. It is NOT a single
+point-in-time cut across tables under concurrent writers: a writer
+appending to zone B between A's snapshot and B's snapshot lands its
+rows in the publication's B but not (obviously) in its A. Run the
+build step single-writer or in a quiet window — the same discipline
+the gold refresh itself already requires; consistency is build-level,
+not instant-level.
 
 Scale posture: a publication manifest is K rows (one per table) plus K
 zone-snapshot manifests the zones already pay for; reads add one tiny
@@ -49,6 +63,8 @@ from aws_data_pipeline_spark.sources.parquet import (
     _max_numeric_marker,
 )
 from aws_data_pipeline_spark.sources.snapshots import (
+    expire_snapshots,
+    gc_retired_files,
     read_zone_snapshot,
     snapshot_zone,
 )
@@ -66,7 +82,11 @@ def publish_tables(
     ptr marker lands. Re-running after any crash simply takes the next
     id — torn publications cannot be observed, only orphaned snapshots
     (reclaimable by zone retention, floored by
-    :func:`publication_pinned_snapshots`)."""
+    :func:`publication_pinned_snapshots`).
+
+    The zones are snapshotted sequentially: run the build single-writer
+    or in a quiet window (see the module docstring's consistency
+    contract — commit-level atomicity, not a point-in-time cut)."""
     if not zones:
         raise ValueError("publish_tables: zones must name at least one table")
     rows = sorted(
@@ -185,3 +205,51 @@ def expire_publications(
             False,
         )
     return doomed
+
+
+def gc_published_estate(
+    spark: SparkSession,
+    root: str,
+    keep_publications: int,
+    keep_snapshots_last: int = 0,
+) -> dict:
+    """The published estate's ENTIRE retention procedure as one verb, in
+    the one safe order (VERDICT r12 item 5 — the module used to document
+    the ordering and trust every operator to follow it):
+
+    1. expire publications down to the newest ``keep_publications``;
+    2. for every zone ANY publication (surviving or just-expired) ever
+       referenced, expire its snapshots keeping the newest
+       ``keep_snapshots_last`` PLUS — as the ``keep_ids`` floor — every
+       id a surviving publication still pins
+       (:func:`publication_pinned_snapshots`);
+    3. ``gc_retired_files`` on each zone to reclaim retired copies only
+       the dropped manifests pinned.
+
+    Running the steps by hand in the reverse order is the breakage the
+    floor exists to prevent: snapshot retention by count alone can drop
+    an id a live publication reads through, and ``read_published`` then
+    fails its unknown-id check. Returns a report:
+    ``{"publications_dropped": [...], "zones": {zone: {
+    "snapshots_dropped": [...], "retired_reclaimed": n}}}``."""
+    zones_ever: set[str] = set()
+    for pid in publication_ids(spark, root):
+        zones_ever.update(
+            zone for zone, _ in _pub_manifest(spark, root, pid).values()
+        )
+    dropped_pubs = expire_publications(spark, root, keep_publications)
+    pinned = publication_pinned_snapshots(spark, root)
+    report: dict = {"publications_dropped": dropped_pubs, "zones": {}}
+    for zone in sorted(zones_ever):
+        dropped = expire_snapshots(
+            spark,
+            zone,
+            keep_snapshots_last,
+            keep_ids=sorted(pinned.get(zone, ())),
+        )
+        reclaimed = gc_retired_files(spark, zone)
+        report["zones"][zone] = {
+            "snapshots_dropped": dropped,
+            "retired_reclaimed": len(reclaimed),
+        }
+    return report

@@ -487,7 +487,10 @@ def gc_retired_files(spark: SparkSession, path: str) -> list[str]:
 
 
 def expire_snapshots(
-    spark: SparkSession, path: str, keep_last: int
+    spark: SparkSession,
+    path: str,
+    keep_last: int,
+    keep_ids: Sequence[int] = (),
 ) -> list[int]:
     """Retention for the manifests themselves: drop all but the newest
     ``keep_last`` snapshots (manifest directory AND ptr marker — the
@@ -497,11 +500,23 @@ def expire_snapshots(
     only the dropped manifests pinned. This is also the erasure-run
     companion: after forgetting rows, expire the snapshots that pinned
     them (or use :func:`retire_pinning_snapshots` to target exactly
-    those)."""
+    those).
+
+    ``keep_ids`` is the retention FLOOR: ids in it are never dropped
+    regardless of ``keep_last`` — the ordering contract with
+    multi-table publications (``publish.publication_pinned_snapshots``
+    supplies each zone's still-referenced ids; a count alone could
+    expire a snapshot a live publication still reads through, breaking
+    ``read_published`` for that publication). A count-only caller is
+    unchanged: the floor defaults empty."""
     if keep_last < 0:
         raise ValueError("keep_last must be >= 0")
+    floor = set(keep_ids)
     ids = snapshot_ids(spark, path)
-    doomed = ids[: max(0, len(ids) - keep_last)]
+    doomed = [
+        sid for sid in ids[: max(0, len(ids) - keep_last)]
+        if sid not in floor
+    ]
     _drop_snapshots(spark, path, doomed)
     return doomed
 

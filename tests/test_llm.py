@@ -2828,3 +2828,60 @@ def test_conversion_latency_planted_geometry(spark):
     assert r.mean_latency_us == (30_000_000 + 15_000_000) / 2.0
     assert r.p50_us == 15_000_000   # rank ceil(0.5*2)=1 of sorted {15s,30s}
     assert r.p90_us == 30_000_000   # rank ceil(0.9*2)=2
+
+
+def test_referential_integrity_same_name_fk_pk(spark):
+    """The common real-world naming: FK and PK columns BOTH called
+    order_id. The parent keys are re-aliased before the join, so the
+    condition never hits AMBIGUOUS_REFERENCE (the r12 ADVICE repro),
+    and the counts match the differently-named case."""
+    from aws_data_pipeline_spark.operators.quality import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "c"), (None, "d")],
+        "order_id long, v string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "order_id long")
+    r = referential_integrity(
+        child, parent, ["order_id"], ["order_id"], "c->p"
+    ).collect()[0]
+    assert (r.relationship, r.n_child, r.n_null_fk, r.n_matched, r.n_orphans) == (
+        "c->p", 4, 1, 2, 1
+    )
+
+
+def test_conversion_latency_empty_input_returns_zero_row(spark):
+    """Empty-input contract (VERDICT r12 item 3): no conversions is an
+    ANSWER — one row with n_conversions=0 and null mean/quantiles, the
+    same shape the SQL twin's grand aggregate produces — never an empty
+    frame a caller can't tell from 'no data'. Covers both the
+    empty-source case and the nobody-converts case."""
+    from aws_data_pipeline_spark.operators.aggregate import (
+        conversion_latency,
+    )
+
+    empty = spark.createDataFrame(
+        [], "u long, eid long, k string, ts timestamp"
+    )
+    out = conversion_latency(
+        empty, "u", "ts", "k", "eid", "click", "purchase", 600
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_conversions == 0
+    assert r.mean_latency_us is None
+    assert r.p50_us is None and r.p90_us is None
+
+    # events exist but none convert (click without purchase)
+    from datetime import datetime as dt
+
+    noconv = spark.createDataFrame(
+        [(1, 10, "click", dt(2024, 1, 1))],
+        "u long, eid long, k string, ts timestamp",
+    )
+    r2 = conversion_latency(
+        noconv, "u", "ts", "k", "eid", "click", "purchase", 600
+    ).collect()
+    assert len(r2) == 1 and r2[0].n_conversions == 0

@@ -1084,3 +1084,173 @@ def test_multi_table_publish_is_atomic_and_repeatable(spark, tmp_path):
     assert pinned[zo] == {2, 3} and pinned[zc] == {2, 3}
     with pytest.raises(ValueError, match="unknown publication id"):
         P.read_published(spark, root, "orders", p1)
+
+
+def test_compact_unpartitioned_snapshotted_zone_keeps_time_travel(
+    spark, tmp_path
+):
+    """The r12 ADVICE high: in-place compaction of an UNPARTITIONED
+    snapshotted zone used to static-overwrite the whole directory,
+    silently destroying _snapshots and _retired. The _compacting swap
+    protocol never truncates the zone dir: the old snapshot keeps
+    reading its exact generation, the live zone serves the compacted
+    one, and retention reclaims the retired copies."""
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    zone = str(tmp_path / "zone")
+    spark.range(12).selectExpr("id AS v").repartition(4).write.parquet(zone)
+    before = sorted(r.v for r in spark.read.parquet(zone).collect())
+    s1 = S.snapshot_zone(spark, zone)
+
+    compact_zone(spark, zone)  # unpartitioned, in place, default respect
+    assert S.snapshot_ids(spark, zone) == [s1]  # manifests survived
+    assert sorted(r.v for r in spark.read.parquet(zone).collect()) == before
+    old = S.read_zone_snapshot(spark, zone, s1)
+    assert sorted(r.v for r in old.collect()) == before
+
+    s2 = S.snapshot_zone(spark, zone)
+    assert S.expire_snapshots(spark, zone, keep_last=1) == [s1]
+    assert S.gc_retired_files(spark, zone)  # s1's parked copies freed
+    assert S.read_zone_snapshot(spark, zone, s2).count() == 12
+
+
+def test_clustered_compact_snapshotted_zone_keeps_time_travel(
+    spark, tmp_path
+):
+    """Same contract for the sort_by (clustered) in-place branch, which
+    shares the swap protocol through clustered_rewrite."""
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import compact_zone
+
+    zone = str(tmp_path / "zone")
+    spark.createDataFrame(
+        [(i % 5, i) for i in range(20)], "k int, v long"
+    ).repartition(4).write.parquet(zone)
+    before = sorted((r.k, r.v) for r in spark.read.parquet(zone).collect())
+    s1 = S.snapshot_zone(spark, zone)
+
+    compact_zone(spark, zone, sort_by=("k",))
+    assert S.snapshot_ids(spark, zone) == [s1]
+    assert sorted(
+        (r.k, r.v) for r in spark.read.parquet(zone).collect()
+    ) == before
+    assert sorted(
+        (r.k, r.v) for r in S.read_zone_snapshot(spark, zone, s1).collect()
+    ) == before
+
+
+def test_compaction_swap_crash_recovery(spark, tmp_path):
+    """The swap's three crash states, replayed from constructed on-disk
+    wreckage: (a) _compacting without the marker = write never finished,
+    discarded, live zone untouched; (b) marker present with olds not yet
+    deleted, and (c) marker present with olds partially deleted — both
+    complete to exactly the compacted generation on the next
+    compact_zone (re-run IS the recovery procedure)."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        _COMPACT_TMP_DIR,
+        _SWAP_READY_MARKER,
+        _top_level_data_entries,
+        _write_text_file,
+        complete_pending_compaction,
+        compact_zone,
+    )
+
+    # (a) incomplete write: temp dir, no marker
+    za = str(tmp_path / "za")
+    spark.range(6).write.parquet(za)
+    spark.range(3).write.parquet(f"{za}/{_COMPACT_TMP_DIR}")
+    assert complete_pending_compaction(spark, za) is False
+    assert spark.read.parquet(za).count() == 6  # live zone untouched
+    assert _COMPACT_TMP_DIR not in [
+        p.split("/")[0] for p in _top_level_data_entries(spark, za)
+    ]
+
+    # (b) marker present, no olds deleted yet
+    zb = str(tmp_path / "zb")
+    spark.range(6).selectExpr("id AS v").write.parquet(zb)
+    olds = _top_level_data_entries(spark, zb)
+    tmp = f"{zb}/{_COMPACT_TMP_DIR}"
+    spark.range(100, 106).selectExpr("id AS v").coalesce(1).write.parquet(tmp)
+    _write_text_file(spark, f"{tmp}/{_SWAP_READY_MARKER}", "\n".join(olds))
+    assert complete_pending_compaction(spark, zb) is True
+    assert sorted(r.v for r in spark.read.parquet(zb).collect()) == list(
+        range(100, 106)
+    )
+
+    # (c) marker present, olds PARTIALLY deleted (crash mid-swap), then
+    # recovery driven through compact_zone's entry hook
+    zc = str(tmp_path / "zc")
+    spark.range(6).selectExpr("id AS v").repartition(2).write.parquet(zc)
+    olds = _top_level_data_entries(spark, zc)
+    tmp = f"{zc}/{_COMPACT_TMP_DIR}"
+    spark.range(200, 206).selectExpr("id AS v").coalesce(1).write.parquet(tmp)
+    _write_text_file(spark, f"{tmp}/{_SWAP_READY_MARKER}", "\n".join(olds))
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(zc).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{zc}/{olds[0]}"), False)
+    compact_zone(spark, zc)  # heals, then recompacts the healed zone
+    assert sorted(r.v for r in spark.read.parquet(zc).collect()) == list(
+        range(200, 206)
+    )
+
+
+def test_expire_snapshots_keep_ids_floor(spark, tmp_path):
+    """keep_ids is a retention floor: a count that would drop a
+    publication-pinned id skips it (and only it)."""
+    from aws_data_pipeline_spark.sources import snapshots as S
+
+    zone = str(tmp_path / "zone")
+    spark.range(3).write.parquet(zone)
+    s1 = S.snapshot_zone(spark, zone)
+    spark.range(3).write.mode("append").parquet(zone)
+    s2 = S.snapshot_zone(spark, zone)
+    spark.range(3).write.mode("append").parquet(zone)
+    s3 = S.snapshot_zone(spark, zone)
+
+    # keep_last=1 alone would drop s1 AND s2; the floor saves s1
+    assert S.expire_snapshots(spark, zone, keep_last=1, keep_ids=[s1]) == [s2]
+    assert S.snapshot_ids(spark, zone) == [s1, s3]
+    assert S.read_zone_snapshot(spark, zone, s1).count() == 3
+
+
+def test_gc_published_estate_safe_order(spark, tmp_path):
+    """VERDICT r12 item 5: the composed retention verb. Construct the
+    exact state where the unsafe order breaks — a publication pinning a
+    snapshot that count-only zone retention WOULD drop — and show the
+    verb expires publications first, floors zone retention on the
+    survivors' pins, and every surviving published read still works."""
+    import pytest
+
+    from aws_data_pipeline_spark.sources import publish as P
+    from aws_data_pipeline_spark.sources import snapshots as S
+
+    root = str(tmp_path / "estate")
+    zo = str(tmp_path / "orders")
+    zc = str(tmp_path / "custs")
+    spark.range(4).write.parquet(zo)
+    spark.range(2).write.parquet(zc)
+    p1 = P.publish_tables(spark, root, {"orders": zo, "custs": zc})
+    spark.range(4, 8).write.mode("append").parquet(zo)
+    p2 = P.publish_tables(spark, root, {"orders": zo, "custs": zc})
+    spark.range(8, 9).write.mode("append").parquet(zo)
+    s_extra = S.snapshot_zone(spark, zo)  # zone-local, unpinned
+
+    # the hazard is real: count-only keep_last=1 on zo would drop p2's
+    # pinned id (only s_extra would survive)
+    pinned_zo = P.publication_pinned_snapshots(spark, root)[zo]
+    assert max(pinned_zo) in S.snapshot_ids(spark, zo)[:-1]
+
+    report = P.gc_published_estate(
+        spark, root, keep_publications=1, keep_snapshots_last=1
+    )
+    assert report["publications_dropped"] == [p1]
+    # p2's pins survived the floor; p1-only snapshots are gone
+    assert P.read_published(spark, root, "orders", p2).count() == 8
+    assert P.read_published(spark, root, "custs", p2).count() == 2
+    with pytest.raises(ValueError):
+        P.read_published(spark, root, "orders", p1)
+    # the newest zone-local snapshot also survived (keep_snapshots_last)
+    assert s_extra in S.snapshot_ids(spark, zo)
