@@ -108,6 +108,12 @@ def train_quality_classifier(
         labeled = labeled.sample(fraction=train_frac, seed=seed)
     feats = bucket_count_features(labeled, id_col, text_col, n_buckets)
     train = feats.join(labeled.select(id_col, "label"), id_col)
+    if train.isEmpty():
+        # a model fit on nothing is a caller error, not a Summarizer
+        # crash inside L-BFGS — same loud contract as the index trainers
+        raise ValueError(
+            "train_quality_classifier: no scorable training documents"
+        )
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",

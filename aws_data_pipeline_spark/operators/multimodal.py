@@ -191,10 +191,10 @@ def sample_frames(
 
 # import-probed at module load: decode_real lights up automatically in an
 # environment that ships Pillow, with no code change
-# (re-probed r8, r9, r10, r11 and r12 (2026-08-16): `pip install Pillow`
-# still installs nothing from this sandbox (the resolver exits without
-# fetching a wheel) and PIL is not importable afterwards — the stub
-# below remains the honest path)
+# (re-probed r8 through r13 (latest 2026-08-16, r13 round start):
+# `pip install Pillow` still resolves no distribution from this sandbox
+# ("from versions: none") and PIL is not importable afterwards — the
+# stub below remains the honest path)
 try:
     from PIL import Image as _PIL_IMAGE
 except ImportError:  # container has no image libraries — honest stub below

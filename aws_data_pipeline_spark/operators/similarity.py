@@ -653,8 +653,18 @@ def train_ivf_centroids(
     if train_fraction is not None and n_train < 4 * n_cells:
         train = c
         n_train = train.count()
+    if n_train == 0:
+        # an index trained on nothing is a caller error, not a k=1
+        # KMeans crash three frames deep — same loud contract as
+        # train_pq_codebooks
+        raise ValueError("train_ivf_centroids: empty corpus")
     if n_train < 4 * n_cells:
-        k = max(1, min(k, train.select("cv").distinct().count()))
+        n_distinct = train.select("cv").distinct().count()
+        if n_distinct == 1:
+            # one distinct vector IS the quantizer; Spark ML KMeans
+            # rejects k=1 outright
+            return [[float(x) for x in train.select("cv").first().cv]]
+        k = max(2, min(k, n_distinct))
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(train)
     return [[float(x) for x in ctr] for ctr in model.clusterCenters()]
 

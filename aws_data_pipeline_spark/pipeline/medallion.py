@@ -117,6 +117,7 @@ def bronze_to_silver(
     spark: SparkSession,
     cfg: PipelineConfig,
     clock: Column | None = None,
+    schema_policy: str = "pin",
 ) -> dict[str, int]:
     """Ingest bronze JSONL -> partitioned silver parquet; returns QC metrics.
 
@@ -127,8 +128,35 @@ def bronze_to_silver(
     Idempotent across re-runs (SURVEY.md §4.2-6): incoming rows are
     anti-joined against transaction_ids already in silver, so re-delivered
     files don't duplicate (the reference's blind append does).
+
+    ``schema_policy`` is the EVOLUTION policy for producer-added columns
+    (the reference's schema-on-read means a producer can add fields any
+    time, ``bronze_to_silver.py:108-114``; VERDICT r12 item 4):
+
+    - ``"pin"`` (default): the pinned TXN_SCHEMA scan — unknown columns
+      are DROPPED. Right for stable feeds; an unannounced producer
+      change is invisible (run ``sources.jsonl.unknown_key_split`` at
+      the edge when that must be loud instead).
+    - ``"widen"``: opt-in widen-with-nulls — the batch is read with
+      ``sources.jsonl.evolved_schema`` (pinned types for known fields +
+      the batch's new top-level fields), new columns ride the transform
+      untouched and APPEND to silver. Older silver files lack them, so
+      evolved zones read with ``read_zone(..., merge_schema=True)``
+      until a compaction settles the footers; gold builds select only
+      declared columns and survive either way
+      (tests/test_medallion.py::test_schema_evolution_widen).
     """
-    bronze = read_jsonl(spark, cfg.bronze_path, TXN_SCHEMA)
+    if schema_policy == "widen":
+        from aws_data_pipeline_spark.sources.jsonl import evolved_schema
+
+        schema = evolved_schema(spark, cfg.bronze_path, TXN_SCHEMA)
+    elif schema_policy == "pin":
+        schema = TXN_SCHEMA
+    else:
+        raise ValueError(
+            f"unknown schema_policy {schema_policy!r} (pin | widen)"
+        )
+    bronze = read_jsonl(spark, cfg.bronze_path, schema)
     silver = transform_bronze(bronze, clock=clock)
 
     # explicit existence probe: only a genuinely missing zone (first run)

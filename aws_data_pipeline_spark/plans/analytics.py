@@ -712,6 +712,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_amount
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    -- inert on any non-empty input (every cube group aggregates >= 1
+    -- row); on an EMPTY table it drops the SQL-standard grand-total
+    -- row, matching Spark's cube semantics (df.cube over empty input
+    -- emits 0 rows) — the engine is Spark-first, so the oracle
+    -- expresses Spark's contract (tests/test_empty_contract.py)
+    HAVING COUNT(*) > 0
     """,
 )
 def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:

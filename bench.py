@@ -123,6 +123,10 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"bench: unknown BENCH_QUERIES names: {unknown}")
 
+    # Ambient load BEFORE any Spark work: the only sample the bench's own
+    # JVM startup / warm-up cannot contaminate — the family verdict's
+    # ambient-load arm keys off this one.
+    load_boot = list(os.getloadavg())
     spark = get_spark("adps-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -135,11 +139,18 @@ def main() -> None:
     forced = os.environ.get("BENCH_REPS")
     timings: dict[str, float] = {}
     dispersion: dict[str, dict[str, float]] = {}
+    # Ambient-load instrumentation (r12 verdict item 2): every run records
+    # the host 1/5/15-min load averages at suite start/end plus a 1-min
+    # sample taken just before each query's timed reps, so the family
+    # verdict can COMPUTE the "uniform floor shift + high loadavg => host"
+    # ruling instead of a hand-written attribution essay per round.
+    load_start = list(os.getloadavg())
     for name in names:
         if not cold:
             registry[name].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+        q_load1 = os.getloadavg()[0]
         samples = []
         t0 = time.perf_counter()
         registry[name].spark_fn(spark, sf_dir).write.format("noop").mode(
@@ -184,6 +195,7 @@ def main() -> None:
             "median": med,
             "max": round(samples[-1], 4),
             "reps": len(samples),
+            "load1": round(q_load1, 2),
         }
 
     total = round(sum(timings.values()), 4)
@@ -197,6 +209,12 @@ def main() -> None:
                 "queries": timings,
                 "dispersion": dispersion,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg": {
+                    "boot": [round(x, 2) for x in load_boot],
+                    "start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                    "ncpus": os.cpu_count(),
+                },
             }
         )
     )

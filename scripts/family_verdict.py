@@ -90,7 +90,7 @@ def driver_numbers(rnd: int) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for m in re.finditer(
         r'"([a-z0-9_]+)": \{"min": ([0-9.]+), "median": ([0-9.]+), '
-        r'"max": ([0-9.]+), "reps": (\d+)\}',
+        r'"max": ([0-9.]+), "reps": (\d+)(?:, "load1": ([0-9.]+))?\}',
         d.get("tail") or "",
     ):
         out[m.group(1)] = {
@@ -98,8 +98,52 @@ def driver_numbers(rnd: int) -> dict[str, dict]:
             "median": float(m.group(3)),
             "max": float(m.group(4)),
             "reps": int(m.group(5)),
+            **({"load1": float(m.group(6))} if m.group(6) else {}),
         }
     return out
+
+
+def driver_load(rnd: int) -> dict | None:
+    """The driver run's suite-level loadavg block (r12 verdict item 2 —
+    recorded by bench.py from r13 on; None for earlier rounds)."""
+    path = f"BENCH_r{rnd:02d}.json"
+    if not os.path.exists(path):
+        return None
+    d = json.load(open(path))
+    parsed = d.get("parsed") or {}
+    if parsed.get("loadavg"):
+        return parsed["loadavg"]
+    m = re.search(
+        r'"loadavg": \{"boot": \[([0-9., ]+)\], "start": \[([0-9., ]+)\], '
+        r'"end": \[([0-9., ]+)\], "ncpus": (\d+)\}',
+        d.get("tail") or "",
+    )
+    if not m:
+        return None
+    return {
+        "boot": [float(x) for x in m.group(1).split(",")],
+        "start": [float(x) for x in m.group(2).split(",")],
+        "end": [float(x) for x in m.group(3).split(",")],
+        "ncpus": int(m.group(4)),
+    }
+
+
+def suite_shift_ratio(
+    drv: dict[str, dict], ref_env: dict[str, dict]
+) -> float | None:
+    """Median over the WHOLE driver suite of (driver median / envelope
+    median) — the computed form of the r12 "uniform floor" argument: when
+    the entire suite (untouched scan-aggregates included) moved by one
+    common factor, the shift is the host's, not any query's plan. None
+    when fewer than 10 queries overlap (too few for a suite-wide claim)."""
+    ratios = sorted(
+        db["median"] / ref_env[q]["med"]
+        for q, db in drv.items()
+        if ref_env.get(q) and ref_env[q]["med"] > 0
+    )
+    if len(ratios) < 10:
+        return None
+    return ratios[len(ratios) // 2]
 
 
 # Named multi-prefix families — the checkpoint/many-job class the r11
@@ -125,12 +169,47 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, nargs="+", default=[9, 10, 11])
     ap.add_argument("--driver-round", type=int, default=10)
     ap.add_argument("--slack", type=float, default=0.15)
+    ap.add_argument(
+        "--load-threshold",
+        type=float,
+        default=0.5,
+        help="ambient boot load1/ncpus at or above this counts as a "
+        "loaded host for the LOAD-ATTRIBUTED arm",
+    )
+    ap.add_argument(
+        "--root",
+        default=os.path.join(os.path.dirname(__file__), ".."),
+        help="repo root holding BENCH_r*.json and evidence/ (testable)",
+    )
     args = ap.parse_args()
-    os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+    os.chdir(args.root)
 
     envs = {r: round_envelope(r) for r in args.rounds}
     drv = driver_numbers(args.driver_round)
     prev = max((r for r in args.rounds if r < args.driver_round), default=None)
+
+    # Mechanized ambient-load arm (r12 verdict item 2): "uniform floor
+    # shift + high loadavg => host" as a computed ruling. Both halves from
+    # recorded data: the suite-wide shift ratio over every benched query
+    # (untouched ones included), and the loadavg block bench.py writes
+    # into the run JSON from r13 on (boot = pre-Spark, the ambient
+    # sample the bench itself cannot contaminate).
+    ref_all = dict(envs.get(prev) or {}) if prev else {}
+    ref_all.update(envs.get(args.driver_round) or {})
+    g_ratio = suite_shift_ratio(drv, ref_all) if drv else None
+    lb = driver_load(args.driver_round)
+    ambient = None
+    if lb and lb.get("ncpus"):
+        sample = lb.get("boot") or lb.get("start") or [None]
+        if sample[0] is not None:
+            ambient = sample[0] / lb["ncpus"]
+    loaded_host = ambient is not None and ambient >= args.load_threshold
+    if g_ratio is not None:
+        print(
+            f"suite shift ratio (driver vs envelope, all queries): "
+            f"{g_ratio:.2f}; ambient boot load1/ncpu: "
+            + (f"{ambient:.2f}" if ambient is not None else "unrecorded")
+        )
 
     if args.name:
         args.queries = PRESETS[args.name]
@@ -183,10 +262,27 @@ def main() -> int:
             if ref is None:
                 verdict = "no-envelope"
             elif db["min"] > ref["max"] * (1 + args.slack):
+                q_ratio = (
+                    db["median"] / ref["med"] if ref.get("med") else None
+                )
                 if any(
                     e["med"] <= ref["max"] * (1 + args.slack) for e in later
                 ):
                     verdict = "driver-tail(later-round flat)"
+                elif (
+                    loaded_host
+                    and g_ratio is not None
+                    and g_ratio > 1 + args.slack / 2
+                    and q_ratio is not None
+                    and q_ratio <= g_ratio * 1.25
+                ):
+                    # the whole suite moved by ~g_ratio on a loaded host
+                    # and this query moved no more than its share — the
+                    # r12 uniform-floor essay, computed
+                    verdict = (
+                        f"LOAD-ATTRIBUTED(suite x{g_ratio:.2f}, "
+                        f"load {ambient:.2f}/cpu)"
+                    )
                 else:
                     verdict = "FLAG"
                     flagged.append(q)

@@ -186,3 +186,99 @@ def test_cross_run_dedup_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:400]
     assert "year" in seg and "month" in seg and "day" in seg
+
+
+def test_schema_evolution_widen(spark, tmp_path):
+    """VERDICT r12 item 4: batch N+1 carries a producer-added column.
+    Under the default pin policy it is (documented) dropped; under
+    schema_policy='widen' it lands in silver, older rows surface it as
+    null through the mergeSchema read contract, and the incremental gold
+    build survives the widened zone."""
+    from aws_data_pipeline_spark.pipeline.medallion import (
+        bronze_to_silver,
+        silver_to_gold,
+    )
+    from aws_data_pipeline_spark.sources.parquet import read_zone
+
+    base = {
+        "customer_id": "cust_000001",
+        "amount": 50.0,
+        "transaction_date": "2024-03-01 10:00:00",
+        "transaction_type": "purchase",
+        "merchant_id": "m1",
+        "payment_method": "credit_card",
+        "currency": "USD",
+        "status": "completed",
+        "category": "books",
+    }
+    b1 = tmp_path / "b1"
+    b1.mkdir()
+    b1.joinpath("batch_1.json").write_text(
+        "\n".join(
+            json.dumps({**base, "transaction_id": f"txn_{i:08d}"})
+            for i in range(5)
+        )
+    )
+    cfg1 = PipelineConfig(
+        bronze_path=str(b1),
+        silver_path=str(tmp_path / "silver"),
+        gold_path=str(tmp_path / "gold"),
+        backoff_seconds=0.01,
+    )
+    clock = F.lit(CLOCK).cast("timestamp")
+    bronze_to_silver(spark, cfg1, clock=clock)
+
+    # batch 2: the producer added loyalty_tier
+    b2 = tmp_path / "b2"
+    b2.mkdir()
+    b2.joinpath("batch_2.json").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    **base,
+                    "transaction_id": f"txn_1{i:07d}",
+                    "loyalty_tier": "gold",
+                }
+            )
+            for i in range(3)
+        )
+    )
+    cfg2 = PipelineConfig(
+        bronze_path=str(b2),
+        silver_path=cfg1.silver_path,
+        gold_path=cfg1.gold_path,
+        backoff_seconds=0.01,
+    )
+    bronze_to_silver(spark, cfg2, clock=clock, schema_policy="widen")
+
+    # the widened zone's read contract: mergeSchema surfaces the new
+    # column, null for the pre-evolution rows
+    silver = read_zone(spark, cfg1.silver_path, merge_schema=True)
+    assert "loyalty_tier" in silver.columns
+    tiers = {
+        (r.transaction_id, r.loyalty_tier)
+        for r in silver.select("transaction_id", "loyalty_tier").collect()
+    }
+    assert sum(1 for _, t in tiers if t == "gold") == 3
+    assert sum(1 for _, t in tiers if t is None) == 5
+
+    # the incremental gold build survives the widened silver
+    metrics = silver_to_gold(spark, cfg2)
+    assert metrics["gold_tables"] == 3
+    daily = read_zone(spark, f"{cfg2.gold_path}/daily_aggregations")
+    assert daily.agg(F.sum("transaction_count")).collect()[0][0] == 8
+
+    # and the unknown-key edge verbs see exactly the evolution
+    from aws_data_pipeline_spark.catalog import TXN_SCHEMA
+    from aws_data_pipeline_spark.sources.jsonl import (
+        evolved_schema,
+        unknown_key_split,
+    )
+
+    good, unknown = unknown_key_split(spark, str(b2), TXN_SCHEMA)
+    assert good.count() == 0 and unknown.count() == 3  # all rows evolved
+    ev = evolved_schema(spark, str(b2), TXN_SCHEMA)
+    assert ev.fieldNames()[-1] == "loyalty_tier"
+    assert ev.fieldNames()[: len(TXN_SCHEMA)] == list(TXN_SCHEMA.fieldNames())
+    g2, u2 = unknown_key_split(spark, str(b1), TXN_SCHEMA)
+    assert g2.count() == 5 and u2.count() == 0

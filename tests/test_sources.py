@@ -1254,3 +1254,68 @@ def test_gc_published_estate_safe_order(spark, tmp_path):
         P.read_published(spark, root, "orders", p1)
     # the newest zone-local snapshot also survived (keep_snapshots_last)
     assert s_extra in S.snapshot_ids(spark, zo)
+
+
+def test_family_verdict_load_attributed_arm(tmp_path):
+    """The mechanized ambient-load ruling (VERDICT r12 item 2): a driver
+    singleton past the envelope is LOAD-ATTRIBUTED — not FLAGged — when
+    the recorded boot loadavg shows a loaded host AND the whole suite
+    moved by one common factor; with an idle-host load record the same
+    numbers FLAG."""
+    import json
+    import subprocess
+    import sys
+
+    queries = [f"fam_q{i}" for i in range(3)] + [f"other_q{i}" for i in range(9)]
+
+    def write(root, load1):
+        (root / "evidence").mkdir()
+        env = {
+            "queries": {q: 1.0 for q in queries},
+            "dispersion": {
+                q: {"min": 0.9, "median": 1.0, "max": 1.1, "reps": 3}
+                for q in queries
+            },
+        }
+        (root / "evidence" / "bench_r12_run1.json").write_text(json.dumps(env))
+        # driver run: EVERY query uniformly 1.6x the envelope
+        drv = {
+            "parsed": {
+                "queries": {q: 1.6 for q in queries},
+                "dispersion": {
+                    q: {"min": 1.5, "median": 1.6, "max": 1.7, "reps": 3}
+                    for q in queries
+                },
+                "loadavg": {
+                    "boot": [load1, load1, load1],
+                    "start": [load1, load1, load1],
+                    "end": [load1, load1, load1],
+                    "ncpus": 32,
+                },
+            }
+        }
+        (root / "BENCH_r12.json").write_text(json.dumps(drv))
+
+    loaded = tmp_path / "loaded"
+    loaded.mkdir()
+    write(loaded, load1=40.0)  # 1.25 load per cpu — saturated host
+    r = subprocess.run(
+        [sys.executable, "scripts/family_verdict.py", "--family", "fam_",
+         "--rounds", "12", "--driver-round", "12",
+         "--root", str(loaded)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "LOAD-ATTRIBUTED" in r.stdout
+
+    idle = tmp_path / "idle"
+    idle.mkdir()
+    write(idle, load1=0.5)  # idle host: the same slowdown is REAL
+    r = subprocess.run(
+        [sys.executable, "scripts/family_verdict.py", "--family", "fam_",
+         "--rounds", "12", "--driver-round", "12",
+         "--root", str(idle)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    assert "REGRESSION-SUSPECT" in r.stdout
