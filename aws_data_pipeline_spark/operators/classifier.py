@@ -106,14 +106,16 @@ def train_quality_classifier(
     )
     if train_frac < 1.0:
         labeled = labeled.sample(fraction=train_frac, seed=seed)
-    feats = bucket_count_features(labeled, id_col, text_col, n_buckets)
-    train = feats.join(labeled.select(id_col, "label"), id_col)
-    if train.isEmpty():
-        # a model fit on nothing is a caller error, not a Summarizer
-        # crash inside L-BFGS — same loud contract as the index trainers
+    # loud empty-input contract (same as the index trainers): a model fit
+    # on nothing is a caller error, not a Summarizer crash inside L-BFGS.
+    # Probed on the PRE-feature frame (scorable = non-null text) so the
+    # guard never runs the featurization join twice.
+    if labeled.where(F.col(text_col).isNotNull()).isEmpty():
         raise ValueError(
             "train_quality_classifier: no scorable training documents"
         )
+    feats = bucket_count_features(labeled, id_col, text_col, n_buckets)
+    train = feats.join(labeled.select(id_col, "label"), id_col)
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",

@@ -150,6 +150,29 @@ def bronze_to_silver(
         from aws_data_pipeline_spark.sources.jsonl import evolved_schema
 
         schema = evolved_schema(spark, cfg.bronze_path, TXN_SCHEMA)
+        # Type-conflict guard: the new columns' types come from per-batch
+        # inference, so batch N can infer bigint where batch N-1 already
+        # wrote string — mergeSchema would only break at the next READ,
+        # far from the write that caused it. Catch it at the ingest: any
+        # evolved column already present in silver must keep its type.
+        if len(schema) > len(TXN_SCHEMA) and zone_exists(
+            spark, cfg.silver_path
+        ):
+            existing = {
+                f.name: f.dataType
+                for f in read_zone(
+                    spark, cfg.silver_path, merge_schema=True
+                ).schema.fields
+            }
+            for f in schema.fields[len(TXN_SCHEMA):]:
+                have = existing.get(f.name)
+                if have is not None and have != f.dataType:
+                    raise ValueError(
+                        f"schema evolution type conflict on {f.name!r}: "
+                        f"this batch infers {f.dataType.simpleString()} "
+                        f"but silver already holds {have.simpleString()} "
+                        "— fix the producer or cast at the edge"
+                    )
     elif schema_policy == "pin":
         schema = TXN_SCHEMA
     else:

@@ -402,23 +402,32 @@ def complete_pending_compaction(spark: SparkSession, path: str) -> bool:
     return True
 
 
-def _swap_overwrite(out: DataFrame, path: str) -> None:
-    """In-place flat rewrite that never truncates the zone directory:
-    write the compacted files to ``path/_compacting`` (invisible to
-    readers — ``_`` prefix), record the old data entries in a
-    ``_SWAP_READY`` marker, then delete-olds + move-news. The zone's
-    ``_``-prefixed metadata trees (``_snapshots``, ``_retired``,
-    ``_expired``) survive untouched, which is what keeps committed
-    snapshots readable across an UNPARTITIONED or clustered in-place
-    compaction (the partitioned branch gets this for free from dynamic
-    partition overwrite). Crash posture: before the marker exists the
-    live zone is untouched; after it exists the new data is fully on
-    disk and recovery completes the swap — strictly better than the old
-    truncate-then-write, whose crash window lost the zone outright."""
+def _swap_overwrite(
+    out: DataFrame, path: str, partition_by: Sequence[str] = ()
+) -> None:
+    """In-place rewrite that never truncates the zone directory: write
+    the compacted files (hive layout when ``partition_by`` is set) to
+    ``path/_compacting`` (invisible to readers — ``_`` prefix), record
+    the old top-level data entries in a ``_SWAP_READY`` marker, then
+    delete-olds + move-news. The zone's ``_``-prefixed metadata trees
+    (``_snapshots``, ``_retired``, ``_expired``) survive untouched,
+    which is what keeps committed snapshots readable across ANY in-place
+    compaction. Crash posture: before the marker exists the live zone is
+    untouched; after it exists the new data is fully on disk and
+    recovery completes the swap (``complete_pending_compaction``) —
+    strictly better than the old truncate-then-write, whose crash window
+    lost the zone outright, and memory-free where the old partitioned
+    branch localCheckpoint-ed the whole zone (impossible at 100 TB).
+    Compaction remains maintenance-window work: a writer appending
+    between the zone read and the swap loses its files either way (the
+    dynamic-overwrite branch replaced whole partition dirs too)."""
     spark = out.sparkSession
     olds = _top_level_data_entries(spark, path)
     tmp = f"{path}/{_COMPACT_TMP_DIR}"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     _write_text_file(
         spark, f"{tmp}/{_SWAP_READY_MARKER}", "\n".join(olds)
     )
@@ -440,17 +449,18 @@ def compact_zone(
 
     Streaming ingest (one file per micro-batch per partition) accumulates
     small files; at 100 TB the resulting open/seek overhead dominates scan
-    time. Compaction = read -> repartition to ceil(bytes/target) -> dynamic
-    partition overwrite of the same path (only rewritten partitions are
-    replaced; for PARTITIONED zones readers never see a partial state
-    because parquet commits are atomic per partition directory — an
-    UNPARTITIONED or ``sort_by`` in-place rewrite goes through the
-    ``_compacting`` swap protocol instead: new files land in an
-    invisible temp dir first, a ``_SWAP_READY`` marker pins the commit
-    point, and re-running the compaction completes an interrupted swap
+    time. Compaction = read -> repartition to ceil(bytes/target) -> the
+    ``_compacting`` swap protocol for EVERY in-place rewrite (partitioned,
+    unpartitioned, and ``sort_by``): new files land in an invisible temp
+    dir first (hive layout preserved for partitioned zones), a
+    ``_SWAP_READY`` marker pins the commit point, and re-running the
+    compaction completes an interrupted swap
     (``complete_pending_compaction``). The zone directory is never
     truncated, so ``_snapshots``/``_retired``/``_expired`` metadata
-    trees always survive in-place compaction.
+    trees always survive in-place compaction, and nothing is ever
+    checkpointed into executor memory (the input files stay untouched
+    until the new generation is fully on disk — the only posture that
+    holds at 100 TB).
 
     ``sort_by``: cluster rows within each output file on these columns
     (range-partition across files + sortWithinPartitions inside them).
@@ -469,10 +479,9 @@ def compact_zone(
     consult ``snapshots.snapshot_pinned_files`` and COPY every pinned
     live file into ``path/_retired/<rel>`` (idempotent, crash-safe —
     copy-then-rewrite, never move), so every committed snapshot stays
-    readable after compaction — on EVERY branch: partitioned (dynamic
-    overwrite leaves ``_`` trees alone) and unpartitioned/``sort_by``
-    in-place (the ``_compacting`` swap protocol above never deletes
-    ``_`` trees). Iceberg-style safe time travel. The retired copies
+    readable after compaction — on EVERY in-place branch, since the
+    ``_compacting`` swap protocol above never deletes ``_`` trees.
+    Iceberg-style safe time travel. The retired copies
     are reclaimed by ``snapshots.gc_retired_files`` once
     ``snapshots.expire_snapshots`` retires the pinning manifests. Pass
     False for zones that never take snapshots (skips two metadata
@@ -501,15 +510,6 @@ def compact_zone(
     # size estimate from Spark's own scan statistics (no separate FS listing)
     est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     n_files = max(1, int((int(est_bytes) + target_file_bytes - 1) // target_file_bytes))
-    if out_path == path and partition_by:
-        # materialize before overwriting the path we're reading (lineage
-        # through the input files would otherwise race the delete). Only
-        # the partitioned dynamic-overwrite branch needs this: the
-        # unpartitioned in-place branch writes to _compacting first, so
-        # its input files stay untouched until the new data is committed
-        # (and at 100 TB a localCheckpoint of the zone is impossible —
-        # the swap protocol is the scale path).
-        df = df.localCheckpoint(eager=True)
     if partition_by:
         # salt alongside the partition columns: hashing by them ALONE
         # would collapse every hive partition into ONE task writing ONE
@@ -524,8 +524,12 @@ def compact_zone(
             .repartition(n_files, *partition_by, F.col("__salt"))
             .drop("__salt")
         )
-        writer = out.write.mode("overwrite").partitionBy(*partition_by)
-        writer.parquet(out_path)
+        if out_path == path:
+            _swap_overwrite(out, path, partition_by=partition_by)
+        else:
+            out.write.mode("overwrite").partitionBy(*partition_by).parquet(
+                out_path
+            )
         return n_files
     out = df.repartition(n_files)
     if out_path == path:

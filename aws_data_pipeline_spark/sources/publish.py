@@ -231,12 +231,33 @@ def gc_published_estate(
     an id a live publication reads through, and ``read_published`` then
     fails its unknown-id check. Returns a report:
     ``{"publications_dropped": [...], "zones": {zone: {
-    "snapshots_dropped": [...], "retired_reclaimed": n}}}``."""
+    "snapshots_dropped": [...], "retired_reclaimed": n}}}``.
+
+    Crash-retry contract: the zone list is persisted to a
+    ``_publications/_gc_pending`` marker BEFORE any publication is
+    expired and removed only after every zone's retention ran, so a
+    re-run after a crash mid-procedure still visits zones whose only
+    referencing publications were dropped by the interrupted run (their
+    snapshots would otherwise leak unpinned until some later publication
+    touched the same zone)."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        _hadoop_fs,
+        _read_text_file,
+        _write_text_file,
+    )
+
+    pending = f"{root}/{_PUB_DIR}/_gc_pending"
+    jvm, jpending, fs = _hadoop_fs(spark, pending)
     zones_ever: set[str] = set()
+    if fs.exists(jpending):
+        zones_ever.update(
+            z for z in _read_text_file(spark, pending).splitlines() if z
+        )
     for pid in publication_ids(spark, root):
         zones_ever.update(
             zone for zone, _ in _pub_manifest(spark, root, pid).values()
         )
+    _write_text_file(spark, pending, "\n".join(sorted(zones_ever)))
     dropped_pubs = expire_publications(spark, root, keep_publications)
     pinned = publication_pinned_snapshots(spark, root)
     report: dict = {"publications_dropped": dropped_pubs, "zones": {}}
@@ -252,4 +273,5 @@ def gc_published_estate(
             "snapshots_dropped": dropped,
             "retired_reclaimed": len(reclaimed),
         }
+    fs.delete(jpending, False)
     return report

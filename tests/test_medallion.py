@@ -282,3 +282,51 @@ def test_schema_evolution_widen(spark, tmp_path):
     assert ev.fieldNames()[: len(TXN_SCHEMA)] == list(TXN_SCHEMA.fieldNames())
     g2, u2 = unknown_key_split(spark, str(b1), TXN_SCHEMA)
     assert g2.count() == 5 and u2.count() == 0
+
+
+def test_schema_evolution_widen_type_conflict_fails_at_ingest(
+    spark, tmp_path
+):
+    """A producer that re-types an evolved column between batches must be
+    stopped AT THE INGEST (clear error naming the column and both types),
+    not discovered later when a mergeSchema read fails to reconcile
+    footers."""
+    import pytest
+
+    from aws_data_pipeline_spark.pipeline.medallion import bronze_to_silver
+
+    base = {
+        "customer_id": "cust_000001",
+        "amount": 50.0,
+        "transaction_date": "2024-03-01 10:00:00",
+        "transaction_type": "purchase",
+        "merchant_id": "m1",
+        "payment_method": "credit_card",
+        "currency": "USD",
+        "status": "completed",
+        "category": "books",
+    }
+
+    def batch(d, rows):
+        d.mkdir()
+        d.joinpath("b.json").write_text("\n".join(json.dumps(r) for r in rows))
+        return PipelineConfig(
+            bronze_path=str(d),
+            silver_path=str(tmp_path / "silver"),
+            gold_path=str(tmp_path / "gold"),
+            backoff_seconds=0.01,
+        )
+
+    clock = F.lit(CLOCK).cast("timestamp")
+    c1 = batch(
+        tmp_path / "b1",
+        [{**base, "transaction_id": "txn_1", "loyalty_tier": "gold"}],
+    )
+    bronze_to_silver(spark, c1, clock=clock, schema_policy="widen")
+
+    c2 = batch(
+        tmp_path / "b2",
+        [{**base, "transaction_id": "txn_2", "loyalty_tier": 3}],
+    )
+    with pytest.raises(ValueError, match="loyalty_tier"):
+        bronze_to_silver(spark, c2, clock=clock, schema_policy="widen")

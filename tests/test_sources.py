@@ -1319,3 +1319,40 @@ def test_family_verdict_load_attributed_arm(tmp_path):
     )
     assert r.returncode == 1
     assert "REGRESSION-SUSPECT" in r.stdout
+
+
+def test_gc_published_estate_crash_retry_marker(spark, tmp_path):
+    """The _gc_pending marker closes the crash window between expiring
+    publications and running zone retention: a re-run still visits zones
+    whose only referencing publications the interrupted run dropped.
+    Simulated by handing the verb a marker naming a zone NO publication
+    references (exactly the post-crash state)."""
+    from aws_data_pipeline_spark.sources import publish as P
+    from aws_data_pipeline_spark.sources import snapshots as S
+    from aws_data_pipeline_spark.sources.parquet import _write_text_file
+
+    root = str(tmp_path / "estate")
+    zlive = str(tmp_path / "live")
+    zorphan = str(tmp_path / "orphan")
+    spark.range(2).write.parquet(zlive)
+    spark.range(2).write.parquet(zorphan)
+    p1 = P.publish_tables(spark, root, {"live": zlive})
+    s_orphan = S.snapshot_zone(spark, zorphan)  # pinned only by the
+    # publication the interrupted run already dropped
+
+    _write_text_file(spark, f"{root}/_publications/_gc_pending", zorphan)
+    report = P.gc_published_estate(
+        spark, root, keep_publications=1, keep_snapshots_last=0
+    )
+    # the orphaned zone was visited and its unpinned snapshot expired
+    assert report["zones"][zorphan]["snapshots_dropped"] == [s_orphan]
+    assert S.snapshot_ids(spark, zorphan) == []
+    # the live publication's pins survived; the marker is gone
+    assert P.read_published(spark, root, "live", p1).count() == 2
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    assert not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{root}/_publications/_gc_pending")
+    )
