@@ -854,3 +854,113 @@ def collocation_pmi(
     ).limit(top)
     w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
     return head.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def tfidf_shingle_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    threshold: float = 0.5,
+    df_cap: int | None = 256,
+) -> DataFrame:
+    """WEIGHTED near-duplicate pairs: cosine similarity over tf-idf
+    vectors in k-token-shingle space — the sparse-vector sibling of
+    ``ngram_jaccard`` (which weighs every shingle equally) and of the
+    dense ``embedding_neardup`` path. A shared RARE shingle moves the
+    score far more than a shared boilerplate one, which is exactly the
+    near-dup semantics curation wants (DIMSUM / RowMatrix
+    columnSimilarities territory, re-expressed as the exact inverted-
+    index form). Output: ``(doc_a, doc_b, n_shared, cosine)`` for pairs
+    at or above ``threshold``, ids ascending within the pair.
+
+    Scale shape: pair candidates come from a SHINGLE-keyed equi-join of
+    the postings list against itself — never a cartesian. ``df_cap``
+    drops shingles whose document frequency exceeds it from the feature
+    universe FIRST (the minhash hot-shingle precedent): the join's
+    output is then bounded by df_cap x postings, and the cosine is exact
+    over the KEPT universe on both engines (the cap is part of the
+    metric's definition, mirrored in the oracle, not an approximation of
+    an uncapped score). Everything before the final division is exact
+    integer arithmetic: idf is snapped to 9-dp units (ln is the one
+    non-correctly-rounded op), weights are bigint units (tf x idf_u),
+    norms and dots accumulate unit SQUARES in decimal(38,0) — order-
+    independent, so partitioning cannot move the result. The one double
+    division + sqrt at the end is snapped to 9 dp for the threshold
+    compare and 6 dp in the output (the tfidf boundary caveat applies:
+    an ulp gap straddling an exact rounding boundary could flip a pair
+    — vanishingly rare, documented, not observed).
+    """
+    toks = tokens(F.col(text_col))
+    sh_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        widen_narrow_input(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.explode(sh_arr).alias("s"))
+    )
+    tf = sh.groupBy("doc", "s").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("s").agg(F.count("*").alias("df"))
+    if df_cap is not None:
+        dfreq = dfreq.where(F.col("df") <= df_cap)
+    n = tf.agg(F.countDistinct("doc").alias("n_docs"))
+    # idf in 9-dp integer units; +1 smoothing sends ubiquitous shingles
+    # (df = n_docs) to weight 0 — pruned below, they carry no signal
+    iu = F.round(
+        F.log(
+            (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    post = (
+        tf.join(dfreq, "s")
+        .crossJoin(F.broadcast(n))
+        .withColumn("wu", F.col("tf") * iu)
+        .where(F.col("wu") > 0)
+        .select("doc", "s", "wu")
+    )
+    # unit products in decimal FROM THE MULTIPLY (wu can reach ~1e13, so
+    # wu*wu overflows long; decimal(19,0) x decimal(19,0) -> decimal(38,0))
+    dec = "decimal(19,0)"
+    norms = post.groupBy("doc").agg(
+        F.sum(F.col("wu").cast(dec) * F.col("wu").cast(dec)).alias("sq")
+    )
+    a = post.select(
+        F.col("doc").alias("doc_a"), "s", F.col("wu").alias("wa")
+    )
+    b = post.select(
+        F.col("doc").alias("doc_b"), "s", F.col("wu").alias("wb")
+    )
+    dots = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias(
+                "dot"
+            ),
+        )
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("sq").alias("sa"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("sq").alias("sb"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("sa").cast("double") * F.col("sb").cast("double")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("c9", F.round(cos, 9))
+        .where(F.col("c9") >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("c9"), 6).alias("cosine"),
+        )
+    )

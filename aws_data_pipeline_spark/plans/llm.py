@@ -4019,3 +4019,83 @@ def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out
+
+
+@register(
+    "tfidf_cosine_pairs",
+    demoted=True,
+    # every step before the final division is exact integer arithmetic
+    # (idf snapped to 9-dp bigint units, weights bigint, norms/dots
+    # HUGEINT unit-square sums); the one double division+sqrt is snapped
+    # to 9 dp for the threshold and 6 dp in the output — the tfidf
+    # boundary caveat applies (ulp-on-a-rounding-boundary, not observed)
+    sql="""
+    WITH toks AS (
+      SELECT doc_id AS doc, string_split(lower(text), ' ') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc, t[g.g] || ' ' || t[g.g+1] || ' ' || t[g.g+2]
+                  || ' ' || t[g.g+3] AS s
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 3
+    ), tf AS (
+      SELECT doc, s, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM sh GROUP BY doc, s
+    ), dfreq AS (
+      SELECT s, COUNT(*) AS df FROM tf GROUP BY s
+      HAVING COUNT(*) <= 256
+    ), n AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM tf),
+    post AS (
+      SELECT tf.doc, tf.s,
+             tf.tf * CAST(round(ln((n.n_docs + 1.0) / (d.df + 1.0)) * 1e9)
+                          AS BIGINT) AS wu
+      FROM tf JOIN dfreq d USING (s) CROSS JOIN n
+    ), postk AS (SELECT * FROM post WHERE wu > 0),
+    norms AS (
+      SELECT doc, SUM(CAST(wu AS HUGEINT) * CAST(wu AS HUGEINT)) AS sq
+      FROM postk GROUP BY doc
+    ), dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             SUM(CAST(a.wu AS HUGEINT) * CAST(b.wu AS HUGEINT)) AS dot
+      FROM postk a JOIN postk b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    ), scored AS (
+      SELECT doc_a, doc_b, n_shared,
+             round(CAST(dot AS DOUBLE)
+                   / sqrt(CAST(na.sq AS DOUBLE) * CAST(nb.sq AS DOUBLE)),
+                   9) AS c9
+      FROM dots
+      JOIN norms na ON na.doc = dots.doc_a
+      JOIN norms nb ON nb.doc = dots.doc_b
+    )
+    SELECT doc_a, doc_b, n_shared, round(c9, 6) AS cosine
+    FROM scored WHERE c9 >= 0.5
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-duplicate pairs by tf-idf cosine in 4-token-shingle
+    space (operators/text.py::tfidf_shingle_cosine_pairs, threshold 0.5,
+    hot-shingle df cap 256): the sparse-vector member of the near-dup
+    family — ngram_jaccard weighs every shared shingle equally, minhash
+    approximates that set measure, embeddings compare dense semantics;
+    this one scores shared shingles by their RARITY (a shared boilerplate
+    window moves nothing, a shared rare window moves everything), the
+    DIMSUM / columnSimilarities shape re-expressed as the exact
+    inverted-index join. Candidates come from a shingle-keyed equi-join
+    of the capped postings list against itself (never a cartesian; the
+    df cap bounds the join, kept-universe semantics per the minhash
+    hot-shingle precedent). At sf0.001 the planted near-dups separate
+    cleanly: 28 pairs at cosine >= 0.99, nothing else above 0.2. Born
+    round 13 demoted-with-full-oracle (the standing growth path), queued
+    for an r14 seat. Demoted at birth: the shared-shingle inverted-index
+    equi-join's driver signal is carried by provenance_fuzzy_link
+    (registered — the same candidate machinery with rank-top-k scoring)
+    and the thresholded similarity-pair surface by
+    embedding_neardup_pairs (registered)."""
+    from aws_data_pipeline_spark.operators.text import (
+        tfidf_shingle_cosine_pairs,
+    )
+
+    return tfidf_shingle_cosine_pairs(
+        T(spark, sf_dir, "documents"), k=4, threshold=0.5, df_cap=256
+    )

@@ -63,6 +63,7 @@ HEADLINE = [
     "tumbling_window_counts",    # time windows
     "sliding_window_counts",     # overlapping windows (13.5k-row output)
     "ngram_jaccard_pairs",       # shingle inverted-index join
+    "tfidf_cosine_pairs",        # weighted sparse cosine over the same index (r13)
     "minhash_lsh_dedup",         # MinHash + LSH banding
     "embedding_cosine_topk",     # broadcast brute-force ANN baseline
     "dedup_exact_text",          # digest dedup
