@@ -874,22 +874,38 @@ def tfidf_shingle_cosine_pairs(
     index form). Output: ``(doc_a, doc_b, n_shared, cosine)`` for pairs
     at or above ``threshold``, ids ascending within the pair.
 
-    Scale shape: pair candidates come from a SHINGLE-keyed equi-join of
-    the postings list against itself — never a cartesian. ``df_cap``
-    drops shingles whose document frequency exceeds it from the feature
-    universe FIRST (the minhash hot-shingle precedent): the join's
-    output is then bounded by df_cap x postings, and the cosine is exact
-    over the KEPT universe on both engines (the cap is part of the
-    metric's definition, mirrored in the oracle, not an approximation of
-    an uncapped score). Everything before the final division is exact
+    Scale shape (the ``jaccard_pairs`` inverted-index idiom): the
+    postings index is built ONCE — (doc, xxhash64(shingle), tf) with the
+    8-byte hash replacing the ~4-word string in every shuffle — grouped
+    by shingle into per-shingle buckets, and ordered pairs expand
+    in-place with a nested HOF, so pairs only materialize where a
+    shingle is shared (never a cartesian) and the index is never
+    self-joined (the naive postings-self-join shape shuffles the index
+    twice more and re-runs the tokenize+explode chain per consumer).
+    ``df_cap`` drops buckets whose document frequency exceeds it from
+    the feature universe FIRST (the minhash hot-shingle precedent):
+    pair expansion is then bounded by df_cap² per bucket, and the cosine
+    is exact over the KEPT universe on both engines (the cap is part of
+    the metric's definition, mirrored in the oracle, not an
+    approximation of an uncapped score). The doc-count denominator comes
+    from a narrow scan of the input (docs with ≥1 shingle), never from
+    the exploded index. Everything before the final division is exact
     integer arithmetic: idf is snapped to 9-dp units (ln is the one
     non-correctly-rounded op), weights are bigint units (tf x idf_u),
-    norms and dots accumulate unit SQUARES in decimal(38,0) — order-
+    norms and dots accumulate unit products in decimal(38,0) — order-
     independent, so partitioning cannot move the result. The one double
     division + sqrt at the end is snapped to 9 dp for the threshold
     compare and 6 dp in the output (the tfidf boundary caveat applies:
     an ulp gap straddling an exact rounding boundary could flip a pair
-    — vanishingly rare, documented, not observed).
+    — vanishingly rare, documented, not observed). Shingle identity is
+    the 64-bit hash (the oracle-accepted ``jaccard_pairs`` precedent:
+    a collision would merge two shingles, probability ~n²/2⁶⁴,
+    negligible and never observed against the string-keyed oracle).
+
+    The kept-bucket frame is cached because two consumers read it (pair
+    expansion + the norm accumulation); the cache lives until the
+    session evicts it — same documented lifetime policy as
+    ``jaccard_pairs``.
     """
     toks = tokens(F.col(text_col))
     sh_arr = F.when(
@@ -904,47 +920,74 @@ def tfidf_shingle_cosine_pairs(
         .where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc"), F.explode(sh_arr).alias("s"))
     )
-    tf = sh.groupBy("doc", "s").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("s").agg(F.count("*").alias("df"))
+    tf = sh.groupBy("doc", F.xxhash64("s").alias("h")).agg(
+        F.count("*").alias("tf")
+    )
+    # denominator from a NARROW scan (docs contributing ≥1 shingle) — the
+    # exploded index never feeds a count
+    n = (
+        widen_narrow_input(df)
+        .where(F.col(text_col).isNotNull() & (F.size(toks) >= k))
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    )
+    buckets = tf.groupBy("h").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "tf"))).alias("ps")
+    )
     if df_cap is not None:
-        dfreq = dfreq.where(F.col("df") <= df_cap)
-    n = tf.agg(F.countDistinct("doc").alias("n_docs"))
-    # idf in 9-dp integer units; +1 smoothing sends ubiquitous shingles
-    # (df = n_docs) to weight 0 — pruned below, they carry no signal
+        buckets = buckets.where(F.size("ps") <= df_cap)
+    # idf in 9-dp integer units (df = bucket width); +1 smoothing sends
+    # ubiquitous shingles (df = n_docs) to weight 0 — pruned, no signal
     iu = F.round(
         F.log(
-            (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            (F.col("n_docs") + F.lit(1.0)) / (F.size("ps") + F.lit(1.0))
         )
         * F.lit(1e9)
     ).cast("long")
-    post = (
-        tf.join(dfreq, "s")
-        .crossJoin(F.broadcast(n))
-        .withColumn("wu", F.col("tf") * iu)
-        .where(F.col("wu") > 0)
-        .select("doc", "s", "wu")
+    kept = (
+        buckets.crossJoin(F.broadcast(n))
+        .withColumn("iu", iu)
+        .where(F.col("iu") > 0)
+        .select("ps", "iu")
+        .cache()
     )
-    # unit products in decimal FROM THE MULTIPLY (wu can reach ~1e13, so
-    # wu*wu overflows long; decimal(19,0) x decimal(19,0) -> decimal(38,0))
+    # unit products in decimal FROM THE MULTIPLY (wu = tf*iu can reach
+    # ~1e13, so wu*wu overflows long; decimal(19,0) x decimal(19,0) ->
+    # decimal(38,0))
     dec = "decimal(19,0)"
+    post = kept.select(F.explode("ps").alias("p"), "iu").select(
+        F.col("p.doc").alias("doc"),
+        (F.col("p.tf") * F.col("iu")).alias("wu"),
+    )
     norms = post.groupBy("doc").agg(
         F.sum(F.col("wu").cast(dec) * F.col("wu").cast(dec)).alias("sq")
     )
-    a = post.select(
-        F.col("doc").alias("doc_a"), "s", F.col("wu").alias("wa")
-    )
-    b = post.select(
-        F.col("doc").alias("doc_b"), "s", F.col("wu").alias("wb")
+    # ordered pairs (ps[i], ps[j]) for i < j within each bucket, carrying
+    # the weight product; sort_array ordered by doc, so doc_a < doc_b
+    pair_arr = F.flatten(
+        F.transform(
+            F.slice(F.col("ps"), 1, F.size("ps") - 1),
+            lambda p1, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda p2: F.struct(
+                    p1["doc"].alias("doc_a"),
+                    p2["doc"].alias("doc_b"),
+                    (
+                        (p1["tf"] * F.col("iu")).cast(dec)
+                        * (p2["tf"] * F.col("iu")).cast(dec)
+                    ).alias("prod"),
+                ),
+            ),
+        )
     )
     dots = (
-        a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        kept.where(F.size("ps") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
         .agg(
             F.count("*").alias("n_shared"),
-            F.sum(F.col("wa").cast(dec) * F.col("wb").cast(dec)).alias(
-                "dot"
-            ),
+            F.sum("p.prod").alias("dot"),
         )
     )
     na = norms.select(F.col("doc").alias("doc_a"), F.col("sq").alias("sa"))

@@ -4081,10 +4081,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one scores shared shingles by their RARITY (a shared boilerplate
     window moves nothing, a shared rare window moves everything), the
     DIMSUM / columnSimilarities shape re-expressed as the exact
-    inverted-index join. Candidates come from a shingle-keyed equi-join
-    of the capped postings list against itself (never a cartesian; the
-    df cap bounds the join, kept-universe semantics per the minhash
-    hot-shingle precedent). At sf0.001 the planted near-dups separate
+    inverted-index form. Candidates expand in-place from per-shingle
+    postings buckets via the jaccard_pairs HOF idiom — index built once,
+    8-byte hashed shingles in the shuffle, never a cartesian and never a
+    postings self-join; the df cap bounds each bucket's expansion,
+    kept-universe semantics per the minhash hot-shingle precedent. At sf0.001 the planted near-dups separate
     cleanly: 28 pairs at cosine >= 0.99, nothing else above 0.2. Born
     round 13 demoted-with-full-oracle (the standing growth path), queued
     for an r14 seat. Demoted at birth: the shared-shingle inverted-index
