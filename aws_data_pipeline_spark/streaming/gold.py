@@ -25,7 +25,7 @@ and the touched-partition re-read is partition-pruned I/O only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.operators import aggregate as agg_ops
@@ -387,14 +387,18 @@ def refresh_insights_from_snapshot_diff(
         delta_rows = snaps.read_zone_snapshot_diff(
             spark, silver_path, frm, to_id, strict=True
         )
+    # the merged-row count rides the merge's own materialization of the
+    # persisted fold (observe on the pre-fold frame) — never a second
+    # scan of the snapshot diff
+    obs = Observation()
     delta = (
-        _batch_state(delta_rows)
+        _batch_state(delta_rows.observe(obs, F.count(F.lit(1)).alias("n")))
         .withColumn("bucket", _bucket("customer_id"))
         .persist()
     )
     try:
-        n = delta_rows.count()
         _merge_delta(spark, delta, table, to_id)
+        n = int(obs.get["n"])
     finally:
         delta.unpersist()
     _create_marker(spark, consumed_dir, to_id)
