@@ -4100,3 +4100,54 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_shingle_cosine_pairs(
         T(spark, sf_dir, "documents"), k=4, threshold=0.5, df_cap=256
     )
+
+
+@register(
+    "source_overlap_matrix",
+    demoted=True,
+    # gram identity on the Spark side is xxhash64 of the k-token slice;
+    # the oracle uses the joined gram string — injective (tokens cannot
+    # contain the join character), so distinct-counts agree exactly
+    # (modulo 64-bit collisions, the jaccard_pairs-accepted caveat).
+    # containment = bigint / bigint in one IEEE-exact double division.
+    sql="""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS t FROM documents
+      WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT DISTINCT source,
+             array_to_string(list_slice(t, g.g, g.g + 7), ' ') AS g
+      FROM toks, generate_series(1, 4096) g(g) WHERE g.g <= len(t) - 7
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.source = shared.source_a
+    JOIN sizes sb ON sb.source = shared.source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (operators/dedup.py::source_overlap,
+    8-token grams): for every source pair, the distinct grams they share
+    and containment (shared / smaller source's gram universe) — the
+    pre-mixing diagnostic that tells you two "independent" corpus slices
+    are actually the same crawl before mixture weights are computed over
+    them. Pairs expand from a gram-keyed inverted-index equi-join whose
+    buckets are at most #sources wide, so the expansion is bounded by
+    #sources² regardless of corpus size; 8-byte hashed grams ride the
+    shuffle, never gram strings. Born round 13 demoted-with-full-oracle
+    (the standing growth path), queued for an r14 seat. Demoted at
+    birth: the distinct-gram inverted-index signal is carried by
+    ngram_jaccard_pairs' chain (demoted-with-oracle, replayed in pytest)
+    and by provenance_fuzzy_link (registered); the per-source corpus
+    diagnostic surface by source_mixture_weights (registered)."""
+    from aws_data_pipeline_spark.operators.dedup import source_overlap
+
+    return source_overlap(T(spark, sf_dir, "documents"), k=8)
