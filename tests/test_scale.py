@@ -783,3 +783,31 @@ def test_skew_report_surfaces_planted_hot_key(spark):
     assert all(abs(r.uniform_ratio - 1.0) < 1e-6 for r in urep)
     plan = skew_report(df, ["k"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_pairs_plan_reuses_cached_buckets_no_cartesian(spark, sf_dir):
+    """The tfidf pair generator's plan contract: the kept-bucket frame is
+    cached and read by BOTH consumers (norms + pair expansion) — the
+    tokenize/explode/groupBy chain must not run per consumer — and the
+    only cross is the 1-row doc-count broadcast, never a data-sized
+    cartesian."""
+    from aws_data_pipeline_spark.operators.text import (
+        tfidf_shingle_cosine_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_shingle_cosine_pairs(docs, k=4, threshold=0.5, df_cap=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two consumers of the one cached bucket frame
+    assert plan.count("InMemoryTableScan") >= 2
+    # the only nested-loop join is the broadcast of the 1-row count; a
+    # data-sized CartesianProduct must never appear
+    assert "CartesianProduct" not in plan
+    # the tokenize/explode chain and the doc-count scan live INSIDE the
+    # cached subtree: above the first cache printout the only Generate is
+    # the pair expansion, and no parquet scan appears (consumers read
+    # materialized buckets, never the raw table)
+    pre = plan.split("InMemoryRelation", 1)[0]
+    assert pre.count("Generate") == 1
+    assert pre.count("Scan parquet") == 0
+    out.count()  # materializes through the contract plan
