@@ -172,7 +172,15 @@ def main() -> int:
     ap.add_argument(
         "--load-threshold",
         type=float,
-        default=0.5,
+        # calibrated against the first round of recorded boots
+        # (evidence/bench_r13_run{1..5}.json): clean starts sampled
+        # load1/ncpus in {0.002, 0.005, 0.022}; starts contaminated by a
+        # prior run's drain sampled {0.093, 0.099} and their singles ran
+        # up to 4-5x their cross-run floors. The bench saturates every
+        # core, so even ~3 runnable threads of ambient work steal
+        # measurable time — 0.08 splits the two observed clusters; the
+        # original 0.5 first-cut never fired on real contamination.
+        default=0.08,
         help="ambient boot load1/ncpus at or above this counts as a "
         "loaded host for the LOAD-ATTRIBUTED arm",
     )
@@ -278,7 +286,13 @@ def main() -> int:
                 ):
                     # the whole suite moved by ~g_ratio on a loaded host
                     # and this query moved no more than its share — the
-                    # r12 uniform-floor essay, computed
+                    # r12 uniform-floor essay, computed. The 1.25 share
+                    # cap held up against r13's contaminated runs: their
+                    # cold-cache/drain singletons ran 2-5x the suite
+                    # ratio, correctly exceeding the cap — those must
+                    # stay FLAG unless the later-round arm clears them,
+                    # which is exactly what distinguishes a uniform host
+                    # shift from a single query landing on a load tail.
                     verdict = (
                         f"LOAD-ATTRIBUTED(suite x{g_ratio:.2f}, "
                         f"load {ambient:.2f}/cpu)"
