@@ -77,6 +77,19 @@ def check_no_row_udf() -> None:
     print("udf ok: zero row-at-a-time F.udf sites")
 
 
+def run_plan_lint() -> None:
+    # the r8 SinglePartition/broadcast sweep as a standing gate: every
+    # registered + demoted plan, planning only (no jobs)
+    r = subprocess.run(
+        [sys.executable, "scripts/plan_lint.py", "/root/testdata/sf0.001"],
+        stderr=subprocess.DEVNULL,
+    )
+    if r.returncode != 0:
+        fail("plan lint flagged anti-patterns (see scripts/plan_lint.py)")
+    print("plan lint ok: no cartesian / unbounded SinglePartition / "
+          "unexplained broadcast loop in any registered or demoted plan")
+
+
 def run_staleness() -> None:
     r = subprocess.run(
         [sys.executable, "scripts/staleness_audit.py"],
@@ -179,6 +192,8 @@ def main() -> int:
     full = "--full" in sys.argv
     check_registry()
     check_no_row_udf()
+    if "--skip-lint" not in sys.argv:
+        run_plan_lint()
     run_staleness()
     run_window(full)
     if "--skip-bench" not in sys.argv:
