@@ -134,14 +134,32 @@ def score_quality(
     n_buckets: int = 256,
 ) -> DataFrame:
     """(id, p_target) per scorable document (NULL-text rows are absent —
-    see bucket_count_features) — stateless map-side scoring (the
-    coefficient vector rides the closure; no shuffle beyond the
-    featurizer's per-doc groupBy)."""
+    see bucket_count_features) — stateless map-side scoring. The fitted
+    coefficients are extracted to LITERALS and the sigmoid margin is
+    computed with column functions (zip_with dot product inside codegen):
+    scoring never ships the model object into a task closure. That is
+    both the scale posture (no JVM model deserialization per task; pure
+    whole-stage codegen arithmetic) and a correctness guard — a Spark ML
+    model fresh from ``fit`` carries its training summary, which holds
+    the live SparkSession, and serializing THAT into a closure breaks as
+    soon as anything non-serializable (an ObservationManager, say) has
+    been initialized on the session. Binary-LR probability is exactly
+    ``sigmoid(w·x + b)`` with coefficients already in the original
+    feature space (Spark ML rescales after a standardized fit), so this
+    matches ``model.transform`` to float arithmetic."""
     from pyspark.ml.functions import vector_to_array
 
+    coef = [float(c) for c in model.coefficients]
+    intercept = float(model.intercept)
     feats = bucket_count_features(df, id_col, text_col, n_buckets)
-    scored = model.transform(feats)
-    return scored.select(
-        id_col,
-        vector_to_array(F.col("probability")).getItem(1).alias("p_target"),
+    margin = F.aggregate(
+        F.zip_with(
+            vector_to_array(F.col("features")),
+            F.array(*[F.lit(c) for c in coef]),
+            lambda x, w: x * w,
+        ),
+        F.lit(intercept),
+        lambda acc, v: acc + v,
     )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return feats.select(id_col, p.alias("p_target"))

@@ -628,6 +628,16 @@ def test_quality_classifier_separates_planted_classes(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, is_good boolean")
     labeled = df.filter(F2.col("is_good").isNotNull())
     model = train_quality_classifier(labeled, F2.col("is_good"))
+    # force the session's lazy ObservationManager into existence: a model
+    # fresh from fit() carries a training summary holding the live
+    # SparkSession, and scoring via model.transform would serialize that
+    # (non-serializable) state into the task closure — the literal-
+    # coefficient scorer must be immune (the r13 regression this pins)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F2.count(F2.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == len(rows)
     got = {r.doc_id: r.p_target for r in score_quality(model, df).collect()}
     assert got[0] > 0.9 and got[100] < 0.1
     # the mixed doc lands strictly between the classes
