@@ -8,6 +8,7 @@ Reference sites: ``silver_to_gold.py:20-32`` (daily), ``:38-50`` (monthly),
 from __future__ import annotations
 
 from collections.abc import Sequence
+from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 from operator import and_
 
@@ -112,7 +113,19 @@ def multi_grain_rollup_hierarchical(
         F.count(amount_col).alias("_n_amt"),
         F.min(amount_col).alias("min_amount"),
         F.max(amount_col).alias("max_amount"),
-        F.countDistinct(txn_id_col).alias("unique_transactions"),
+        # COUNT(txn_id), not countDistinct: under the row-unique
+        # PRECONDITION above they are equal at every grain (both skip
+        # NULLs), and this operator's coarser grains ALREADY lean on that
+        # uniqueness (summing finer distinct counts). countDistinct cost
+        # (r13 measurement, plans/r13/multi_grain_*_before.txt): Catalyst
+        # plans the distinct as an extra aggregate keyed on
+        # (customer, y, m, d, txn_id) with its own fact-sized Exchange in
+        # EVERY union branch — 14 exchanges / 22 stages / ~100 tasks at
+        # sf0.1. The plain count partial-aggregates map-side into the one
+        # (customer, y, m, d) exchange (guide §2.3 "aggregate before you
+        # shuffle"): 4 distinct exchanges after reuse, and the fact rows
+        # cross the wire once, pre-reduced.
+        F.count(txn_id_col).alias("unique_transactions"),
     )
     monthly = daily.groupBy(customer_col, year_col, month_col).agg(*aggs_up)
     yearly = monthly.groupBy(customer_col, year_col).agg(*aggs_up)
@@ -504,19 +517,41 @@ def rfm_scores(
     # and the A/B at sf0.1 also times ~10% faster locally.
     base = base.localCheckpoint(eager=True)
     hi = buckets  # best band
-    scored = base
-    for metric, score, direction in (
-        # larger recency = staler = worse: DESC puts the stalest in band 1
-        ("recency_days", "r_score", "desc"),
-        ("frequency", "f_score", "asc"),
-        ("monetary", "m_score", "asc"),
-    ):
+
+    # The three ntile passes are INDEPENDENT given the checkpointed base,
+    # so their blocking jobs (range-boundary sampling + offsets collect,
+    # per pass) run from a small driver thread pool and overlap on the
+    # cluster instead of serializing (guide §2.6 — r13 job-count profile
+    # measured this query at 25 sequential jobs, the bench's worst).
+    # Each pass ranks a PROJECTED (key, metric) frame, so the per-metric
+    # range exchange now carries two columns instead of the whole
+    # widening frame (guide §2.3, project before the exchange); the
+    # scores rejoin on the key. Trade, in shuffle terms: the chained
+    # form range-shuffled the full frame 3x; this form range-shuffles
+    # narrow pairs 3x plus key-hash joins of score maps onto base —
+    # comparable bytes, one-third the barrier depth at any scale.
+    def one_score(metric: str, score: str, direction: str) -> DataFrame:
         order = (
             [F.col(metric).desc(), F.col(key_col).asc()]
             if direction == "desc"
             else [F.col(metric).asc(), F.col(key_col).asc()]
         )
-        scored = global_ntile(scored, buckets, order, out_col=score)
+        return global_ntile(
+            base.select(key_col, metric), buckets, order, out_col=score
+        ).select(key_col, score)
+
+    specs = (
+        # larger recency = staler = worse: DESC puts the stalest in band 1
+        ("recency_days", "r_score", "desc"),
+        ("frequency", "f_score", "asc"),
+        ("monetary", "m_score", "asc"),
+    )
+    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
+        futures = [pool.submit(one_score, *spec) for spec in specs]
+        score_maps = [f.result() for f in futures]
+    scored = base
+    for score_map in score_maps:
+        scored = scored.join(score_map, key_col)
     r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
     segment = (
         F.when((r >= hi - 1) & (f >= hi - 1) & (m >= hi - 1), "champion")

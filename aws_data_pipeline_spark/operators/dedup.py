@@ -774,7 +774,13 @@ def connected_components(
     edges = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    edges = edges.localCheckpoint()
+    # lazy checkpoint: the measuring count right below materializes it in
+    # the SAME job (eager=True would spend one job pinning and a second
+    # counting — r13 job-count profile: every sequential job at this
+    # graph size costs ~90 ms of pure scheduling). Determinism is not at
+    # stake here — the checkpoint cuts lineage, it pins no sampled
+    # boundaries (edges come from a hash-partitioned distinct).
+    edges = edges.localCheckpoint(eager=False)
     if small_graph_max > 0 and edges.count() <= small_graph_max:
         return _cc_union_find(edges)
     labels = (
@@ -798,7 +804,10 @@ def connected_components(
                 ),
                 labels.label.alias("old_label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence probe right below materializes the
+            # round's checkpoint inside its own job (one job per round,
+            # not two — same fusion as the edge-count above)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         changed = (
@@ -852,7 +861,17 @@ def _cc_union_find(edges: DataFrame) -> DataFrame:
         [T.StructField("node", node_t), T.StructField("label", node_t)]
     )
     rows = [(n, find(n)) for n in parent]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    # Broadcast hint, declared exactly where boundedness is proven: this
+    # frame exists only because the measured edge count cleared
+    # ``small_graph_max`` (≤100k edges → ≤200k label rows, ~MBs — the
+    # broadcast-side class). Without the hint a parallelized local
+    # relation has no size statistics, so every downstream
+    # ``cluster_assignments`` join planned SortMergeJoin with TWO
+    # exchanges + sorts of the corpus id scan (r13 measurement,
+    # plans/r13/neardup_clusters_before.txt); with it the join is a
+    # shuffle-free BroadcastHashJoin. The distributed fixpoint path
+    # (unbounded labels) is untouched and keeps its shuffle join.
+    return F.broadcast(edges.sparkSession.createDataFrame(rows, schema))
 
 
 def cluster_assignments(
