@@ -8,7 +8,6 @@ Reference sites: ``silver_to_gold.py:20-32`` (daily), ``:38-50`` (monthly),
 from __future__ import annotations
 
 from collections.abc import Sequence
-from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 from operator import and_
 
@@ -517,41 +516,27 @@ def rfm_scores(
     # and the A/B at sf0.1 also times ~10% faster locally.
     base = base.localCheckpoint(eager=True)
     hi = buckets  # best band
-
-    # The three ntile passes are INDEPENDENT given the checkpointed base,
-    # so their blocking jobs (range-boundary sampling + offsets collect,
-    # per pass) run from a small driver thread pool and overlap on the
-    # cluster instead of serializing (guide §2.6 — r13 job-count profile
-    # measured this query at 25 sequential jobs, the bench's worst).
-    # Each pass ranks a PROJECTED (key, metric) frame, so the per-metric
-    # range exchange now carries two columns instead of the whole
-    # widening frame (guide §2.3, project before the exchange); the
-    # scores rejoin on the key. Trade, in shuffle terms: the chained
-    # form range-shuffled the full frame 3x; this form range-shuffles
-    # narrow pairs 3x plus key-hash joins of score maps onto base —
-    # comparable bytes, one-third the barrier depth at any scale.
-    def one_score(metric: str, score: str, direction: str) -> DataFrame:
+    # Kept CHAINED deliberately (r13 measurement): restructuring the three
+    # passes to rank projected (key, metric) pairs in parallel driver
+    # threads and rejoin on the key was tried and measured WORSE at sf0.1
+    # — 28 jobs vs 25, with the three score-map joins adding four heavy
+    # sequential 32-task stages (~2.5 s) that dwarf the barrier-depth
+    # saving. The chained form re-ranks the widening frame but never
+    # joins; its per-pass job count already dropped with global_ntile's
+    # lazy-checkpoint fusion (operators/windows.py).
+    scored = base
+    for metric, score, direction in (
+        # larger recency = staler = worse: DESC puts the stalest in band 1
+        ("recency_days", "r_score", "desc"),
+        ("frequency", "f_score", "asc"),
+        ("monetary", "m_score", "asc"),
+    ):
         order = (
             [F.col(metric).desc(), F.col(key_col).asc()]
             if direction == "desc"
             else [F.col(metric).asc(), F.col(key_col).asc()]
         )
-        return global_ntile(
-            base.select(key_col, metric), buckets, order, out_col=score
-        ).select(key_col, score)
-
-    specs = (
-        # larger recency = staler = worse: DESC puts the stalest in band 1
-        ("recency_days", "r_score", "desc"),
-        ("frequency", "f_score", "asc"),
-        ("monetary", "m_score", "asc"),
-    )
-    with ThreadPoolExecutor(max_workers=len(specs)) as pool:
-        futures = [pool.submit(one_score, *spec) for spec in specs]
-        score_maps = [f.result() for f in futures]
-    scored = base
-    for score_map in score_maps:
-        scored = scored.join(score_map, key_col)
+        scored = global_ntile(scored, buckets, order, out_col=score)
     r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
     segment = (
         F.when((r >= hi - 1) & (f >= hi - 1) & (m >= hi - 1), "champion")

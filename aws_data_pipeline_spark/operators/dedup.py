@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from aws_data_pipeline_spark.functions.portable import md5_prefix_long
 from aws_data_pipeline_spark.operators import widen_narrow_input
 from aws_data_pipeline_spark.operators.text import hashed_shingles, shingles, tokens
-from aws_data_pipeline_spark.sources.parquet import index_root
+from aws_data_pipeline_spark.sources.parquet import index_root, read_pinned
 
 # Fixed universal-hash parameters: h_i(s) = (a_i * x + b_i) mod M, where
 # x = pmod(xxhash64(s), 2^31-1). a_i < 2^31 keeps a_i * x < 2^62 — inside
@@ -571,7 +571,7 @@ def build_lsh_text_index(
     shingle_sets(df, id_col, text_col, k, persist=False).write.mode(
         "overwrite"
     ).parquet(f"{root}/sets")
-    sets = spark.read.parquet(f"{root}/sets")
+    sets = read_pinned(spark, f"{root}/sets")
     _banded_keys(
         _signatures_from_sets(sets, num_perm, hash_fn), bands, num_perm // bands
     ).write.mode("overwrite").parquet(f"{root}/bands")
@@ -593,11 +593,11 @@ def neardup_against_index(
     batch; parameters come from the index's own metadata. See
     :func:`neardup_against_corpus` for semantics and the scale story."""
     path = index_root(spark, path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_pinned(spark, f"{path}/meta").collect()[0]
     return neardup_against_corpus(
         new_df,
-        spark.read.parquet(f"{path}/sets"),
-        spark.read.parquet(f"{path}/bands"),
+        read_pinned(spark, f"{path}/sets"),
+        read_pinned(spark, f"{path}/bands"),
         id_col=id_col,
         text_col=text_col,
         k=meta.k,
@@ -1294,7 +1294,7 @@ def append_to_kgram_index(
     the hash set — corpus text is never touched."""
     spark = df.sparkSession
     path = index_root(spark, path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_pinned(spark, f"{path}/meta").collect()[0]
     new_h = (
         widen_narrow_input(df)
         .select(
@@ -1303,7 +1303,7 @@ def append_to_kgram_index(
             ).alias("h")
         )
         .distinct()
-        .join(spark.read.parquet(f"{path}/hashes"), "h", "left_anti")
+        .join(read_pinned(spark, f"{path}/hashes"), "h", "left_anti")
         # materialize ONCE: an isEmpty probe plus the write would run the
         # whole tokenize+explode+anti-join twice, and the write must not
         # re-list the hashes dir it is appending to mid-job anyway
@@ -1334,7 +1334,7 @@ def duplicate_spans_against_index(
     detector :func:`duplicate_spans` uses (probe batches are
     ingest-sized, so the uncapped window is the right default here)."""
     path = index_root(spark, path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_pinned(spark, f"{path}/meta").collect()[0]
     k = meta.k
     wins = widen_narrow_input(new_df).select(
         F.col(id_col).alias("doc_id"),
@@ -1342,7 +1342,7 @@ def duplicate_spans_against_index(
             _positional_window_hashes(tokens(F.col(text_col)), k)
         ).alias("idx", "h"),
     ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
-    idx = spark.read.parquet(f"{path}/hashes").withColumn("__in", F.lit(True))
+    idx = read_pinned(spark, f"{path}/hashes").withColumn("__in", F.lit(True))
     marked = wins.join(idx, "h", "left")
     hits = marked.withColumn(
         "n", F.count("*").over(Window.partitionBy("h"))

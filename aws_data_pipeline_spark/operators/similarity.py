@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from aws_data_pipeline_spark.sources.parquet import (
     commit_index_version,
+    read_pinned,
     delete_zone,
     index_active_version,
     index_next_root,
@@ -816,7 +817,7 @@ def build_ivf_index(
     # Counted from the WRITTEN corpus (partition column only, no data
     # columns), so the stats match the files exactly.
     (
-        spark.read.parquet(f"{root}/corpus")
+        read_pinned(spark, f"{root}/corpus")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("built_n"))
         .write.mode("overwrite")
@@ -852,7 +853,7 @@ def ivf_topk_indexed(
     state (the centroids and corpus seen here always belong to one
     committed build)."""
     index_path = index_root(spark, index_path)
-    cent = F.broadcast(spark.read.parquet(f"{index_path}/centroids"))
+    cent = F.broadcast(read_pinned(spark, f"{index_path}/centroids"))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -867,7 +868,7 @@ def ivf_topk_indexed(
         .select("query_id", "qv", "cell")
     )
     cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
-    assigned = spark.read.parquet(f"{index_path}/corpus")
+    assigned = read_pinned(spark, f"{index_path}/corpus")
     if where is not None:
         pred = F.expr(where) if isinstance(where, str) else where
         payload = [
@@ -967,7 +968,7 @@ def build_embedding_lsh_index(
     root, new_v, old_root = _resolve_build_root(spark, path, force_new_version)
     v = df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     v.write.mode("overwrite").parquet(f"{root}/vectors")
-    stored = spark.read.parquet(f"{root}/vectors")
+    stored = read_pinned(spark, f"{root}/vectors")
     _band_codes(stored, bands, rows_per_band, dim, seed).write.mode(
         "overwrite"
     ).parquet(f"{root}/bands")
@@ -997,19 +998,19 @@ def embedding_neardup_against_index(
     the BATCH side, so code-collision density cannot approach n² the way
     a full self-join at a loose threshold does."""
     path = index_root(spark, path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_pinned(spark, f"{path}/meta").collect()[0]
     nv = new_df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     new_banded = _band_codes(nv, meta.bands, meta.rows_per_band, meta.dim, meta.seed)
     cand = (
         new_banded.alias("a")
         .join(
-            spark.read.parquet(f"{path}/bands").alias("b"),
+            read_pinned(spark, f"{path}/bands").alias("b"),
             (F.col("a.band") == F.col("b.band")) & (F.col("a.code") == F.col("b.code")),
         )
         .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("corpus_id"))
         .distinct()
     )
-    corpus_v = spark.read.parquet(f"{path}/vectors").select(
+    corpus_v = read_pinned(spark, f"{path}/vectors").select(
         F.col("id").alias("corpus_id"), F.col("v").alias("v2")
     )
     return (
@@ -1045,19 +1046,19 @@ def append_to_embedding_lsh_index(
     id anti-joins; corpus vectors are never re-banded."""
     spark = df.sparkSession
     path = index_root(spark, path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = read_pinned(spark, f"{path}/meta").collect()[0]
     nv = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
     missing_vecs = nv.join(
-        spark.read.parquet(f"{path}/vectors").select("id"), "id", "left_anti"
+        read_pinned(spark, f"{path}/vectors").select("id"), "id", "left_anti"
     ).localCheckpoint(eager=True)  # write target is also an anti-join input
     if not missing_vecs.isEmpty():
         missing_vecs.write.mode("append").parquet(f"{path}/vectors")
     pending = (
-        spark.read.parquet(f"{path}/vectors")
+        read_pinned(spark, f"{path}/vectors")
         .join(nv.select("id"), "id", "left_semi")
-        .join(spark.read.parquet(f"{path}/bands").select("id"), "id", "left_anti")
+        .join(read_pinned(spark, f"{path}/bands").select("id"), "id", "left_anti")
         .localCheckpoint(eager=True)
     )
     if not pending.isEmpty():
@@ -1090,13 +1091,13 @@ def append_to_ivf_index(
     cents = [
         [float(x) for x in r.centroid]
         for r in sorted(
-            spark.read.parquet(f"{path}/centroids").collect(),
+            read_pinned(spark, f"{path}/centroids").collect(),
             key=lambda r: r.cell,
         )
     ]
     payload = [
         c
-        for c in spark.read.parquet(f"{path}/corpus").columns
+        for c in read_pinned(spark, f"{path}/corpus").columns
         if c not in ("neighbor_id", "cv", "cell")
     ]
     missing_payload = [c for c in payload if c not in df.columns]
@@ -1116,7 +1117,7 @@ def append_to_ivf_index(
         {r.cell for r in assigned.select("cell").distinct().collect()}
     )
     existing = (
-        spark.read.parquet(f"{path}/corpus")
+        read_pinned(spark, f"{path}/corpus")
         .filter(F.col("cell").isin(cells))
         .select("neighbor_id")
     )
@@ -1136,9 +1137,9 @@ def ivf_index_drift(spark, path: str) -> DataFrame:
     corpus (column-pruned count) plus the tiny build_stats table; cells
     created empty at build time report built_n = 0 and growth = NULL."""
     path = index_root(spark, path)
-    built = spark.read.parquet(f"{path}/build_stats")
+    built = read_pinned(spark, f"{path}/build_stats")
     cur = (
-        spark.read.parquet(f"{path}/corpus")
+        read_pinned(spark, f"{path}/corpus")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("current_n"))
     )
@@ -1325,7 +1326,7 @@ def retrain_ivf_index(
     # the rebuild writes a NEW version dir, so reading the active root
     # lazily would be safe — but the post-commit cleanup deletes these
     # files, so materialize anyway before the build consumes them twice
-    stored = spark.read.parquet(f"{index_root(spark, path)}/corpus")
+    stored = read_pinned(spark, f"{index_root(spark, path)}/corpus")
     payload = [c for c in stored.columns if c not in ("neighbor_id", "cv", "cell")]
     vecs = (
         stored.select(
@@ -1707,7 +1708,7 @@ def build_pq_index(
         *payload_cols,
     )
     v.write.mode("overwrite").parquet(f"{root}/vectors")
-    stored = spark.read.parquet(f"{root}/vectors")
+    stored = read_pinned(spark, f"{root}/vectors")
     books = train_pq_codebooks(
         stored, vec_col="v", m=m, ks=ks, seed=seed, max_train=max_train
     )
@@ -1726,7 +1727,7 @@ def build_pq_index(
     # growth baseline = the CODES population (what pq_retrain_due counts);
     # the vectors count includes zero-norm/ragged rows the encoder drops,
     # and a vectors-based baseline would make the 2x trigger fire late
-    n_built = spark.read.parquet(f"{root}/codes").count()
+    n_built = read_pinned(spark, f"{root}/codes").count()
     spark.createDataFrame(
         [(m, ks, seed, n_built)], "m int, ks int, seed int, n_built long"
     ).write.mode("overwrite").parquet(f"{root}/meta")
@@ -1746,8 +1747,8 @@ def _pq_codebooks_at(spark, path: str) -> list[list[list[float]]]:
     artifacts and write their data through ONE resolution, so a retrain
     committing mid-append can never pair old codebooks with the new
     version's tables."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    meta = read_pinned(spark, f"{path}/meta").collect()[0]
+    rows = read_pinned(spark, f"{path}/codebooks").collect()
     books: list[list[list[float]]] = [
         [None] * meta.ks for _ in range(meta.m)  # type: ignore[list-item]
     ]
@@ -1777,7 +1778,7 @@ def append_to_pq_index(
     spark = df.sparkSession
     path = index_root(spark, path)  # ONE resolution for artifacts + writes
     books = _pq_codebooks_at(spark, path)
-    stored_vecs = spark.read.parquet(f"{path}/vectors")
+    stored_vecs = read_pinned(spark, f"{path}/vectors")
     payload = [c for c in stored_vecs.columns if c not in ("id", "v")]
     missing_payload = [c for c in payload if c not in df.columns]
     if missing_payload:
@@ -1794,9 +1795,9 @@ def append_to_pq_index(
     if not missing_vecs.isEmpty():
         missing_vecs.write.mode("append").parquet(f"{path}/vectors")
     pending = (
-        spark.read.parquet(f"{path}/vectors")
+        read_pinned(spark, f"{path}/vectors")
         .join(nv.select("id"), "id", "left_semi")
-        .join(spark.read.parquet(f"{path}/codes").select("id"), "id", "left_anti")
+        .join(read_pinned(spark, f"{path}/codes").select("id"), "id", "left_anti")
         .localCheckpoint(eager=True)
     )
     if not pending.isEmpty():
@@ -1813,8 +1814,8 @@ def pq_retrain_due(spark, path: str, growth_factor: float = 2.0) -> bool:
     drift; PQ has no per-cell counts, so realized growth is the signal).
     Cost: one footer-metadata count + the meta row."""
     path = index_root(spark, path)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    current = spark.read.parquet(f"{path}/codes").count()
+    meta = read_pinned(spark, f"{path}/meta").collect()[0]
+    current = read_pinned(spark, f"{path}/codes").count()
     return meta.n_built > 0 and current >= growth_factor * meta.n_built
 
 
@@ -1833,8 +1834,8 @@ def retrain_pq_index(spark, path: str, max_train: int = 16384) -> dict[str, int]
     crash mid-retrain can never leave new codes visible under old stored
     codebooks."""
     root = index_root(spark, path)
-    meta = spark.read.parquet(f"{root}/meta").collect()[0]
-    stored = spark.read.parquet(f"{root}/vectors")
+    meta = read_pinned(spark, f"{root}/meta").collect()[0]
+    stored = read_pinned(spark, f"{root}/vectors")
     payload = [c for c in stored.columns if c not in ("id", "v")]
     vecs = (
         stored.select(
@@ -1872,8 +1873,8 @@ def pq_topk_indexed(
     committed build even while a retrain/compaction runs."""
     path = index_root(spark, path)
     books = _pq_codebooks_at(spark, path)
-    codes = spark.read.parquet(f"{path}/codes")
-    corpus = spark.read.parquet(f"{path}/vectors").select(
+    codes = read_pinned(spark, f"{path}/codes")
+    corpus = read_pinned(spark, f"{path}/vectors").select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")
     )
     return pq_topk(
@@ -2115,7 +2116,7 @@ def build_sq8_index(
         *payload_cols,
     )
     v.write.mode("overwrite").parquet(f"{root}/vectors")
-    stored = spark.read.parquet(f"{root}/vectors")
+    stored = read_pinned(spark, f"{root}/vectors")
     mins, scales = sq8_train_stats(stored, vec_col="v")
     sq8_encode(
         stored, mins, scales, id_col="id", vec_col="v", extra_cols=payload_cols
@@ -2124,7 +2125,7 @@ def build_sq8_index(
         [(i, mins[i], scales[i]) for i in range(len(mins))],
         "pos int, mn double, sc double",
     ).write.mode("overwrite").parquet(f"{root}/stats")
-    n_built = spark.read.parquet(f"{root}/codes").count()
+    n_built = read_pinned(spark, f"{root}/codes").count()
     spark.createDataFrame(
         [(n_built,)], "n_built long"
     ).write.mode("overwrite").parquet(f"{root}/meta")
@@ -2141,7 +2142,7 @@ def read_sq8_stats(spark, path: str) -> tuple[list[float], list[float]]:
 
 def _sq8_stats_at(spark, path: str) -> tuple[list[float], list[float]]:
     """Stats from an ALREADY-RESOLVED root (the _pq_codebooks_at rule)."""
-    rows = spark.read.parquet(f"{path}/stats").collect()
+    rows = read_pinned(spark, f"{path}/stats").collect()
     rows.sort(key=lambda r: r.pos)
     return [float(r.mn) for r in rows], [float(r.sc) for r in rows]
 
@@ -2165,7 +2166,7 @@ def append_to_sq8_index(
     spark = df.sparkSession
     path = index_root(spark, path)  # ONE resolution for artifacts + writes
     mins, scales = _sq8_stats_at(spark, path)
-    stored_vecs = spark.read.parquet(f"{path}/vectors")
+    stored_vecs = read_pinned(spark, f"{path}/vectors")
     payload = [c for c in stored_vecs.columns if c not in ("id", "v")]
     missing_payload = [c for c in payload if c not in df.columns]
     if missing_payload:
@@ -2182,9 +2183,9 @@ def append_to_sq8_index(
     if not missing_vecs.isEmpty():
         missing_vecs.write.mode("append").parquet(f"{path}/vectors")
     pending = (
-        spark.read.parquet(f"{path}/vectors")
+        read_pinned(spark, f"{path}/vectors")
         .join(nv.select("id"), "id", "left_semi")
-        .join(spark.read.parquet(f"{path}/codes").select("id"), "id", "left_anti")
+        .join(read_pinned(spark, f"{path}/codes").select("id"), "id", "left_anti")
         .localCheckpoint(eager=True)
     )
     if not pending.isEmpty():
@@ -2202,9 +2203,9 @@ def sq8_range_drift(spark, path: str) -> DataFrame:
     saturate — the SQ8 analogue of IVF cell-count drift, measurable in
     one map-side-combinable pass over the vectors table."""
     path = index_root(spark, path)
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = read_pinned(spark, f"{path}/stats")
     obs = (
-        spark.read.parquet(f"{path}/vectors")
+        read_pinned(spark, f"{path}/vectors")
         .select(F.posexplode(F.col("v")).alias("pos", "x"))
         .groupBy("pos")
         .agg(F.min("x").alias("obs_mn"), F.max("x").alias("obs_mx"))
@@ -2245,8 +2246,8 @@ def sq8_retrain_due(
     tail, not a shift; genuine range breaks (the lifecycle test's planted
     outlier sits at ~0.78) clear 0.25 with margin."""
     root = index_root(spark, path)
-    meta = spark.read.parquet(f"{root}/meta").collect()[0]
-    current = spark.read.parquet(f"{root}/codes").count()
+    meta = read_pinned(spark, f"{root}/meta").collect()[0]
+    current = read_pinned(spark, f"{root}/codes").count()
     if meta.n_built > 0 and current >= growth_factor * meta.n_built:
         return True
     worst = sq8_range_drift(spark, path).agg(F.max("drift")).collect()[0][0]
@@ -2261,7 +2262,7 @@ def retrain_sq8_index(spark, path: str) -> dict[str, int]:
     ``force_new_version`` (probes mid-retrain serve the old pair; crash
     leaves it active)."""
     root = index_root(spark, path)
-    stored = spark.read.parquet(f"{root}/vectors")
+    stored = read_pinned(spark, f"{root}/vectors")
     payload = [c for c in stored.columns if c not in ("id", "v")]
     vecs = (
         stored.select(
@@ -2290,8 +2291,8 @@ def sq8_topk_indexed(
     build even while a retrain/compaction runs."""
     path = index_root(spark, path)
     mins, scales = _sq8_stats_at(spark, path)
-    codes = spark.read.parquet(f"{path}/codes")
-    corpus = spark.read.parquet(f"{path}/vectors").select(
+    codes = read_pinned(spark, f"{path}/codes")
+    corpus = read_pinned(spark, f"{path}/vectors").select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")
     )
     return sq8_topk(
@@ -2338,7 +2339,7 @@ def sq8_topk_filtered(
     join touches full vectors for the candidate sliver only)."""
     root = index_root(spark, path)
     mins, scales = _sq8_stats_at(spark, root)
-    codes = spark.read.parquet(f"{root}/codes")
+    codes = read_pinned(spark, f"{root}/codes")
     pred = F.expr(where) if isinstance(where, str) else where
     payload = [c for c in codes.columns if c not in ("id", "codes")]
     if not payload:
@@ -2348,7 +2349,7 @@ def sq8_topk_filtered(
             "the filter can prune the codes scan".format(path)
         )
     filtered = codes.filter(pred).select("id", "codes")
-    corpus = spark.read.parquet(f"{root}/vectors").select(
+    corpus = read_pinned(spark, f"{root}/vectors").select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")
     )
     return sq8_topk(
@@ -2382,7 +2383,7 @@ def pq_topk_filtered(
     candidate sliver only. Requires a ``payload_cols`` build."""
     root = index_root(spark, path)
     books = _pq_codebooks_at(spark, root)
-    codes = spark.read.parquet(f"{root}/codes")
+    codes = read_pinned(spark, f"{root}/codes")
     pred = F.expr(where) if isinstance(where, str) else where
     payload = [c for c in codes.columns if c not in ("id", "codes")]
     if not payload:
@@ -2392,7 +2393,7 @@ def pq_topk_filtered(
             "the filter can prune the codes scan".format(path)
         )
     filtered = codes.filter(pred).select("id", "codes")
-    corpus = spark.read.parquet(f"{root}/vectors").select(
+    corpus = read_pinned(spark, f"{root}/vectors").select(
         F.col("id").alias("vec_id"), F.col("v").alias("embedding")
     )
     return pq_topk(
@@ -2423,7 +2424,7 @@ def _probe_cells(spark, q: DataFrame, ivf_root: str, nprobe: int):
     job, and the broadcast side becomes a LocalTableScan instead of a
     checkpoint re-scan. Driver-side footprint is the broadcast payload
     the old plan shipped anyway."""
-    cent = F.broadcast(spark.read.parquet(f"{ivf_root}/centroids"))
+    cent = F.broadcast(read_pinned(spark, f"{ivf_root}/centroids"))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cent_sim").desc(), F.col("cell").asc()
     )
@@ -2476,7 +2477,7 @@ def _cell_candidates(
             )
 
     if cc_root is not None:
-        posting = spark.read.parquet(f"{cc_root}/codes")
+        posting = read_pinned(spark, f"{cc_root}/codes")
         _require_payload(posting, cc_root)
         posting = posting.filter(F.col("cell").isin(cells))
         if pred is not None:
@@ -2490,7 +2491,7 @@ def _cell_candidates(
     cand = (
         F.broadcast(probed)
         .join(
-            spark.read.parquet(f"{coarse_root}/corpus")
+            read_pinned(spark, f"{coarse_root}/corpus")
             .filter(F.col("cell").isin(cells))
             .select("neighbor_id", "cell"),
             "cell",
@@ -2498,7 +2499,7 @@ def _cell_candidates(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    codes = spark.read.parquet(f"{codes_root}/codes")
+    codes = read_pinned(spark, f"{codes_root}/codes")
     _require_payload(codes, codes_root)
     if pred is not None:
         codes = codes.filter(pred)
@@ -2612,7 +2613,7 @@ def ivfpq_topk_indexed(
         .filter(F.col("__r") <= rerank)
         .select("query_id", "neighbor_id", "qv")
     )
-    cv = spark.read.parquet(f"{pq_root}/vectors").select(
+    cv = read_pinned(spark, f"{pq_root}/vectors").select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     exact = cand2.join(cv, "neighbor_id").withColumn(
@@ -2650,8 +2651,8 @@ def build_ivfpq_cell_codes(
     ivf_root = index_root(spark, ivf_index_path)
     pq_root = index_root(spark, pq_index_path)
     root, new_v, old_root = _resolve_build_root(spark, path, force_new_version=False)
-    codes = spark.read.parquet(f"{pq_root}/codes")
-    cells = spark.read.parquet(f"{ivf_root}/corpus").select(
+    codes = read_pinned(spark, f"{pq_root}/codes")
+    cells = read_pinned(spark, f"{ivf_root}/corpus").select(
         F.col("neighbor_id").alias("id"), "cell"
     )
     # snapshot the source counts BEFORE the posting write, from the SAME
@@ -2668,7 +2669,7 @@ def build_ivfpq_cell_codes(
     posting.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("cell").parquet(f"{root}/codes")
-    n = spark.read.parquet(f"{root}/codes").count()
+    n = read_pinned(spark, f"{root}/codes").count()
     spark.createDataFrame(
         [
             (
@@ -2703,7 +2704,7 @@ def _cell_codes_stale(spark, cc_root: str, ivf_root: str, pq_root: str) -> str |
             "meta zone missing — a crash left a half-built layout (codes "
             "written, meta not) or the path is not a cell-codes layout"
         )
-    meta = spark.read.parquet(f"{cc_root}/meta").collect()[0]
+    meta = read_pinned(spark, f"{cc_root}/meta").collect()[0]
     q_ivf = qualified_path(spark, ivf_root)
     q_pq = qualified_path(spark, pq_root)
     if meta.ivf_root != q_ivf or meta.pq_root != q_pq:
@@ -2712,8 +2713,8 @@ def _cell_codes_stale(spark, cc_root: str, ivf_root: str, pq_root: str) -> str |
             f"are {q_ivf!r}/{q_pq!r} — a retrain/compaction superseded a "
             "source index"
         )
-    n_ivf = spark.read.parquet(f"{ivf_root}/corpus").count()
-    n_pq = spark.read.parquet(f"{pq_root}/codes").count()
+    n_ivf = read_pinned(spark, f"{ivf_root}/corpus").count()
+    n_pq = read_pinned(spark, f"{pq_root}/codes").count()
     if n_ivf != meta.n_ivf or n_pq != meta.n_pq:
         return (
             f"source row counts moved since the build (ivf corpus "
@@ -2823,7 +2824,7 @@ def ivfsq8_topk_indexed(
         .filter(F.col("__r") <= rerank)
         .select("query_id", "neighbor_id", "qv")
     )
-    cv = spark.read.parquet(f"{sq8_root}/vectors").select(
+    cv = read_pinned(spark, f"{sq8_root}/vectors").select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     exact = cand2.join(cv, "neighbor_id").withColumn(
@@ -2920,7 +2921,7 @@ def hard_negative_topk_indexed(
     :func:`ivfsq8_topk_indexed` does for top-k search."""
     root = index_root(spark, sq8_index_path)
     mins, scales = _sq8_stats_at(spark, root)
-    codes = spark.read.parquet(f"{root}/codes")
+    codes = read_pinned(spark, f"{root}/codes")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -2952,7 +2953,7 @@ def hard_negative_topk_indexed(
         .filter(F.col("__r") <= scan_k)
         .select("query_id", "neighbor_id", "qv")
     )
-    cv = spark.read.parquet(f"{root}/vectors").select(
+    cv = read_pinned(spark, f"{root}/vectors").select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     exact = (
@@ -3037,7 +3038,7 @@ def hard_negative_topk_ivfsq8(
         .filter(F.col("__r") <= scan_k)
         .select("query_id", "neighbor_id", "qv")
     )
-    cv = spark.read.parquet(f"{sq8_root}/vectors").select(
+    cv = read_pinned(spark, f"{sq8_root}/vectors").select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv")
     )
     exact = (
@@ -3088,7 +3089,7 @@ def _delete_ids_versioned(
     # ids — forcing the hint would pin that on the driver
     doomed = ids.select(F.col(id_col).alias("__del_id")).distinct()
     n_deleted = (
-        spark.read.parquet(f"{src}/{primary}")
+        read_pinned(spark, f"{src}/{primary}")
         .join(
             doomed,
             F.col(data_subs[primary]) == F.col("__del_id"),
@@ -3100,13 +3101,13 @@ def _delete_ids_versioned(
         return 0
     for sub, sub_id in data_subs.items():
         (
-            spark.read.parquet(f"{src}/{sub}")
+            read_pinned(spark, f"{src}/{sub}")
             .join(doomed, F.col(sub_id) == F.col("__del_id"), "left_anti")
             .write.mode("overwrite")
             .parquet(f"{root}/{sub}")
         )
     for sub in copy_subs:
-        spark.read.parquet(f"{src}/{sub}").write.mode("overwrite").parquet(
+        read_pinned(spark, f"{src}/{sub}").write.mode("overwrite").parquet(
             f"{root}/{sub}"
         )
     _finish_index_build(
@@ -3176,7 +3177,7 @@ def delete_from_ivf_index(
     root = index_root(spark, path)
     doomed = ids.select(F.col(id_col).alias("__del_id")).distinct()  # AQE sizes the join
     located = (
-        spark.read.parquet(f"{root}/corpus")
+        read_pinned(spark, f"{root}/corpus")
         .select("neighbor_id", "cell")  # ids-only read: column pruning
         .join(doomed, F.col("neighbor_id") == F.col("__del_id"), "left_semi")
         .localCheckpoint(eager=True)  # rewrite target is also this scan's src

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from aws_data_pipeline_spark.operators import dedup, multimodal, sampling, similarity, text
 from aws_data_pipeline_spark.plans import register
 from aws_data_pipeline_spark.plans.common import T
+from aws_data_pipeline_spark.sources.parquet import read_pinned
 
 # -- Exact dedup -----------------------------------------------------------
 
@@ -455,20 +456,48 @@ def _kgram_index_path(sf_dir: str) -> str:
     return _warehouse_index_path(sf_dir, "kgram_index_k8")
 
 
+_SRC_COUNT_MEMO: dict = {}
+
+
 def _src_state(
     spark: SparkSession, sf_dir: str, table: str
 ) -> tuple[int, int, int]:
     """(row count, file count, total bytes) of a source table — the state a
     build-once index's staleness marker records. Row count is parquet
-    footer metadata; file count + bytes come from one FS listing
-    (:func:`zone_fingerprint`). The fingerprint is what catches a
-    REGENERATED source at the same scale factor: identical row count,
-    different file bytes — a count-only marker would silently serve the
-    old source's index data."""
-    from aws_data_pipeline_spark.sources.parquet import zone_fingerprint
+    footer metadata; file count + bytes come from one FS listing.
+    The fingerprint is what catches a REGENERATED source at the same
+    scale factor: identical row count, different file bytes — a
+    count-only marker would silently serve the old source's index data.
 
-    total = T(spark, sf_dir, table).count()  # footer metadata
-    n_files, n_bytes = zone_fingerprint(spark, f"{sf_dir}/{table}.parquet")
+    The count is memoized per (application, table, FULL listing state —
+    files, bytes, max mtime): footer-cheap or not, it is still a 2-job
+    Spark action, and r13 job attribution measured it as the largest
+    remaining fixed overhead on every warm ANN probe (the state probe
+    runs on EACH registry call). The listing triple makes the memo
+    sound — any content change that could change the count lands new
+    mtimes/sizes, flipping the key and re-counting; the state returned
+    (and the on-disk marker schema) are unchanged."""
+    from aws_data_pipeline_spark.sources.parquet import zone_listing_state
+
+    n_files, n_bytes, max_mtime = zone_listing_state(
+        spark, f"{sf_dir}/{table}.parquet"
+    )
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table,
+        n_files,
+        n_bytes,
+        max_mtime,
+    )
+    total = _SRC_COUNT_MEMO.get(key)
+    if total is None:
+        for old in [
+            k for k in _SRC_COUNT_MEMO if k[:3] == key[:3] or k[0] != key[0]
+        ]:
+            _SRC_COUNT_MEMO.pop(old)
+        total = T(spark, sf_dir, table).count()  # footer metadata
+        _SRC_COUNT_MEMO[key] = total
     return (total, n_files, n_bytes)
 
 
@@ -486,6 +515,10 @@ def _src_marker_fresh(
 
     if not zone_exists(spark, f"{idx}/src_meta"):
         return False
+    # RAW read, never read_pinned: this probe detects an OLD-SCHEMA
+    # marker by column presence, and the marker is overwritten in
+    # place on rebuild — a pinned pre-fingerprint schema would hide
+    # the new columns and wedge every later probe stale
     meta = spark.read.parquet(f"{idx}/src_meta")
     if not {"src_total", "src_files", "src_bytes"} <= set(meta.columns):
         return False
@@ -908,7 +941,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
         cents = [
             [float(x) for x in r.centroid]
             for r in sorted(
-                spark.read.parquet(f"{idx}/centroids").collect(),
+                read_pinned(spark, f"{idx}/centroids").collect(),
                 key=lambda r: r.cell,
             )
         ]
@@ -917,7 +950,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int, seed: int = 42):
         # (neighbor_id, cv, cell) frame, so a plain scan is strictly
         # cheaper than a whole-corpus nearest_cell projection and makes
         # the resident path identical to the indexed one by construction
-        assigned = spark.read.parquet(f"{idx}/corpus").persist()
+        assigned = read_pinned(spark, f"{idx}/corpus").persist()
         assigned.count()  # materialize the resident copy eagerly
         _IVF_INDEX[key] = (cents, assigned)
     return _IVF_INDEX[key]
@@ -1018,7 +1051,7 @@ def _pq_corpus(spark: SparkSession, sf_dir: str, m: int = 8, ks: int = 16):
 
         idx = index_root(spark, _ensure_pq_index(spark, sf_dir, m=m, ks=ks))
         books = similarity.read_pq_codebooks(spark, idx)
-        codes = spark.read.parquet(f"{idx}/codes").persist()
+        codes = read_pinned(spark, f"{idx}/codes").persist()
         codes.count()  # materialize eagerly
         _PQ_CACHE[key] = (books, codes)
     return _PQ_CACHE[key]
