@@ -774,13 +774,15 @@ def connected_components(
     edges = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    # lazy checkpoint: the measuring count right below materializes it in
-    # the SAME job (eager=True would spend one job pinning and a second
-    # counting — r13 job-count profile: every sequential job at this
-    # graph size costs ~90 ms of pure scheduling). Determinism is not at
-    # stake here — the checkpoint cuts lineage, it pins no sampled
-    # boundaries (edges come from a hash-partitioned distinct).
-    edges = edges.localCheckpoint(eager=False)
+    # EAGER deliberately (r13 A/B): a lazy checkpoint fused into the
+    # measuring count below saves one ~90 ms job, but the convergence
+    # probes in this operator are limit(1) short-circuits — as a lazy
+    # checkpoint's materializing action they compute only part of the
+    # RDD and force a backfill pass for the rest, which measured SLOWER
+    # and far noisier on the bench (leakage_safe_splits 1.7 s -> 3.3-6.0 s)
+    # than the two-job eager form. Eager materializes every partition
+    # exactly once, once per round.
+    edges = edges.localCheckpoint(eager=True)
     if small_graph_max > 0 and edges.count() <= small_graph_max:
         return _cc_union_find(edges)
     labels = (
@@ -804,10 +806,10 @@ def connected_components(
                 ),
                 labels.label.alias("old_label"),
             )
-            # lazy: the convergence probe right below materializes the
-            # round's checkpoint inside its own job (one job per round,
-            # not two — same fusion as the edge-count above)
-            .localCheckpoint(eager=False)
+            # eager, not lazy — the limit(1) convergence probe below
+            # cannot serve as a materializing action (see the edge
+            # checkpoint note above; measured regression when fused)
+            .localCheckpoint(eager=True)
         )
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         changed = (
