@@ -2895,3 +2895,28 @@ def test_conversion_latency_empty_input_returns_zero_row(spark):
         noconv, "u", "ts", "k", "eid", "click", "purchase", 600
     ).collect()
     assert len(r2) == 1 and r2[0].n_conversions == 0
+
+
+def test_src_state_memo_recounts_on_content_change(spark, tmp_path):
+    """_src_state's row-count memo is keyed on the zone's full listing
+    (files, bytes, max mtime): unchanged files serve the memoized count
+    without a Spark action; any append/rewrite flips the key and
+    re-counts — so the memo can never outlive what the staleness marker
+    records."""
+    from aws_data_pipeline_spark.plans.llm import _SRC_COUNT_MEMO, _src_state
+
+    sf = str(tmp_path)
+    spark.range(5).select(F.col("id").alias("doc_id")).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    s1 = _src_state(spark, sf, "documents")
+    assert s1[0] == 5
+    hits = [k for k in _SRC_COUNT_MEMO if k[1] == sf]
+    assert len(hits) == 1 and _SRC_COUNT_MEMO[hits[0]] == 5
+    assert _src_state(spark, sf, "documents") == s1  # memo hit, same value
+    spark.range(5).select(F.col("id").alias("doc_id")).write.mode(
+        "append"
+    ).parquet(f"{sf}/documents.parquet")
+    s2 = _src_state(spark, sf, "documents")
+    assert s2[0] == 10  # listing flipped -> recounted
+    assert s2[1] != s1[1] or s2[2] != s1[2]

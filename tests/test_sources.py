@@ -1356,3 +1356,92 @@ def test_gc_published_estate_crash_retry_marker(spark, tmp_path):
     assert not fs.exists(
         jvm.org.apache.hadoop.fs.Path(f"{root}/_publications/_gc_pending")
     )
+
+
+def test_read_pinned_memoizes_schema_and_rereads_values(spark, tmp_path):
+    """read_pinned: the first read infers and memoizes the schema; later
+    reads of the same path serve the SAME schema but fresh VALUES (the
+    memo pins planning metadata, never data) — the r13 footer-inference
+    optimization's core contract."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        _READ_SCHEMA_MEMO,
+        read_pinned,
+    )
+
+    zone = str(tmp_path / "pinz")
+    spark.range(5).select(F.col("id").alias("a")).write.parquet(zone)
+    df1 = read_pinned(spark, zone)
+    key = (spark.sparkContext.applicationId, zone)
+    assert key in _READ_SCHEMA_MEMO
+    assert df1.schema == _READ_SCHEMA_MEMO[key]
+    # an append lands new values under the same schema; the pinned read
+    # must see them (listing happens per read — only inference is pinned)
+    spark.range(5, 8).select(F.col("id").alias("a")).write.mode(
+        "append"
+    ).parquet(zone)
+    df2 = read_pinned(spark, zone)
+    assert df2.schema == df1.schema
+    assert df2.count() == 8
+
+
+def test_read_pinned_partitioned_zone_roundtrip(spark, tmp_path):
+    """Pinned re-reads of a hive-partitioned zone (the ivfpq cell-codes
+    shape) keep the partition column and its values."""
+    from aws_data_pipeline_spark.sources.parquet import read_pinned
+
+    zone = str(tmp_path / "cellz")
+    spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "id long, cell int"
+    ).write.partitionBy("cell").parquet(zone)
+    first = read_pinned(spark, zone)
+    again = read_pinned(spark, zone)
+    assert again.schema == first.schema
+    assert sorted((r.id, r.cell) for r in again.collect()) == [
+        (1, 0), (2, 0), (3, 1),
+    ]
+    # partition pruning still resolves against the pinned schema
+    assert again.filter(F.col("cell") == 0).count() == 2
+
+
+def test_delete_zone_evicts_pinned_schema(spark, tmp_path):
+    """delete_zone must evict read_pinned memo entries under the deleted
+    path: a legal same-path rebuild after an explicit delete may carry
+    different columns, and a stale pinned schema would misread it."""
+    from aws_data_pipeline_spark.sources.parquet import (
+        delete_zone,
+        read_pinned,
+    )
+
+    zone = str(tmp_path / "rebz")
+    spark.range(3).select(F.col("id").alias("a")).write.parquet(zone)
+    assert read_pinned(spark, zone).columns == ["a"]
+    delete_zone(spark, zone)
+    spark.range(3).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    ).write.parquet(zone)
+    assert set(read_pinned(spark, zone).columns) == {"a", "b"}
+
+
+def test_zone_listing_state_mtime_tracks_rewrites(spark, tmp_path):
+    """zone_listing_state: (files, bytes, max mtime) — a rewrite at
+    identical (files, bytes) still flips the triple via mtime, which is
+    what makes the _src_state count memo sound."""
+    import os
+    import time
+
+    from aws_data_pipeline_spark.sources.parquet import zone_listing_state
+
+    zone = tmp_path / "mz"
+    assert zone_listing_state(spark, str(zone)) == (0, 0, 0)
+    df = spark.range(10).select(F.col("id").alias("x"))
+    df.coalesce(1).write.parquet(str(zone))
+    s1 = zone_listing_state(spark, str(zone))
+    assert s1[0] == 1 and s1[1] > 0 and s1[2] > 0
+    # bump every committed file's mtime without touching content —
+    # the byte-identical-rewrite case fingerprints alone cannot see
+    time.sleep(0.01)
+    for name in os.listdir(zone):
+        if not name.startswith(("_", ".")):
+            os.utime(zone / name)
+    s2 = zone_listing_state(spark, str(zone))
+    assert (s2[0], s2[1]) == (s1[0], s1[1]) and s2[2] > s1[2]
