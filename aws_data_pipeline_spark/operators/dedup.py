@@ -188,11 +188,27 @@ def source_overlap(
     source's gram count) — the pre-mixing diagnostic that tells you two
     "independent" corpus slices are actually the same crawl.
 
-    Shape: one distinct (source, gram-hash) index (8-byte xxhash64 grams,
-    never gram strings, in the shuffle), then an inverted-index equi-join on
-    the gram — pairs materialize only where a gram is shared, and each
-    gram's bucket is at most #sources wide, so the expansion is bounded by
-    #sources², never #docs². Containment divides exact longs, so values are
+    Shape (r13 optimization, guide §2.3/§2.4): ONE pass over the corpus —
+    explode (source, 8-byte xxhash64 gram), groupBy gram into its distinct
+    ordered source set (map-side partial collect_set dedupes before the
+    only fact-sized exchange), then each bucket emits BOTH signals in one
+    Generate: a membership struct ``(s, NULL)`` per source (the per-source
+    gram-universe counter) and a pair struct ``(s_i, s_j)`` per ordered
+    source pair (the shared-gram counter). One grouped count over those
+    structs yields sizes and shared counts together; the result is at most
+    ``#sources² + #sources`` rows — the dim class — so it localCheckpoints
+    (bounded, single job) and the matrix assembles from broadcast slices
+    with no second corpus scan. The prior formulation (distinct index +
+    gram self-join + separate sizes rollup) planned the scan+tokenize+
+    explode subtree FOUR times (join left/right, sizes twice — exchange
+    reuse never fired across the differently-projected subtrees,
+    plans/r13/source_overlap_matrix_before.txt) with 4 fact exchanges;
+    this plans it once with one. Measured at sf0.1: 2.69 -> 1.99 s median
+    (1.35x) — modest locally because the four duplicate subtrees ran as
+    CONCURRENT AQE stages on idle cores; on a saturated cluster the 4x
+    scan+tokenize CPU and 4x exchange bytes are the real bill. Buckets are at
+    most #sources wide, so the expansion is bounded by #sources², never
+    #docs². Containment divides exact longs, so values are
     order-independent.
     """
     grams = (
@@ -202,19 +218,41 @@ def source_overlap(
             F.col(source_col).alias("source"),
             F.explode(hashed_shingles(F.col("__t"), k)).alias("g"),
         )
-        .distinct()
     )
-    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+    buckets = grams.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    null_s = F.lit(None).cast("string")
+    membership = F.transform(
+        F.col("srcs"),
+        lambda s: F.struct(s.alias("sa"), null_s.alias("sb")),
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.slice(F.col("srcs"), 1, F.size("srcs") - 1),
+            lambda s1, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size("srcs")),
+                lambda s2: F.struct(s1.alias("sa"), s2.alias("sb")),
+            ),
         )
-        .agg(F.count("*").alias("n_shared"))
     )
-    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    counted = (
+        buckets.select(F.explode(F.concat(membership, pair_arr)).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.count("*").alias("n"))
+        # bounded materialization (#sources² + #sources rows): sizes and
+        # shared are two slices of this frame — without it Catalyst would
+        # re-plan the whole corpus pipeline once per slice
+        .localCheckpoint(eager=False)
+    )
+    sizes = counted.filter(F.col("sb").isNull())
+    shared = counted.filter(F.col("sb").isNotNull()).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("n").alias("n_shared"),
+    )
+    sa = sizes.select(F.col("sa").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("sa").alias("source_b"), F.col("n").alias("nb"))
     return (
         shared.join(F.broadcast(sa), "source_a")
         .join(F.broadcast(sb), "source_b")
@@ -364,7 +402,18 @@ def _band_candidates(banded: DataFrame) -> DataFrame:
     """Distinct (doc1 < doc2) candidate pairs from a banded-keys frame —
     the LSH equi-self-join every banding-based verify mode (Jaccard,
     edit-distance) shares, factored so the candidate semantics cannot
-    drift between them."""
+    drift between them.
+
+    Kept as the SELF-JOIN deliberately (r13 A/B, guide §1.4 honesty): the
+    jaccard_pairs-style bucket expansion (groupBy (band, key) ->
+    sort_array(collect_list(doc)) -> nested-HOF pair explode) was measured
+    2-4x SLOWER here at sf0.1 (minhash_lsh_dedup 1.6-2.2 s -> 3.5-10 s,
+    edit_distance_dedup_portable 1.7-2.1 s -> 2.9-3.4 s, 5 reps each):
+    the band key is an array<bigint> slice, so the grouped form pays array
+    hashing + collect_list buffering over the full banded frame, while the
+    planner turns the self-join into a broadcast/shuffled hash probe of
+    the same frame. jaccard_pairs' buckets win BECAUSE its key is one
+    8-byte hash and its index feeds three consumers; neither holds here."""
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -771,9 +820,16 @@ def connected_components(
     ``small_graph_max=0`` to force the distributed path.
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    # no .distinct() on the symmetrized union (r13, guide §2.4 "a distinct
+    # on data that is already unique"): every caller feeds DISTINCT
+    # single-orientation pairs (pair generators end in groupBy/distinct),
+    # so the swapped copy cannot collide and the distinct was a full extra
+    # exchange of the edge frame. Duplicate edges would be harmless anyway
+    # — min-label propagation and union-find are both idempotent in them
+    # (labels provably unchanged); only the small-graph gate below would
+    # count them, conservatively pushing a dup-heavy caller to the
+    # distributed path.
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # EAGER deliberately (r13 A/B): a lazy checkpoint fused into the
     # measuring count below saves one ~90 ms job, but the convergence
     # probes in this operator are limit(1) short-circuits — as a lazy

@@ -1300,6 +1300,30 @@ def test_source_overlap_smoke_and_values(spark):
     assert ("a", "c") not in rows and ("b", "c") not in rows  # nothing shared
 
 
+def test_source_overlap_three_way_bucket(spark):
+    """Pin the r13 one-pass bucket expansion for buckets wider than a
+    pair: a phrase shared by THREE sources must emit all C(3,2) ordered
+    pairs with the same shared count, and each source's gram universe
+    (the membership rows) must still count its private grams."""
+    from aws_data_pipeline_spark.operators.dedup import source_overlap
+
+    phrase = " ".join(f"w{i}" for i in range(10))  # 3 distinct 8-grams
+    docs = [
+        (1, "a", phrase + " " + " ".join(f"a{i}" for i in range(10))),
+        (2, "b", phrase + " " + " ".join(f"b{i}" for i in range(20))),
+        (3, "c", phrase + " " + " ".join(f"c{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = {(r.source_a, r.source_b): r for r in source_overlap(df, k=8).collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(r.n_shared == 3 for r in rows.values())
+    # universes: 20/30/40 tokens -> 13/23/33 distinct 8-grams; containment
+    # divides by the smaller side of each pair
+    assert abs(rows[("a", "b")].containment - 3 / 13) < 1e-12
+    assert abs(rows[("a", "c")].containment - 3 / 13) < 1e-12
+    assert abs(rows[("b", "c")].containment - 3 / 23) < 1e-12
+
+
 def test_minhash_short_docs_no_blowup(spark):
     """Documents shorter than k tokens have NO shingles — they must be
     EXCLUDED from signatures (all-NULL signatures would make every short
