@@ -48,6 +48,32 @@ import time
 from aws_data_pipeline_spark.plans import DEMOTED, load_registry
 from aws_data_pipeline_spark.session import get_spark
 
+
+def _cpustat() -> list[int] | None:
+    """Aggregate cpu ticks from /proc/stat (user nice system idle iowait
+    irq softirq steal ...), or None where the file does not exist."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpustat_delta(boot: list[int] | None) -> dict | None:
+    """Whole-run tick deltas + the derived steal share of non-idle time."""
+    now = _cpustat()
+    if boot is None or now is None:
+        return None
+    d = [b - a for a, b in zip(boot, now)]
+    busy = sum(d) - (d[3] + d[4])  # minus idle + iowait
+    steal = d[7] if len(d) > 7 else 0
+    return {
+        "busy_ticks": busy,
+        "idle_ticks": d[3],
+        "steal_ticks": steal,
+        "steal_pct_busy": round(100.0 * steal / busy, 1) if busy else 0.0,
+    }
+
 # Headline set: one per capability family.
 HEADLINE = [
     "q1_pricing_summary",        # scan + filter pushdown + wide agg
@@ -128,6 +154,7 @@ def main() -> None:
     # JVM startup / warm-up cannot contaminate — the family verdict's
     # ambient-load arm keys off this one.
     load_boot = list(os.getloadavg())
+    cpustat_boot = _cpustat()
     spark = get_spark("adps-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -215,6 +242,12 @@ def main() -> None:
                     "start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in os.getloadavg()],
                     "ncpus": os.cpu_count(),
+                    # whole-run /proc/stat tick deltas: loadavg cannot see
+                    # HYPERVISOR contention (a clean-boot run on a stolen
+                    # host reads load ~0 yet runs 1.5-2x slow — observed
+                    # r13); steal/(non-idle) is the direct signal. Keys are
+                    # additive to the driver-contract JSON.
+                    "cpustat": _cpustat_delta(cpustat_boot),
                 },
             }
         )
