@@ -1321,6 +1321,77 @@ def test_family_verdict_load_attributed_arm(tmp_path):
     assert "REGRESSION-SUSPECT" in r.stdout
 
 
+def test_family_verdict_steal_attributed_arm(tmp_path):
+    """The r13 steal arm: loadavg cannot see hypervisor contention (a
+    clean-boot run on a stolen host reads load ~0 yet runs uniformly
+    slow — observed at 10-19% steal of busy ticks), so a uniform suite
+    shift with recorded steal_pct_busy at or above --steal-threshold is
+    LOAD-ATTRIBUTED even on an idle loadavg; the same numbers with low
+    steal stay a REGRESSION-SUSPECT."""
+    import json
+    import subprocess
+    import sys
+
+    queries = [f"fam_q{i}" for i in range(3)] + [f"other_q{i}" for i in range(9)]
+
+    def write(root, steal_pct):
+        (root / "evidence").mkdir()
+        env = {
+            "queries": {q: 1.0 for q in queries},
+            "dispersion": {
+                q: {"min": 0.9, "median": 1.0, "max": 1.1, "reps": 3}
+                for q in queries
+            },
+        }
+        (root / "evidence" / "bench_r12_run1.json").write_text(json.dumps(env))
+        drv = {
+            "parsed": {
+                "queries": {q: 1.6 for q in queries},
+                "dispersion": {
+                    q: {"min": 1.5, "median": 1.6, "max": 1.7, "reps": 3}
+                    for q in queries
+                },
+                "loadavg": {
+                    "boot": [0.05, 0.05, 0.05],  # CLEAN loadavg
+                    "start": [0.05, 0.05, 0.05],
+                    "end": [8.0, 5.0, 3.0],
+                    "ncpus": 32,
+                    "cpustat": {
+                        "busy_ticks": 100000,
+                        "idle_ticks": 900000,
+                        "steal_ticks": int(1000 * steal_pct),
+                        "steal_pct_busy": steal_pct,
+                    },
+                },
+            }
+        }
+        (root / "BENCH_r12.json").write_text(json.dumps(drv))
+
+    stolen = tmp_path / "stolen"
+    stolen.mkdir()
+    write(stolen, steal_pct=15.0)  # the observed contaminated regime
+    r = subprocess.run(
+        [sys.executable, "scripts/family_verdict.py", "--family", "fam_",
+         "--rounds", "12", "--driver-round", "12",
+         "--root", str(stolen)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "LOAD-ATTRIBUTED" in r.stdout and "steal 15.0%" in r.stdout
+
+    quiet = tmp_path / "quiet"
+    quiet.mkdir()
+    write(quiet, steal_pct=2.0)  # quiet-window steal: slowdown is REAL
+    r = subprocess.run(
+        [sys.executable, "scripts/family_verdict.py", "--family", "fam_",
+         "--rounds", "12", "--driver-round", "12",
+         "--root", str(quiet)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    assert "REGRESSION-SUSPECT" in r.stdout
+
+
 def test_gc_published_estate_crash_retry_marker(spark, tmp_path):
     """The _gc_pending marker closes the crash window between expiring
     publications and running zone retention: a re-run still visits zones
