@@ -805,9 +805,12 @@ def connected_components(
       the full round it can save. Labels are deterministic (min), so
       re-runs are idempotent.
 
-    Small-graph fast path: when the deduplicated edge count is at most
-    ``small_graph_max`` (measured on the already-checkpointed frame —
-    one cheap action), the component labels come from a driver-side
+    Small-graph fast path: when the RAW symmetrized-union edge count is
+    at most ``small_graph_max`` (measured on the already-checkpointed
+    frame — one cheap action; callers are expected to feed distinct
+    single-orientation pairs, so duplicates they do feed are counted
+    against the bound, conservatively demoting to the distributed path
+    — labels stay correct either way), the component labels come from a driver-side
     union-find with min-id roots — IDENTICAL labels to the fixpoint
     (label = min reachable id; property-tested equal on random graphs),
     zero loop rounds, zero convergence probes. This is the AQE pattern

@@ -62,10 +62,14 @@ def _cpustat() -> list[int] | None:
 def _cpustat_delta(boot: list[int] | None) -> dict | None:
     """Whole-run tick deltas + the derived steal share of non-idle time."""
     now = _cpustat()
-    if boot is None or now is None:
+    if boot is None or now is None or min(len(boot), len(now)) < 5:
         return None
     d = [b - a for a, b in zip(boot, now)]
-    busy = sum(d) - (d[3] + d[4])  # minus idle + iowait
+    # fields 0-7 only (user nice system idle iowait irq softirq steal):
+    # guest/guest_nice (8-9) are already accounted inside user/nice, so
+    # summing them would double-count guest time and deflate
+    # steal_pct_busy on guest-running hosts (ADVICE r13)
+    busy = sum(d[:8]) - (d[3] + d[4])  # minus idle + iowait
     steal = d[7] if len(d) > 7 else 0
     return {
         "busy_ticks": busy,
@@ -191,8 +195,11 @@ def main() -> None:
             reps = max(1, int(forced))
         else:
             # adaptive: sub-second queries are where sandbox scheduler
-            # noise rivals the signal — buy them more reps
-            reps = 7 if samples[0] < 1.0 else 3
+            # noise rivals the signal — buy them more reps. The sub-0.4 s
+            # tier gets 9 (r13 verdict item 9: those queries showed the
+            # highest noise share in driver medians; ADDITIVE — more reps
+            # of the same timed action, no methodology change).
+            reps = 9 if samples[0] < 0.4 else (7 if samples[0] < 1.0 else 3)
         for _ in range(reps - 1):
             t0 = time.perf_counter()
             df = registry[name].spark_fn(spark, sf_dir)
@@ -250,7 +257,12 @@ def main() -> None:
                     "cpustat": _cpustat_delta(cpustat_boot),
                 },
             }
-        )
+        ),
+        # the driver parses this line from stdout (r12's BENCH parse
+        # failure nulled a whole round-over-round table): flush so the
+        # JSON line is complete on the stream before spark.stop()'s JVM
+        # teardown, keeping it the FINAL stdout line
+        flush=True,
     )
     spark.stop()
 

@@ -128,8 +128,13 @@ def driver_load(rnd: int) -> dict | None:
         "ncpus": int(m.group(4)),
     }
     # the cpustat block (added to bench.py later in r13) rides inside
-    # loadavg; only the steal share matters to the verdict
-    s = re.search(r'"steal_pct_busy": ([0-9.]+)', tail)
+    # loadavg; only the steal share matters to the verdict. Anchor the
+    # search to the span FOLLOWING the matched loadavg block (ADVICE r13:
+    # an unanchored whole-tail search could pick up a steal value from a
+    # DIFFERENT run's block when the tail holds several runs) — cpustat is
+    # the last key inside this block, so it sits within the next ~200
+    # chars after the ncpus match.
+    s = re.search(r'"steal_pct_busy": ([0-9.]+)', tail[m.end() : m.end() + 200])
     if s:
         out["cpustat"] = {"steal_pct_busy": float(s.group(1))}
     return out

@@ -91,3 +91,43 @@ def test_rejects_degenerate_shapes():
         cluster_profile(1 * GiB, executors=10, executor_memory_bytes=0)
     with pytest.raises(ValueError):
         cluster_profile(1 * GiB, executors=10, shuffle_amplification=0.0)
+
+
+def test_bench_stdout_contract_one_json_line():
+    """The driver parses ONE JSON line from bench.py stdout (metric/value/
+    unit/queries/sf) — r12's stored BENCH had parsed:null and the whole
+    round-over-round PERF table nulled out. Pin the contract end-to-end:
+    run the real bench (1 reference query, 1 rep, sf0.001) as a
+    subprocess and require the FINAL stdout line to be the parseable
+    contract object. Progress bars / logs must stay on stderr."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_CPUS": "4",
+            "BENCH_QUERIES": "q6_forecast_revenue",
+            "BENCH_REPS": "1",
+        }
+    )
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+    assert lines, "bench printed nothing to stdout"
+    parsed = json.loads(lines[-1])  # the FINAL line must be the contract
+    assert parsed["unit"] == "sec"
+    assert isinstance(parsed["value"], (int, float))
+    assert "q6_forecast_revenue" in parsed["queries"]
+    assert parsed["sf"] == 0.001
+    # exactly one stdout line: anything else risks a tail-parse driver
+    assert len(lines) == 1, f"extra stdout lines: {lines[:-1]}"
