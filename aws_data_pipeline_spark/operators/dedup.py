@@ -800,10 +800,11 @@ def connected_components(
     - labels are SEEDED with ``min(self, neighbors)`` — round 1's entire
       propagation folded into the init aggregation (stars and cliques, the
       common near-dup shapes, converge with ZERO loop rounds);
-    - the convergence probe runs every round: it reads the freshly
-      checkpointed frame (cached partitions, ~ms), so probing always beats
-      the full round it can save. Labels are deterministic (min), so
-      re-runs are idempotent.
+    - the convergence probe is a FULL count of changed rows fused with
+      the round's lazy checkpoint: one job per round materializes the
+      new labels AND answers "converged?" (r14 — previously an eager
+      checkpoint job plus a limit(1) probe job, 2 jobs/round). Labels
+      are deterministic (min), so re-runs are idempotent.
 
     Small-graph fast path: when the RAW symmetrized-union edge count is
     at most ``small_graph_max`` (measured on the already-checkpointed
@@ -833,22 +834,25 @@ def connected_components(
     # count them, conservatively pushing a dup-heavy caller to the
     # distributed path.
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # EAGER deliberately (r13 A/B): a lazy checkpoint fused into the
-    # measuring count below saves one ~90 ms job, but the convergence
-    # probes in this operator are limit(1) short-circuits — as a lazy
-    # checkpoint's materializing action they compute only part of the
-    # RDD and force a backfill pass for the rest, which measured SLOWER
-    # and far noisier on the bench (leakage_safe_splits 1.7 s -> 3.3-6.0 s)
-    # than the two-job eager form. Eager materializes every partition
-    # exactly once, once per round.
-    edges = edges.localCheckpoint(eager=True)
+    # LAZY checkpoint, materialized by the measuring count() below — a
+    # count touches every row of every partition, so the checkpoint is
+    # fully persisted inside the count's own job (the r13 lesson: lazy
+    # fusion is sound exactly when the materializing action is
+    # full-partition; the r13 regression came from fusing into limit(1)
+    # probes, which compute only part of the RDD and backfill — this
+    # round the probes themselves became full counts, see the loop).
+    # One job per call instead of two.
+    edges = edges.localCheckpoint(eager=False)
     if small_graph_max > 0 and edges.count() <= small_graph_max:
         return _cc_union_find(edges)
     labels = (
         edges.groupBy("u")
         .agg(F.least(F.col("u"), F.min("v")).alias("label"))
         .select(F.col("u").alias("node"), "label")
-        .localCheckpoint()
+        # lazy: materialized (with the edge checkpoint) inside round 1's
+        # convergence-count job — lineage is still cut, one fewer
+        # sequential job before the loop
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neigh = (
@@ -865,17 +869,26 @@ def connected_components(
                 ),
                 labels.label.alias("old_label"),
             )
-            # eager, not lazy — the limit(1) convergence probe below
-            # cannot serve as a materializing action (see the edge
-            # checkpoint note above; measured regression when fused)
-            .localCheckpoint(eager=True)
+            # lazy, fused into the convergence probe below (r14): the
+            # probe is now a FULL count over the changed-filter — it
+            # touches every row of every partition, so it materializes
+            # this checkpoint completely inside its own job. One job per
+            # round instead of two. (The r13 regression that forced
+            # eager came from the probe being a limit(1) short-circuit,
+            # which materialized only part of the RDD and paid a
+            # backfill pass — removed with the limit.)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.select("node", F.col("new_label").alias("label"))
-        changed = (
-            new_labels.filter(F.col("new_label") != F.col("old_label"))
-            .limit(1)
-            .count()
-        )
+        # full count, not limit(1): counting changed rows reads the whole
+        # frame (same answer for the `== 0` test), and a full-partition
+        # action is exactly what lets the checkpoint above go lazy —
+        # the frame is freshly persisted in-memory, so the count's cost
+        # over limit(1)'s early exit is a cached-partition scan, far
+        # cheaper than the scheduling job it saves
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("old_label")
+        ).count()
         if changed == 0:
             break
     else:

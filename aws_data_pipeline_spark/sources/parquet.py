@@ -129,6 +129,31 @@ def read_pinned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+_ARTIFACT_MEMO: dict[tuple[str, str], object] = {}
+
+
+def artifact_memo(spark: SparkSession, path: str, build):
+    """App-lifetime memo for a BOUNDED driver artifact derived from an
+    immutable committed index path — :func:`read_pinned`'s schema-memo
+    posture applied to the artifact VALUE (PQ codebooks, SQ8 stats: a few
+    KB of per-dimension constants each). The r13 job attribution showed
+    these per-probe artifact collects as 1-2 fixed driver jobs per rep on
+    tables that cannot change under the key: artifacts live in a resolved
+    VERSION root — retrains/rebuilds land in a NEW root (fresh key),
+    appends write data tables but never the artifact tables (codebooks /
+    stats are "fixed on append" by contract). Same lifetime and eviction
+    rules as the schema memo: keyed on application id (dead apps evicted
+    on insert), entries under an explicitly deleted path evicted by
+    :func:`delete_zone`."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _ARTIFACT_MEMO:
+        val = build()
+        for old in [k for k in _ARTIFACT_MEMO if k[0] != key[0]]:
+            _ARTIFACT_MEMO.pop(old)
+        _ARTIFACT_MEMO[key] = val
+    return _ARTIFACT_MEMO[key]
+
+
 def qualified_path(spark: SparkSession, path: str) -> str:
     """Fully-qualified URI string for ``path`` (scheme + authority +
     absolute form) — the canonical spelling for STORING or COMPARING path
@@ -366,12 +391,13 @@ def delete_zone(spark: SparkSession, path: str) -> None:
     if fs.exists(jpath):
         fs.delete(jpath, True)
     prefix = path.rstrip("/")
-    for key in [
-        k
-        for k in _READ_SCHEMA_MEMO
-        if k[1] == prefix or k[1].startswith(prefix + "/")
-    ]:
-        _READ_SCHEMA_MEMO.pop(key)
+    for memo in (_READ_SCHEMA_MEMO, _ARTIFACT_MEMO):
+        for key in [
+            k
+            for k in memo
+            if k[1] == prefix or k[1].startswith(prefix + "/")
+        ]:
+            memo.pop(key)
 
 
 _COMPACT_TMP_DIR = "_compacting"
