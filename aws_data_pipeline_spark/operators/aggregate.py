@@ -513,8 +513,12 @@ def rfm_scores(
     # two jobs (offsets + assignment), so without this the raw-frame
     # aggregate — a full fact scan at 100 TB — would re-execute ~6x.
     # The checkpointed frame is key-cardinality-sized (the dim class),
-    # and the A/B at sf0.1 also times ~10% faster locally.
-    base = base.localCheckpoint(eager=True)
+    # and the A/B at sf0.1 also times ~10% faster locally. LAZY (r14):
+    # the first action on base is pass 1's range-boundary sample, whose
+    # reservoir pass reads every row of every partition — a
+    # full-partition materializing action (the CC/global-rank fusion
+    # rule), so the separate eager-materialization job disappears.
+    base = base.localCheckpoint(eager=False)
     hi = buckets  # best band
     # Kept CHAINED deliberately (r13 measurement): restructuring the three
     # passes to rank projected (key, metric) pairs in parallel driver

@@ -915,13 +915,45 @@ def tfidf_shingle_cosine_pairs(
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = (
+    # per-doc term frequencies computed IN THE ROW (r14, guide §2.3):
+    # a document's shingles all live in its own text cell, so (h, tf)
+    # is row-local — sort the hashed-shingle array and run-length
+    # encode it with HOFs (run ends = positions where the next element
+    # differs; tf = distance to the previous run end), then explode the
+    # (h, tf) structs directly. The previous explode-then-
+    # groupBy(doc, h) shape shuffled the ENTIRE exploded postings index
+    # once just to merge duplicates that were never off-row in the
+    # first place — at 100 TB that exchange is a full second pass over
+    # the index (plan: the tf Exchange is gone; the Generate now emits
+    # one row per DISTINCT shingle instead of one per instance). Hash
+    # identity, counts, and the bucket frame are unchanged: xxhash64
+    # applies to the same shingle strings, and two shingles colliding
+    # into one hash merge their runs here exactly as groupBy(h) merged
+    # their counts.
+    hs = F.sort_array(F.transform(sh_arr, lambda s: F.xxhash64(s)))
+    ends = F.filter(
+        F.sequence(F.lit(0), F.size(hs) - 1),
+        lambda i: (i == F.size(hs) - 1) | (F.get(hs, i + 1) != F.get(hs, i)),
+    )
+    rle = F.zip_with(
+        ends,
+        F.concat(F.array(F.lit(-1)), F.slice(ends, 1, F.size(ends) - 1)),
+        lambda e, p: F.struct(
+            F.get(hs, e).alias("h"), (e - p).cast("long").alias("tf")
+        ),
+    )
+    tf = (
         widen_narrow_input(df)
         .where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc"), F.explode(sh_arr).alias("s"))
-    )
-    tf = sh.groupBy("doc", F.xxhash64("s").alias("h")).agg(
-        F.count("*").alias("tf")
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.when(F.size(hs) > 0, rle).otherwise(
+                    F.array().cast("array<struct<h:bigint,tf:bigint>>")
+                )
+            ).alias("p"),
+        )
+        .select("doc", F.col("p.h").alias("h"), F.col("p.tf").alias("tf"))
     )
     # denominator from a NARROW scan (docs contributing ≥1 shingle) — the
     # exploded index never feeds a count

@@ -115,12 +115,18 @@ def global_row_number(
 
     1. ``repartitionByRange`` on the order keys — Spark's distributed sort
        machinery (sampled range boundaries; partition i's keys all precede
-       partition i+1's). ``localCheckpoint`` pins the sampled boundaries so
-       the two downstream jobs (offset count + final projection) see the
-       SAME partitioning — without it a re-sample between jobs could shift
-       rows across partitions and corrupt the offsets.
-    2. LOCAL ``row_number`` within each range partition (WindowExec
-       partitioned by ``spark_partition_id()`` — parallel, no global sort).
+       partition i+1's) — plus ``sortWithinPartitions``: together a full
+       distributed sort. ``localCheckpoint`` pins boundaries AND row order
+       so the two downstream jobs (offset count + final projection) see
+       the SAME rows in the SAME positions — without it a re-sample
+       between jobs could shift rows across partitions and corrupt the
+       offsets.
+    2. LOCAL row number read off ``monotonically_increasing_id()`` over
+       the pinned sorted scan ((partition << 33) + row offset — parallel,
+       no global sort, and no WindowExec: a window partitioned by
+       ``spark_partition_id()`` re-shuffles the frame, because the
+       checkpoint scan's UnknownPartitioning can't prove the clustering
+       it has by construction).
     3. One bounded collect of per-partition counts (one long per range
        partition) -> cumulative offsets, broadcast-joined back; global
        row number = local row number + partition offset.
@@ -140,21 +146,53 @@ def _global_row_number_with_total(
 ) -> tuple[DataFrame, int]:
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The ONLY shuffle in the pass: range-repartition on the order keys,
+    # then SORT WITHIN each range partition — the checkpoint pins the
+    # sorted rows, so the local row number can be read off
+    # ``monotonically_increasing_id()`` ((partition << 33) + row offset
+    # in pinned partition order) instead of a ``row_number`` window.
+    # The window form paid a SECOND full shuffle per pass: a checkpoint
+    # scan reports UnknownPartitioning, so WindowExec's
+    # ClusteredDistribution(__pid) re-planned an
+    # ``Exchange hashpartitioning(__pid)`` over data that was already
+    # perfectly clustered by construction (r14, guide §2.1 — remove the
+    # shuffle outright; rfm job attribution: the per-pass AQE
+    # materialization of that exchange disappears with it). Sort work is
+    # unchanged — sortWithinPartitions here replaces the window's
+    # [__pid, order] sort there.
+    #
     # LAZY checkpoint: the offsets collect below is the first action on
     # this frame and materializes the checkpoint inside its own job, so
-    # boundary pinning costs no separate eager-materialization job (r13
-    # job-count profile: one fewer sequential job per global-rank pass,
-    # ~90 ms of scheduling each at bench scale). The pinning guarantee is
-    # unchanged — localCheckpoint persists every partition computed by
-    # that first job (and back-fills any missing at its end), so the
-    # final-projection job reads the SAME partitioning the offsets saw.
-    part = df.repartitionByRange(n, *order_by).localCheckpoint(eager=False)
-    part = part.withColumn("__pid", F.spark_partition_id())
-    local = part.withColumn(
-        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*order_by))
+    # boundary pinning costs no separate eager-materialization job (r13).
+    # The pinning guarantee is unchanged — localCheckpoint persists every
+    # partition computed by that first job (and back-fills any missing at
+    # its end), so the final-projection job reads the SAME partitioning
+    # AND per-partition row order the offsets pass saw; the id expression
+    # is deterministic over a pinned scan (task partition index + row
+    # position), so both jobs see identical (__pid, __lrn) for every row.
+    # Bounds: ids are (pid << 33) | offset, so this holds to 2^33 rows
+    # per range partition — STRICTLY WIDER than the window form it
+    # replaces (row_number is a 32-bit int, 2^31 rows per partition).
+    part = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .localCheckpoint(eager=False)
+    )
+    local = (
+        part.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn(
+            "__pid", F.shiftrightunsigned(F.col("__mid"), 33).cast("int")
+        )
+        .withColumn(
+            "__lrn",
+            F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1),
+        )
+        .drop("__mid")
     )
     counts = dict(
-        part.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+        part.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.count("*").alias("c"))
+        .collect()
     )  # bounded: one row per range partition
     offsets, acc = [], 0
     for pid in range(n):
