@@ -236,6 +236,16 @@ def global_prefix_sum(
     gains an ``{out_prefix}{col}`` long column, and ``grand_totals`` maps
     each value column to its full-frame sum (already paid for by the
     offset pass — callers needing "the total" never run a second job).
+
+    Step 2 keeps the WindowExec DELIBERATELY (r14 measurement): like the
+    global-rank helper, the checkpoint scan's UnknownPartitioning makes
+    the window re-plan an ``Exchange hashpartitioning(__pid)``, but the
+    alternative — a ``mapInPandas`` cumsum with a cross-batch carry over
+    a pinned sorted scan — was built, verified, and measured 20-30%
+    SLOWER at sf0.1 (evidence/dqks_prefix_scan_ab_r14.txt): the Arrow
+    round-trip of the whole frame costs more than the bounded-width
+    exchange it removes. The monotonic-id trick that fixed the rank
+    helper cannot express a running SUM, so the window stays.
     """
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
